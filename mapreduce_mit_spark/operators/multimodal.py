@@ -1,0 +1,125 @@
+"""Multimodal column plumbing.
+
+Treats image/audio/video payloads as opaque ``binary`` columns with
+typed metadata, processed by Arrow-batched ``mapInPandas`` — the
+pattern for decode / feature-extract / resize / frame-sample stages at
+100 TB (binary stays columnar end-to-end; Python sees pandas batches,
+never rows).
+
+The container has no image/audio codecs, so the real decoders are
+STUBBED behind import guards (NotImplementedError with a clear message)
+and a deterministic fake decoder exercises the full plumbing — schema,
+batching, partitioning — for tests and the oracle-checked plan
+(plans registered in streaming/stream_queries.py's sibling, see
+q97_multimodal_meta below via register()).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans._util import t
+from ..registry import register
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires a codec library absent from this
+    container. The Spark-side plumbing around it is fully tested with
+    the deterministic fake below."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image decoding requires PIL/pillow, not present in this "
+            "environment; use fake_decode_meta for plumbing tests"
+        ) from exc
+
+
+def fake_decode_meta(payload: bytes) -> tuple[str, int, int]:
+    """Deterministic stand-in for a decoder: md5 digest + fake
+    dimensions derived from it. Pure function of the bytes, so the
+    DuckDB oracle can reproduce it exactly."""
+    digest = hashlib.md5(payload).hexdigest()
+    width = int(digest[0:4], 16) % 1024
+    height = int(digest[4:8], 16) % 1024
+    return digest, width, height
+
+
+def extract_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """mapInPandas metadata extraction over a binary column.
+
+    Arrow moves the binary batches; each pandas batch is processed
+    vectorized-ish in Python. This is the slow-path escape hatch shape —
+    anything expressible as built-ins should not be here."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [fake_decode_meta(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(b) for b in pdf[payload_col]],
+                    "content_md5": [m[0] for m in metas],
+                    "width": [m[1] for m in metas],
+                    "height": [m[2] for m in metas],
+                }
+            )
+
+    return df.mapInPandas(process, META_SCHEMA)
+
+
+def _hex2int_sql(hexpr: str, start: int, length: int) -> str:
+    """DuckDB: parse hex substring into an integer via nibble positions."""
+    acc = "0"
+    for i in range(length):
+        nib = f"(strpos('0123456789abcdef', substr({hexpr}, {start + i}, 1)) - 1)"
+        acc = f"(({acc}) * 16 + {nib})"
+    return acc
+
+
+@register(
+    "q97_multimodal_meta",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             md5(text) AS content_md5
+      FROM documents
+    )
+    SELECT doc_id, n_bytes, content_md5,
+           CAST({_hex2int_sql('content_md5', 1, 4)} % 1024 AS BIGINT) AS width,
+           CAST({_hex2int_sql('content_md5', 5, 4)} % 1024 AS BIGINT) AS height
+    FROM hashed
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
+def q97_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text → binary payload column →
+    Arrow-batched mapInPandas 'decode' → typed metadata.
+
+    The fake decoder is a pure function of the payload bytes, so this
+    whole Pandas-UDF pipeline is hash-checked against a pure-SQL oracle
+    — proving the batch plumbing loses/garbles nothing."""
+    d = t(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return extract_image_meta(payloads).orderBy("doc_id")

@@ -1,0 +1,31 @@
+"""Shared plan helpers.
+
+Cross-engine float discipline: Spark and DuckDB may sum doubles in
+different orders, so every aggregated double surfaced to the driver's
+value-hash is wrapped in ``round(, N)``. Rounding a sum whose
+order-dependent wobble is ~1e-10 relative makes the two engines
+bit-identical except on astronomically unlikely boundary values.
+Row-level arithmetic (same ops, same inputs) is bit-identical without
+rounding, but we still round surfaced metrics for stable display.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def rsum(col: Column | str, alias: str, nd: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c), nd).alias(alias)
+
+
+def ravg(col: Column | str, alias: str, nd: int = 4) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.avg(c), nd).alias(alias)

@@ -1,0 +1,267 @@
+"""Deduplication operators over ``documents``.
+
+The four standard training-data dedup strategies, each Spark-first and
+(where the math is deterministic) DuckDB-oracle-checked:
+
+- exact dedup: hash-groupBy on normalized content (one shuffle on the
+  hash — this is how you dedup 100 TB: the shuffle key is 32 bytes/doc,
+  not the document).
+- MinHash + LSH banding: shingle → minhash signature → band keys →
+  bucket self-join. Candidate generation cost is O(docs × bands), never
+  O(docs²). md5-based min-hash for cross-engine parity (swap xxhash64
+  at scale — see functions/hashing.py).
+- n-gram Jaccard: exact pairwise verification via an exploded
+  token-join (the verify stage you run AFTER LSH narrows candidates;
+  scoped to a doc_id window here to stay bounded).
+- SimHash: 32-bit near-dup fingerprint via per-bit weighted votes.
+
+The synthetic corpus has few/no true duplicates — empty candidate sets
+are valid output; tests/test_dedup.py injects synthetic dups to prove
+recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import minhash_cols, minhash_sql_exprs, norm_text_col, norm_text_sql
+from ..functions.textfns import tokens_col, tokens_sql
+from ..registry import register
+from ._util import t
+
+N_HASHES = 12
+BAND_SIZE = 3
+N_BANDS = N_HASHES // BAND_SIZE
+
+
+@register(
+    "q80_exact_dedup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, md5({norm_text_sql('text')}) AS content_hash FROM documents
+    )
+    SELECT content_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*)    AS n_copies
+    FROM hashed
+    GROUP BY content_hash
+    ORDER BY content_hash
+    """,
+    tags=("dedup", "exact"),
+)
+def q80_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id.
+    Equivalent to dropDuplicates(content) but keeps group stats."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(norm_text_col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("content_hash")
+    )
+
+
+def shingles_col() -> Column:
+    """Word 3-gram shingles from the tokenized text (Spark side)."""
+    toks = tokens_col("text")
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def shingles_sql() -> str:
+    toks = tokens_sql("text")
+    return f"""CASE WHEN len({toks}) >= 3
+        THEN list_transform(range(1, len({toks}) - 1),
+                            i -> concat({toks}[i], ' ', {toks}[i+1], ' ', {toks}[i+2]))
+        ELSE [array_to_string({toks}, ' ')] END"""
+
+
+def _band_key_cols() -> list[Column]:
+    return [
+        F.md5(F.concat(*[F.col(f"mh{b * BAND_SIZE + r}") for r in range(BAND_SIZE)])).alias(
+            f"band{b}"
+        )
+        for b in range(N_BANDS)
+    ]
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + mh0..mh{N-1} minhash signature columns."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", shingles_col().alias("shingles")).select(
+        "doc_id", *minhash_cols(F.col("shingles"), N_HASHES)
+    )
+
+
+@register(
+    "q81_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {shingles_sql()} AS shingles FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, {", ".join(minhash_sql_exprs("shingles", N_HASHES))} FROM sh
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band_idx, md5(concat(mh{b * BAND_SIZE}, mh{b * BAND_SIZE + 1}, mh{b * BAND_SIZE + 2})) AS band_key FROM sig"
+          for b in range(N_BANDS)
+      )}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "minhash-lsh"),
+)
+def q81_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs.
+
+    Plan shape: signatures (narrow) → posexplode to (band_idx, band_key)
+    → self-join on the band key (shuffle keyed by 32-byte band hash) →
+    group to pairs. At 100 TB the join key distributes uniformly (md5),
+    so no skew; candidate volume is controlled by band/row tuning
+    (12 hashes = 4 bands × 3 rows ⇒ ~jaccard>0.6 pairs surface)."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*_band_key_cols())).alias("band_idx", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q82_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS token
+      FROM documents WHERE doc_id < 100
+    ),
+    sizes AS (
+      SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) AS jaccard
+    FROM shared
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "jaccard"),
+)
+def q82_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for pairs with jaccard ≥ 0.8 (the
+    verification stage after LSH). Set sizes via one aggregate;
+    intersections via an exploded equi-join on token — never a
+    cartesian product. Scoped to doc_id < 100: at scale this runs on
+    LSH candidates only, not all pairs."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("token")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    shared = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    return (
+        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+N_SIMHASH_BITS = 32
+
+
+def _hexval_spark(tok: Column, j: int) -> Column:
+    """Value of md5 hex digit ⌊j/4⌋ of a token (Spark side)."""
+    ch = F.substring(F.md5(tok), 1 + j // 4, 1)
+    return F.instr(F.lit("0123456789abcdef"), ch) - 1
+
+
+def _bit_sql(j: int) -> str:
+    """DuckDB expression for bit j of md5(token) (same construction)."""
+    hv = f"(strpos('0123456789abcdef', substr(md5(token), {1 + j // 4}, 1)) - 1)"
+    return f"(({hv} >> {j % 4}) & 1)"
+
+
+@register(
+    "q83_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+             {", ".join(f"sum(CASE WHEN {_bit_sql(j)} = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(N_SIMHASH_BITS))}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS))} AS BIGINT)
+             AS simhash
+    FROM votes
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def q83_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: every token occurrence votes ±1 on
+    each bit (bit source = md5 hex nibbles, cross-engine identical);
+    fingerprint bit = sign of the vote sum.
+
+    Plan: explode tokens → 32 conditional sums in ONE hash aggregate
+    (single shuffle on doc_id) → bit-pack. Near-dup pairs then compare
+    fingerprints by hamming distance (see tests), which at scale is a
+    band-join on bit slices, not all-pairs."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(_hexval_spark(F.col("token"), j), j % 4).bitwiseAND(1) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(N_SIMHASH_BITS)
+        ]
+    )
+    packed = None
+    for j in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return votes.select("doc_id", packed.cast("long").alias("simhash")).orderBy("doc_id")

@@ -1,0 +1,817 @@
+"""Relational operator catalog (SURVEY.md §2.2 checklist).
+
+The reference engine has NO relational operators — projection/filter
+exist only inside user map functions (wc.go:55-57), grouping only as the
+reduce phase (common_reduce.go:49-73). This module supplies the full
+relational surface a user of a modern engine expects, every query a
+declarative DataFrame plan (Catalyst handles pushdown / pruning /
+join-strategy / partial aggregation) with a DuckDB oracle twin.
+
+Scale notes per query are in the docstrings; the common principles:
+- dimension joins are broadcast (``F.broadcast``) — no shuffle of the
+  fact table for small dims;
+- fact-fact joins shuffle on the join key and rely on AQE for skew;
+- aggregates are algebraic (sum/count/avg/min/max) so Catalyst emits
+  partial (map-side) aggregation automatically — unlike the reference,
+  which ships every raw KV across the shuffle (common_map.go:90-98).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ._util import ravg, rsum, t
+
+
+# --------------------------------------------------------------------------
+# Aggregation family
+# --------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "tpch"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter → hash agg (partial+final).
+
+    Scale: one shuffle on the 2-value group key; partial aggregation
+    collapses ~100 TB of lineitem to a handful of rows before shuffle.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rsum("l_quantity", "sum_qty"),
+            rsum("l_extendedprice", "sum_base_price"),
+            rsum(disc_price, "sum_disc_price"),
+            rsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            ravg("l_quantity", "avg_qty"),
+            ravg("l_extendedprice", "avg_price"),
+            ravg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+           l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.08
+      AND l_quantity > 30
+    """,
+    tags=("filter", "projection"),
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection + projection; predicates and column pruning reach the
+    parquet scan (PushedFilters in .explain) — zero shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.08)
+        & (F.col("l_quantity") > 30)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        "l_quantity",
+    )
+
+
+@register(
+    "q10_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                    AS n_orders,
+           count(DISTINCT o_custkey)   AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           round(sum(o_totalprice), 2) AS total_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("agg", "distinct"),
+)
+def q10_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst expands to a two-phase partial-distinct
+    aggregate (expand + two shuffles), never a driver-side set."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            rsum("o_totalprice", "total_revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q11_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    tags=("agg", "rollup"),
+)
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total).
+
+    Both dims are broadcast; the expand operator multiplies rows 3× but
+    partial aggregation keeps the shuffle tiny."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), rsum("c_acctbal", "total_balance"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@register(
+    "q12_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("agg", "cube"),
+)
+def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims — all 4 grouping sets."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), rsum("o_totalprice", "revenue"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q13_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )
+
+
+@register(
+    "q14_having",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+    FROM part
+    GROUP BY p_brand
+    HAVING count(*) >= 5
+    ORDER BY p_brand
+    """,
+    tags=("agg", "having"),
+)
+def q14_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"), ravg("p_retailprice", "avg_price"))
+        .where(F.col("n_parts") >= 5)
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q15_conditional_agg",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_customers,
+           sum(CASE WHEN c_mktsegment = 'BUILDING'  THEN 1 ELSE 0 END) AS n_building,
+           sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS n_machinery,
+           round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0 END), 2) AS positive_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("agg", "case-when"),
+)
+def q15_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation (sum of CASE WHEN)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)).alias("n_building"),
+            F.sum(F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0)).alias("n_machinery"),
+            rsum(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).otherwise(0.0), "positive_balance"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join family
+# --------------------------------------------------------------------------
+
+@register(
+    "q20_broadcast_join",
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("join", "broadcast"),
+)
+def q20_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ small dim: explicit broadcast hint — the 100 TB lineitem
+    never shuffles for this join; part ships to every executor."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "q21_shuffle_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY c_mktsegment
+    ORDER BY revenue DESC, c_mktsegment
+    """,
+    tags=("join", "sort-merge"),
+)
+def q21_shuffle_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact equi-join: sort-merge on the shuffled key at scale
+    (AQE may downgrade to broadcast at small SF — that's the point of
+    letting the optimizer choose)."""
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), rsum("o_totalprice", "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_mktsegment")
+    )
+
+
+@register(
+    "q22_multiway_join",
+    oracle="""
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+    tags=("join", "multiway", "tpch"),
+)
+def q22_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: lineitem→orders→customer→nation→region.
+
+    Scale: orders filter is pushed to the scan before the join; nation &
+    region broadcast; lineitem⋈orders shuffles on orderkey once."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            rsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "q23_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    ORDER BY c_custkey
+    """,
+    tags=("join", "semi"),
+)
+def q23_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — existence check without duplicating rows."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q24_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("join", "anti"),
+)
+def q24_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — customers that never ordered."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q25_outer_join",
+    oracle="""
+    SELECT n_name,
+           count(c_custkey) AS n_customers
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("join", "outer"),
+)
+def q25_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving unmatched dimension rows (count of a
+    nullable column skips nulls — nations with zero customers show 0)."""
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q26_range_join",
+    oracle="""
+    SELECT o_orderkey,
+           count(*) AS n_late_items,
+           round(sum(l_extendedprice), 2) AS late_value
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderkey
+    HAVING count(*) >= 4
+    ORDER BY o_orderkey
+    """,
+    tags=("join", "range"),
+)
+def q26_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range predicate join (ship >90 days after order).
+
+    The equi conjunct keeps this a hash/sort-merge join — the range
+    condition is evaluated as a join residual, NOT a cartesian product."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    joined = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAY")),
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_late_items"), rsum("l_extendedprice", "late_value"))
+        .where(F.col("n_late_items") >= 4)
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q27_theta_join",
+    oracle="""
+    SELECT a.s_name AS s1, b.s_name AS s2,
+           round(a.s_acctbal - b.s_acctbal, 2) AS balance_gap
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_acctbal > b.s_acctbal
+    ORDER BY s1, s2
+    """,
+    tags=("join", "theta"),
+)
+def q27_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta self-join (inequality pairing within nation). Supplier is a
+    small dim so the nested-loop residual is cheap; at scale a band-
+    partitioning would bound the quadratic blowup."""
+    a = t(spark, sf_dir, "supplier").alias("a")
+    b = t(spark, sf_dir, "supplier").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_acctbal") > F.col("b.s_acctbal")),
+        )
+        .select(
+            F.col("a.s_name").alias("s1"),
+            F.col("b.s_name").alias("s2"),
+            F.round(F.col("a.s_acctbal") - F.col("b.s_acctbal"), 2).alias("balance_gap"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+@register(
+    "q28_asof_join",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           p.ts,
+           max(c.ts) AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    ORDER BY p.event_id
+    """,
+    tags=("join", "asof"),
+)
+def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each purchase, the most recent strictly-earlier
+    click by the same user.
+
+    Spark plan: NOT a pairwise join — a single window pass over the
+    unioned event stream (partition by user, order by time, running max
+    of click timestamps). One shuffle on user_id, linear work; this is
+    the scalable as-of strategy (the oracle's join+max formulation would
+    be quadratic per user at 100 TB).
+    """
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enriched = e.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
+    )
+    return (
+        enriched.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+@register(
+    "q30_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             rank()       OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             dense_rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS drnk
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window", "topk-per-group"),
+)
+def q30_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number/rank/dense_rank — one shuffle on
+    the partition key; Spark pushes a per-partition limit (WindowGroupLimit)
+    before the final sort."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "q31_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           datediff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS days_since_prev,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    tags=("window", "lag-lead"),
+)
+def q31_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a per-customer event sequence."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "q32_window_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_spend,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg_3
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    tags=("window", "running"),
+)
+def q32_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 3-row moving average (explicit ROWS frames)."""
+    o = t(spark, sf_dir, "orders")
+    ordered = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = ordered.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(moving), 4).alias("moving_avg_3"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops / distinct
+# --------------------------------------------------------------------------
+
+@register(
+    "q40_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("sort", "topk"),
+)
+def q40_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Catalyst plans TakeOrderedAndProject — each partition
+    keeps k rows, only k×partitions reach the driver-side merge; no full
+    sort of 100 TB ever happens."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q41_set_ops",
+    oracle="""
+    WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+         c96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+    SELECT 'both' AS cohort, o_custkey FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+    UNION ALL
+    SELECT 'only_1995' AS cohort, o_custkey FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+    UNION ALL
+    SELECT 'only_1996' AS cohort, o_custkey FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c95)
+    ORDER BY cohort, o_custkey
+    """,
+    tags=("setop",),
+)
+def q41_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL cohort analysis."""
+    o = t(spark, sf_dir, "orders")
+
+    def cohort(year: int) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    c95, c96 = cohort(1995), cohort(1996)
+    both = c95.intersect(c96).select(F.lit("both").alias("cohort"), "o_custkey")
+    only95 = c95.exceptAll(c96).select(F.lit("only_1995").alias("cohort"), "o_custkey")
+    only96 = c96.exceptAll(c95).select(F.lit("only_1996").alias("cohort"), "o_custkey")
+    return both.unionAll(only95).unionAll(only96).orderBy("cohort", "o_custkey")
+
+
+@register(
+    "q42_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_quantity
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus, l_quantity
+    """,
+    tags=("distinct",),
+)
+def q42_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates — hash aggregate on the full row, partial+final."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_quantity")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus", "l_quantity")
+    )
+
+
+# --------------------------------------------------------------------------
+# Subqueries
+# --------------------------------------------------------------------------
+
+@register(
+    "q43_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2.0 * (SELECT avg(o_totalprice) FROM orders)
+    ORDER BY o_orderkey
+    """,
+    tags=("subquery", "scalar"),
+)
+def q43_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders at >2× the mean price)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2.0 * (SELECT avg(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "q44_in_subquery",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    ORDER BY p_partkey
+    """,
+    tags=("subquery", "in"),
+)
+def q44_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery — Catalyst rewrites to a left-semi join."""
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_brand
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        ORDER BY p_partkey
+        """
+    )
+
+
+@register(
+    "q45_correlated_exists",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_discount >= 0.09)
+    ORDER BY s_suppkey
+    """,
+    tags=("subquery", "exists"),
+)
+def q45_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — decorrelated by Catalyst into a semi join."""
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_suppkey = s_suppkey AND l_discount >= 0.09)
+        ORDER BY s_suppkey
+        """
+    )

@@ -1,0 +1,245 @@
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+- q85: brute-force cosine top-k against a query vector — the exact
+  baseline. All arithmetic in JVM higher-order functions (zip_with +
+  aggregate); elements cast to double before accumulating so Spark and
+  DuckDB agree bit-for-bit after rounding.
+- q86: per-vector nearest neighbor within label partitions (blocked
+  brute force — the "bucketed" scale pattern with label as the bucket).
+- q87: random-hyperplane (sign) LSH bucketing — the scale path: the
+  hyperplanes are deterministic literals derived from md5 at plan-build
+  time, so the oracle reproduces them exactly. Candidates come from one
+  bucket equi-join instead of an all-pairs product.
+
+Near-dup by embedding cosine (the dedup flavor) is q88.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ._util import t
+
+DIM = 64
+QUERY_VEC_ID = 0
+N_PLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two array<float> columns, double
+    accumulation (matches DuckDB list_aggregate('sum') ordering)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+_DOT_SQL = (
+    "list_aggregate(list_transform(range(1, {dim} + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+)
+_NORM_SQL = (
+    "sqrt(list_aggregate(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+)
+
+
+def cosine_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b, dim=DIM)
+    return f"({dot} / ({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)}))"
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+@register(
+    "q85_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, label,
+           round({cosine_sql('embedding', 'qv')}, 4) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id != {QUERY_VEC_ID}
+    ORDER BY {cosine_sql('embedding', 'qv')} DESC, vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ann-baseline"),
+)
+def q85_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of vector 0.
+
+    Plan: the 1-row query vector cross-broadcasts to every partition
+    (BroadcastNestedLoopJoin over a single row — effectively free), then
+    TakeOrderedAndProject keeps 10 rows per partition. Linear scan, no
+    shuffle of the embedding table."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    sim = cosine_col(F.col("embedding"), F.col("qv"))
+    return (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("_sim"))
+        .orderBy(F.col("_sim").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id", "label", F.round("_sim", 4).alias("cos_sim"))
+    )
+
+
+@register(
+    "q86_nn_per_label",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id,
+             {cosine_sql('a.embedding', 'b.embedding')} AS sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 100
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_vec_id) AS rn
+      FROM pairs
+    )
+    SELECT vec_id, label, nn_vec_id, round(sim, 4) AS cos_sim
+    FROM ranked WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "blocked-knn"),
+)
+def q86_nn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbor within each label block (vec_id < 100 probe set).
+
+    The label is the coarse quantizer of an IVF index: the equi-join on
+    label bounds comparisons to one block instead of all pairs. At
+    100 TB, labels become learned centroid assignments; the plan shape
+    (equi-join + per-key top-1 window) is unchanged."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.where(F.col("vec_id") < 100).alias("a")
+    b = e.alias("b")
+    sim = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") != F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.label").alias("label"),
+        F.col("b.vec_id").alias("nn_vec_id"),
+        sim.alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "nn_vec_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "nn_vec_id", F.round("sim", 4).alias("cos_sim"))
+        .orderBy("vec_id")
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^DIM, derived
+    from md5(plane,dim) — pure function, embedded as literals in BOTH
+    the Spark plan and the oracle SQL."""
+    planes = []
+    for h in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            digest = hashlib.md5(f"plane{h}:{d}".encode()).hexdigest()
+            row.append(round(int(digest[:8], 16) / float(0xFFFFFFFF) * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+_PLANES = _hyperplanes()
+
+
+def _bucket_col(emb: Column) -> Column:
+    """Sign-LSH bucket id: bit h = (embedding · plane_h) >= 0."""
+    acc = None
+    for h, plane in enumerate(_PLANES):
+        w = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(emb, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        term = F.when(dot >= 0, F.lit(1 << h)).otherwise(F.lit(0))
+        acc = term if acc is None else acc + term
+    return acc.cast("long")
+
+
+def _bucket_sql(emb: str) -> str:
+    terms = []
+    for h, plane in enumerate(_PLANES):
+        lits = ", ".join(str(v) for v in plane)
+        dot = (
+            f"list_aggregate(list_transform(range(1, {DIM} + 1), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ([{lits}])[i]), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << h} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "q87_lsh_buckets",
+    oracle=f"""
+    SELECT {_bucket_sql('embedding')} AS bucket,
+           count(*) AS n_vectors,
+           min(vec_id) AS min_vec_id
+    FROM embeddings
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    tags=("similarity", "lsh"),
+)
+def q87_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (8 planes → 256 buckets).
+
+    This is the ANN scale path: vectors hash to buckets in one narrow
+    pass; a query probes only its bucket (plus hamming-1 neighbors for
+    recall). Bucket population balance is what this query inspects."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select(_bucket_col(F.col("embedding")).alias("bucket"), "vec_id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q88_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           round({cosine_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("dedup", "embedding"),
+)
+def q88_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within label blocks
+    (threshold 0.35 — the corpus has no true dups; the operator and its
+    blocked-join shape are what's under test)."""
+    e = t(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            sim.alias("_sim"),
+        )
+        .where(F.col("_sim") >= 0.35)
+        .select("vec_a", "vec_b", "label", F.round("_sim", 4).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )

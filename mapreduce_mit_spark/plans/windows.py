@@ -1,0 +1,137 @@
+"""Event-time window aggregations over ``events`` (batch mode).
+
+The reference is strictly batch with no notion of time (SURVEY §2.2);
+these are the batch twins of the Structured Streaming queries in
+``streaming/stream_queries.py`` — identical window arithmetic, so the
+DuckDB oracle hash-checks the core semantics that the streaming
+variants then re-run with watermarks (SURVEY §7.5 risk 5).
+
+Oracle note: Spark's ``window()`` aligns tumbling/sliding windows to the
+Unix epoch; DuckDB's ``time_bucket`` origin (2000-01-03 00:00:00) is
+hour-aligned with it, so boundaries agree for the widths used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "q70_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts)                    AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR  AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+    tags=("window-time", "tumbling"),
+)
+def q70_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type. One shuffle on
+    (window, type); partial agg collapses before shuffle."""
+    e = t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "q71_sliding_window",
+    oracle="""
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL 15 MINUTE) AS window_start,
+             value
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM slid
+    GROUP BY 1, 2
+    ORDER BY window_start
+    """,
+    tags=("window-time", "sliding"),
+)
+def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour long, every 15 minutes — each event lands
+    in 4 windows (Spark expands via the window generator; the oracle
+    reproduces the expansion with an explicit ×4 cross join)."""
+    e = t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "q72_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 10 MINUTE
+                  THEN 0 ELSE 1 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("window-time", "session"),
+)
+def q72_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user. Spark's session_window
+    merges adjacent events server-side in one shuffle on user_id; the
+    oracle is the classic gaps-and-islands rewrite. Session end = last
+    event + gap (Spark's definition)."""
+    e = t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "10 minutes")
+    return (
+        e.groupBy(sw.alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -1,0 +1,213 @@
+"""Structured Streaming operators over the ``events`` table.
+
+The reference engine is strictly batch (two synchronous phases,
+master.go:110-111) — streaming is a pure capability extension
+(SURVEY §2.2). Each query here runs a REAL Structured Streaming job
+(file source → stateful operators → memory sink, availableNow trigger)
+and returns the sink table, so the driver exercises genuine streaming
+state management, not a batch rewrite:
+
+- q90: tumbling-window aggregation, complete mode → final state equals
+  the batch q70 twin, so it IS DuckDB-oracle-checkable.
+- q91: watermarked append-mode aggregation — only windows the 10-min
+  watermark has closed are emitted; single-batch processing makes the
+  emitted set deterministic, so it too has an exact SQL oracle.
+- q92: streaming dedup with dropDuplicatesWithinWatermark (rows-only).
+- q93: custom stateful op via applyInPandasWithState (rows-only).
+
+Scale posture: state lives in the state store keyed by (window[, user]);
+watermarks bound state growth; file source here stands in for
+Kafka/object-store streams — the operator graph is source-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..registry import register
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet.
+
+    The file stream source requires a directory, so the single parquet
+    file is exposed through a scratch dir of symlinks — the stand-in for
+    the object-store prefix a production stream would tail."""
+    from ..sources.io import normalize_ns_timestamps
+
+    path = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        tempfile.gettempdir(), "mms_stream", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
+    return normalize_ns_timestamps(spark.readStream.schema(schema).parquet(stage))
+
+
+def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
+    spark = result.sparkSession
+    spark.catalog.dropTempView(name) if name in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register(
+    "q90_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start
+    """,
+    tags=("streaming", "tumbling"),
+)
+def q90_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window count/sum, complete output mode: after
+    the availableNow run drains the source, the sink holds exactly the
+    batch answer — hash-checked against the batch oracle."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    _run_to_table(agg, "q90_sink", "complete")
+    return spark.table("q90_sink").orderBy("window_start")
+
+
+@register(
+    "q91_stream_watermark_append",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+             count(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS watermark FROM events)
+    SELECT window_start, window_end, n_events
+    FROM agg, wm
+    WHERE window_end <= watermark
+    ORDER BY window_start
+    """,
+    tags=("streaming", "watermark", "late-data"),
+)
+def q91_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode windows: only windows whose end precedes
+    the final watermark (max event time − 10 min) are emitted; the last
+    open window is withheld. That late-data semantics is reproduced
+    exactly by the oracle's watermark predicate — the one streaming
+    behavior SURVEY §7.5(5) flags as checkable this way."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+    _run_to_table(agg, "q91_sink", "append")
+    return spark.table("q91_sink").orderBy("window_start")
+
+
+@register(
+    "q92_stream_dedup",
+    oracle=None,  # streaming state semantics; driver records rows-only
+    tags=("streaming", "dedup"),
+)
+def q92_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type) within a 30-min
+    watermark — dropDuplicatesWithinWatermark keeps state bounded (the
+    streaming twin of q80). Rows-only check: emission timing is
+    state-dependent, not SQL-expressible."""
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    _run_to_table(dedup, "q92_sink", "append")
+    return spark.table("q92_sink").orderBy("event_id")
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _user_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n, total) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+
+
+@register(
+    "q93_stream_stateful_custom",
+    oracle=None,  # custom GroupState operator; driver records rows-only
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def q93_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running event count + value total kept in GroupState.
+    The arbitrary-stateful escape hatch for operators Spark's built-in
+    streaming aggregates can't express."""
+    updates = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_totals,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    _run_to_table(updates, "q93_sink", "update")
+    return spark.table("q93_sink").orderBy("user_id")

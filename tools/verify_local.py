@@ -1,0 +1,128 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every catalog query on Spark AND its DuckDB oracle at a given SF,
+compares row count, column names, and order-insensitive values
+(exact for ints/strings/timestamps, 1e-9-relative for floats — stricter
+in spirit than the driver's value hash, so passing here predicts
+passing there).
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mapreduce_mit_spark import registry  # noqa: E402
+from mapreduce_mit_spark.session import get_spark  # noqa: E402
+from mapreduce_mit_spark.sources.io import TABLE_NAMES  # noqa: E402
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    """Sort columns by name, normalize cell values, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if v is None:
+            return ("null",)
+        if isinstance(v, bool):
+            return ("b", v)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("nan",)
+            return ("f", round(v, 9))
+        if isinstance(v, int):
+            return ("f", float(v)) if abs(v) < 2**52 else ("i", v)
+        return ("s", str(v))
+
+    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+
+
+def approx_equal(a: list[tuple], b: list[tuple]) -> tuple[bool, str]:
+    if len(a) != len(b):
+        return False, f"row count {len(a)} vs {len(b)}"
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if ra == rb:
+            continue
+        for ca, cb in zip(ra, rb):
+            if ca == cb:
+                continue
+            if ca[0] == "f" and cb[0] == "f":
+                x, y = ca[1], cb[1]
+                if math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                    continue
+            return False, f"row {i}: {ra} vs {rb}"
+    return True, ""
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    registry.load_all_plans()
+    spark = get_spark("verify_local")
+    con = duck_con(sf_dir)
+    failures = []
+    for name, q in sorted(registry.REGISTRY.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
+            continue
+        if q.oracle is None:
+            print(f"rows  {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(q.oracle)
+            duck_cols = list(rel.columns)
+            duck_rows = rel.fetchall()
+        except Exception:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
+            continue
+        if sorted(spark_cols) != sorted(duck_cols):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {sorted(spark_cols)} vs {sorted(duck_cols)}")
+            continue
+        ok, why = approx_equal(canon(spark_rows, spark_cols), canon(duck_rows, duck_cols))
+        exact = (
+            canon(spark_rows, spark_cols) == canon(duck_rows, duck_cols) if ok else False
+        )
+        if ok:
+            tag = "OK   " if exact else "OK~  "
+            print(f"{tag} {name}: {len(spark_rows)} rows [{time.time()-t0:.1f}s]")
+        else:
+            failures.append(name)
+            print(f"FAIL  {name}: {why}")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print("all queries verified")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
