@@ -1,0 +1,93 @@
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Timing = full query execution to driver materialization
+(len(collect()), matching how the driver consumes results). A JVM/
+catalog warm-up query runs first, uncounted, so per-query numbers
+measure the engine, not session startup.
+
+Baseline context (BASELINE.md): the reference publishes no numbers;
+the measured single-core Python equivalent of its flagship is ~0.9 s
+on the 16 MB corpus, and the driver's bar is "within 2× of baseline at
+the same SF". Headline set below covers every operator family: scan+agg,
+broadcast/shuffle/multiway joins, window functions, top-k, event-time
+windows, text analytics, dedup (minhash/simhash), similarity search,
+and a streaming run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_mit_spark import registry
+from mapreduce_mit_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q20_broadcast_join",
+    "q21_shuffle_join",
+    "q22_multiway_join",
+    "q26_range_join",
+    "q28_asof_join",
+    "q30_window_rank",
+    "q32_window_running",
+    "q40_global_topk",
+    "q42_distinct",
+    "q60_wordcount",
+    "q61_inverted_index",
+    "q63_quality_score",
+    "q70_tumbling_window",
+    "q72_session_window",
+    "q80_exact_dedup",
+    "q81_minhash_lsh",
+    "q83_simhash",
+    "q85_cosine_topk",
+    "q87_lsh_buckets",
+    "q90_stream_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all_plans()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM JIT, parquet footer cache, codegen — uncounted
+    registry.REGISTRY["q01_pricing_summary"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.REGISTRY[name].fn
+        t0 = time.perf_counter()
+        n = len(fn(spark, sf_dir).collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -62,9 +62,14 @@ def q80_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles_col() -> Column:
-    """Word 3-gram shingles from the tokenized text (Spark side)."""
-    toks = tokens_col("text")
+def shingles_col(toks: Column | None = None) -> Column:
+    """Word 3-gram shingles from the tokenized text (Spark side).
+
+    Pass a materialized token COLUMN (not the tokenizer expression):
+    embedding the split() inside each element_at makes Catalyst
+    re-tokenize per shingle — O(n_tokens²) per document (measured 10×
+    on q81). minhash_signatures stages tokens in a projection first."""
+    toks = tokens_col("text") if toks is None else toks
     return F.when(
         F.size(toks) >= 3,
         F.transform(
@@ -96,8 +101,10 @@ def _band_key_cols() -> list[Column]:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + mh0..mh{N-1} minhash signature columns."""
     d = t(spark, sf_dir, "documents")
-    return d.select("doc_id", shingles_col().alias("shingles")).select(
-        "doc_id", *minhash_cols(F.col("shingles"), N_HASHES)
+    return (
+        d.select("doc_id", tokens_col("text").alias("toks"))
+        .select("doc_id", shingles_col(F.col("toks")).alias("shingles"))
+        .select("doc_id", *minhash_cols(F.col("shingles"), N_HASHES))
     )
 
 
