@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans._util import t
+from ..plans._util import t, tw
 from ..registry import register
 
 META_SCHEMA = T.StructType(

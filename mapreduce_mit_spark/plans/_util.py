@@ -14,11 +14,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.io import load_table
+from ..sources.io import fan_out, load_table
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Wide load: ``load_table`` + ``fan_out`` — for pipelines whose cost
+    is CPU-bound per-row compute (tokenize/minhash/simhash/vector math),
+    where an under-parallelized scan serializes the whole stage."""
+    return fan_out(load_table(spark, sf_dir, name))
 
 
 def rsum(col: Column | str, alias: str, nd: int = 2) -> Column:

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import minhash_cols, minhash_sql_exprs, norm_text_col, norm_text_sql
 from ..functions.textfns import tokens_col, tokens_sql
 from ..registry import register
-from ._util import t
+from ._util import t, tw
 
 N_HASHES = 12
 BAND_SIZE = 3
@@ -99,8 +99,11 @@ def _band_key_cols() -> list[Column]:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + mh0..mh{N-1} minhash signature columns."""
-    d = t(spark, sf_dir, "documents")
+    """doc_id + mh0..mh{N-1} minhash signature columns.
+
+    fan_out (via tw) because minhash is the heaviest per-row compute in
+    the catalog; the scan's partition count caps the stage otherwise."""
+    d = tw(spark, sf_dir, "documents")
     return (
         d.select("doc_id", tokens_col("text").alias("toks"))
         .select("doc_id", shingles_col(F.col("toks")).alias("shingles"))

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import tokens_sql, words_df
 from ..registry import register
-from ._util import t
+from ._util import t, tw
 
 
 @register(

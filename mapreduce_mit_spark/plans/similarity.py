@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ._util import t
+from ._util import t, tw
 
 DIM = 64
 QUERY_VEC_ID = 0

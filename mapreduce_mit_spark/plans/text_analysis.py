@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import norm_text_col, norm_text_sql
 from ..functions.textfns import tokens_col, tokens_sql, words_df
 from ..registry import register
-from ._util import t
+from ._util import t, tw
 
 # A tiny multi-language stopword table for the language-ID heuristic.
 STOPWORDS = {
@@ -70,7 +70,7 @@ def q61_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index (ii.go:36-58): per word, distinct-doc count + the
     lexicographically-sorted comma-joined doc list — collect_set +
     array_sort + array_join replaces the reference's in-memory map/set."""
-    d = t(spark, sf_dir, "documents")
+    d = tw(spark, sf_dir, "documents")
     words = words_df(d.select("doc_id", "text"), "text", "word")
     docs = F.array_sort(F.collect_set(F.col("doc_id").cast("string")))
     return (

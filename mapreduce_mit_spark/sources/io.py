@@ -67,6 +67,25 @@ def normalize_ns_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Spread a narrow scan across the cluster iff it under-parallelizes.
+
+    The driver's testdata parquet files are written as a single row
+    group, so the scan yields ONE partition and any CPU-bound per-row
+    work downstream (tokenization, minhash, simhash, embedding math)
+    runs on one core. On a real 100 TB dataset the scan has thousands
+    of splits and this is a no-op — the repartition is inserted only
+    when the scan's partition count is below the cluster's default
+    parallelism, so we never pay a gratuitous shuffle at scale.
+    Round-robin (no key) keeps the spread skew-free.
+    """
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read several driver tables at once."""
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
