@@ -123,3 +123,92 @@ def q97_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return extract_image_meta(payloads).orderBy("doc_id")
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 3
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize — needs a codec library absent here; the
+    mapInPandas plumbing it would ride is exercised by extract_image_meta
+    and sample_frames."""
+    raise NotImplementedError(
+        "image resize requires PIL/pillow, not present in this environment"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Frame-sampling over binary payloads: split each payload into
+    fixed-size frames and keep every ``stride``-th — the video
+    frame-extraction shape (1 input row → N output rows) as an
+    Arrow-batched ``mapInPandas`` flatMap. A real decoder would replace
+    the byte-slicing with codec calls; the Spark-side contract (schema,
+    batch iteration, row expansion) is identical."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, digests = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    frame = payload[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(len(frame))
+                    digests.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(process, FRAME_SCHEMA)
+
+
+@register(
+    "q98_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(strlen(text) / {FRAME_BYTES}.0) AS BIGINT),
+                          {FRAME_STRIDE})) AS i
+      FROM documents
+    )
+    SELECT doc_id,
+           i AS frame_idx,
+           CAST(strlen(substr(text, CAST(i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS BIGINT)
+               AS n_frame_bytes,
+           md5(substr(text, CAST(i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_md5
+    FROM f
+    ORDER BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "pandas-udf", "flatmap"),
+)
+def q98_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling end-to-end: binary payload → 64-byte
+    frames → keep every 3rd → per-frame digest. One row fans out to many
+    (the UDTF/flatMap shape) through mapInPandas; the byte-exact SQL
+    oracle works because the documents are ASCII, so DuckDB's char
+    offsets equal byte offsets."""
+    d = t(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return sample_frames(payloads).orderBy("doc_id", "frame_idx")

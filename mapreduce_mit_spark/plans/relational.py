@@ -406,15 +406,20 @@ def q23_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 250000)
     ORDER BY c_custkey
     """,
     tags=("join", "anti"),
 )
 def q24_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join — customers that never ordered."""
+    """LEFT ANTI join — customers with no large (>250k) order.
+
+    The price predicate keeps the result non-empty at every SF (every
+    customer has *some* order in this data); it lands on the join's
+    streamed side pre-shuffle, so the anti-join shape is unchanged."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
@@ -749,19 +754,20 @@ def q42_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
     FROM orders
-    WHERE o_totalprice > 2.0 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
     ORDER BY o_orderkey
     """,
     tags=("subquery", "scalar"),
 )
 def q43_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery in a predicate (orders at >2× the mean price)."""
+    """Scalar subquery in a predicate (orders at >1.8× the mean price
+    — multiplier chosen so the result is non-empty at every SF)."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         FROM orders
-        WHERE o_totalprice > 2.0 * (SELECT avg(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
         ORDER BY o_orderkey
         """
     )
@@ -814,4 +820,114 @@ def q45_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE l_suppkey = s_suppkey AND l_discount >= 0.09)
         ORDER BY s_suppkey
         """
+    )
+
+
+@register(
+    "q16_approx_distinct",
+    oracle=None,  # HLL sketches are implementation-specific; exactness is
+    # asserted separately (tests/test_operators.py bounds the relative
+    # error against countDistinct at <5%).
+    tags=("agg", "approx", "sketch"),
+)
+def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per market segment.
+
+    The 100 TB cardinality path: a fixed-size sketch that merges
+    associatively across partitions — no expand + double shuffle like
+    exact COUNT(DISTINCT), no memory proportional to cardinality."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q17_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+           round(quantile_cont(l_quantity, 0.5), 2)      AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the definition, so values hash-match).
+
+    Scale note: exact percentile sorts each group's values; at 100 TB
+    switch to ``approx_percentile`` (t-digest sketch, mergeable across
+    partitions) — same plan shape, bounded memory."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90_price"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 2).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q33_window_frames",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr AS DOUBLE) AS range_sum,
+           count(*) OVER wr AS range_n
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+           wr AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+    tags=("window", "frames"),
+)
+def q33_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame coverage: ntile / percent_rank / cume_dist over a
+    row-ordered window plus a RANGE frame (value-based: all orders within
+    10k below the current price). The ORDER BY includes o_orderkey so
+    tile assignment on price ties is deterministic across engines.
+
+    Float discipline: the frame aggregate is an exact decimal SUM (plus
+    the frame row count) — summation-order independent and boundary-free,
+    where a rounded double avg() differed between engines at half-cent
+    boundaries."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wr = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(wr)
+            .cast("double")
+            .alias("range_sum"),
+            F.count("*").over(wr).alias("range_n"),
+        )
+        .orderBy("o_orderkey")
     )

@@ -158,10 +158,10 @@ def _hyperplanes() -> list[list[float]]:
 _PLANES = _hyperplanes()
 
 
-def _bucket_col(emb: Column) -> Column:
+def _bucket_col(emb: Column, n_planes: int = N_PLANES) -> Column:
     """Sign-LSH bucket id: bit h = (embedding · plane_h) >= 0."""
     acc = None
-    for h, plane in enumerate(_PLANES):
+    for h, plane in enumerate(_PLANES[:n_planes]):
         w = F.array(*[F.lit(v) for v in plane])
         dot = F.aggregate(
             F.zip_with(emb, w, lambda x, y: x.cast("double") * y),
@@ -173,9 +173,9 @@ def _bucket_col(emb: Column) -> Column:
     return acc.cast("long")
 
 
-def _bucket_sql(emb: str) -> str:
+def _bucket_sql(emb: str, n_planes: int = N_PLANES) -> str:
     terms = []
-    for h, plane in enumerate(_PLANES):
+    for h, plane in enumerate(_PLANES[:n_planes]):
         lits = ", ".join(str(v) for v in plane)
         dot = (
             f"list_aggregate(list_transform(range(1, {DIM} + 1), "
@@ -242,4 +242,53 @@ def q88_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_sim") >= 0.35)
         .select("vec_a", "vec_b", "label", F.round("_sim", 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "q89_ann_probe",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {{bucket}} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+    SELECT vec_id, label, bucket,
+           round({cosine_sql('embedding', 'qv')}, 4) AS cos_sim
+    FROM b, q
+    WHERE b.bucket = q.qbucket AND vec_id != {QUERY_VEC_ID}
+    ORDER BY {cosine_sql('embedding', 'qv')} DESC, vec_id
+    LIMIT 5
+    """.format(bucket=_bucket_sql("embedding", 4)),
+    tags=("similarity", "ann", "lsh"),
+)
+def q89_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-probed ANN search — the scale path end-to-end.
+
+    The query vector hashes to its sign-LSH bucket; only that bucket's
+    vectors (1/256th of the table in expectation) are scored, then
+    top-5 by cosine. Contrast with q85's exact linear scan: at 100 TB
+    the bucket equi-join prunes the candidate set before any vector
+    math runs, and recall is tuned by probing hamming-neighbor buckets.
+    The 1-row query side is broadcast — the embeddings table never
+    shuffles."""
+    e = t(spark, sf_dir, "embeddings")
+    # 4 planes -> 16 coarse buckets: the probe set stays large enough to
+    # rank meaningfully at test SFs; production tunes planes to data size.
+    b = e.select(
+        "vec_id", "label", "embedding", _bucket_col(F.col("embedding"), 4).alias("bucket")
+    )
+    q = (
+        b.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"))
+    )
+    sim = cosine_col(F.col("embedding"), F.col("qv"))
+    return (
+        b.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select("vec_id", "label", "bucket", sim.alias("_sim"))
+        .orderBy(F.col("_sim").desc(), "vec_id")
+        .limit(5)
+        .select("vec_id", "label", "bucket", F.round("_sim", 4).alias("cos_sim"))
     )

@@ -158,3 +158,40 @@ def test_write_sorted_text(spark, tmp_path):
 
     [part] = glob.glob(out + "/part-*")
     assert open(part).read() == "a: 1\nb: 2\n"
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """q16's HLL sketch has no SQL oracle (implementation-specific);
+    bound its relative error against the exact count instead."""
+    from mapreduce_mit_spark.plans.relational import q16_approx_distinct
+    from .conftest import SF_MED
+
+    rows = {r["c_mktsegment"]: r for r in q16_approx_distinct(spark, SF_MED).collect()}
+    o = spark.read.parquet(f"{SF_MED}/orders.parquet")
+    c = spark.read.parquet(f"{SF_MED}/customer.parquet")
+    exact = {
+        r["c_mktsegment"]: r["n"]
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for seg, r in rows.items():
+        rel_err = abs(r["approx_customers"] - exact[seg]) / exact[seg]
+        assert rel_err < 0.05, f"{seg}: approx {r['approx_customers']} vs {exact[seg]}"
+
+
+def test_sample_frames_fanout(spark):
+    """Frame sampling is a 1→N flatMap: every 3rd 64-byte frame."""
+    from mapreduce_mit_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 200), (2, b"y" * 64), (3, b"")], "doc_id long, payload binary"
+    )
+    out = {(r["doc_id"], r["frame_idx"]): r for r in sample_frames(df).collect()}
+    # doc 1: 200 bytes -> frames 0..3, sampled {0, 3}; frame 3 is the 8-byte tail
+    assert set(out) == {(1, 0), (1, 3), (2, 0)}
+    assert out[(1, 0)]["n_frame_bytes"] == 64
+    assert out[(1, 3)]["n_frame_bytes"] == 200 - 3 * 64
+    assert out[(2, 0)]["n_frame_bytes"] == 64
