@@ -1,0 +1,99 @@
+"""Physical-plan shape assertions — the 100 TB posture, tested.
+
+Correctness says the operator computes the right rows; these tests pin
+the *plan* we'd want on a 1000-executor cluster: predicates and column
+pruning reaching the parquet scan, dimension joins broadcast (no fact
+shuffle), top-k fused into TakeOrderedAndProject (no global sort),
+aggregates partial+final (map-side combine before the shuffle — the
+upgrade over the reference, which ships every raw KV across the
+shuffle, common_map.go:90-98).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from mapreduce_mit_spark import registry
+
+from .conftest import SF_SMALL
+
+registry.load_all_plans()
+
+
+@pytest.fixture(scope="module")
+def plan(spark):
+    def _plan(name: str) -> str:
+        df = registry.REGISTRY[name].fn(spark, SF_SMALL)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    return _plan
+
+
+def test_filter_and_pruning_reach_scan(plan):
+    p = plan("q02_filter_project")
+    assert "PushedFilters: [" in p
+    for f in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"({f}," in p or f"({f})" in p, f"{f} not pushed to scan"
+    # column pruning: the scan must not read columns the query never uses
+    read_schema = next(l for l in p.splitlines() if "ReadSchema:" in l)
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+
+
+def test_dimension_join_is_broadcast(plan):
+    assert "BroadcastHashJoin" in plan("q20_broadcast_join")
+
+
+def test_fact_fact_join_shuffles_on_key(spark):
+    # At test SF the build side fits the broadcast threshold, so Catalyst
+    # rightly broadcasts. The scale posture to pin: with broadcast off
+    # (both sides "big"), the plan degrades to a key-partitioned shuffle
+    # join — not a nested loop, not a driver-side collect.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.REGISTRY["q21_shuffle_join"].fn(spark, SF_SMALL)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_semi_and_anti_joins(plan):
+    assert "Semi" in plan("q23_semi_join")
+    assert "Anti" in plan("q24_anti_join")
+
+
+def test_topk_fuses_into_take_ordered(plan):
+    # a top-k must never be a full global sort; TakeOrderedAndProject
+    # keeps k rows per partition then merges k*partitions on the driver
+    assert "TakeOrderedAndProject" in plan("q40_global_topk")
+    assert "TakeOrderedAndProject" in plan("q96_wordcount_topk")
+
+
+def test_aggregate_is_partial_plus_final(plan):
+    # partial_sum / partial_count markers = map-side combine before the
+    # shuffle; the whole point of an algebraic aggregate at 100 TB
+    p = plan("q01_pricing_summary")
+    assert "partial_sum" in p or "partial_count" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_ann_scan_has_no_embedding_shuffle(plan):
+    # brute-force cosine: the 1-row query side broadcasts; the embeddings
+    # table is scanned linearly and never exchanged
+    p = plan("q85_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "TakeOrdered" in p
+
+
+def test_lsh_probe_broadcasts_query_side(plan):
+    assert "BroadcastHashJoin" in plan("q89_ann_probe")
