@@ -41,8 +41,13 @@ HEADLINE = [
     "q28_asof_join",
     "q30_window_rank",
     "q32_window_running",
+    "q33_window_frames",
+    "q17_percentiles",
+    "q18_salted_agg",
     "q40_global_topk",
     "q42_distinct",
+    "q46_hash_sample",
+    "q47_pivot",
     "q60_wordcount",
     "q61_inverted_index",
     "q63_quality_score",
@@ -51,9 +56,12 @@ HEADLINE = [
     "q80_exact_dedup",
     "q81_minhash_lsh",
     "q83_simhash",
+    "q84_edit_distance",
     "q85_cosine_topk",
     "q87_lsh_buckets",
+    "q89_ann_probe",
     "q90_stream_tumbling",
+    "q98_frame_sample",
 ]
 
 

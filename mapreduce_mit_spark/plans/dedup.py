@@ -275,3 +275,46 @@ def q83_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
     return votes.select("doc_id", packed.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+@register(
+    "q84_edit_distance",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 200 AND b.p_partkey < 200
+      AND levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY key_a, key_b
+    """,
+    tags=("dedup", "edit-distance"),
+)
+def q84_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs, blocked by brand.
+
+    The blocking key turns O(n²) into O(sum of block²) — same shape as
+    q86/q88: at 100 TB the block is a cheap signature (brand here;
+    simhash band or length bucket for text) and the quadratic work only
+    happens inside blocks. Spark and DuckDB share the classic
+    levenshtein definition, so values hash-match exactly."""
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(dist <= 4)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("edit_dist"),
+        )
+        .orderBy("key_a", "key_b")
+    )

@@ -931,3 +931,139 @@ def q33_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q46_hash_sample",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '199a'
+    ORDER BY o_orderkey
+    """,
+    tags=("sampling", "training-pipeline"),
+)
+def q46_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample (md5 of the key) — the training-
+    pipeline split primitive. Unlike TABLESAMPLE/rand(), the sample is a
+    pure function of the key: stable across runs, engines, partitionings
+    and cluster sizes, and it composes (the same predicate defines the
+    holdout everywhere). Evaluates scan-side with zero shuffle."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.where(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4) < "199a")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q47_pivot",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS rev_f,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS rev_o,
+           round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS rev_p
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("agg", "pivot"),
+)
+def q47_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order status becomes columns (explicit value list, so the
+    plan is a single pass of conditional aggregates — no second job to
+    discover pivot values, which at 100 TB would be its own scan)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    piv = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+        F.col("P_n").alias("n_p"),
+        F.col("F_rev").alias("rev_f"),
+        F.col("O_rev").alias("rev_o"),
+        F.col("P_rev").alias("rev_p"),
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "q18_salted_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           count(o_orderkey)            AS n_orders,
+           round(sum(o_totalprice), 2)  AS revenue,
+           round(min(o_totalprice), 2)  AS min_price,
+           round(max(o_totalprice), 2)  AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("agg", "skew", "salting"),
+)
+def q18_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a deliberately skewed key
+    (o_orderstatus has 3 values — every row is a 'hot key'). The salted
+    plan must produce byte-identical results to the plain GROUP BY the
+    oracle runs: salting changes the shuffle layout, never the answer."""
+    from ..operators.skew import salted_aggregate
+
+    o = t(spark, sf_dir, "orders")
+    out = salted_aggregate(
+        o,
+        keys=["o_orderstatus"],
+        aggs=[
+            ("o_orderkey", "count", "n_orders"),
+            ("o_totalprice", "sum", "revenue"),
+            ("o_totalprice", "min", "min_price"),
+            ("o_totalprice", "max", "max_price"),
+        ],
+        spread_col="o_orderkey",
+        n_salts=32,
+    )
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    ).orderBy("o_orderstatus")
+
+
+@register(
+    "q19_salted_join",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("join", "skew", "salting"),
+)
+def q19_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (customer nationkeys are skewed toward a few
+    nations at scale): fact side salted by hash(c_custkey), nation
+    replicated 8×, shuffle key (nationkey, salt). Must equal the plain
+    join the oracle runs."""
+    from ..operators.skew import salted_join
+
+    c = t(spark, sf_dir, "customer").withColumnRenamed("c_nationkey", "nk")
+    n = t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "nk")
+    joined = salted_join(c, n, on="nk", spread_col="c_custkey", n_salts=8)
+    return (
+        joined.groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), rsum("c_acctbal", "total_bal"))
+        .orderBy("n_name")
+    )
