@@ -195,3 +195,27 @@ def test_sample_frames_fanout(spark):
     assert out[(1, 0)]["n_frame_bytes"] == 64
     assert out[(1, 3)]["n_frame_bytes"] == 200 - 3 * 64
     assert out[(2, 0)]["n_frame_bytes"] == 64
+
+
+def test_exact_quantiles_matches_numpy(spark):
+    """exact_quantiles implements the 'linear' interpolation definition —
+    cross-check against numpy on groups of awkward sizes (1, 2, odd,
+    even, with duplicate values)."""
+    from mapreduce_mit_spark.operators.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for g, n in [("a", 1), ("b", 2), ("c", 7), ("d", 100), ("e", 101)]:
+        vals = np.round(rng.uniform(0, 1000, n), 2)
+        vals[: n // 3] = 42.0  # duplicates
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = {"p0": 0.0, "p25": 0.25, "p50": 0.5, "p90": 0.9, "p100": 1.0}
+    got = {r["g"]: r for r in exact_quantiles(df, ["g"], "v", qs).collect()}
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        for alias, q in qs.items():
+            expect = float(np.percentile(vals, q * 100, method="linear"))
+            assert got[g][alias] == pytest.approx(expect, abs=1e-9), (g, alias)
