@@ -1075,3 +1075,41 @@ def q19_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"), rsum("c_acctbal", "total_bal"))
         .orderBy("n_name")
     )
+
+
+@register(
+    "q29_full_outer_join",
+    oracle="""
+    WITH big AS (SELECT o_custkey, count(*) AS n_big FROM orders
+                 WHERE o_totalprice > 200000 GROUP BY o_custkey),
+         rich AS (SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+                  WHERE c_acctbal > 9000)
+    SELECT coalesce(o_custkey, c_custkey) AS custkey,
+           n_big, bal
+    FROM big FULL OUTER JOIN rich ON o_custkey = c_custkey
+    ORDER BY custkey
+    """,
+    tags=("join", "outer"),
+)
+def q29_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two partial views of the customer base —
+    rows survive from either side; COALESCE rebuilds the key."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        o.where(F.col("o_totalprice") > 200000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    rich = c.where(F.col("c_acctbal") > 9000).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    return (
+        big.join(rich, big.o_custkey == rich.c_custkey, "full_outer")
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            "n_big",
+            "bal",
+        )
+        .orderBy("custkey")
+    )

@@ -11,6 +11,7 @@ whole-stage codegen; zero Python UDFs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import norm_text_col, norm_text_sql
@@ -271,3 +272,60 @@ def q65_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), ",")).alias("bow_hash"),
         F.substring(F.md5(norm_text_col("text")), 1, 8).alias("shard_key"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q66_tfidf",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS word FROM documents)
+      GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, df.df,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+      FROM scored
+    )
+    SELECT doc_id, word, tf, df, tfidf
+    FROM ranked WHERE rn <= 3 AND doc_id < 100
+    ORDER BY doc_id, tfidf DESC, word
+    """,
+    tags=("text", "tfidf", "training-pipeline"),
+)
+def q66_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed idf (ln((N+1)/(df+1)) + 1), top-3 terms per
+    document.
+
+    Plan: term counts (one shuffle on (doc, word)) → document
+    frequencies (shuffle on word, partial-agg'd) → broadcast both the
+    1-row corpus count and the df table back onto tf → per-doc top-3
+    window. At 100 TB the df table is vocabulary-sized (millions, not
+    trillions) — it stays broadcastable; nothing reshuffles the corpus."""
+    d = tw(spark, sf_dir, "documents")
+    words = words_df(d.select("doc_id", "text"), "text", "word")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # literal, like the oracle's scalar subquery
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "word", "tf", "df", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "word")
+    )
