@@ -104,3 +104,48 @@ def test_app_functions_match_reference_semantics():
     assert wc_reduce("w", ["1", "2", "3"]) == "6"
     assert ii_reduce("w", ["b.txt", "a.txt", "b.txt"]) == "2 a.txt,b.txt"
     assert list(ii_map("doc", "hi hi")) == [("hi", "doc"), ("hi", "doc")]
+
+
+# --- property-based: shuffle integrity under arbitrary inputs ----------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+    token = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+    @given(
+        files=st.lists(st.lists(token, max_size=30), min_size=1, max_size=4),
+        n_reduce=st.integers(min_value=1, max_value=7),
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_run_job_shuffle_integrity(spark, tmp_path_factory, files, n_reduce):
+        """For ANY input and ANY R, reduce_fn must see every value of a
+        key exactly once (the hash(key)%R routing contract,
+        common_map.go:90-98) and output must be key-sorted."""
+        d = tmp_path_factory.mktemp("prop")
+        expected = Counter()
+        for i, toks in enumerate(files):
+            (d / f"in-{i}.txt").write_text(" ".join(toks))
+            expected.update(toks)
+        rows = run_job(
+            spark,
+            "prop",
+            str(d / "*.txt"),
+            map_fn=lambda _f, c: [(w, "1") for w in c.split()],
+            reduce_fn=lambda _k, vs: str(len(vs)),
+            n_reduce=n_reduce,
+        ).collect()
+        got = {r["key"]: int(r["value"]) for r in rows}
+        assert got == dict(expected)
+        assert [r["key"] for r in rows] == sorted(got)
