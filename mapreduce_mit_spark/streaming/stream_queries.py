@@ -35,6 +35,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import register
 
+# state stores per stateful stream — see _run_to_table
+STREAM_STATE_PARTITIONS = 8
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet.
@@ -61,14 +64,25 @@ def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
     spark.catalog.dropTempView(name) if name in [
         t.name for t in spark.catalog.listTables()
     ] else None
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Stateful streaming ops keep one state store per shuffle partition,
+    # and every micro-batch pays per-store setup/commit. Size the stream's
+    # partition count to its state cardinality (hundreds of windows/users
+    # here — at scale: keys ÷ target-keys-per-store), instead of
+    # inheriting the batch-tuned global default. Measured ~2× on the
+    # availableNow runs at sf0.1. Conf is restored after the run.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(

@@ -76,6 +76,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     registry.load_all_plans()
+    unknown = only - set(registry.REGISTRY)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = get_spark("verify_local")
     con = duck_con(sf_dir)
     failures = []
