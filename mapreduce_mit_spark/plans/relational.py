@@ -544,10 +544,14 @@ def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     be quadratic per user at 100 TB).
     """
     e = t(spark, sf_dir, "events")
+    # RANGE frame over the numeric timestamp: the frame ends 1 µs before
+    # the current row's ts, so "strictly earlier" is exact even when a
+    # click and a purchase share a timestamp (a ROWS -1 frame would
+    # admit same-ts peers and silently disagree with the strict < ).
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     enriched = e.withColumn(
         "last_click_ts",

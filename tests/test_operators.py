@@ -219,3 +219,28 @@ def test_exact_quantiles_matches_numpy(spark):
         for alias, q in qs.items():
             expect = float(np.percentile(vals, q * 100, method="linear"))
             assert got[g][alias] == pytest.approx(expect, abs=1e-9), (g, alias)
+
+
+def test_asof_join_strictly_earlier(spark, tmp_path):
+    """q28's as-of must exclude clicks at the SAME timestamp as the
+    purchase (oracle: c.ts < p.ts strictly) — the sf testdata has no
+    same-ts collisions, so pin the edge case here."""
+    import datetime as dt
+
+    from mapreduce_mit_spark.plans.relational import q28_asof_join
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 0.0, "{}"),                                  # earlier click
+        (2, t0 + dt.timedelta(minutes=5), 7, "click", 0.0, "{}"),        # same-ts click
+        (3, t0 + dt.timedelta(minutes=5), 7, "purchase", 1.0, "{}"),     # purchase
+        (4, t0 + dt.timedelta(minutes=9), 8, "purchase", 1.0, "{}"),     # user w/o clicks
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    out = {r["event_id"]: r["last_click_ts"] for r in q28_asof_join(spark, sf_dir).collect()}
+    assert out[3] == t0          # the same-ts click (id 2) must NOT win
+    assert out[4] is None
