@@ -212,3 +212,63 @@ def q98_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return sample_frames(payloads).orderBy("doc_id", "frame_idx")
+
+
+N_FEATURES = 8
+
+FEATURE_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType())]
+    + [T.StructField(f"f{i}", T.DoubleType()) for i in range(N_FEATURES)]
+)
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """Feature extraction over binary payloads → fixed-width float
+    features, the embedding-production stage of a multimodal pipeline
+    (a real model would replace the hash arithmetic; the Arrow-batched
+    mapInPandas plumbing and the float-column contract are identical).
+    Each feature is a pure function of the payload bytes: nibble-chunks
+    of md5 mapped to [-1, 1). The value is a dyadic rational (16-bit
+    int / 2^16) — exactly representable as a double, so NO rounding is
+    applied: Python's round() is half-even while SQL round() is
+    half-away, and exact .xxxxx5 values (which this arithmetic does
+    produce) would disagree."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: pdf[id_col].astype("int64")}
+            digs = [hashlib.md5(b).hexdigest() for b in pdf[payload_col]]
+            for i in range(N_FEATURES):
+                out[f"f{i}"] = [
+                    int(d[i * 4 : i * 4 + 4], 16) / 65536.0 * 2.0 - 1.0 for d in digs
+                ]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(process, FEATURE_SCHEMA)
+
+
+_FEATURE_SQL = ", ".join(
+    f"{_hex2int_sql('md5(text)', 1 + i * 4, 4)} / 65536.0 * 2.0 - 1.0 AS f{i}"
+    for i in range(N_FEATURES)
+)
+
+
+@register(
+    "q99_payload_features",
+    oracle=f"""
+    SELECT doc_id, {_FEATURE_SQL}
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "feature-extraction"),
+)
+def q99_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction end-to-end: binary payload →
+    mapInPandas 'model' → 8 float feature columns, hash-checked against
+    a pure-SQL oracle. Downstream these columns feed the similarity
+    operators (q85-q89) — payload → features → ANN is the full
+    multimodal retrieval path."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return extract_features(payloads).orderBy("doc_id")

@@ -225,3 +225,40 @@ def q93_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_table(updates, "q93_sink", "update")
     return spark.table("q93_sink").orderBy("user_id")
+
+
+@register(
+    "q94_stream_sliding",
+    oracle="""
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL 15 MINUTE) AS window_start,
+             value
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM slid
+    GROUP BY 1, 2
+    ORDER BY window_start
+    """,
+    tags=("streaming", "sliding"),
+)
+def q94_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window aggregation (1 h windows every 15 min —
+    each event feeds 4 windows via Spark's window replication), complete
+    mode: the drained sink equals the batch q71 twin, same oracle."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    _run_to_table(agg, "q94_sink", "complete")
+    return spark.table("q94_sink").orderBy("window_start")
