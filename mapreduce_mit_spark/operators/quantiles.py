@@ -34,9 +34,18 @@ def exact_quantiles(
     col: str,
     qs: dict[str, float],
     nd: int | None = None,
+    mode: str = "linear",
 ) -> DataFrame:
     """Per-``keys`` exact quantiles of ``col``; ``qs`` maps output alias
-    → quantile in [0, 1]. Optional ``nd`` rounds the result."""
+    → quantile in [0, 1]. Optional ``nd`` rounds the result.
+
+    ``mode``: 'linear' interpolates between the two bracketing values
+    (numpy/quantile_cont definition); 'disc' returns the data value at
+    rank floor((n-1)*q)+1 (numpy method='lower'). Prefer 'disc' when the
+    result feeds a cross-engine comparison: interpolation produces
+    midpoints (e.g. the mean of two cent-values is an exact half-cent)
+    whose float rounding is engine-dependent, while 'disc' returns a
+    value that exists in the data, bit-identical everywhere."""
     w = Window.partitionBy(*keys).orderBy(col)
     wn = Window.partitionBy(*keys)
     d = (
@@ -48,18 +57,33 @@ def exact_quantiles(
     def pos(q: float):
         return (F.col("_n") - 1) * F.lit(q)
 
+    if mode not in ("linear", "disc"):
+        raise ValueError(f"unknown mode: {mode}")
+    interpolate = mode == "linear"
+
     keep = None
     for q in qs.values():
-        c = (F.col("_rn") == F.floor(pos(q)) + 1) | (F.col("_rn") == F.floor(pos(q)) + 2)
+        c = F.col("_rn") == F.floor(pos(q)) + 1
+        if interpolate:
+            c = c | (F.col("_rn") == F.floor(pos(q)) + 2)
         keep = c if keep is None else (keep | c)
 
     aggs = []
     for alias, q in qs.items():
         k1 = F.floor(pos(q)) + 1
-        frac = pos(q) - F.floor(pos(q))
         vk = F.max(F.when(F.col("_rn") == k1, F.col(col)))
-        vk2 = F.max(F.when(F.col("_rn") == k1 + 1, F.col(col)))
-        val = vk + (F.coalesce(vk2, vk) - vk) * F.max(F.when(F.col("_rn") == k1, frac))
+        if interpolate:
+            frac = pos(q) - F.floor(pos(q))
+            vk2 = F.max(F.when(F.col("_rn") == k1 + 1, F.col(col)))
+            f = F.max(F.when(F.col("_rn") == k1, frac))
+            # v_k*(1-f) + v_k+1*f — the float expression percentile_cont
+            # evaluates; algebraically-equal rewrites differ in the last
+            # ulp and can cross a rounding boundary.
+            val = F.when((f == 0) | vk2.isNull(), vk).otherwise(
+                vk * (F.lit(1.0) - f) + vk2 * f
+            )
+        else:
+            val = vk
         aggs.append((F.round(val, nd) if nd is not None else val).alias(alias))
 
     return d.where(keep).groupBy(*keys).agg(*aggs)

@@ -856,36 +856,60 @@ def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_percentiles",
     oracle="""
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
-           round(quantile_cont(l_quantity, 0.5), 2)      AS median_qty
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH rp AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             count(*)     OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    rq AS (
+      SELECT l_returnflag, l_quantity AS v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+             count(*)     OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    p AS (
+      SELECT l_returnflag,
+             max(CASE WHEN rn = floor((n-1) * 0.5) + 1 THEN v END) AS median_price,
+             max(CASE WHEN rn = floor((n-1) * 0.9) + 1 THEN v END) AS p90_price
+      FROM rp GROUP BY l_returnflag
+    ),
+    q AS (
+      SELECT l_returnflag,
+             max(CASE WHEN rn = floor((n-1) * 0.5) + 1 THEN v END) AS median_qty
+      FROM rq GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, median_price, p90_price, median_qty
+    FROM p JOIN q USING (l_returnflag)
     ORDER BY l_returnflag
     """,
     tags=("agg", "percentile"),
 )
 def q17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (linear interpolation — the quantile_cont
-    definition, so values hash-match DuckDB).
+    """Exact discrete percentiles: the data value at rank
+    floor((n-1)*q)+1 per group (numpy method='lower').
 
     Implemented with operators/quantiles.exact_quantiles — a
     range-partitioned window sort + rank arithmetic instead of Spark's
-    builtin ``percentile`` hashmap-merge aggregate: measured 2× faster
-    at sf0.1 and, unlike the builtin (whose per-group value maps merge
-    on a single reducer), it distributes and spills at 100 TB. The two
-    per-column quantile frames join on the 3-row group key (broadcast).
-    For sketch-tolerant consumers, ``approx_percentile`` (t-digest) is
-    the cheaper path — q16 shows the sketch pattern with HLL."""
+    builtin ``percentile`` hashmap-merge aggregate (measured 2× faster
+    at sf0.1; the builtin's per-group value maps merge on single
+    reducers and OOM at scale, the sort path distributes and spills).
+    Discrete mode returns values that exist in the data — bit-identical
+    across engines with no rounding, where interpolated quantiles
+    produce exact half-way midpoints whose float rounding is
+    engine-dependent (observed at sf0.001). The operator also offers
+    mode='linear' (numpy-verified); sketch-tolerant consumers should use
+    ``approx_percentile`` (t-digest) instead."""
     from ..operators.quantiles import exact_quantiles
 
     li = t(spark, sf_dir, "lineitem")
     price = exact_quantiles(
         li, ["l_returnflag"], "l_extendedprice",
-        {"median_price": 0.5, "p90_price": 0.9}, nd=2,
+        {"median_price": 0.5, "p90_price": 0.9}, mode="disc",
     )
-    qty = exact_quantiles(li, ["l_returnflag"], "l_quantity", {"median_qty": 0.5}, nd=2)
+    qty = exact_quantiles(
+        li, ["l_returnflag"], "l_quantity", {"median_qty": 0.5}, mode="disc"
+    )
     return (
         price.join(F.broadcast(qty), "l_returnflag")
         .select("l_returnflag", "median_price", "p90_price", "median_qty")

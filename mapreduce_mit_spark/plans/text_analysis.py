@@ -120,23 +120,39 @@ def q62_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q63_quality_score",
     oracle=f"""
-    WITH scored AS (
+    WITH counted AS (
       SELECT doc_id, lang,
-             CAST(length(text) AS BIGINT) AS n_chars_actual,
-             len({tokens_sql('text')}) AS n_tokens,
-             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-                   / greatest(length(text), 1) AS alpha_raw,
+             CAST(length(text) AS BIGINT)  AS nc,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS na,
+             CAST(len({tokens_sql('text')}) AS BIGINT) AS nt,
              CAST(len(list_filter({tokens_sql('text')},
                        x -> list_contains(['the','and','of','to','a','el','la','de','le','der','die','und'], x)))
-                       AS DOUBLE) / greatest(len({tokens_sql('text')}), 1) AS stop_raw
+                       AS BIGINT) AS ns
       FROM documents
+    ),
+    -- All ratios rounded HALF_UP at 4 decimals in EXACT integer
+    -- arithmetic: floor((2*num*10^4 + den) / (2*den)) / 10^4. Float
+    -- round() at a decimal boundary is engine-dependent (Spark expands
+    -- the double's decimal digits, DuckDB multiplies by 10^k in float);
+    -- integer arithmetic makes both engines compute the identical value.
+    exact AS (
+      SELECT doc_id, lang, nc, nt,
+             (2 * na * 10000 + greatest(nc, 1)) // (2 * greatest(nc, 1)) AS alpha4,
+             (2 * ns * 10000 + greatest(nt, 1)) // (2 * greatest(nt, 1)) AS stop4,
+             -- quality = 0.5*alpha + 0.3*stop + 0.2*least(nt/100, 1)
+             -- = num/den with num, den integers (den = 10*nc*nt*100)
+             (2 * (5 * na * greatest(nt, 1) * 100
+                   + 3 * ns * greatest(nc, 1) * 100
+                   + 2 * least(nt, 100) * greatest(nc, 1) * greatest(nt, 1)) * 10000
+              + 10 * greatest(nc, 1) * greatest(nt, 1) * 100)
+             // (2 * 10 * greatest(nc, 1) * greatest(nt, 1) * 100) AS quality4
+      FROM counted
     )
-    SELECT doc_id, lang, n_chars_actual, n_tokens,
-           round(alpha_raw, 4) AS alpha_ratio,
-           round(stop_raw, 4)  AS stopword_ratio,
-           round(0.5 * alpha_raw + 0.3 * stop_raw
-                 + 0.2 * least(n_tokens / 100.0, 1.0), 4) AS quality
-    FROM scored
+    SELECT doc_id, lang, nc AS n_chars_actual, nt AS n_tokens,
+           alpha4 / 10000.0   AS alpha_ratio,
+           stop4 / 10000.0    AS stopword_ratio,
+           quality4 / 10000.0 AS quality
+    FROM exact
     ORDER BY doc_id
     """,
     tags=("text", "quality"),
@@ -144,43 +160,50 @@ def q62_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q63_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality score: alphabetic ratio, stopword
     ratio, and a length term — the standard cheap pre-filter stage of a
-    training-data pipeline (runs fully codegen'd at scan speed)."""
+    training-data pipeline (runs fully codegen'd at scan speed).
+
+    Float discipline: every surfaced ratio is rounded in EXACT integer
+    arithmetic (floor((2*num*10^4 + den)/(2*den)) / 10^4 ≡ HALF_UP) —
+    the raw ratios are rationals whose rounded value can sit exactly on
+    a decimal boundary (e.g. 63/128), where Spark's and DuckDB's float
+    round() legitimately disagree."""
     d = t(spark, sf_dir, "documents")
     toks = tokens_col("text")
     sw = F.array(*[F.lit(w) for w in
                    ("the", "and", "of", "to", "a", "el", "la", "de", "le", "der", "die", "und")])
-    n_tokens = F.size(toks).cast("long")
-    # quality is computed from the UNROUNDED ratios: rounding first would
-    # create exact decimal midpoints (e.g. 0.48265) where Spark's and
-    # DuckDB's round() disagree; the raw quotients are bit-identical in
-    # both engines, so the final single round agrees.
-    alpha_raw = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double") / F.greatest(
-        F.length("text"), F.lit(1)
+    nc = F.length("text").cast("long")
+    na = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("long")
+    nt = F.size(toks).cast("long")
+    ns = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("long")
+    counted = d.select(
+        "doc_id", "lang", nc.alias("nc"), na.alias("na"), nt.alias("nt"), ns.alias("ns")
     )
-    stop_raw = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast(
-        "double"
-    ) / F.greatest(F.size(toks), F.lit(1))
-    scored = d.select(
-        "doc_id",
-        "lang",
-        F.length("text").cast("long").alias("n_chars_actual"),
-        n_tokens.alias("n_tokens"),
-        alpha_raw.alias("alpha_raw"),
-        stop_raw.alias("stop_raw"),
+    gnc = F.greatest(F.col("nc"), F.lit(1))
+    gnt = F.greatest(F.col("nt"), F.lit(1))
+
+    def half_up4(num, den):
+        # floor((2*num*10^4 + den) / (2*den)) — HALF_UP at 4 decimals,
+        # all-integer (Spark `div` is integer division on longs)
+        return F.expr("(2 * (" + num + ") * 10000 + (" + den + ")) div (2 * (" + den + "))")
+
+    qnum = (
+        "5 * na * greatest(nt, 1L) * 100 + 3 * ns * greatest(nc, 1L) * 100"
+        " + 2 * least(nt, 100L) * greatest(nc, 1L) * greatest(nt, 1L)"
     )
-    return scored.select(
-        "doc_id",
-        "lang",
-        "n_chars_actual",
-        "n_tokens",
-        F.round("alpha_raw", 4).alias("alpha_ratio"),
-        F.round("stop_raw", 4).alias("stopword_ratio"),
-        F.round(
-            0.5 * F.col("alpha_raw")
-            + 0.3 * F.col("stop_raw")
-            + 0.2 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)),
-            4,
-        ).alias("quality"),
+    qden = "10 * greatest(nc, 1L) * greatest(nt, 1L) * 100"
+    exact = counted.select(
+        "doc_id", "lang",
+        F.col("nc").alias("n_chars_actual"),
+        F.col("nt").alias("n_tokens"),
+        half_up4("na", "greatest(nc, 1L)").alias("alpha4"),
+        half_up4("ns", "greatest(nt, 1L)").alias("stop4"),
+        half_up4(qnum, qden).alias("quality4"),
+    )
+    return exact.select(
+        "doc_id", "lang", "n_chars_actual", "n_tokens",
+        (F.col("alpha4") / 10000.0).alias("alpha_ratio"),
+        (F.col("stop4") / 10000.0).alias("stopword_ratio"),
+        (F.col("quality4") / 10000.0).alias("quality"),
     ).orderBy("doc_id")
 
 

@@ -219,6 +219,11 @@ def test_exact_quantiles_matches_numpy(spark):
         for alias, q in qs.items():
             expect = float(np.percentile(vals, q * 100, method="linear"))
             assert got[g][alias] == pytest.approx(expect, abs=1e-9), (g, alias)
+    got_d = {r["g"]: r for r in exact_quantiles(df, ["g"], "v", qs, mode="disc").collect()}
+    for g, vals in by_g.items():
+        for alias, q in qs.items():
+            expect = float(np.percentile(vals, q * 100, method="lower"))
+            assert got_d[g][alias] == expect, (g, alias, "disc")
 
 
 def test_asof_join_strictly_earlier(spark, tmp_path):
