@@ -97,3 +97,29 @@ def test_ann_scan_has_no_embedding_shuffle(plan):
 
 def test_lsh_probe_broadcasts_query_side(plan):
     assert "BroadcastHashJoin" in plan("q89_ann_probe")
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed storage is the co-located-join primitive at scale: both
+    sides bucketed by the join key into the same bucket count join with
+    ZERO Exchange in the plan — no shuffle of either table."""
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    a = df.selectExpr("k", "k * 2 AS va")
+    b = df.selectExpr("k", "k * 3 AS vb")
+    for name, d in (("bkt_a", a), ("bkt_b", b)):
+        d.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable(name)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        assert "Exchange" not in p, "bucketed join must not shuffle"
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bkt_a", "bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
