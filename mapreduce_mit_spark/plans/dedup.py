@@ -23,6 +23,7 @@ recall.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import minhash_cols, minhash_sql_exprs, norm_text_col, norm_text_sql
@@ -317,4 +318,79 @@ def q84_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
         .orderBy("key_a", "key_b")
+    )
+
+
+def _jaccard_pairs_sql() -> str:
+    """The q82 candidate-pair SQL as CTE text (doc_id < 100, j >= 0.8)."""
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS token
+      FROM documents WHERE doc_id < 100
+    ),
+    sizes AS (
+      SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.8
+    )"""
+
+
+@register(
+    "q78_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_pairs_sql()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node)
+    SELECT c.doc_id, c.cluster,
+           count(*) OVER (PARTITION BY c.cluster) AS cluster_size,
+           (c.doc_id = c.cluster) AS is_keeper
+    FROM comp c
+    ORDER BY c.doc_id
+    """,
+    tags=("dedup", "clustering", "iterative"),
+)
+def q78_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: candidate pairs (q82's token-Jaccard >= 0.8)
+    closed into connected components; each doc gets a cluster id (the
+    min doc_id reachable) and the cluster representative is flagged.
+
+    This is the step that turns pairwise similarity into actual dedup
+    decisions. Spark side: iterative min-label propagation
+    (operators/graph.py) — a genuinely non-SQL dataflow (driver-side
+    convergence loop over DataFrame rounds); the oracle reproduces it
+    with a recursive CTE, so even the iterative operator is value-checked."""
+    from ..operators.graph import connected_components
+
+    pairs = q82_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = t(spark, sf_dir, "documents").where(F.col("doc_id") < 100).select("doc_id")
+    comp = connected_components(
+        nodes, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b",
+        shuffle_partitions=8,  # sized to the 100-node probe set
+    )
+    w = Window.partitionBy("cluster")
+    return (
+        comp.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("cluster"))
+        .orderBy("doc_id")
     )

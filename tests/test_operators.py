@@ -249,3 +249,17 @@ def test_asof_join_strictly_earlier(spark, tmp_path):
     out = {r["event_id"]: r["last_click_ts"] for r in q28_asof_join(spark, sf_dir).collect()}
     assert out[3] == t0          # the same-ts click (id 2) must NOT win
     assert out[4] is None
+
+
+def test_connected_components(spark):
+    """Chain, triangle, and isolated node — min-label propagation must
+    close transitive chains (diameter > 1) and keep singletons."""
+    from mapreduce_mit_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    # chain 0-1-2-3 (diameter 3), triangle 4-5-6, isolated 7
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6)], "src long, dst long"
+    )
+    got = {r["node"]: r["label"] for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
