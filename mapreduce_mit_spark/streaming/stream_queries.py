@@ -179,13 +179,14 @@ def q92_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_cents", T.LongType()),
     ]
 )
 _OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
         T.StructField("total_value", T.DoubleType()),
     ]
 )
@@ -194,24 +195,46 @@ _OUT_SCHEMA = T.StructType(
 def _user_totals(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    (n, total) = state.get if state.exists else (0, 0.0)
+    # State accumulates integer CENTS, not a float sum: integer addition
+    # is order-independent, so the final state is exact regardless of
+    # batch/partition arrival order — which is what lets this custom
+    # stateful operator be value-checked against a SQL oracle instead of
+    # rows-only.
+    (n, cents) = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_cents": [cents],
+            "total_value": [cents / 100.0],
+        }
+    )
 
 
 @register(
     "q93_stream_stateful_custom",
-    oracle=None,  # custom GroupState operator; driver records rows-only
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
     tags=("streaming", "stateful", "pandas-udf"),
 )
 def q93_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user running event count + value total kept in GroupState.
     The arbitrary-stateful escape hatch for operators Spark's built-in
-    streaming aggregates can't express."""
+    streaming aggregates can't express — and still exactly value-checked:
+    the state is integer cents (order-independent), and the availableNow
+    drain leaves one final update row per user."""
     updates = (
         _events_stream(spark, sf_dir)
         .groupBy("user_id")
