@@ -65,6 +65,45 @@ HEADLINE = [
 ]
 
 
+CORPUS_GLOB = "/root/reference/src/main/pg-*.txt"
+
+
+def _corpus_queries(spark):
+    """The reference's own two applications on its own 16 MB corpus —
+    the directly-comparable numbers for BASELINE.md rows 9-10 (single-
+    core Python equivalents: wc 0.94 s, ii 0.82 s)."""
+    from pyspark.sql import functions as F
+
+    def wc_corpus():
+        df = spark.read.text(CORPUS_GLOB)
+        w = F.explode(F.split("value", r"[^\p{L}]+")).alias("word")
+        return (
+            df.select(w)
+            .where(F.length("word") > 0)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "word")
+            .limit(10)
+        )
+
+    def ii_corpus():
+        df = spark.read.text(CORPUS_GLOB).withColumn(
+            "doc", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        w = F.explode(F.split("value", r"[^\p{L}]+")).alias("word")
+        return (
+            df.select("doc", w)
+            .where(F.length("word") > 0)
+            .groupBy("word")
+            .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+            .select("word", F.size("docs").alias("n_docs"), F.array_join("docs", ",").alias("doc_list"))
+            .orderBy(F.col("n_docs").desc(), "word")
+            .limit(10)
+        )
+
+    return {"wc_corpus_16mb": wc_corpus, "ii_corpus_16mb": ii_corpus}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -82,6 +121,24 @@ def main() -> None:
         n = len(fn(spark, sf_dir).collect())
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    import glob as _glob
+
+    if _glob.glob(CORPUS_GLOB):
+        # 65k distinct words — size the shuffle to the output, not the core
+        # count (AQE coalesces reduce tasks, but scheduling 32 partitions
+        # for a 65k-row aggregate still costs ~2x on a 0.5 s query)
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            for name, fn in _corpus_queries(spark).items():
+                fn().collect()  # steady-state: first run is codegen latency
+                t0 = time.perf_counter()
+                n = len(fn().collect())
+                timings[name] = round(time.perf_counter() - t0, 3)
+                print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     total = round(sum(timings.values()), 3)
     print(
