@@ -1141,3 +1141,67 @@ def q29_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "q48_stratified_sample",
+    oracle="""
+    WITH sampled AS (
+      SELECT c_mktsegment, c_custkey, c_acctbal
+      FROM customer
+      WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 4) <
+            CASE c_mktsegment WHEN 'AUTOMOBILE' THEN '1999' ELSE '0ccd' END
+    )
+    SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS c_acctbal
+    FROM sampled
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    tags=("sampling", "stratified", "training-pipeline"),
+)
+def q48_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates (10% arms,
+    oversample AUTOMOBILE at 20%) via the same md5-keyed predicate as
+    q46 — the class-rebalancing primitive of training pipelines, still a
+    pure function of the key (stable under reruns, engines, partition
+    layouts) and still pushed to the scan with zero shuffle."""
+    c = t(spark, sf_dir, "customer")
+    threshold = F.when(F.col("c_mktsegment") == "AUTOMOBILE", F.lit("1999")).otherwise(
+        F.lit("0ccd")
+    )
+    return (
+        c.where(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 4) < threshold)
+        .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@register(
+    "q49_histogram",
+    oracle="""
+    SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) AS bucket,
+           CAST(least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9) * 50000.0 AS DOUBLE) AS bucket_lo,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def q49_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (50k buckets, top-coded at bucket 9) — one
+    partial+final hash aggregate over an integer bucket expression; the
+    profiling primitive that replaces a sort-based quantile scan when
+    only the distribution shape is needed."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(9)).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"), (bucket * 50000.0).alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
