@@ -263,3 +263,49 @@ def test_connected_components(spark):
     )
     got = {r["node"]: r["label"] for r in connected_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_salted_ops_equal_unsalted(spark):
+    """Salting changes the shuffle layout, never the answer — check on a
+    deliberately skewed dataset (90% of rows share one key)."""
+    from mapreduce_mit_spark.operators.skew import salted_aggregate, salted_join
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (("hot" if rng.random() < 0.9 else f"k{int(rng.integers(50))}"), int(i), float(i % 97))
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    got = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in salted_aggregate(
+            df, ["k"],
+            [("id", "count", "n"), ("v", "sum", "total"), ("v", "min", "lo"), ("v", "max", "hi")],
+            spread_col="id", n_salts=16,
+        ).collect()
+    }
+    expect = {
+        r["k"]: (r["n"], r["total"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count("id").alias("n"), F.sum("v").alias("total"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert got[k][1] == pytest.approx(expect[k][1], rel=1e-12)
+        assert got[k][2:] == expect[k][2:]
+
+    dim = spark.createDataFrame(
+        [("hot", 1)] + [(f"k{i}", i + 2) for i in range(50)], "k string, attr long"
+    )
+    salted = salted_join(df, dim, on="k", spread_col="id", n_salts=4)
+    plain = df.join(dim, "k")
+    assert salted.count() == plain.count()
+    assert (
+        sorted((r["id"], r["attr"]) for r in salted.select("id", "attr").collect())
+        == sorted((r["id"], r["attr"]) for r in plain.select("id", "attr").collect())
+    )
