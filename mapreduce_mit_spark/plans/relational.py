@@ -861,26 +861,12 @@ def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
              count(*)     OVER (PARTITION BY l_returnflag) AS n
       FROM lineitem
-    ),
-    rq AS (
-      SELECT l_returnflag, l_quantity AS v,
-             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
-             count(*)     OVER (PARTITION BY l_returnflag) AS n
-      FROM lineitem
-    ),
-    p AS (
-      SELECT l_returnflag,
-             max(CASE WHEN rn = floor((n-1) * 0.5) + 1 THEN v END) AS median_price,
-             max(CASE WHEN rn = floor((n-1) * 0.9) + 1 THEN v END) AS p90_price
-      FROM rp GROUP BY l_returnflag
-    ),
-    q AS (
-      SELECT l_returnflag,
-             max(CASE WHEN rn = floor((n-1) * 0.5) + 1 THEN v END) AS median_qty
-      FROM rq GROUP BY l_returnflag
     )
-    SELECT l_returnflag, median_price, p90_price, median_qty
-    FROM p JOIN q USING (l_returnflag)
+    SELECT l_returnflag,
+           max(CASE WHEN rn = floor((n-1) * 0.25) + 1 THEN v END) AS p25_price,
+           max(CASE WHEN rn = floor((n-1) * 0.5)  + 1 THEN v END) AS median_price,
+           max(CASE WHEN rn = floor((n-1) * 0.9)  + 1 THEN v END) AS p90_price
+    FROM rp GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
     tags=("agg", "percentile"),
@@ -903,16 +889,13 @@ def q17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quantiles import exact_quantiles
 
     li = t(spark, sf_dir, "lineitem")
-    price = exact_quantiles(
-        li, ["l_returnflag"], "l_extendedprice",
-        {"median_price": 0.5, "p90_price": 0.9}, mode="disc",
-    )
-    qty = exact_quantiles(
-        li, ["l_returnflag"], "l_quantity", {"median_qty": 0.5}, mode="disc"
-    )
     return (
-        price.join(F.broadcast(qty), "l_returnflag")
-        .select("l_returnflag", "median_price", "p90_price", "median_qty")
+        exact_quantiles(
+            li, ["l_returnflag"], "l_extendedprice",
+            {"p25_price": 0.25, "median_price": 0.5, "p90_price": 0.9},
+            mode="disc",
+        )
+        .select("l_returnflag", "p25_price", "median_price", "p90_price")
         .orderBy("l_returnflag")
     )
 
