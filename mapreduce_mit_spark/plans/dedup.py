@@ -256,9 +256,13 @@ def q83_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint bit = sign of the vote sum.
 
     Plan: explode tokens → 32 conditional sums in ONE hash aggregate
-    (single shuffle on doc_id) → bit-pack. Near-dup pairs then compare
-    fingerprints by hamming distance (see tests), which at scale is a
-    band-join on bit slices, not all-pairs."""
+    (single shuffle on doc_id) → bit-pack. The banded hamming pairing
+    that completes the dedup path is q77_simhash_pairs."""
+    return simhash_fingerprints(spark, sf_dir).orderBy("doc_id")
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — the q83 fingerprint computation, unordered."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
     votes = toks.groupBy("doc_id").agg(
@@ -275,7 +279,7 @@ def q83_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(N_SIMHASH_BITS):
         term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
-    return votes.select("doc_id", packed.cast("long").alias("simhash")).orderBy("doc_id")
+    return votes.select("doc_id", packed.cast("long").alias("simhash"))
 
 
 @register(
@@ -393,4 +397,87 @@ def q78_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .withColumn("is_keeper", F.col("doc_id") == F.col("cluster"))
         .orderBy("doc_id")
+    )
+
+def _simhash_fp_sql() -> str:
+    """The q83 fingerprint computation as CTE text (toks/votes/fp)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN {_bit_sql(j)} = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(N_SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(N_SIMHASH_BITS)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, {votes}
+      FROM toks GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+    )"""
+
+
+@register(
+    "q77_simhash_pairs",
+    oracle=f"""
+    WITH {_simhash_fp_sql()},
+    bands AS (
+      SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS byte
+      FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "simhash", "banding"),
+)
+def q77_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via byte banding — the pairing step that
+    completes q83, mirroring how q81 completes minhash signatures.
+
+    Pigeonhole recall guarantee: 4 byte-bands over a 32-bit fingerprint
+    means any pair at hamming distance <= 3 shares at least one intact
+    band, so the band equi-join (one shuffle on (band, byte), ~1/256
+    selectivity per band) finds every such pair without an all-pairs
+    product; the exact hamming filter then prunes band collisions."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftright("simhash", b * 8).bitwiseAND(255) for b in range(4)])
+        ).alias("band", "byte"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.where(hamming <= 3)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
     )
