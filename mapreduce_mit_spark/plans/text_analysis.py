@@ -76,9 +76,14 @@ def q61_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = F.array_sort(F.collect_set(F.col("doc_id").cast("string")))
     return (
         words.groupBy("word")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.array_join(docs, ",").alias("doc_list"),
+        .agg(docs.alias("_docs"))
+        # n_docs = |collect_set| — a separate countDistinct would force
+        # Catalyst's distinct-expand (an extra aggregation phase) to
+        # recompute exactly the set we already built
+        .select(
+            "word",
+            F.size("_docs").alias("n_docs"),
+            F.array_join("_docs", ",").alias("doc_list"),
         )
         .orderBy("word")
     )
