@@ -78,3 +78,72 @@ def test_groupstate_accumulates_across_batches(spark, split_events):
         .collect()
     }
     assert final == expect
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Watermark semantics, end-to-end: once the watermark has advanced
+    (and a subsequent batch has run — Spark filters late rows with the
+    PREVIOUS batch's watermark, eventTimeWatermarkForLateEvents), a
+    too-late event must be dropped, not merged into any window.
+    Single-batch availableNow runs can't show this; three mtime-ordered
+    files with maxFilesPerTrigger=1 can."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    t0 = dt.datetime(2025, 3, 1, 10, 0, 0)
+
+    def mk(rows, path, mtime):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (mtime, mtime))
+
+    # batch 0: events up to 11:00 -> watermark advances to 10:50
+    mk(
+        [
+            (1, t0 + dt.timedelta(minutes=5), 1.0),
+            (2, t0 + dt.timedelta(minutes=20), 1.0),
+            (3, t0 + dt.timedelta(minutes=60), 1.0),
+        ],
+        str(tmp_path / "f1"),
+        _time.time() - 100,
+    )
+    # batch 1: on-time event; late-filter watermark becomes 10:50 and
+    # the 10:00-10:30 window is emitted and evicted
+    mk([(5, t0 + dt.timedelta(minutes=95), 1.0)], str(tmp_path / "f2"), _time.time() - 60)
+    # batch 2: a LATE event (10:15 < 10:50) — must be dropped
+    mk([(4, t0 + dt.timedelta(minutes=15), 100.0)], str(tmp_path / "f3"), _time.time() - 20)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for sub in ("f1", "f2", "f3"):
+        for root, _dirs, files in os.walk(str(tmp_path / sub)):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    os.link(os.path.join(root, fn), os.path.join(src, f"{sub}-{fn}"))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("ws"), "n", "total")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 3
+    got = {r["ws"]: (r["n"], r["total"]) for r in spark.table("late_sink").collect()}
+    # the 10:00 window closed with events 1,2 only; the late event 4
+    # (value=100) was dropped and appears in no window
+    assert got == {t0: (2, 2.0)}, got
