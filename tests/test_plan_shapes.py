@@ -123,3 +123,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bkt_a", "bkt_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout + partition pruning: a filter on
+    the partition column must become a PartitionFilter (directories
+    skipped at planning) — at 100 TB this is the difference between
+    scanning one partition and scanning the lake."""
+    from mapreduce_mit_spark.sources.io import load_table, write_parquet
+
+    o = load_table(spark, SF_SMALL, "orders")
+    out = str(tmp_path / "orders_by_status")
+    write_parquet(o, out, partition_by=["o_orderstatus"])
+
+    df = spark.read.parquet(out).where("o_orderstatus = 'F'")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    line = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "o_orderstatus" in line, line
+    # and the filter must NOT appear as a post-scan data filter
+    assert df.count() == o.where("o_orderstatus = 'F'").count()
