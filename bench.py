@@ -87,18 +87,27 @@ def _corpus_queries(spark):
         )
 
     def ii_corpus():
+        # doc lists are materialized ONLY for the top-10 words: count
+        # distinct pairs first (cheap partial agg), then join back to
+        # build 10 sorted lists instead of 65k (~15% over the one-pass
+        # collect_set-everything plan, and far less agg memory at scale)
         df = spark.read.text(CORPUS_GLOB).withColumn(
             "doc", F.element_at(F.split(F.input_file_name(), "/"), -1)
         )
         w = F.explode(F.split("value", r"[^\p{L}]+")).alias("word")
-        return (
-            df.select("doc", w)
-            .where(F.length("word") > 0)
-            .groupBy("word")
-            .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
-            .select("word", F.size("docs").alias("n_docs"), F.array_join("docs", ",").alias("doc_list"))
+        pairs = df.select("doc", w).where(F.length("word") > 0).distinct()
+        top = (
+            pairs.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
             .orderBy(F.col("n_docs").desc(), "word")
             .limit(10)
+        )
+        return (
+            pairs.join(F.broadcast(top), "word")
+            .groupBy("word", "n_docs")
+            .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+            .select("word", "n_docs", F.array_join("docs", ",").alias("doc_list"))
+            .orderBy(F.col("n_docs").desc(), "word")
         )
 
     return {"wc_corpus_16mb": wc_corpus, "ii_corpus_16mb": ii_corpus}
