@@ -1188,3 +1188,42 @@ def q49_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q34_first_last_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey)  OVER w AS last_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+    tags=("window", "value-functions"),
+)
+def q34_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit unbounded
+    frame (the default frame for last_value — rows up to CURRENT ROW —
+    is the classic wrong answer; pinning the frame makes 'last' mean
+    the partition's last). Unique (date, key) ordering keeps ties
+    deterministic across engines."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.last("o_orderkey").over(w).alias("last_key"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        )
+        .orderBy("o_orderkey")
+    )

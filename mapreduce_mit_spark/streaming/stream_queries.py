@@ -158,22 +158,31 @@ def q91_stream_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q92_stream_dedup",
-    oracle=None,  # streaming state semantics; driver records rows-only
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
     tags=("streaming", "dedup"),
 )
 def q92_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup on (user_id, event_type) within a 30-min
     watermark — dropDuplicatesWithinWatermark keeps state bounded (the
-    streaming twin of q80). Rows-only check: emission timing is
-    state-dependent, not SQL-expressible."""
+    streaming twin of q80).
+
+    The projection keeps exactly the dedup-key columns: WHICH duplicate
+    survives depends on arrival order (inherently nondeterministic), but
+    the SET of surviving keys does not — so this streaming state
+    operator gets an exact oracle (the single-batch availableNow drain
+    emits each key once; the watermark bound never fires within one
+    batch)."""
     dedup = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "30 minutes")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("event_id", "ts", "user_id", "event_type")
+        .select("user_id", "event_type")
     )
     _run_to_table(dedup, "q92_sink", "append")
-    return spark.table("q92_sink").orderBy("event_id")
+    return spark.table("q92_sink").orderBy("user_id", "event_type")
 
 
 _STATE_SCHEMA = T.StructType(
