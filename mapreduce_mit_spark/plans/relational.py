@@ -1227,3 +1227,40 @@ def q34_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q35_unpivot",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderstatus,
+             round(min(o_totalprice), 2) AS min_price,
+             round(max(o_totalprice), 2) AS max_price,
+             round(sum(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, metric, value
+    FROM stats
+    UNPIVOT (value FOR metric IN (min_price, max_price, sum_price))
+    ORDER BY o_orderstatus, metric
+    """,
+    tags=("reshape", "unpivot"),
+)
+def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long, the inverse of q47): per-status price stats
+    melted to (status, metric, value) rows via stack() — an Expand node,
+    no shuffle beyond the feeding aggregate."""
+    o = t(spark, sf_dir, "orders")
+    stats = o.groupBy("o_orderstatus").agg(
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    return (
+        stats.selectExpr(
+            "o_orderstatus",
+            "stack(3, 'min_price', min_price, 'max_price', max_price, "
+            "'sum_price', sum_price) AS (metric, value)",
+        )
+        .orderBy("o_orderstatus", "metric")
+    )
