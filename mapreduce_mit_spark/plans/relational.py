@@ -249,7 +249,7 @@ def q14_having(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_customers,
            sum(CASE WHEN c_mktsegment = 'BUILDING'  THEN 1 ELSE 0 END) AS n_building,
            sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS n_machinery,
-           round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0 END), 2) AS positive_balance
+           sum(CASE WHEN c_acctbal > 0 THEN CAST(round(c_acctbal * 100) AS BIGINT) ELSE 0 END) / 100.0 AS positive_balance
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     ORDER BY n_name
@@ -257,7 +257,11 @@ def q14_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "case-when"),
 )
 def q15_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot-style conditional aggregation (sum of CASE WHEN)."""
+    """Pivot-style conditional aggregation (sum of CASE WHEN).
+
+    The money sum accumulates integer cents on both sides so the
+    surfaced double is summation-order independent — `round(sum(double))`
+    failed the cross-engine value-hash at a boundary value (r1)."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     return (
@@ -267,7 +271,15 @@ def q15_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
             F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)).alias("n_building"),
             F.sum(F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0)).alias("n_machinery"),
-            rsum(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).otherwise(0.0), "positive_balance"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("c_acctbal") > 0,
+                        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)"),
+                    ).otherwise(F.lit(0))
+                )
+                / 100.0
+            ).alias("positive_balance"),
         )
         .orderBy("n_name")
     )
@@ -829,9 +841,15 @@ def q45_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q16_approx_distinct",
-    oracle=None,  # HLL sketches are implementation-specific; exactness is
-    # asserted separately (tests/test_operators.py bounds the relative
-    # error against countDistinct at <5%).
+    oracle="""
+    SELECT c_mktsegment,
+           count(DISTINCT o_custkey) AS exact_customers,
+           count(*) AS n_orders,
+           true AS approx_within_bound
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
     tags=("agg", "approx", "sketch"),
 )
 def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,18 +857,36 @@ def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 100 TB cardinality path: a fixed-size sketch that merges
     associatively across partitions — no expand + double shuffle like
-    exact COUNT(DISTINCT), no memory proportional to cardinality."""
+    exact COUNT(DISTINCT), no memory proportional to cardinality.
+
+    The HLL estimate itself is engine-specific, so it can't be surfaced
+    to a cross-engine hash — instead the query asserts its documented
+    accuracy in-band: ``approx_within_bound`` is true iff the sketch is
+    within 5% (2.5× the configured rsd) of the exact sibling column,
+    which the oracle expects to be uniformly true. A broken sketch
+    flips the boolean and fails the hash — falsifiable, not rows-only.
+    (The exact COUNT(DISTINCT) sibling exists for the check; at 100 TB
+    you would ship only the sketch column.)"""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    return (
+    agg = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
             F.count("*").alias("n_orders"),
         )
-        .orderBy("c_mktsegment")
     )
+    return agg.select(
+        "c_mktsegment",
+        "exact_customers",
+        "n_orders",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("approx_within_bound"),
+    ).orderBy("c_mktsegment")
 
 
 @register(

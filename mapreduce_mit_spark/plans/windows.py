@@ -20,6 +20,16 @@ from ..registry import register
 from ._util import t
 
 
+def _total_value():
+    """Order-independent money sum: accumulate integer cents, surface
+    dollars. ``sum(bigint)/100.0`` is a deterministic function of an
+    exact integer, so Spark and DuckDB produce bit-identical doubles
+    regardless of partitioning/summation order."""
+    return (F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")) / 100.0).alias(
+        "total_value"
+    )
+
+
 @register(
     "q70_tumbling_window",
     oracle="""
@@ -27,7 +37,7 @@ from ._util import t
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR  AS window_end,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2, 3
     ORDER BY window_start, event_type
@@ -36,12 +46,15 @@ from ._util import t
 )
 def q70_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows × event_type. One shuffle on
-    (window, type); partial agg collapses before shuffle."""
+    (window, type); partial agg collapses before shuffle.
+
+    ``value`` carries 2-decimal money; both engines sum integer cents so
+    the surfaced double is summation-order independent (hash-safe)."""
     e = t(spark, sf_dir, "events")
     w = F.window("ts", "1 hour")
     return (
         e.groupBy(w.alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), _total_value())
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -64,7 +77,7 @@ def q70_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start,
            window_start + INTERVAL 1 HOUR AS window_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM slid
     GROUP BY 1, 2
     ORDER BY window_start
@@ -79,7 +92,7 @@ def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.window("ts", "1 hour", "15 minutes")
     return (
         e.groupBy(w.alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), _total_value())
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -96,7 +109,7 @@ def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, ts, value, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       <= INTERVAL 10 MINUTE
+                       < INTERVAL 10 MINUTE
                   THEN 0 ELSE 1 END AS is_new
       FROM events
     ),
@@ -109,7 +122,7 @@ def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start,
            max(ts) + INTERVAL 10 MINUTE AS session_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM sess
     GROUP BY user_id, sess_id
     ORDER BY user_id, session_start
@@ -119,13 +132,15 @@ def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q72_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (10-minute gap) per user. Spark's session_window
     merges adjacent events server-side in one shuffle on user_id; the
-    oracle is the classic gaps-and-islands rewrite. Session end = last
-    event + gap (Spark's definition)."""
+    oracle is the classic gaps-and-islands rewrite with a STRICT gap
+    comparison — Spark merges sessions only on strict overlap, so two
+    events exactly the gap apart start separate sessions. Session end =
+    last event + gap (Spark's definition)."""
     e = t(spark, sf_dir, "events")
     sw = F.session_window("ts", "10 minutes")
     return (
         e.groupBy(sw.alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), _total_value())
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),

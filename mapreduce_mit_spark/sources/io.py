@@ -48,6 +48,26 @@ CORPUS_SCHEMA = T.StructType(
 )
 
 
+def ensure_reader_confs(spark: SparkSession) -> None:
+    """Make the engine work on ANY caller-supplied SparkSession.
+
+    The driver (and any downstream user) builds its own bare session, so
+    confs the engine depends on must be applied at the source boundary,
+    not only in our session factory. Both are runtime-settable:
+
+    - ``spark.sql.legacy.parquet.nanosAsLong``: ``events.parquet`` stores
+      TIMESTAMP(NANOS), which Spark otherwise rejects outright
+      (PARQUET_TYPE_ILLEGAL). With the conf, ts arrives as a long of
+      nanoseconds and ``normalize_ns_timestamps`` converts it to a µs
+      timestamp — the same truncation DuckDB applies, so oracles agree.
+    - ``spark.sql.session.timeZone=UTC``: timestamp→date/display
+      conversions are session-TZ-dependent in Spark but naive in the
+      DuckDB oracle; pinning UTC makes date functions deterministic.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table: ``{sf_dir}/{name}.parquet``.
 
@@ -55,6 +75,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long of
     nanoseconds and is converted here to a µs timestamp (truncation —
     exactly what DuckDB does reading the same file)."""
+    ensure_reader_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return normalize_ns_timestamps(df)
 

