@@ -1,0 +1,142 @@
+"""Source/sink round-trips surfaced as driver-checkable queries.
+
+The reference's serialization surface is JSON spill files between map
+and reduce (/root/reference/src/mapreduce/common_map.go:84-98,
+common_reduce.go:47-61: encode KeyValue to per-reduce JSON files, decode
+on the reduce side) and a merged key-sorted ``"key: value"`` text sink
+(master_splitmerge.go:39-48). These queries run the engine's JSON / CSV
+/ sorted-text sources+sinks end-to-end — write to a scratch dir, read
+back, aggregate — with the DuckDB oracle computed from the ORIGINAL
+parquet, so a green row proves the round-trip is lossless, not merely
+that it runs (SURVEY §2.1 #5, #12).
+
+Scale notes: all writers shard one file per partition (no driver
+funnel); the single-file collapse exists only inside
+``write_sorted_text`` for reference golden parity and is documented
+there. Scratch lives under the system temp dir, one fresh dir per run.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.io import read_csv, read_json, write_csv, write_json, write_sorted_text
+from ._util import t
+
+
+def _scratch(kind: str) -> str:
+    return os.path.join(tempfile.mkdtemp(prefix=f"mms_{kind}_"), "data")
+
+
+@register(
+    "q55_json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price,
+           CAST(max(o_orderdate) AS DATE) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("source", "sink", "json"),
+)
+def q55_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → JSON sink → JSON source → aggregate.
+
+    The reference's map→reduce hand-off serializes every intermediate
+    KeyValue as JSON (common_map.go:84-98); here the whole table makes
+    the trip. Reading back with the writer's schema (not inference)
+    pins types — dates included — and the oracle aggregates the
+    original parquet, so any lossy encode/decode breaks the hash."""
+    o = t(spark, sf_dir, "orders")
+    path = _scratch("json")
+    write_json(o, path)
+    back = read_json(spark, path, schema=o.schema)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")) / 100.0).alias(
+                "total_price"
+            ),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "q56_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_balance,
+           sum(length(c_name)) AS name_chars
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("source", "sink", "csv"),
+)
+def q56_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV sink → CSV source (explicit schema) → aggregate.
+
+    ``name_chars`` totals free-text lengths, so broken
+    quoting/escaping inside c_name shifts the sum and fails the hash —
+    the string column exercises the delimiter/quote path, not just the
+    numeric happy path."""
+    c = t(spark, sf_dir, "customer")
+    path = _scratch("csv")
+    write_csv(c, path)
+    back = read_csv(spark, path, schema=c.schema)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")) / 100.0).alias(
+                "total_balance"
+            ),
+            F.sum(F.length("c_name")).alias("name_chars"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q57_sorted_text_sink",
+    oracle="""
+    SELECT n_name || ': ' || CAST(n_customers AS VARCHAR) AS line
+    FROM (
+      SELECT n_name, count(*) AS n_customers
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    ORDER BY line
+    """,
+    tags=("sink", "text", "golden"),
+)
+def q57_sorted_text_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate → merged key-sorted ``"key: value"`` text sink → text
+    source.
+
+    The reference's final output contract (master_splitmerge.go:39-48:
+    one file, ``key: value`` lines, byte-sorted by key) driven end-to-
+    end: per-nation customer counts go through ``write_sorted_text``
+    and are read back as raw lines; the oracle builds the identical
+    lines from the original tables."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    counts = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").cast("string").alias("n_customers"))
+    )
+    path = _scratch("text")
+    write_sorted_text(counts, "n_name", "n_customers", path)
+    return spark.read.text(path).select(F.col("value").alias("line")).orderBy("line")
