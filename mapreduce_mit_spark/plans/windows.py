@@ -109,7 +109,7 @@ def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, ts, value, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       < INTERVAL 10 MINUTE
+                       <= INTERVAL 10 MINUTE
                   THEN 0 ELSE 1 END AS is_new
       FROM events
     ),
@@ -132,10 +132,11 @@ def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q72_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (10-minute gap) per user. Spark's session_window
     merges adjacent events server-side in one shuffle on user_id; the
-    oracle is the classic gaps-and-islands rewrite with a STRICT gap
-    comparison — Spark merges sessions only on strict overlap, so two
-    events exactly the gap apart start separate sessions. Session end =
-    last event + gap (Spark's definition)."""
+    oracle is the classic gaps-and-islands rewrite with an INCLUSIVE
+    gap comparison — two events exactly the gap apart MERGE (adjacency
+    counts as overlap; pinned by tests/test_streaming.py::
+    test_session_window_gap_boundary). Session end = last event + gap
+    (Spark's definition)."""
     e = t(spark, sf_dir, "events")
     sw = F.session_window("ts", "10 minutes")
     return (

@@ -194,6 +194,115 @@ def q92_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q92_sink").orderBy("user_id", "event_type")
 
 
+@register(
+    "q73_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id  AS user_id,
+           c.ts       AS click_ts,
+           p.ts       AS purchase_ts,
+           p.value    AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("streaming", "stream-stream-join", "interval-join"),
+)
+def q73_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 30 minutes after a
+    click by the same user. Both sides are watermarked and the join
+    carries an event-time range constraint, so the state store evicts
+    rows older than the watermark — the bounded-state formulation that
+    survives an unbounded stream (an un-constrained stream-stream join
+    would buffer both streams forever). The availableNow drain emits
+    every match once, so the batch SQL join is an exact oracle."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL 30 MINUTES
+            """
+        ),
+    ).select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts", "purchase_value"
+    )
+    _run_to_table(joined, "q73_sink", "append")
+    return spark.table("q73_sink").orderBy("click_id", "purchase_id")
+
+
+@register(
+    "q74_stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 10 MINUTE
+                  THEN 0 ELSE 1 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session"),
+)
+def q74_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (10-minute gap) per user — the
+    streaming twin of batch q72, exercising Spark's session-merging
+    state store (sessions grow/merge as events arrive; complete mode +
+    availableNow drain leaves the final merged sessions, equal to the
+    batch answer and the gaps-and-islands oracle)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), _total_value())
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    _run_to_table(agg, "q74_sink", "complete")
+    return spark.table("q74_sink").orderBy("user_id", "session_start")
+
+
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),

@@ -147,3 +147,33 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # the 10:00 window closed with events 1,2 only; the late event 4
     # (value=100) was dropped and appears in no window
     assert got == {t0: (2, 2.0)}, got
+
+
+def test_session_window_gap_boundary(spark):
+    """Pin Spark's session-merge semantics at the exact-gap boundary
+    (measured, not assumed): two events EXACTLY the gap apart MERGE into
+    one session — the first event's window [t, t+gap) is adjacent to the
+    second's and Spark's session merge treats adjacency as overlap. Only
+    a spacing strictly greater than the gap starts a new session. The
+    q72/q74 gaps-and-islands oracle therefore uses an INCLUSIVE gap
+    comparison (`<= INTERVAL`); this test is the contract for that
+    rewrite."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 0, 0)),
+        (1, datetime(2024, 1, 1, 9, 10, 0)),   # exactly the gap → merges
+        (2, datetime(2024, 1, 1, 9, 0, 0)),
+        (2, datetime(2024, 1, 1, 9, 9, 59)),   # inside the gap → merges
+        (3, datetime(2024, 1, 1, 9, 0, 0)),
+        (3, datetime(2024, 1, 1, 9, 10, 1)),   # past the gap → new session
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    sess = (
+        df.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    got = {r["user_id"]: r["n_sessions"] for r in sess.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}, got
