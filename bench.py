@@ -58,6 +58,7 @@ HEADLINE = [
     "q63_quality_score",
     "q70_tumbling_window",
     "q72_session_window",
+    "q73_stream_stream_join",
     "q80_exact_dedup",
     "q81_minhash_lsh",
     "q83_simhash",
