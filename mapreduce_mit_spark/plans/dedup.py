@@ -262,14 +262,30 @@ def q83_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) — the q83 fingerprint computation, unordered."""
+    """(doc_id, simhash) — the q83 fingerprint computation, unordered.
+
+    The token hash is computed ONCE per token occurrence: the first 8
+    md5 hex chars become a 32-bit int in a pre-aggregation projection,
+    and each bit vote is a shift of that int — instead of embedding
+    ``md5(token)`` in all 32 aggregate expressions and trusting
+    codegen subexpression elimination to dedupe it. Bit j is hex
+    nibble ⌊j/4⌋ (string position), low bit first within the nibble —
+    the identical construction the DuckDB oracle spells per-nibble, so
+    fingerprints stay cross-engine bit-identical."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("token")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long").alias("h32"),
+    )
+    # h32's nibble i (string position, 0-based) sits at bits 4*(7-i);
+    # bit j of the fingerprint = bit (4*(7 - j//4) + j%4) of h32.
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(
-                    F.shiftright(_hexval_spark(F.col("token"), j), j % 4).bitwiseAND(1) == 1, 1
+                    F.shiftright(F.col("h32"), 4 * (7 - j // 4) + j % 4).bitwiseAND(1)
+                    == 1,
+                    1,
                 ).otherwise(-1)
             ).alias(f"s{j}")
             for j in range(N_SIMHASH_BITS)
