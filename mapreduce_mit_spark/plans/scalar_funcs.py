@@ -199,3 +199,57 @@ def q54_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("embedding").cast("double"), 6).alias("elem_max"),
         F.round(F.array_min("embedding").cast("double"), 6).alias("elem_min"),
     ).orderBy("vec_id")
+
+
+@register(
+    "q58_map_funcs",
+    oracle="""
+    WITH typed AS (
+      SELECT event_type,
+             json_keys(props) AS ks,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS n_events,
+             sum(len(ks)) AS total_keys,
+             sum(kv) AS sum_k
+      FROM typed GROUP BY event_type
+    ),
+    keys AS (
+      SELECT event_type,
+             list_aggregate(list_sort(list_distinct(flatten(list(ks)))), 'string_agg', ',') AS key_list
+      FROM typed GROUP BY event_type
+    )
+    SELECT s.event_type, n_events, total_keys, sum_k, key_list
+    FROM stats s JOIN keys k ON s.event_type = k.event_type
+    ORDER BY s.event_type
+    """,
+    tags=("scalar", "map"),
+)
+def q58_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column functions: ``from_json`` into ``map<string,
+    bigint>``, then ``map_keys`` / ``size`` / ``element_at`` per event
+    type, plus the distinct key vocabulary per group.
+
+    The key vocabulary is computed scale-safely — explode keys,
+    distinct, then collect the (bounded-by-vocabulary) set — never
+    ``collect_list`` of unbounded per-row arrays. Maps stay internal;
+    the surfaced columns are scalars/strings so the cross-engine hash
+    is stable (map column ordering is engine-specific)."""
+    e = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    typed = e.select("event_type", m.alias("m"))
+    stats = typed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.size("m")).alias("total_keys"),
+        F.sum(F.element_at("m", F.lit("k"))).alias("sum_k"),
+    )
+    keys = (
+        typed.select("event_type", F.explode(F.map_keys("m")).alias("key"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.array_join(F.array_sort(F.collect_set("key")), ",").alias("key_list"))
+    )
+    return stats.join(keys, "event_type").orderBy("event_type")

@@ -357,3 +357,45 @@ def q66_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "word", "tf", "df", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "word")
     )
+
+
+@register(
+    "q67_bitmap_distinct",
+    oracle=f"""
+    SELECT word, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n_docs DESC, word
+    LIMIT 20
+    """,
+    tags=("text", "bitmap", "distinct"),
+)
+def q67_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-doc count per word via BLOCKED BITMAPS (roaring-bitmap
+    pattern): doc_id maps to (block = doc_id div 64, bit = doc_id mod
+    64); ``bit_or`` of the one-bit masks per (word, block) absorbs
+    duplicate occurrences map-side with a fixed-width 8-byte state, and
+    ``sum(bit_count(mask))`` over blocks yields the exact distinct
+    count.
+
+    This is the scale path for set-cardinality aggregation: the
+    shuffle carries one long per (word, block) instead of expanding
+    per-document rows the way ``count(DISTINCT)`` does (Spark's
+    distinct agg rewrites to a two-phase expand whose first shuffle is
+    proportional to the number of DISTINCT PAIRS). The oracle states
+    the semantics (plain count DISTINCT); the plan is the mechanics."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col("text")).alias("word"))
+    masks = toks.select(
+        "word",
+        (F.col("doc_id") / 64).cast("long").alias("block"),
+        F.expr("shiftleft(1L, CAST(doc_id % 64 AS INT))").alias("mask"),
+    )
+    return (
+        masks.groupBy("word", "block")
+        .agg(F.bit_or("mask").alias("mask"))
+        .groupBy("word")
+        .agg(F.sum(F.bit_count("mask")).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "word")
+        .limit(20)
+    )
