@@ -292,3 +292,93 @@ def q89_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", "label", "bucket", F.round("_sim", 4).alias("cos_sim"))
     )
+
+
+N_IVF_CENTROIDS = 8
+N_PROBE = 2
+
+
+@register(
+    "q68_ivf_ann",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {N_IVF_CENTROIDS}
+    ),
+    sims AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cid,
+             {cosine_sql('e.embedding', 'c.cv')} AS sim
+      FROM embeddings e, cent c
+    ),
+    assign AS (
+      SELECT vec_id, label, embedding, cid AS cluster
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM sims)
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cid FROM sims WHERE vec_id = {QUERY_VEC_ID}
+      ORDER BY sim DESC, cid LIMIT {N_PROBE}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+    SELECT a.vec_id, a.label, a.cluster,
+           round({cosine_sql('a.embedding', 'qv')}, 4) AS cos_sim
+    FROM assign a JOIN probe p ON a.cluster = p.cid, q
+    WHERE a.vec_id != {QUERY_VEC_ID}
+    ORDER BY {cosine_sql('a.embedding', 'qv')} DESC, a.vec_id
+    LIMIT 5
+    """,
+    tags=("similarity", "ivf", "ann"),
+)
+def q68_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbor: a coarse
+    codebook partitions vectors into cluster lists; a query searches
+    only its ``N_PROBE`` nearest clusters' lists instead of the table.
+
+    The codebook here is the first N_IVF_CENTROIDS vectors —
+    deterministic so the oracle reproduces the index exactly; in
+    production it comes from k-means, and nothing in the plan changes.
+    Scale shape: assignment is one pass over the table against a
+    BROADCAST codebook with a partial-aggregable argmax (max_by) — no
+    vector ever shuffles for index build; the probe joins the
+    (tiny, broadcast) probed-centroid list, so query cost is the
+    probed lists only — the IVF trade the LSH variant (q87/q89) makes
+    with hyperplanes instead of centroids."""
+    e = t(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id") < N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    sims = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cid",
+        cosine_col(F.col("embedding"), F.col("cv")).alias("sim"),
+    )
+    # argmax over 8 centroid rows per vector: map-side-combinable, and
+    # ties break toward the LOWEST cid ((sim, -cid) max = the oracle's
+    # ORDER BY sim DESC, cid row_number()=1)
+    assign = sims.groupBy("vec_id", "label").agg(
+        F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias(
+            "cluster"
+        ),
+        F.any_value("embedding").alias("embedding"),  # constant within group
+    )
+    probe = (
+        sims.where(F.col("vec_id") == QUERY_VEC_ID)
+        .orderBy(F.col("sim").desc(), "cid")
+        .limit(N_PROBE)
+        .select("cid")
+    )
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    qsim = cosine_col(F.col("embedding"), F.col("qv"))
+    return (
+        assign.join(F.broadcast(probe), assign.cluster == F.col("cid"))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "cluster", qsim.alias("_sim"))
+        .orderBy(F.col("_sim").desc(), "vec_id")
+        .limit(5)
+        .select("vec_id", "label", "cluster", F.round("_sim", 4).alias("cos_sim"))
+    )
