@@ -1300,3 +1300,67 @@ def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "metric")
     )
+
+
+@register(
+    "q69_approx_percentile",
+    oracle="""
+    WITH rp AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             count(*)     OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           max(CASE WHEN rn = floor((n-1) * 0.5) + 1 THEN v END) AS median_exact,
+           max(n) AS n_rows,
+           true AS approx_within_bound
+    FROM rp GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "approx", "percentile", "sketch"),
+)
+def q69_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) with an in-band
+    falsifiable accuracy check — the sketch sibling of q16's HLL
+    pattern.
+
+    The sketch value itself is engine-specific, so what the oracle
+    checks is its GUARANTEE: with accuracy=1000 the returned value's
+    rank must lie within n/1000 of the target rank; the query verifies
+    rank(approx_median) ∈ [n/2 − n/100, n/2 + n/100] (10× slack) by
+    counting values on each side of the sketch's answer, and surfaces
+    the boolean the oracle expects to be uniformly true, plus the
+    exact median (q17's rank arithmetic) as the value-checked sibling.
+    At 100 TB the sketch is the only viable path — fixed-size state,
+    associative merge — and this query is the harness that keeps it
+    honest."""
+    from ..operators.quantiles import exact_quantiles
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    ap = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("av"),
+        F.count("*").alias("n_rows"),
+    )
+    ranks = (
+        li.join(F.broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_extendedprice") < F.col("av"), 1).otherwise(0)).alias("r_lo"),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("av"), 1).otherwise(0)).alias("r_hi"),
+            F.any_value("n_rows").alias("n_rows"),
+        )
+    )
+    eps = F.col("n_rows") / 100.0
+    target = F.col("n_rows") / 2.0
+    checked = ranks.select(
+        "l_returnflag",
+        "n_rows",
+        ((F.col("r_hi") >= target - eps) & (F.col("r_lo") <= target + eps)).alias(
+            "approx_within_bound"
+        ),
+    )
+    exact = exact_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", {"median_exact": 0.5}, mode="disc"
+    ).select("l_returnflag", "median_exact")
+    return exact.join(checked, "l_returnflag").orderBy("l_returnflag")

@@ -412,3 +412,36 @@ def q94_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_table(agg, "q94_sink", "complete")
     return spark.table("q94_sink").orderBy("window_start")
+
+
+@register(
+    "q75_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("streaming", "stream-static-join"),
+)
+def q75_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched with the static
+    customer dimension (user_id = c_custkey), then aggregated per
+    market segment. The static side is broadcast to every micro-batch
+    — no state store for the join itself (only the downstream agg
+    keeps state), which is why stream-static enrichment is the
+    cheapest join in Structured Streaming and the default pattern for
+    dimension lookups at 100 TB. Money as integer cents (hash-safe)."""
+    from ..sources.io import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), _total_value())
+    )
+    _run_to_table(agg, "q75_sink", "complete")
+    return spark.table("q75_sink").orderBy("c_mktsegment")
