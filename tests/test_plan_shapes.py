@@ -145,3 +145,39 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "o_orderstatus" in line, line
     # and the filter must NOT appear as a post-scan data filter
     assert df.count() == o.where("o_orderstatus = 'F'").count()
+
+
+def test_bitmap_distinct_has_no_expand(plan):
+    """q67's blocked-bitmap distinct must aggregate with fixed-width
+    bit_or state — the whole point is avoiding the Expand node that
+    Catalyst inserts for count(DISTINCT)'s two-phase rewrite."""
+    p = plan("q67_bitmap_distinct")
+    assert "Expand" not in p
+    assert "bit_or" in p
+    # partial + final aggregation around the (word, block) shuffle
+    assert p.count("HashAggregate") >= 2
+
+
+def test_ivf_assignment_broadcasts_codebook(plan):
+    """q68's index build: the codebook is broadcast and vectors meet it
+    via BroadcastNestedLoopJoin — the embeddings table itself must not
+    shuffle for cluster assignment (its only exchange feeds the argmax
+    aggregation keyed by vec_id)."""
+    p = plan("q68_ivf_ann")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "max_by" in p
+
+
+def test_json_roundtrip_writes_sharded(spark, tmp_path):
+    """The JSON sink must write one file per partition (no driver
+    funnel): repartitioned input produces multiple part files."""
+    from mapreduce_mit_spark.sources.io import read_json, write_json
+
+    df = spark.range(0, 1000).repartition(4)
+    path = str(tmp_path / "j")
+    write_json(df, path)
+    import glob
+
+    parts = glob.glob(f"{path}/part-*")
+    assert len(parts) == 4
+    assert read_json(spark, path, schema=df.schema).count() == 1000
