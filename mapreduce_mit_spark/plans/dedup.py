@@ -16,7 +16,7 @@ The four standard training-data dedup strategies, each Spark-first and
 - SimHash: 32-bit near-dup fingerprint via per-bit weighted votes.
 
 The synthetic corpus has few/no true duplicates — empty candidate sets
-are valid output; tests/test_dedup.py injects synthetic dups to prove
+are valid output; tests/test_operators.py injects synthetic dups to prove
 recall.
 """
 
