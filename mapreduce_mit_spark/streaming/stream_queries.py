@@ -445,3 +445,79 @@ def q75_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_table(agg, "q75_sink", "complete")
     return spark.table("q75_sink").orderBy("c_mktsegment")
+
+
+@register(
+    "q76_stream_stream_left_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT c.click_id, p.purchase_id, c.user_id
+      FROM clicks c JOIN purch p
+        ON c.user_id = p.user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ),
+    wm AS (
+      SELECT least((SELECT max(click_ts) FROM clicks),
+                   (SELECT max(purchase_ts) FROM purch))
+             - INTERVAL 30 MINUTE AS w
+    )
+    SELECT click_id, purchase_id, user_id FROM matched
+    UNION ALL
+    SELECT c.click_id, NULL AS purchase_id, c.user_id
+    FROM clicks c, wm
+    WHERE c.click_id NOT IN (SELECT click_id FROM matched)
+      AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+    ORDER BY click_id, purchase_id
+    """,
+    tags=("streaming", "stream-stream-join", "outer"),
+)
+def q76_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the state-eviction
+    semantics q73 doesn't exercise: a click emits its null-extended row
+    ONLY once the global watermark (min across both streams, minus the
+    30-min delay) passes its join-window upper bound, proving the state
+    store released it; clicks still inside the watermark horizon at
+    drain stay unemitted. The oracle reproduces exactly that emission
+    rule: matched pairs plus unmatched clicks with
+    ``click_ts + 30 min < watermark``."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL 30 MINUTES
+            """
+        ),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "user_id")
+    _run_to_table(joined, "q76_sink", "append")
+    return spark.table("q76_sink").orderBy("click_id", "purchase_id")
