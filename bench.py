@@ -56,6 +56,8 @@ HEADLINE = [
     "q60_wordcount",
     "q61_inverted_index",
     "q63_quality_score",
+    "q67_bitmap_distinct",
+    "q68_ivf_ann",
     "q70_tumbling_window",
     "q72_session_window",
     "q73_stream_stream_join",
