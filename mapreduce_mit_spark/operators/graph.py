@@ -38,10 +38,14 @@ def connected_components(
     ``edges`` may be directed pairs; they are symmetrized here. Isolated
     nodes keep their own id as cluster.
 
-    ``shuffle_partitions``: loop-local override, restored on exit. The
-    per-round shuffles should be sized to the LABEL table (n_nodes), not
-    to whatever the session's batch workload wanted — size it like
-    n_nodes / rows-per-task on a real cluster.
+    ``shuffle_partitions``: sizes the per-round label shuffles to the
+    LABEL table (n_nodes), not to whatever the session's batch workload
+    wanted — size it like n_nodes / rows-per-task on a real cluster.
+    Applied as an explicit ``repartition(n, "node")`` inside the loop
+    (hash-partitioning by the grouping key, which the downstream
+    groupBy reuses — no extra exchange), NEVER by mutating the shared
+    session's ``spark.sql.shuffle.partitions``, so concurrent queries
+    in the same session are unaffected.
     """
     # persist the raw edges BEFORE symmetrizing: the union scans its
     # input twice, which would run an expensive upstream (e.g. the
@@ -52,13 +56,13 @@ def connected_components(
     sym = edges_p.union(edges_p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym.persist()
 
-    spark = nodes.sparkSession
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    def _sized(df: DataFrame) -> DataFrame:
+        if shuffle_partitions is not None:
+            return df.repartition(shuffle_partitions, "node")
+        return df
 
-    labels = nodes.select(F.col(node_col).alias("node")).withColumn(
-        "label", F.col("node")
+    labels = _sized(
+        nodes.select(F.col(node_col).alias("node")).withColumn("label", F.col("node"))
     )
     labels.persist()
     labels.count()
@@ -69,8 +73,7 @@ def connected_components(
             .select(F.col("dst").alias("node"), "label")
         )
         new_labels = (
-            labels.select("node", "label")
-            .union(neighbor_labels)
+            _sized(labels.select("node", "label").union(neighbor_labels))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
@@ -89,8 +92,6 @@ def connected_components(
     # truncate lineage: the result otherwise re-runs every round (on
     # now-unpersisted inputs) when the caller executes it
     out = labels.select("node", "label").localCheckpoint(eager=True)
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     sym.unpersist()
     edges_p.unpersist()
     labels.unpersist()

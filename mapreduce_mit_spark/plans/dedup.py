@@ -303,7 +303,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
            a.p_name AS name_a, b.p_name AS name_b,
-           levenshtein(a.p_name, b.p_name) AS edit_dist
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
     FROM part a JOIN part b
       ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
     WHERE a.p_partkey < 200 AND b.p_partkey < 200

@@ -247,8 +247,8 @@ def q14_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name,
            count(*) AS n_customers,
-           sum(CASE WHEN c_mktsegment = 'BUILDING'  THEN 1 ELSE 0 END) AS n_building,
-           sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS n_machinery,
+           CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'  THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
+           CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n_machinery,
            sum(CASE WHEN c_acctbal > 0 THEN CAST(round(c_acctbal * 100) AS BIGINT) ELSE 0 END) / 100.0 AS positive_balance
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
@@ -585,12 +585,12 @@ def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-             rank()       OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
-             dense_rank() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS drnk
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+             CAST(rank()       OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk,
+             CAST(dense_rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS drnk
       FROM orders
     ) WHERE rn <= 3
     ORDER BY o_custkey, rn
@@ -621,10 +621,10 @@ def q30_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_window_lag_lead",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           datediff('day',
+           CAST(datediff('day',
                     lag(o_orderdate) OVER (PARTITION BY o_custkey
                                            ORDER BY o_orderdate, o_orderkey),
-                    o_orderdate) AS days_since_prev,
+                    o_orderdate) AS INTEGER) AS days_since_prev,
            lead(o_orderkey) OVER (PARTITION BY o_custkey
                                   ORDER BY o_orderdate, o_orderkey) AS next_orderkey
     FROM orders
@@ -940,7 +940,7 @@ def q17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q33_window_frames",
     oracle="""
     SELECT o_orderkey, o_orderpriority,
-           ntile(4)       OVER w AS quartile,
+           CAST(ntile(4)  OVER w AS INTEGER) AS quartile,
            round(percent_rank() OVER w, 6) AS pct_rank,
            round(cume_dist()    OVER w, 6) AS cume,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wr AS DOUBLE) AS range_sum,

@@ -105,7 +105,7 @@ def q51_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ln(l_extendedprice), 6)               AS price_ln,
            round(pow(1 + l_tax, 2), 6)                 AS tax_sq,
            CAST(l_quantity AS BIGINT) % 5              AS qty_mod5,
-           sign(l_discount - 0.05)                     AS disc_sign,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)     AS disc_sign,
            greatest(l_discount, l_tax)                 AS max_rate,
            least(l_discount, l_tax)                    AS min_rate
     FROM lineitem
@@ -213,8 +213,8 @@ def q54_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
       SELECT event_type,
              count(*) AS n_events,
-             sum(len(ks)) AS total_keys,
-             sum(kv) AS sum_k
+             CAST(sum(len(ks)) AS BIGINT) AS total_keys,
+             CAST(sum(kv) AS BIGINT) AS sum_k
       FROM typed GROUP BY event_type
     ),
     keys AS (

@@ -59,7 +59,7 @@ def q60_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q61_inverted_index",
     oracle=f"""
     SELECT word,
-           count(DISTINCT doc_id) AS n_docs,
+           CAST(count(DISTINCT doc_id) AS INTEGER) AS n_docs,
            string_agg(DISTINCT CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_list
     FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS word FROM documents)
     GROUP BY word
@@ -340,13 +340,19 @@ def q66_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = words_df(d.select("doc_id", "text"), "text", "word")
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.count()  # literal, like the oracle's scalar subquery
+    # Corpus size as a broadcast 1-row aggregate (the oracle's scalar
+    # subquery) — NOT a driver-side d.count(), which would run an extra
+    # full table pass at plan-build time.
+    n = d.agg(F.count(F.lit(1)).alias("_n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
             F.round(
-                F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+                F.col("tf")
+                * (F.log((F.col("_n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
             ),
         )
     )
@@ -388,8 +394,12 @@ def q67_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(tokens_col("text")).alias("word"))
     masks = toks.select(
         "word",
-        (F.col("doc_id") / 64).cast("long").alias("block"),
-        F.expr("shiftleft(1L, CAST(doc_id % 64 AS INT))").alias("mask"),
+        # all-integer floor division — double division then truncation
+        # misassigns blocks for doc_id beyond 2^53, and `div` truncates
+        # toward zero so negative ids would alias into block 0; with
+        # pmod the (block, bit) pair is unique for every 64-bit doc_id
+        F.expr("(doc_id - pmod(doc_id, 64)) div 64").alias("block"),
+        F.expr("shiftleft(1L, CAST(pmod(doc_id, 64) AS INT))").alias("mask"),
     )
     return (
         masks.groupBy("word", "block")

@@ -347,7 +347,7 @@ def _user_totals(
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
            sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY user_id

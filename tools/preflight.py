@@ -1,0 +1,100 @@
+"""One-command round-close gate: `python tools/preflight.py [--full]`.
+
+The driver samples ~50 of the catalog's queries per round, so any round's
+sample must be survivable for ALL of them. This runs, in order:
+
+1. Oracle hazard sweep — every oracle bound under DuckDB, zero
+   HUGEINT/DECIMAL output columns (the r2 failure class), seconds.
+2. `tools/verify_local.py --bare --types` at sf0.01 — every catalog
+   query on a driver-like bare session, value compare PLUS the
+   cross-engine type contract (column types and Python cell types).
+3. (`--full` only) the whole pytest suite.
+
+Exit 0 ⇒ green output implies any driver sample passes. Any step
+failing stops the run with a loud FAIL and a nonzero exit.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def hazard_sweep(sf_dir: str) -> int:
+    import duckdb
+
+    from mapreduce_mit_spark import registry
+    from mapreduce_mit_spark.sources.io import TABLE_NAMES
+    from mapreduce_mit_spark.typemap import HAZARD_TYPES
+
+    registry.load_all_plans()
+    con = duckdb.connect()
+    for n in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {n} AS SELECT * FROM read_parquet('{sf_dir}/{n}.parquet')"
+        )
+    bad = 0
+    for name, q in sorted(registry.REGISTRY.items()):
+        if q.oracle is None:
+            continue
+        try:
+            rel = con.sql(q.oracle)
+        except Exception as e:
+            print(f"FAIL  {name}: oracle does not bind: {e}")
+            bad += 1
+            continue
+        hazards = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if any(h in str(t).upper() for h in HAZARD_TYPES)
+        ]
+        if hazards:
+            print(f"FAIL  {name}: hazard oracle types {hazards}")
+            bad += 1
+    return bad
+
+
+def main() -> int:
+    full = "--full" in sys.argv
+    sf_dir = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
+
+    t0 = time.time()
+    print(f"== preflight 1/3: oracle hazard sweep ({sf_dir}) ==")
+    bad = hazard_sweep(sf_dir)
+    if bad:
+        print(f"\nPREFLIGHT FAIL: {bad} oracles with hazard types")
+        return 1
+    print(f"ok ({time.time()-t0:.0f}s)\n")
+
+    print("== preflight 2/3: verify_local --bare --types (all queries) ==")
+    rc = subprocess.call(
+        [sys.executable, os.path.join(REPO, "tools", "verify_local.py"),
+         "--bare", "--types", sf_dir],
+        cwd=REPO,
+    )
+    if rc != 0:
+        print("\nPREFLIGHT FAIL: verify_local --bare --types")
+        return rc
+
+    if full:
+        print("\n== preflight 3/3: pytest ==")
+        rc = subprocess.call(
+            [sys.executable, "-m", "pytest", "tests/", "-x", "-q"], cwd=REPO
+        )
+        if rc != 0:
+            print("\nPREFLIGHT FAIL: pytest")
+            return rc
+    else:
+        print("\n(3/3 pytest skipped — pass --full to include)")
+
+    print(f"\nPREFLIGHT PASS ({time.time()-t0:.0f}s total)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

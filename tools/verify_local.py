@@ -6,11 +6,18 @@ compares row count, column names, and order-insensitive values
 in spirit than the driver's value hash, so passing here predicts
 passing there).
 
-Usage: python tools/verify_local.py [--bare] [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--bare] [--types] [sf_dir] [query ...]
 
 ``--bare`` runs on a default SparkSession with NONE of our session
 factory's confs — replicating the driver's environment (the r1 q28
 failure was invisible without this).
+
+``--types`` additionally fails any query whose oracle/Spark cells have
+different PYTHON types even when values compare equal (int vs float,
+date vs datetime, Decimal anywhere), and any oracle column whose DuckDB
+type is not the canonical mapping of the Spark column type. The r2 q15/
+q56 failures were exactly this class — values bit-identical, oracle
+column typed HUGEINT — invisible to the value compare.
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mapreduce_mit_spark import registry  # noqa: E402
 from mapreduce_mit_spark.session import get_spark  # noqa: E402
 from mapreduce_mit_spark.sources.io import TABLE_NAMES  # noqa: E402
+from mapreduce_mit_spark.typemap import type_mismatches  # noqa: E402
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -59,6 +67,34 @@ def canon(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(tuple(cell(r[i]) for i in order) for r in rows)
 
 
+def cell_type_mismatches(
+    spark_rows: list[tuple],
+    spark_cols: list[str],
+    duck_rows: list[tuple],
+    duck_cols: list[str],
+) -> list[str]:
+    """Columns whose non-null Python cell types differ across engines.
+
+    Order-insensitive: compares the SET of types per column, so it works
+    without matching rows up. Catches int-vs-float, date-vs-datetime,
+    Decimal — all invisible to the value compare's 1e-9 canon."""
+
+    def col_types(rows, cols):
+        out: dict[str, set[str]] = {c: set() for c in cols}
+        for r in rows:
+            for c, v in zip(cols, r):
+                if v is not None:
+                    out[c].add(type(v).__name__)
+        return out
+
+    st, dt = col_types(spark_rows, spark_cols), col_types(duck_rows, duck_cols)
+    return [
+        f"{c}: spark {sorted(st[c])} vs oracle {sorted(dt.get(c, set()))}"
+        for c in sorted(st)
+        if st[c] != dt.get(c, set())
+    ]
+
+
 def approx_equal(a: list[tuple], b: list[tuple]) -> tuple[bool, str]:
     if len(a) != len(b):
         return False, f"row count {len(a)} vs {len(b)}"
@@ -79,8 +115,8 @@ def approx_equal(a: list[tuple], b: list[tuple]) -> tuple[bool, str]:
 def main() -> int:
     argv = sys.argv[1:]
     bare = "--bare" in argv
-    if bare:
-        argv = [a for a in argv if a != "--bare"]
+    types = "--types" in argv
+    argv = [a for a in argv if a not in ("--bare", "--types")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     registry.load_all_plans()
@@ -103,6 +139,7 @@ def main() -> int:
         try:
             sdf = q.fn(spark, sf_dir)
             spark_cols = sdf.columns
+            spark_schema = sdf.schema
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception:
             failures.append(name)
@@ -123,6 +160,13 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: columns {sorted(spark_cols)} vs {sorted(duck_cols)}")
             continue
+        if types:
+            probs = type_mismatches(spark_schema, duck_cols, list(rel.types))
+            probs += cell_type_mismatches(spark_rows, spark_cols, duck_rows, duck_cols)
+            if probs:
+                failures.append(name)
+                print(f"FAIL  {name}: type contract: {probs}")
+                continue
         ok, why = approx_equal(canon(spark_rows, spark_cols), canon(duck_rows, duck_cols))
         exact = (
             canon(spark_rows, spark_cols) == canon(duck_rows, duck_cols) if ok else False
