@@ -106,17 +106,28 @@ def _corpus_queries(spark):
         # (word, doc_id div 64), bit_or within blocks, combine blocks.
         import glob as _g
         import os as _os
+        import re as _re
 
         names = sorted(_os.path.basename(p) for p in _g.glob(CORPUS_GLOB))
         assert len(names) <= 64, "bitmap ii path assumes <=64 docs; see roaring note"
+        # names are spliced into SQL literals below — reject anything
+        # that could break quoting instead of silently mis-parsing
+        bad = [n for n in names if not _re.fullmatch(r"[\w.\-]+", n)]
+        assert not bad, f"corpus basenames unsafe for SQL literals: {bad}"
         map_sql = "map(" + ",".join(f"'{n}',{i}" for i, n in enumerate(names)) + ")"
         names_sql = "array(" + ",".join(f"'{n}'" for n in names) + ")"
         df = spark.read.text(CORPUS_GLOB).withColumn(
             "doc", F.element_at(F.split(F.input_file_name(), "/"), -1)
         )
         w = F.explode(F.split("value", r"[^\p{L}]+")).alias("word")
+        # coalesce+raise_error: an unmapped basename would otherwise
+        # yield a NULL mask that bit_or silently drops
+        idx = (
+            f"coalesce({map_sql}[doc], "
+            "CAST(raise_error(concat('unmapped corpus doc: ', doc)) AS INT))"
+        )
         pairs = df.select(
-            F.expr(f"shiftleft(1L, {map_sql}[doc])").alias("mask"), w
+            F.expr(f"shiftleft(1L, {idx})").alias("mask"), w
         ).where(F.length("word") > 0)
         top = (
             pairs.groupBy("word")

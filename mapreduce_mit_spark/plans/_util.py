@@ -28,6 +28,15 @@ def tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return fan_out(load_table(spark, sf_dir, name))
 
 
+def money_sum(col: str = "value", alias: str = "total_value") -> Column:
+    """Order-independent money sum: accumulate integer cents, surface
+    dollars. ``sum(bigint)/100.0`` is a deterministic function of an
+    exact integer, so Spark and DuckDB produce bit-identical doubles
+    regardless of partitioning/summation order. Shared by the batch
+    window plans and their streaming twins."""
+    return (F.sum(F.expr(f"CAST(round({col} * 100) AS BIGINT)")) / 100.0).alias(alias)
+
+
 def rsum(col: Column | str, alias: str, nd: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.round(F.sum(c), nd).alias(alias)

@@ -17,17 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ._util import money_sum as _total_value
 from ._util import t
-
-
-def _total_value():
-    """Order-independent money sum: accumulate integer cents, surface
-    dollars. ``sum(bigint)/100.0`` is a deterministic function of an
-    exact integer, so Spark and DuckDB produce bit-identical doubles
-    regardless of partitioning/summation order."""
-    return (F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")) / 100.0).alias(
-        "total_value"
-    )
 
 
 @register(

@@ -68,6 +68,13 @@ def ensure_reader_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# path → inferred schema. A bare spark.read.parquet(path) runs a
+# 1-task footer-read job on EVERY call; supplying the schema makes
+# query construction pure plan analysis (zero jobs — pinned by
+# tests/test_plan_shapes.py::test_plan_construction_runs_no_jobs).
+_TABLE_SCHEMAS: dict[str, T.StructType] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table: ``{sf_dir}/{name}.parquet``.
 
@@ -76,7 +83,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanoseconds and is converted here to a µs timestamp (truncation —
     exactly what DuckDB does reading the same file)."""
     ensure_reader_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if path not in _TABLE_SCHEMAS:
+        # one footer-read job per (path, process); inference runs AFTER
+        # ensure_reader_confs so nanos-as-long is reflected in the schema
+        _TABLE_SCHEMAS[path] = spark.read.parquet(path).schema
+    df = spark.read.schema(_TABLE_SCHEMAS[path]).parquet(path)
     return normalize_ns_timestamps(df)
 
 

@@ -34,10 +34,16 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import register
-from ..plans.windows import _total_value
+from ..plans._util import money_sum as _total_value
 
 # state stores per stateful stream — see _run_to_table
 STREAM_STATE_PARTITIONS = 8
+
+# Per-query StreamingQueryProgress dicts from the last availableNow
+# drain, keyed by sink table name. Observability hook: lets tests (and
+# operators) assert state-store posture — stateOperators row counts,
+# watermark advancement, eviction — without re-running the stream.
+LAST_PROGRESS: dict[str, list[dict[str, Any]]] = {}
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,6 +95,7 @@ def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
             .start()
         )
         q.awaitTermination()
+        LAST_PROGRESS[name] = [p for p in q.recentProgress if p is not None]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 

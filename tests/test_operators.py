@@ -14,6 +14,8 @@ from mapreduce_mit_spark.functions.textfns import tokens_col
 from mapreduce_mit_spark.operators.multimodal import extract_image_meta, fake_decode_meta
 from mapreduce_mit_spark.plans.dedup import BAND_SIZE, N_BANDS, N_HASHES, shingles_col
 from mapreduce_mit_spark.plans.similarity import cosine_col
+
+from .conftest import SF_SMALL
 from mapreduce_mit_spark.sources import io as mio
 
 BASE = (
@@ -148,6 +150,21 @@ def test_io_roundtrips(spark, tmp_path):
     assert sorted((r["id"], r["name"], r["score"]) for r in got_csv.collect()) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_roundtrip_queries_idempotent_within_session(spark):
+    """q55/q56/q57 invoked twice in one process must return identical
+    results: the per-kind scratch dir is REUSED on the second call, so
+    this proves mode=overwrite fully replaces the first run's shards —
+    a driver re-invocation can never read stale data."""
+    from mapreduce_mit_spark import registry
+
+    registry.load_all_plans()
+    for name in ("q55_json_roundtrip", "q56_csv_roundtrip", "q57_sorted_text_sink"):
+        fn = registry.REGISTRY[name].fn
+        first = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+        second = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+        assert first == second, f"{name}: second invocation differs"
 
 
 def test_write_sorted_text(spark, tmp_path):

@@ -168,6 +168,45 @@ def test_ivf_assignment_broadcasts_codebook(plan):
     assert "max_by" in p
 
 
+def test_plan_construction_runs_no_jobs(spark):
+    """Building a query must be pure plan construction — zero Spark
+    jobs. q66 regressed this once (a driver-side d.count() at build
+    time = one extra full table pass per construction at scale); the
+    job-group check makes that class of regression mechanical."""
+    sc = spark.sparkContext
+    for name in ("q66_tfidf", "q01_pricing_summary", "q67_bitmap_distinct"):
+        fn = registry.REGISTRY[name].fn
+        # first build warms the parquet FileIndex (cold-cache schema read
+        # is a legitimate one-off metadata job); the assertion is on the
+        # SECOND build, which a per-build action like d.count() would
+        # still fail every time
+        fn(spark, SF_SMALL)
+        group = f"plan-build-{name}"
+        sc.setJobGroup(group, "construction must not run jobs")
+        try:
+            fn(spark, SF_SMALL)
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert jobs == [], f"{name}: plan construction ran Spark jobs {jobs}"
+
+
+def test_ivf_probe_broadcast_survives_aqe(spark):
+    """q68's final ADAPTIVE plan (not just the static one) must keep
+    the probe-side joins broadcast: AQE re-plans at runtime, and a
+    fallback to a shuffled join would reshuffle the embeddings table."""
+    df = registry.REGISTRY["q68_ivf_ann"].fn(spark, SF_SMALL)
+    df.collect()  # materialize so AdaptiveSparkPlan reaches isFinalPlan=true
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "AdaptiveSparkPlan" in p
+    assert "isFinalPlan=true" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
 def test_json_roundtrip_writes_sharded(spark, tmp_path):
     """The JSON sink must write one file per partition (no driver
     funnel): repartitioned input produces multiple part files."""

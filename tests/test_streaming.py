@@ -149,6 +149,29 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert got == {t0: (2, 2.0)}, got
 
 
+def test_stream_stream_join_state_metrics(spark):
+    """Pin q73's at-scale state posture via StreamingQueryProgress
+    stateOperators metrics: the stream-stream join must actually run
+    through the state store (rows held per side) and carry an event-time
+    watermark — the two mechanisms that bound its state on an unbounded
+    stream. availableNow drains the file source in one micro-batch, so
+    within-run eviction isn't observable; what IS checkable is that
+    state exists, is finite, and the watermark advanced past epoch."""
+    from mapreduce_mit_spark import registry
+    from mapreduce_mit_spark.streaming.stream_queries import LAST_PROGRESS
+
+    registry.load_all_plans()
+    registry.REGISTRY["q73_stream_stream_join"].fn(spark, SF_SMALL).collect()
+    progress = LAST_PROGRESS.get("q73_sink")
+    assert progress, "no StreamingQueryProgress captured for q73"
+    with_state = [p for p in progress if p.get("stateOperators")]
+    assert with_state, "q73 ran with no stateful operators"
+    ops = with_state[-1]["stateOperators"]
+    assert any(op.get("numRowsTotal", 0) > 0 for op in ops), ops
+    wm = with_state[-1].get("eventTime", {}).get("watermark")
+    assert wm and not wm.startswith("1970-"), f"watermark never advanced: {wm}"
+
+
 def test_session_window_gap_boundary(spark):
     """Pin Spark's session-merge semantics at the exact-gap boundary
     (measured, not assumed): two events EXACTLY the gap apart MERGE into
