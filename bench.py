@@ -49,6 +49,8 @@ HEADLINE = [
     "q33_window_frames",
     "q17_percentiles",
     "q18_salted_agg",
+    "q37_pack_sequences",
+    "q38_doc_chunks",
     "q40_global_topk",
     "q42_distinct",
     "q46_hash_sample",

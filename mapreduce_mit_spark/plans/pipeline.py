@@ -1,0 +1,254 @@
+"""Training-data pipeline assembly operators over ``documents``.
+
+The dedup/similarity/text-analysis plans clean and score a corpus;
+these four queries are the ASSEMBLY stage that turns the cleaned corpus
+into model-ready training data — the operations a 100 TB pretraining
+pipeline runs after filtering and before the trainer reads a batch:
+
+- q36 corpus shuffle  — deterministic pseudorandom permutation
+- q37 sequence packing — fill fixed token budgets with contiguous docs
+- q38 doc chunking     — overlapping sliding token windows per doc
+- q39 mixture sampling — per-language rate-controlled downsampling
+
+All four are pure DataFrame expressions with exact DuckDB oracles. The
+shared randomness primitive is md5 over a salted key: hex md5 is
+uniform, identical across engines, and ORDER/threshold comparisons on
+the hex STRING avoid any cross-engine hex→int parsing. Changing the
+salt string re-randomizes every epoch deterministically.
+
+(The reference has no counterpart for any of these — SURVEY §2.2 marks
+the training-pipeline block as capability extensions.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textfns import tokens_col, tokens_sql
+from ..registry import register
+from ._util import t
+
+# q37: context-window token budget per packed sequence
+PACK_BUDGET = 512
+# q38: sliding-window chunking geometry (tokens)
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+# q39: per-language keep rates as 2-hex-digit md5 thresholds.
+# P(md5_hex < 'XY') = 0xXY/256 exactly, so '80'=1/2, '40'=1/4, '20'=1/8;
+# 'g' sorts after every hex digit = keep everything.
+MIX_THRESHOLDS = {"en": "g", "zh": "c0", "de": "80", "fr": "40", "es": "20"}
+MIX_DEFAULT = "80"
+
+
+@register(
+    "q36_corpus_shuffle",
+    oracle="""
+    SELECT doc_id, md5('shuf1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key
+    LIMIT 100
+    """,
+    tags=("pipeline", "shuffle", "training-pipeline"),
+)
+def q36_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: order by a salted md5 of the doc id.
+
+    Training epochs need the corpus in pseudorandom order; a salted hash
+    gives a reproducible permutation (new salt = new epoch) with no RNG
+    state to coordinate across executors. At scale the full permutation
+    is materialized by ``orderBy(shuffle_key).write`` — a range-
+    partitioned distributed sort, one shuffle, no driver involvement;
+    the checkable artifact here is the permutation's head, which plans
+    as TakeOrderedAndProject (k rows per partition, never a full sort).
+    """
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuf1:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(100)
+    )
+
+
+@register(
+    "q37_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang,
+             CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_tokens,
+             COALESCE(CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) // {PACK_BUDGET} AS bin
+      FROM sized
+    )
+    SELECT lang, bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM packed
+    GROUP BY lang, bin
+    ORDER BY lang, bin
+    """,
+    tags=("pipeline", "packing", "training-pipeline"),
+)
+def q37_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: fill {PACK_BUDGET}-token context windows with
+    contiguous documents, per language.
+
+    bin = exclusive-prefix-sum(n_tokens) div budget — the streaming
+    packer: a document goes into the current bin if any budget remains,
+    so a bin may overrun by at most one document (standard
+    concat-then-split packing, not best-fit). One window shuffle on
+    ``lang`` + an aggregation that REUSES the lang hash partitioning
+    (grouping key (lang, bin) is a superset — verified: no exchange
+    between the partial and final HashAggregate); the only other
+    exchange is the output sort. At 100 TB the partition key becomes
+    (lang, shard) with doc order given by q36's shuffle key.
+    """
+    d = t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        sized.withColumn("cum_excl", F.sum("n_tokens").over(w))
+        .withColumn("bin", F.expr(f"coalesce(cum_excl, CAST(0 AS BIGINT)) div {PACK_BUDGET}"))
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_packed"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+@register(
+    "q38_doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS tk,
+             CAST(len({tokens_sql('text')}) AS BIGINT) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n,
+             unnest(range(0, (greatest(n - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE} + 1)) AS chunk_id,
+             tk
+      FROM toks
+    )
+    SELECT doc_id,
+           chunk_id,
+           chunk_id * {CHUNK_STRIDE} + 1 AS start_token,
+           CAST(len(list_slice(tk, chunk_id * {CHUNK_STRIDE} + 1,
+                               chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW})) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(tk, chunk_id * {CHUNK_STRIDE} + 1,
+                                          chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW}), ' '))
+             AS chunk_md5
+    FROM chunks
+    WHERE doc_id < 200
+    ORDER BY doc_id, chunk_id
+    """,
+    tags=("pipeline", "chunking", "training-pipeline"),
+)
+def q38_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: {CHUNK_WINDOW}-token chunks every
+    {CHUNK_STRIDE} tokens (overlap = window − stride), the standard
+    long-document → context-window preprocessing step.
+
+    n_chunks = 1 + ceil(max(n − window, 0) / stride), so the final
+    chunk always reaches the document's last token and a short document
+    yields exactly one chunk. Chunk CONTENT is surfaced as md5 so the
+    oracle compares exact text without hauling full chunk strings
+    through the hash. Generator-based (explode of an int sequence) —
+    stays in whole-stage codegen, per-doc work is linear in n_chunks,
+    nothing shuffles (the only exchange is the output sort).
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.where(F.col("doc_id") < 200).select(
+        "doc_id",
+        tokens_col("text").alias("tk"),
+        F.size(tokens_col("text")).cast("long").alias("n"),
+    )
+    n_chunks_minus1 = f"(greatest(n - {CHUNK_WINDOW}, 0) + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}"
+    chunks = toks.select(
+        "doc_id",
+        "tk",
+        F.expr(f"explode(sequence(CAST(0 AS BIGINT), {n_chunks_minus1}))").alias("chunk_id"),
+    )
+    chunk = F.expr(f"slice(tk, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_WINDOW})")
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * CHUNK_STRIDE + 1).alias("start_token"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "q39_mixture_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, source,
+             md5('mix1:' || CAST(doc_id AS VARCHAR)) AS mix_key,
+             CASE lang
+               WHEN 'en' THEN '{MIX_THRESHOLDS["en"]}'
+               WHEN 'zh' THEN '{MIX_THRESHOLDS["zh"]}'
+               WHEN 'de' THEN '{MIX_THRESHOLDS["de"]}'
+               WHEN 'fr' THEN '{MIX_THRESHOLDS["fr"]}'
+               WHEN 'es' THEN '{MIX_THRESHOLDS["es"]}'
+               ELSE '{MIX_DEFAULT}'
+             END AS threshold
+      FROM documents
+    )
+    SELECT doc_id, lang, source, mix_key
+    FROM keyed
+    WHERE mix_key < threshold
+    ORDER BY doc_id
+    """,
+    tags=("pipeline", "mixture", "sampling", "training-pipeline"),
+)
+def q39_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling: per-language keep rates via md5 thresholding —
+    the data-mixing step that rebalances a multilingual corpus to a
+    target language distribution before training.
+
+    P(md5_hex < 'XY') is exactly 0xXY/256, and lowercase-hex string
+    comparison is identical across engines, so the sample is
+    deterministic, exact, and needs no hex→int conversion. The filter
+    is a pure per-row predicate — pushed to the scan, no shuffle, and
+    composes with q36's shuffle and q37's packing downstream. Rates
+    live in one CASE expression; at scale they'd come from a broadcast
+    config dimension keyed by (lang, source).
+    """
+    d = t(spark, sf_dir, "documents")
+    threshold = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in MIX_THRESHOLDS.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(MIX_DEFAULT),
+    )
+    key = F.md5(F.concat(F.lit("mix1:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "lang", "source", key.alias("mix_key"), threshold.alias("_thr"))
+        .where(F.col("mix_key") < F.col("_thr"))
+        .drop("_thr")
+        .orderBy("doc_id")
+    )

@@ -63,6 +63,7 @@ def load_all_plans() -> None:
         dedup,
         io_roundtrip,
         mapreduce_parity,
+        pipeline,
         relational,
         scalar_funcs,
         similarity,

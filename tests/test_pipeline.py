@@ -1,0 +1,115 @@
+"""Invariants for the training-data assembly operators (q36-q39).
+
+The DuckDB oracles already pin Spark==DuckDB; these tests pin both
+against a THIRD implementation (Python hashlib / arithmetic), so an
+error shared by the two SQL engines' expressions — or a subtly wrong
+packing/chunking formula — still gets caught.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from mapreduce_mit_spark import registry
+from mapreduce_mit_spark.plans.pipeline import (
+    CHUNK_STRIDE,
+    CHUNK_WINDOW,
+    MIX_DEFAULT,
+    MIX_THRESHOLDS,
+    PACK_BUDGET,
+)
+from mapreduce_mit_spark.sources.io import load_table
+
+from .conftest import SF_SMALL
+
+registry.load_all_plans()
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_corpus_shuffle_matches_python_md5(spark):
+    got = registry.REGISTRY["q36_corpus_shuffle"].fn(spark, SF_SMALL).collect()
+    doc_ids = [r["doc_id"] for r in load_table(spark, SF_SMALL, "documents").select("doc_id").collect()]
+    expected = sorted(((_md5(f"shuf1:{i}"), i) for i in doc_ids))[:100]
+    assert [(r["shuffle_key"], r["doc_id"]) for r in got] == expected
+
+
+def test_mixture_sample_matches_python_md5(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang").collect()
+    expected = sorted(
+        r["doc_id"]
+        for r in docs
+        if _md5(f"mix1:{r['doc_id']}") < MIX_THRESHOLDS.get(r["lang"], MIX_DEFAULT)
+    )
+    got = registry.REGISTRY["q39_mixture_sample"].fn(spark, SF_SMALL).collect()
+    assert sorted(r["doc_id"] for r in got) == expected
+    for r in got:  # every surfaced key actually clears its threshold
+        assert r["mix_key"] < MIX_THRESHOLDS.get(r["lang"], MIX_DEFAULT)
+
+
+def test_packing_invariants(spark):
+    rows = registry.REGISTRY["q37_pack_sequences"].fn(spark, SF_SMALL).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    sized = (
+        load_table(spark, SF_SMALL, "documents")
+        .selectExpr(
+            "lang",
+            "size(filter(split(text, '[^\\\\p{L}]+'), t -> length(t) > 0)) AS n",
+        )
+        .collect()
+    )
+    max_doc = {}
+    n_docs_per_lang = {}
+    for r in sized:
+        max_doc[r["lang"]] = max(max_doc.get(r["lang"], 0), r["n"])
+        n_docs_per_lang[r["lang"]] = n_docs_per_lang.get(r["lang"], 0) + 1
+    for lang, bins in by_lang.items():
+        ids = sorted(b["bin"] for b in bins)
+        assert ids == list(range(len(ids))), f"{lang}: bins not contiguous {ids}"
+        assert sum(b["n_docs"] for b in bins) == n_docs_per_lang[lang]
+        for b in bins:
+            # streaming packer: a bin overruns by at most one document
+            assert b["tokens_packed"] <= PACK_BUDGET + max_doc[lang], (lang, b)
+        # every non-final bin is at least budget-full once its overflow
+        # doc (counted in THIS bin's total) is included
+        for b in bins:
+            if b["bin"] < len(ids) - 1:
+                assert b["tokens_packed"] + max_doc[lang] >= PACK_BUDGET, (lang, b)
+
+
+def test_chunking_invariants(spark):
+    rows = registry.REGISTRY["q38_doc_chunks"].fn(spark, SF_SMALL).collect()
+    toks = (
+        load_table(spark, SF_SMALL, "documents")
+        .where("doc_id < 200")
+        .selectExpr(
+            "doc_id",
+            "filter(split(text, '[^\\\\p{L}]+'), t -> length(t) > 0) AS tk",
+        )
+        .collect()
+    )
+    tokens = {r["doc_id"]: r["tk"] for r in toks}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(tokens)
+    for doc_id, chunks in by_doc.items():
+        tk = tokens[doc_id]
+        n = len(tk)
+        expected_chunks = 1 + math.ceil(max(n - CHUNK_WINDOW, 0) / CHUNK_STRIDE)
+        assert len(chunks) == expected_chunks, (doc_id, n, len(chunks))
+        chunks.sort(key=lambda r: r["chunk_id"])
+        for k, c in enumerate(chunks):
+            start = k * CHUNK_STRIDE  # 0-based
+            body = tk[start : start + CHUNK_WINDOW]
+            assert c["start_token"] == start + 1
+            assert c["n_chunk_tokens"] == len(body)
+            assert c["chunk_md5"] == _md5(" ".join(body)), (doc_id, k)
+        # coverage: the final chunk reaches the last token
+        last = chunks[-1]
+        assert last["start_token"] - 1 + last["n_chunk_tokens"] >= n
