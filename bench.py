@@ -39,6 +39,8 @@ from mapreduce_mit_spark.session import get_spark
 HEADLINE = [
     "q01_pricing_summary",
     "q02_filter_project",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
     "q20_broadcast_join",
     "q21_shuffle_join",
     "q22_multiway_join",

@@ -415,6 +415,67 @@ def q78_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
 
+@register(
+    "q79_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_pairs_sql()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node),
+    sized AS (
+      SELECT doc_id, cluster,
+             CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) - 1 AS n_removed
+      FROM comp
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, s.n_removed
+    FROM sized s JOIN documents d ON s.doc_id = d.doc_id
+    WHERE s.doc_id = s.cluster
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "clustering", "iterative", "training-pipeline"),
+)
+def q79_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEDUPLICATED CORPUS: q78's clusters reduced to one
+    representative each (min doc_id), joined back to the documents
+    table with a per-survivor count of removed near-duplicates.
+
+    This is the pipeline's actual output artifact — the table the next
+    stage trains on. Scale shape: the cluster map is (doc_id, cluster)
+    pairs — narrow — and the representative filter is a per-row
+    predicate on that map; only surviving ids join back to the corpus
+    (an equi-join on doc_id, broadcastable when the survivor set is
+    small relative to the corpus)."""
+    from ..operators.graph import connected_components
+
+    pairs = q82_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    d = t(spark, sf_dir, "documents")
+    nodes = d.where(F.col("doc_id") < 100).select("doc_id")
+    comp = connected_components(
+        nodes, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b",
+        shuffle_partitions=8,
+    )
+    w = Window.partitionBy("label")
+    survivors = (
+        comp.withColumn("n_removed", F.count(F.lit(1)).over(w) - 1)
+        .where(F.col("node") == F.col("label"))
+        .select(F.col("node").alias("doc_id"), "n_removed")
+    )
+    return (
+        survivors.join(d, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars", "n_removed")
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_fp_sql() -> str:
     """The q83 fingerprint computation as CTE text (toks/votes/fp)."""
     votes = ", ".join(

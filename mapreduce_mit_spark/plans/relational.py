@@ -18,7 +18,7 @@ Scale notes per query are in the docstrings; the common principles:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1364,3 +1364,116 @@ def q69_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_returnflag"], "l_extendedprice", {"median_exact": 0.5}, mode="disc"
     ).select("l_returnflag", "median_exact")
     return exact.join(checked, "l_returnflag").orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# TPC-H classics (adapted to the driver schema)
+# --------------------------------------------------------------------------
+
+# Integer-cents revenue: the row-level product is IEEE-identical across
+# engines, rounding it to whole cents makes the SUM an exact integer —
+# summation-order independent, so the surfaced double hashes identically.
+# (Column built lazily — F.expr at module import would need a live
+# SparkContext.)
+_REV_CENTS_SQL = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+
+def _rev_cents() -> Column:
+    return F.expr(_REV_CENTS_SQL)
+
+
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           sum({_REV_CENTS_SQL}) / 100.0 AS revenue,
+           o_orderdate
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to the driver schema
+    (no o_shippriority column; date pivot chosen inside the data range).
+
+    Scale shape: customer is the small side (broadcast after its
+    segment filter); orders⋈lineitem is the fact-fact equi-join on the
+    shuffle key both sides already filter; the top-10 fuses into
+    TakeOrderedAndProject after the group-by — no global sort."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(_rev_cents()) / 100.0).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           sum({_REV_CENTS_SQL}) / 100.0 AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "multiway", "agg", "tpch"),
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): six-way join with the
+    cross-table correlation c_nationkey = s_nationkey — revenue only
+    counts when the customer's nation matches the supplier's.
+
+    Scale shape: region/nation/supplier/customer are all dimension
+    sides (broadcast); the only fact-fact shuffle is orders⋈lineitem on
+    orderkey. The nation-match correlation rides the supplier join as a
+    second equi-condition — no extra exchange. Output is nations (≤25
+    rows), so the final sort is trivial."""
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg((F.sum(_rev_cents()) / 100.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

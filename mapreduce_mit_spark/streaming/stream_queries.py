@@ -39,11 +39,21 @@ from ..plans._util import money_sum as _total_value
 # state stores per stateful stream — see _run_to_table
 STREAM_STATE_PARTITIONS = 8
 
-# Per-query StreamingQueryProgress dicts from the last availableNow
-# drain, keyed by sink table name. Observability hook: lets tests (and
-# operators) assert state-store posture — stateOperators row counts,
-# watermark advancement, eviction — without re-running the stream.
-LAST_PROGRESS: dict[str, list[dict[str, Any]]] = {}
+# Per-sink StreamingQuery handles from the last availableNow drain.
+# Observability hook: lets tests (and operators) assert state-store
+# posture — stateOperators row counts, watermark advancement, eviction
+# — without re-running the stream. Handles only: materializing
+# recentProgress eagerly costs ~0.25 s of py4j/JSON per run, so parsing
+# is deferred to last_progress().
+LAST_QUERY: dict[str, Any] = {}
+
+
+def last_progress(name: str) -> list[dict[str, Any]]:
+    """Parsed StreamingQueryProgress list for a sink run earlier."""
+    q = LAST_QUERY.get(name)
+    if q is None:
+        return []
+    return [p for p in q.recentProgress if p is not None]
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,7 +105,7 @@ def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
             .start()
         )
         q.awaitTermination()
-        LAST_PROGRESS[name] = [p for p in q.recentProgress if p is not None]
+        LAST_QUERY[name] = q
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 

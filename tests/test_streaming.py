@@ -158,11 +158,11 @@ def test_stream_stream_join_state_metrics(spark):
     within-run eviction isn't observable; what IS checkable is that
     state exists, is finite, and the watermark advanced past epoch."""
     from mapreduce_mit_spark import registry
-    from mapreduce_mit_spark.streaming.stream_queries import LAST_PROGRESS
+    from mapreduce_mit_spark.streaming.stream_queries import last_progress
 
     registry.load_all_plans()
     registry.REGISTRY["q73_stream_stream_join"].fn(spark, SF_SMALL).collect()
-    progress = LAST_PROGRESS.get("q73_sink")
+    progress = last_progress("q73_sink")
     assert progress, "no StreamingQueryProgress captured for q73"
     with_state = [p for p in progress if p.get("stateOperators")]
     assert with_state, "q73 ran with no stateful operators"
