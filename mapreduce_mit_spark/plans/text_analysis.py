@@ -56,6 +56,58 @@ def q60_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q59_heavy_hitters",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({tokens_sql('text')}) AS word FROM documents
+    ),
+    counts AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY word),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words)
+    SELECT word, cnt, TRUE AS in_sketch
+    FROM counts, total
+    WHERE cnt > 0.02 * n
+    ORDER BY cnt DESC, word
+    """,
+    tags=("text", "sketch", "approx", "heavy-hitters"),
+)
+def q59_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent items (heavy hitters) via Spark's built-in Misra-Gries
+    summary (``df.stat.freqItems``), falsifiable-sketch pattern.
+
+    The MG guarantee is one-sided: every item with frequency
+    > support·N is IN the summary (false positives possible, false
+    negatives not). So the checkable surface is the exact heavy-hitter
+    list with an in-band ``in_sketch`` boolean per true hitter — the
+    oracle expects uniformly TRUE; any missed hitter breaks the hash.
+
+    Scale shape: the MG summary is a single-pass aggregation with a
+    fixed-size (1/support) state per partition and a driver-free merge;
+    the exact side is the same word-count shuffle q60 already pays.
+    The false-positive side is intentionally NOT surfaced — it is
+    sketch-dependent and carries no guarantee."""
+    d = t(spark, sf_dir, "documents")
+    words = words_df(d.select("text"), "text", "word").select("word")
+    sketch = words.stat.freqItems(["word"], support=0.02).select(
+        F.col("word_freqItems").alias("sketch_words")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    # total word count derived from the counts aggregate (sum of cnt) —
+    # no third pass over the exploded words
+    total = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > 0.02 * F.col("n"))
+        .crossJoin(F.broadcast(sketch))
+        .select(
+            "word",
+            "cnt",
+            F.array_contains(F.col("sketch_words"), F.col("word")).alias("in_sketch"),
+        )
+        .orderBy(F.col("cnt").desc(), "word")
+    )
+
+
+@register(
     "q61_inverted_index",
     oracle=f"""
     SELECT word,

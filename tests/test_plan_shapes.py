@@ -174,7 +174,12 @@ def test_plan_construction_runs_no_jobs(spark):
     time = one extra full table pass per construction at scale); the
     job-group check makes that class of regression mechanical."""
     sc = spark.sparkContext
-    for name in ("q66_tfidf", "q01_pricing_summary", "q67_bitmap_distinct"):
+    for name in (
+        "q66_tfidf",
+        "q01_pricing_summary",
+        "q67_bitmap_distinct",
+        "q59_heavy_hitters",  # freqItems is lazy in Spark 4 — keep it so
+    ):
         fn = registry.REGISTRY[name].fn
         # first build warms the parquet FileIndex (cold-cache schema read
         # is a legitimate one-off metadata job); the assertion is on the
