@@ -93,10 +93,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_ns_timestamps(df: DataFrame) -> DataFrame:
-    """Convert nanos-as-long 'ts' columns to µs timestamps."""
+    """Normalize timestamp flavors at the source boundary.
+
+    - nanos-as-long ``ts`` (the driver's TIMESTAMP(NANOS) parquet read
+      under ``nanosAsLong``) → µs timestamp via integer division (ns
+      values ~1.7e18 exceed double precision).
+    - TIMESTAMP_NTZ columns (ordinary parquet written without a tz,
+      e.g. by DuckDB/pandas) → TIMESTAMP: with the session TZ pinned
+      UTC the cast is value-identity, and it keeps strict consumers
+      (``unix_micros``, range frames over event time) working on ANY
+      parquet source, not just the driver's.
+    """
     if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer division — ns values (~1.7e18) exceed double precision
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

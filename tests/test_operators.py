@@ -152,6 +152,31 @@ def test_io_roundtrips(spark, tmp_path):
     )
 
 
+def test_load_table_normalizes_ntz_timestamps(spark, tmp_path):
+    """Ordinary parquet written without a timezone (DuckDB, pandas)
+    arrives as TIMESTAMP_NTZ, which strict consumers (unix_micros,
+    event-time range frames) reject. load_table must deliver TIMESTAMP
+    with identical UTC values for ANY parquet source, not just the
+    driver's nanos-encoded files — found by running the catalog on a
+    DuckDB-rewritten copy of the testdata."""
+    import duckdb
+    from pyspark.sql import types as T
+
+    from mapreduce_mit_spark.sources.io import load_table
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT TIMESTAMP '2024-03-01 12:34:56.789' AS ts, 1 AS k) "
+        f"TO '{tmp_path}/events.parquet' (FORMAT parquet)"
+    )
+    df = load_table(spark, str(tmp_path), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    [row] = df.collect()
+    assert row["ts"].isoformat() == "2024-03-01T12:34:56.789000"
+    # strict consumer works
+    assert df.selectExpr("unix_micros(ts)").collect()[0][0] == 1709296496789000
+
+
 def test_roundtrip_queries_idempotent_within_session(spark):
     """q55/q56/q57 invoked twice in one process must return identical
     results: the per-kind scratch dir is REUSED on the second call, so

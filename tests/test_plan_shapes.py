@@ -212,6 +212,40 @@ def test_ivf_probe_broadcast_survives_aqe(spark):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
 
+def test_tpch_q3_broadcasts_customer_and_fuses_topk(plan):
+    """q03: the filtered customer side must broadcast (no fact shuffle
+    for the dimension) and the top-10 must fuse into
+    TakeOrderedAndProject — never a global sort of the aggregate."""
+    p = plan("q03_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q5_single_fact_fact_exchange(plan):
+    """q05: six-way join — every dimension side broadcasts; the ONLY
+    join that may shuffle both sides is orders⋈lineitem on orderkey."""
+    p = plan("q05_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in p
+    # at test SF even the fact join broadcasts; what must NOT appear is
+    # a nested loop or a cartesian for the nation-match correlation
+    assert "CartesianProduct" not in p
+
+
+def test_corpus_shuffle_is_take_ordered(plan):
+    """q36: the permutation head must be TakeOrderedAndProject — k rows
+    per partition, no full sort of the corpus."""
+    assert "TakeOrderedAndProject" in plan("q36_corpus_shuffle")
+
+
+def test_mixture_sample_filter_reaches_scan(plan):
+    """q39: rate thresholding is a pure per-row predicate; no exchange
+    may appear before the output sort."""
+    p = plan("q39_mixture_sample")
+    body = p.split("(1) Scan parquet")[0]
+    assert body.count("Exchange") == 1, "only the output sort may exchange"
+
+
 def test_json_roundtrip_writes_sharded(spark, tmp_path):
     """The JSON sink must write one file per partition (no driver
     funnel): repartitioned input produces multiple part files."""
