@@ -41,6 +41,8 @@ HEADLINE = [
     "q02_filter_project",
     "q03_shipping_priority",
     "q05_local_supplier_volume",
+    "q06_decontaminate",
+    "q09_span_dedup",
     "q20_broadcast_join",
     "q21_shuffle_join",
     "q22_multiway_join",

@@ -1,0 +1,360 @@
+"""Training-data quality filters over ``documents``.
+
+The four standard pre-training corpus-hygiene operators (the ones a
+100 TB pipeline runs between raw crawl and tokenizer), each Spark-first
+with a DuckDB oracle:
+
+- **benchmark decontamination** (q06): flag training docs sharing
+  5-grams with a held-out eval set — the GPT-3/PaLM n-gram-collision
+  protocol. Scale shape: the eval set is MBs against a 100 TB train
+  side, so its distinct-n-gram table BROADCASTS; the only shuffle is
+  the per-doc count on ``doc_id``.
+- **repetition statistics** (q07): Gopher/MassiveText-style intra-doc
+  repetition signals (duplicate-token fraction, top-2-gram share).
+  Scale shape: a PURE MAP — every signal is an array expression over
+  the doc's own tokens, zero shuffles before the output sort; at
+  100 TB this is the cheapest filter you have, so it runs first.
+- **PII redaction** (q08): regex scrub of emails/phones/IPs with
+  per-class match counts and a redacted-content hash. Pure map. The
+  synthetic corpus contains no PII, so the query derives a
+  deterministic PII suffix from ``doc_id`` IN BOTH ENGINES (no
+  synthesized inputs — the driver's table stays the only source).
+- **cross-doc span dedup** (q09): C4-style removal of spans repeated
+  across documents — explode fixed token windows, count distinct docs
+  per span globally, join back. Scale shape: both shuffles key on a
+  short span hash (never the text); the span→count table is
+  vocabulary-like, NOT corpus-sized.
+
+All surfaced columns are integers, hashes, or booleans derived from
+integer comparisons — no cross-engine float hazard (see _util note).
+
+Every flag threshold is expressed as integer arithmetic
+(``a * k > b``), never a float ratio, so both engines compare exact
+values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import tokens_col, tokens_sql
+from ..registry import register
+from ._util import t, tw
+
+# Eval-set membership: deterministic, derivable in both engines.
+BENCH_PRED = "doc_id % 25 = 0"
+NGRAM = 5  # decontamination n-gram size (classic 8..13 for real corpora;
+# 5 keeps collisions observable on the tiny synthetic vocabulary)
+SPAN = 3  # q09 span width — small vocab makes 3-token spans collide
+# across docs, which is the interesting case
+
+
+def _ngrams_sql(toks: str, n: int) -> str:
+    """DuckDB: list of space-joined n-grams (DuckDB slice is inclusive)."""
+    return (
+        f"[array_to_string(({toks})[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, greatest(len({toks}) - {n - 1}, 0))]"
+    )
+
+
+def _ngrams_col(toks, n: int):
+    """Spark: same n-gram list. sequence(1, 0) counts DOWN in Spark, so
+    short docs are guarded to an empty array explicitly."""
+    size = F.size(toks)
+    seq = F.sequence(F.lit(1), size - (n - 1))
+    grams = F.transform(
+        seq, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "q06_decontaminate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+    ),
+    ng AS (
+      SELECT doc_id, unnest(list_distinct({_ngrams_sql('t', NGRAM)})) AS ng
+      FROM tok
+    ),
+    bench AS (SELECT DISTINCT ng FROM ng WHERE {BENCH_PRED}),
+    train AS (SELECT * FROM ng WHERE NOT ({BENCH_PRED}))
+    SELECT train.doc_id,
+           count(*) AS n_ngrams,
+           count(bench.ng) AS n_contaminated,
+           (count(bench.ng) * 20 >= count(*)) AS contaminated
+    FROM train LEFT JOIN bench ON train.ng = bench.ng
+    GROUP BY train.doc_id
+    ORDER BY train.doc_id
+    """,
+    tags=("quality", "decontamination", "training-pipeline"),
+)
+def q06_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per train doc, how many of its distinct
+    5-grams appear in the held-out eval slice; flag docs where ≥5% do.
+
+    Plan: eval docs are a fixed tiny fraction, so their distinct-n-gram
+    set stays broadcast-sized even when the train side is 100 TB — the
+    contamination check is a broadcast LEFT join per exploded n-gram,
+    then ONE shuffle (doc_id) for the per-doc counts. The n-gram text
+    itself never keys a shuffle."""
+    d = tw(spark, sf_dir, "documents")
+    ng = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams_col(tokens_col("text"), NGRAM))).alias(
+            "ng"
+        ),
+    )
+    is_bench = F.expr(BENCH_PRED)
+    bench = ng.where(is_bench).select("ng").distinct().withColumn("hit", F.lit(1))
+    return (
+        ng.where(~is_bench)
+        .join(F.broadcast(bench), "ng", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated") * 20 >= F.col("n_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q07_repetition_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+      FROM tok
+    ),
+    bg AS (
+      SELECT doc_id, unnest({_ngrams_sql('t', 2)}) AS bg FROM tok
+    ),
+    bg_counts AS (
+      SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+    ),
+    bg_stats AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_count
+      FROM bg_counts GROUP BY doc_id
+    )
+    SELECT base.doc_id, n_tokens, n_distinct,
+           CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+           ((n_tokens - n_distinct) * 2 > n_tokens) AS dup_token_heavy,
+           (coalesce(top_bigram_count, 0) * 5 > coalesce(n_bigrams, 0))
+             AS top_bigram_heavy
+    FROM base LEFT JOIN bg_stats ON base.doc_id = bg_stats.doc_id
+    ORDER BY base.doc_id
+    """,
+    tags=("quality", "repetition", "training-pipeline"),
+)
+def q07_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition signals: duplicate-token
+    fraction (as exact integer counts) and top-2-gram share.
+
+    Plan: a PURE MAP — every column is an array expression over the
+    row's own tokens (the per-doc bigram mode is an O(distinct·n)
+    codegen'd expression, cheap on document-length arrays), so there is
+    NO shuffle before the output sort. The oracle computes the same
+    stats relationally (unnest → two GROUP BYs), proving the map-side
+    expressions against a conventional formulation."""
+    d = tw(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    bgs = _ngrams_col(toks, 2)
+    # Per-doc bigram mode WITHOUT a shuffle and without the O(n·distinct)
+    # count-each-distinct trap: sort the bigram list, then one linear
+    # run-length pass (longest run of equal neighbors == max count).
+    # O(n log n) per row, single pass over the array.
+    top = F.aggregate(
+        F.array_sort(bgs),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc.prev), acc.run + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            F.size(bgs).cast("long").alias("n_bigrams"),
+            F.coalesce(top, F.lit(0)).cast("long").alias("top_bigram_count"),
+        )
+        .withColumn(
+            "dup_token_heavy",
+            (F.col("n_tokens") - F.col("n_distinct")) * 2 > F.col("n_tokens"),
+        )
+        .withColumn(
+            "top_bigram_heavy",
+            F.col("top_bigram_count") * 5 > F.col("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Regex patterns restricted to the Java∩RE2 common dialect (character
+# classes, +, {m,n} — no lookaround, no \d shorthands).
+RE_EMAIL = r"[A-Za-z0-9._]+@[A-Za-z0-9.\-]+"
+RE_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+RE_PHONE = r"\+[0-9][0-9\-]{5,}[0-9]"
+
+# Deterministic PII suffix derived from doc_id — identical construction
+# in both engines, so the redaction operator has real matches to find
+# without synthesizing input data.
+_PII_SQL = (
+    "concat(text, ' contact user', doc_id, '@mail.example.com or +1-555-',"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),"
+    " ' from 10.0.', doc_id % 256, '.7')"
+)
+_PII_SPARK = (
+    "concat(text, ' contact user', doc_id, '@mail.example.com or +1-555-',"
+    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),"
+    " ' from 10.0.', doc_id % 256, '.7')"
+)
+
+
+@register(
+    "q08_pii_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_SQL} AS body FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(body, '{RE_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(body, '{RE_IP}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(body, '{RE_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(body,
+                 '{RE_EMAIL}', '<EMAIL>', 'g'),
+                 '{RE_IP}', '<IP>', 'g'),
+                 '{RE_PHONE}', '<PHONE>', 'g')) AS redacted_hash
+    FROM aug
+    ORDER BY doc_id
+    """,
+    tags=("quality", "pii", "training-pipeline"),
+)
+def q08_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and scrub emails / IPs / phone numbers,
+    surface the redacted-content hash.
+
+    Plan: pure map (regexp_count + chained regexp_replace, all
+    whole-stage codegen). Patterns stay in the Java∩RE2 common dialect
+    so one pattern string drives both engines. Redaction order is
+    email → IP → phone (phone's dash-digit class cannot match the
+    dotted IP remnant, so the chain is confluent)."""
+    d = tw(spark, sf_dir, "documents")
+    body = F.expr(_PII_SPARK)
+    red = body
+    for pat, tag in ((RE_EMAIL, "<EMAIL>"), (RE_IP, "<IP>"), (RE_PHONE, "<PHONE>")):
+        red = F.regexp_replace(red, pat, tag)
+    return d.select(
+        "doc_id",
+        F.regexp_count(body, F.lit(RE_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(body, F.lit(RE_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(body, F.lit(RE_PHONE)).cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_hash"),
+    ).orderBy("doc_id")
+
+
+def _spans_col(toks):
+    """Spark: non-overlapping SPAN-token windows (full windows only)."""
+    size = F.size(toks)
+    n_spans = (size / SPAN).cast("int")  # floor for non-negative sizes
+    seq = F.sequence(F.lit(0), n_spans - 1)
+    spans = F.transform(
+        seq, lambda j: F.array_join(F.slice(toks, j * SPAN + 1, SPAN), " ")
+    )
+    return F.when(size >= SPAN, spans).otherwise(F.array().cast("array<string>"))
+
+
+_SPANS_SQL = (
+    f"[array_to_string(t[j * {SPAN} + 1 : j * {SPAN} + {SPAN}], ' ') "
+    f"for j in generate_series(0, len(t) // {SPAN} - 1)]"
+)
+
+
+@register(
+    "q09_span_dedup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, md5(unnest({_SPANS_SQL})) AS span_hash FROM tok
+    ),
+    global_counts AS (
+      SELECT span_hash, count(DISTINCT doc_id) AS n_docs
+      FROM spans GROUP BY span_hash
+    ),
+    per_doc AS (
+      SELECT s.doc_id,
+             count(*) AS n_spans,
+             CAST(sum(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM spans s JOIN global_counts g ON s.span_hash = g.span_hash
+      GROUP BY s.doc_id
+    )
+    SELECT tok.doc_id,
+           CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+           coalesce(n_shared, 0) AS n_shared,
+           (coalesce(n_shared, 0) * 2 <= coalesce(n_spans, 0)) AS keep
+    FROM tok LEFT JOIN per_doc ON tok.doc_id = per_doc.doc_id
+    ORDER BY tok.doc_id
+    """,
+    tags=("quality", "span-dedup", "training-pipeline"),
+)
+def q09_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup: hash fixed 3-token windows,
+    count how many docs each span appears in globally, and drop docs
+    where shared spans dominate.
+
+    Plan: both shuffles key on the 32-byte span hash or doc_id — the
+    span text never moves after the map side. The global span→doc-count
+    table is bounded by distinct-span vocabulary (Zipfian, far smaller
+    than the corpus); the join back is a plain shuffled equi-join on
+    the hash, the honest shape when both sides are corpus-scale."""
+    d = tw(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id",
+        F.explode(_spans_col(tokens_col("text"))).alias("span"),
+    ).select("doc_id", F.md5("span").alias("span_hash"))
+    gc = spans.groupBy("span_hash").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        spans.join(gc, "span_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_shared"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        )
+        .withColumn("keep", F.col("n_shared") * 2 <= F.col("n_spans"))
+        .orderBy("doc_id")
+    )

@@ -64,6 +64,7 @@ def load_all_plans() -> None:
         io_roundtrip,
         mapreduce_parity,
         pipeline,
+        quality,
         relational,
         scalar_funcs,
         similarity,

@@ -246,6 +246,35 @@ def test_mixture_sample_filter_reaches_scan(plan):
     assert body.count("Exchange") == 1, "only the output sort may exchange"
 
 
+def test_decontaminate_broadcasts_eval_ngrams(plan):
+    """q06: the eval set's n-gram table must BROADCAST — at 100 TB the
+    train side never shuffles on n-gram text; the only hash shuffle is
+    the per-doc count on doc_id."""
+    p = plan("q06_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_repetition_and_pii_are_pure_maps(plan):
+    """q07/q08: every signal is a row-local expression — no aggregate,
+    no join, no hash shuffle anywhere (only fan_out's round-robin and
+    the output sort's range exchange may appear)."""
+    for name in ("q07_repetition_stats", "q08_pii_redact"):
+        p = plan(name)
+        assert "HashAggregate" not in p, name
+        assert "Join" not in p, name
+        assert "hashpartitioning" not in p, name
+
+
+def test_span_dedup_shuffles_on_hash_only(plan):
+    """q09: the global span-count and join-back key on the 32-byte md5,
+    never the span text, and nothing degenerates to a nested loop."""
+    p = plan("q09_span_dedup")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "hashpartitioning(span_hash" in p
+    assert "hashpartitioning(span#" not in p  # raw span text never keys a shuffle
+
+
 def test_json_roundtrip_writes_sharded(spark, tmp_path):
     """The JSON sink must write one file per partition (no driver
     funnel): repartitioned input produces multiple part files."""

@@ -1,0 +1,105 @@
+"""Quality-filter semantics: planted contamination/duplication must be
+flagged (recall), planted PII must be counted and scrubbed — the same
+inject-and-detect strategy as the dedup recall tests. The registered
+queries load ``documents.parquet`` from a directory, so each test writes
+a tiny synthetic table to tmp_path and runs the REAL catalog query on it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+from .conftest import SF_SMALL
+
+load_all_plans()
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, tmp_path, rows):
+    full = [(i, txt, "en", "test", len(txt)) for i, txt in rows]
+    spark.createDataFrame(full, DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+BENCH_TEXT = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+def test_decontaminate_flags_eval_overlap(spark, tmp_path):
+    # doc 0 is eval (doc_id % 25 == 0); doc 1 copies half of it verbatim
+    # (contaminated); doc 2 shares no 5-gram (clean).
+    sf = _docs(
+        spark,
+        tmp_path,
+        [
+            (0, BENCH_TEXT),
+            (1, BENCH_TEXT.split(" sigma")[0] + " unrelated tail words here"),
+            (2, "one two three four five six seven eight nine ten eleven"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["q06_decontaminate"].fn(spark, sf).collect()
+    }
+    assert 0 not in out  # eval docs are excluded from the train-side report
+    assert out[1]["n_contaminated"] > 0 and out[1]["contaminated"]
+    assert out[2]["n_contaminated"] == 0 and not out[2]["contaminated"]
+
+
+def test_repetition_stats_exact_counts(spark, tmp_path):
+    # "spam ham " * 4: 8 tokens, 2 distinct, 7 bigrams, and the top
+    # bigram ("spam ham" x4) beats "ham spam" x3.
+    sf = _docs(
+        spark,
+        tmp_path,
+        [(1, "spam ham spam ham spam ham spam ham"), (2, "ab"), (3, "")],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["q07_repetition_stats"].fn(spark, sf).collect()
+    }
+    r = rows[1]
+    assert (r["n_tokens"], r["n_distinct"], r["n_bigrams"]) == (8, 2, 7)
+    assert r["top_bigram_count"] == 4
+    assert r["dup_token_heavy"] and r["top_bigram_heavy"]
+    # single-token and empty docs: no bigrams, nothing flagged
+    assert rows[2]["n_bigrams"] == 0 and not rows[2]["top_bigram_heavy"]
+    assert rows[3]["n_tokens"] == 0 and not rows[3]["dup_token_heavy"]
+
+
+def test_pii_redact_finds_planted_pii(spark):
+    # Every doc gets exactly one derived email/phone/IP; the corpus text
+    # itself is letters-only so it cannot add matches.
+    df = REGISTRY["q08_pii_redact"].fn(spark, SF_SMALL)
+    bad = df.where(
+        (F.col("n_emails") != 1) | (F.col("n_ips") != 1) | (F.col("n_phones") != 1)
+    ).count()
+    assert bad == 0
+
+
+def test_span_dedup_flags_planted_duplicates(spark, tmp_path):
+    shared = "red green blue cyan magenta yellow"  # 6 tokens = 2 spans
+    sf = _docs(
+        spark,
+        tmp_path,
+        [
+            (1, shared),
+            (2, shared),  # every span of doc 2 also in doc 1 -> dropped
+            (3, "one two three four five six"),  # unique spans -> kept
+        ],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["q09_span_dedup"].fn(spark, sf).collect()
+    }
+    assert rows[1]["n_shared"] == 2 and not rows[1]["keep"]
+    assert rows[2]["n_shared"] == 2 and not rows[2]["keep"]
+    assert rows[3]["n_shared"] == 0 and rows[3]["keep"]
