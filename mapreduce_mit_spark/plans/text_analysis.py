@@ -461,3 +461,103 @@ def q67_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "word")
         .limit(20)
     )
+
+
+# Count-min sketch geometry: d rows × w buckets. 4×256 = 1024 counters —
+# small enough to broadcast, large enough that bucket collisions are rare
+# but OBSERVABLE on the test vocabulary (the interesting case).
+CMS_D = 4
+CMS_W = 256
+
+
+@register(
+    "q04_countmin",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({tokens_sql('text')}) AS word FROM documents
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM words),
+    ds AS (SELECT * FROM (VALUES (0),(1),(2),(3)) v(d)),
+    cells AS (
+      SELECT d,
+             ('0x' || substr(md5('s' || d || ':' || word), 1, 8))::BIGINT
+               % {CMS_W} AS bucket
+      FROM words, ds
+    ),
+    sketch AS (
+      SELECT d, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM cells GROUP BY d, bucket
+    ),
+    truth AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM words GROUP BY word
+    ),
+    probes AS (
+      SELECT word, cnt, d,
+             ('0x' || substr(md5('s' || d || ':' || word), 1, 8))::BIGINT
+               % {CMS_W} AS bucket
+      FROM truth, ds
+    ),
+    est AS (
+      SELECT word, min(cnt) AS cnt, min(c) AS est
+      FROM probes JOIN sketch USING (d, bucket)
+      GROUP BY word
+    )
+    SELECT word, cnt, est,
+           (est >= cnt) AS never_underestimates,
+           ((est - cnt) * {CMS_W} <= 3 * n) AS within_bound
+    FROM est, total
+    ORDER BY cnt DESC, word
+    """,
+    tags=("text", "sketch", "approx", "countmin"),
+)
+def q04_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus word stream, probed against
+    exact counts (the falsifiable-sketch pattern of q16/q59/q69).
+
+    Build: each word updates one counter per hash row — exploding d
+    (row, bucket) pairs then aggregating collapses MAP-SIDE to at most
+    d×w = 1024 cells per partition, so the shuffle moves sketch cells,
+    never the word stream. Probe: the finished sketch broadcasts and
+    est(word) = min over rows of its cell. In-band oracle-checked
+    guarantees: est ≥ true count ALWAYS (CMS is one-sided), and the
+    ε·N bound (ε = 3/w here, deterministic seeds) holds for every word.
+    At 100 TB the exact-count side exists only for this verification;
+    production probes skip it."""
+    d = tw(spark, sf_dir, "documents")
+    words = words_df(d.select("text"), "text", "word").select("word")
+
+    def bucket(seed: int) -> Column:
+        h = F.md5(F.concat(F.lit(f"s{seed}:"), F.col("word")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % CMS_W).alias(
+            f"b{seed}"
+        )
+
+    cells = words.select(
+        F.posexplode(F.array(*[bucket(s) for s in range(CMS_D)])).alias("d", "bucket")
+    )
+    sketch = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    truth = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = truth.select(
+        "word",
+        "cnt",
+        F.posexplode(F.array(*[bucket(s) for s in range(CMS_D)])).alias("d", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("word")
+        .agg(F.min("cnt").alias("cnt"), F.min("c").alias("est"))
+    )
+    n = words.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        est.crossJoin(F.broadcast(n))
+        .select(
+            "word",
+            "cnt",
+            "est",
+            (F.col("est") >= F.col("cnt")).alias("never_underestimates"),
+            ((F.col("est") - F.col("cnt")) * CMS_W <= 3 * F.col("n")).alias(
+                "within_bound"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "word")
+    )

@@ -246,6 +246,14 @@ def test_mixture_sample_filter_reaches_scan(plan):
     assert body.count("Exchange") == 1, "only the output sort may exchange"
 
 
+def test_countmin_sketch_broadcasts(plan):
+    """q04: the 1024-cell sketch and the 1-row total must broadcast to
+    the probe side — the word stream never sort-merge-joins."""
+    p = plan("q04_countmin")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
 def test_decontaminate_broadcasts_eval_ngrams(plan):
     """q06: the eval set's n-gram table must BROADCAST — at 100 TB the
     train side never shuffles on n-gram text; the only hash shuffle is
