@@ -24,6 +24,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration (weighted) PageRank. Returns (``node_col``, pr).
+
+    pr_{k+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} pr_k(u) · w(u,v) / out_w(u),
+    starting from the uniform vector 1/N (simplified formulation: mass
+    from dangling nodes is dropped, as both engines must agree on ONE
+    formula for the cross-engine oracle).
+
+    Unlike ``connected_components`` this runs a FIXED number of rounds,
+    so building the result triggers no driver action at all — the whole
+    iteration unrolls into one lazy plan (iterations are typically ≤5
+    for ranking features; for convergence-driven runs wrap this in a
+    delta-check loop like connected_components). Each round is one
+    edges⋈ranks join (keyed by src) plus one groupBy(dst) sum — both
+    shuffles keyed by node id, never materializing anything driver-side.
+    N enters as a broadcast 1-row aggregate, not a ``.count()``.
+    """
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    )
+    # out-weight per source; broadcast-joined back onto edges once, then
+    # the weighted edge list (src, dst, share) is reused every round
+    out_w = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    shares = e.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("tw")).alias("share")
+    )
+    shares.persist()
+
+    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    base = nodes.select(F.col(node_col).alias("node")).crossJoin(
+        F.broadcast(n_nodes)
+    )
+    base.persist()
+
+    ranks = base.select("node", (F.lit(1.0) / F.col("n_nodes")).alias("pr"))
+    for _ in range(iterations):
+        contribs = (
+            shares.join(ranks, shares.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("pr") * F.col("share")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = base.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping) / F.col("n_nodes")
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return ranks
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

@@ -28,7 +28,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.io import read_csv, read_json, write_csv, write_json, write_sorted_text
+from ..sources.io import (
+    read_csv,
+    read_json,
+    read_orc,
+    write_csv,
+    write_json,
+    write_orc,
+    write_sorted_text,
+)
 from ._util import t
 
 # One scratch dir per kind per PROCESS, removed at interpreter exit.
@@ -159,3 +167,88 @@ def q57_sorted_text_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("text")
     write_sorted_text(counts, "n_name", "n_customers", path)
     return spark.read.text(path).select(F.col("value").alias("line")).orderBy("line")
+
+
+@register(
+    "q103_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS total_price,
+           CAST(max(l_shipdate) AS DATE) AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("source", "sink", "orc"),
+)
+def q103_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC sink → ORC source → aggregate.
+
+    The third columnar format next to parquet (everywhere) and the
+    row-ish text/CSV/JSON trips — ORC is Spark-native (vectorized
+    reader, predicate pushdown) and needs no schema pin on read-back
+    because the file embeds types. The oracle aggregates the ORIGINAL
+    parquet, so a green row proves the encode/decode preserved doubles,
+    strings and timestamps exactly."""
+    li = t(spark, sf_dir, "lineitem")
+    path = _scratch("orc")
+    write_orc(li, path)
+    back = read_orc(spark, path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            (
+                F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")) / 100.0
+            ).alias("total_price"),
+            F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q105_shard_export",
+    oracle="""
+    SELECT (doc_id * 2654435761) % 8 AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    tags=("sink", "source", "export", "partitioned"),
+)
+def q105_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export: documents → deterministic shards →
+    partitioned JSONL sink → read back → per-shard stats.
+
+    The last mile of a training-data pipeline: trainers consume
+    hash-sharded JSONL, one directory per shard, so data-parallel
+    ranks read disjoint files. Shard = Knuth multiplicative hash of
+    doc_id mod 8 — deterministic and engine-portable (unlike
+    xxhash64), so the oracle recomputes the same assignment from the
+    original parquet. ``partitionBy("shard")`` writes one directory
+    per shard with one file per task — no driver funnel, and at 100 TB
+    per-shard file counts follow upstream parallelism (tune with
+    maxRecordsPerFile). Read-back recovers the shard from the
+    directory key; stats hashing both sides proves no row crossed a
+    shard boundary and no doc was lost."""
+    d = t(spark, sf_dir, "documents")
+    sharded = d.withColumn(
+        "shard", (F.col("doc_id") * F.lit(2654435761)) % 8
+    )
+    path = _scratch("shards")
+    write_json(sharded, path, partition_by=["shard"])
+    back = read_json(spark, path, schema=sharded.schema)
+    return (
+        back.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
+    )

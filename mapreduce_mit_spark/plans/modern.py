@@ -1,0 +1,183 @@
+"""PySpark-4-native surfaces: Python UDTF, VARIANT, mergeable sketches.
+
+The reference's whole programming model is user-supplied functions
+(mapF/reduceF — /root/reference/src/mapreduce/master.go:55-58). The
+engine already covers UDF (pandas/Arrow, operators/multimodal.py) and
+UDAF (applyInPandas / applyInPandasWithState, streaming); this module
+completes the triple with a REAL Python UDTF (table function, lateral
+join) — the exact flatMap shape of the reference's mapF (one input row
+→ N output rows, common_map.go:61) surfaced through Spark 4's
+first-class UDTF API rather than an explode(udf()) workaround.
+
+Also here: VARIANT (Spark 4's semi-structured type — the right 100 TB
+answer for the ``events.props`` JSON column: parse once, store binary
+variant, extract without re-parsing) and DataSketches HLL aggregates
+(``hll_sketch_agg``/``hll_union_agg`` — unlike approx_count_distinct's
+opaque internal state, these sketches are STORABLE: persist per-day
+sketch tables, merge across arbitrary date ranges without touching raw
+data — the canonical warehouse rollup pattern).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t, tw
+
+
+@register(
+    "q100_udtf_ngrams",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\p{L}]+'),
+                         x -> len(x) > 0) AS ts
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i+1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram,
+           count(*) AS cnt,
+           count(DISTINCT doc_id) AS n_docs
+    FROM grams
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+    tags=("udtf", "python", "text"),
+)
+def q100_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top token bigrams via a Python UDTF lateral join.
+
+    The UDTF is the reference's mapF shape made first-class: eval(row)
+    yields N rows (tokenize on non-letter runs — wc.go:55-57 semantics
+    — then emit adjacent pairs). The aggregation on top is plain
+    DataFrame groupBy, so only the row-expansion is Python.
+
+    Scale: per-row Python is the slow path by design here — this query
+    exists to prove the UDTF surface. The built-in equivalent (explode
+    + transform over a split array, as the oracle does in SQL) is the
+    hot-path choice; Spark 4 can also Arrow-batch UDTF exchange
+    (spark.sql.execution.pythonUDTF.arrow.enabled). Output is bounded
+    (top-20 with a total-order tie-break) so the result hash is
+    deterministic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, bigram string")
+    class BigramUDTF:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            toks = re.findall(r"[^\W\d_]+", text or "", flags=re.UNICODE)
+            for a, b in zip(toks, toks[1:]):
+                yield doc_id, f"{a} {b}"
+
+    spark.udtf.register("mms_bigrams", BigramUDTF)
+    tw(spark, sf_dir, "documents").createOrReplaceTempView("mms_udtf_docs")
+    return spark.sql(
+        """
+        SELECT b.bigram,
+               count(*) AS cnt,
+               count(DISTINCT b.doc_id) AS n_docs
+        FROM mms_udtf_docs d,
+        LATERAL mms_bigrams(d.doc_id, d.text) b
+        GROUP BY b.bigram
+        ORDER BY cnt DESC, bigram
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "q101_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)      AS k,
+           CAST(NULL AS BIGINT)                                   AS k_missing,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket
+    FROM events
+    WHERE event_id < 300
+    ORDER BY event_id
+    """,
+    tags=("scalar", "variant", "json"),
+)
+def q101_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type.
+
+    ``parse_json`` builds a binary variant once; ``variant_get``
+    extracts typed paths without re-parsing, and ``try_variant_get`` on
+    an absent path yields NULL instead of failing — the schema-drift
+    posture a 100 TB ingest needs (unknown keys arrive silently). At
+    scale the variant column would be WRITTEN to the table (parse once
+    at ingest); q53/q58 cover the per-query string-parsing alternatives
+    (get_json_object / from_json)."""
+    e = t(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return v.select(
+        "event_id",
+        k.alias("k"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("k_missing"),
+        F.floor(k / 10).alias("k_bucket"),
+    ).orderBy("event_id")
+
+
+@register(
+    "q102_hll_mergeable",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id)          AS exact_users,
+           count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           true                             AS merged_within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("agg", "approx", "sketch", "mergeable"),
+)
+def q102_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct-count rollup via storable DataSketches HLL.
+
+    Level 1 builds one HLL sketch per (event_type, day) — at 100 TB
+    this is the materialized daily rollup table, kilobytes per group.
+    Level 2 merges the day sketches per event_type with
+    ``hll_union_agg`` and estimates — reaggregation WITHOUT rescanning
+    raw events, which approx_count_distinct cannot do (its state is
+    not a storable column). Both levels are map-side-combinable.
+
+    Falsifiable-sketch pattern (as q16): the estimate is asserted
+    in-band against the exact sibling — ``merged_within_bound`` flips
+    and fails the driver hash if the union-merge path breaks the
+    documented ~2% accuracy (lgConfigK=12 default; 5% bound gives
+    2.5× slack)."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("day_users"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.count("*").alias("n_days"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_days",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("merged_within_bound"),
+        )
+        .orderBy("event_type")
+    )

@@ -62,7 +62,9 @@ def load_all_plans() -> None:
     from .plans import (  # noqa: F401
         dedup,
         io_roundtrip,
+        iterative,
         mapreduce_parity,
+        modern,
         pipeline,
         quality,
         relational,

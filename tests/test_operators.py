@@ -185,7 +185,13 @@ def test_roundtrip_queries_idempotent_within_session(spark):
     from mapreduce_mit_spark import registry
 
     registry.load_all_plans()
-    for name in ("q55_json_roundtrip", "q56_csv_roundtrip", "q57_sorted_text_sink"):
+    for name in (
+        "q55_json_roundtrip",
+        "q56_csv_roundtrip",
+        "q57_sorted_text_sink",
+        "q103_orc_roundtrip",
+        "q105_shard_export",
+    ):
         fn = registry.REGISTRY[name].fn
         first = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
         second = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
@@ -307,6 +313,37 @@ def test_connected_components(spark):
     )
     got = {r["node"]: r["label"] for r in connected_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Weighted fixed-iteration PageRank vs a dict-based reference
+    implementation of the same recurrence — asymmetric graph with a
+    dangling node (d has no out-edges) and a node with no in-edges."""
+    from mapreduce_mit_spark.operators.graph import pagerank
+
+    edge_list = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("c", "d", 4.0)]
+    node_list = ["a", "b", "c", "d", "e"]  # e: isolated
+    nodes = spark.createDataFrame([(n,) for n in node_list], "node string")
+    edges = spark.createDataFrame(edge_list, "src string, dst string, w double")
+
+    d, iters, n = 0.85, 4, len(node_list)
+    out_w = {}
+    for s, _, w in edge_list:
+        out_w[s] = out_w.get(s, 0.0) + w
+    pr = {v: 1.0 / n for v in node_list}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in node_list}
+        for s, t_, w in edge_list:
+            contrib[t_] += pr[s] * (w / out_w[s])
+        pr = {v: (1.0 - d) / n + d * contrib[v] for v in node_list}
+
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(nodes, edges, iterations=iters, damping=d, weight_col="w").collect()
+    }
+    assert set(got) == set(node_list)
+    for v in node_list:
+        assert got[v] == pytest.approx(pr[v], abs=1e-12), v
 
 
 def test_salted_ops_equal_unsalted(spark):

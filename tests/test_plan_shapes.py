@@ -179,6 +179,7 @@ def test_plan_construction_runs_no_jobs(spark):
         "q01_pricing_summary",
         "q67_bitmap_distinct",
         "q59_heavy_hitters",  # freqItems is lazy in Spark 4 — keep it so
+        "q104_pagerank",  # fixed-iteration loop must unroll lazily, no .count()
     ):
         fn = registry.REGISTRY[name].fn
         # first build warms the parquet FileIndex (cold-cache schema read
