@@ -1477,3 +1477,160 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(_rev_cents()) / 100.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@register(
+    "q106_volume_shipping",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS ship_year,
+           sum({_REV_CENTS_SQL}) / 100.0 AS revenue
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+        OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+    GROUP BY supp_nation, cust_nation, ship_year
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+    tags=("join", "multiway", "agg", "tpch"),
+)
+def q106_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): trade between two nations in both
+    directions, yearly — the same dimension table (nation) joined TWICE
+    under different roles, with a disjunctive cross-role predicate.
+
+    Scale shape: both nation roles, supplier, and customer broadcast;
+    the only shuffle is the fact-fact orders⋈lineitem join plus the
+    final small group-by. The OR predicate over the two role pairs is
+    evaluated post-broadcast-join — Catalyst cannot push a cross-table
+    disjunction into either scan, but the broadcast sides make it a
+    map-side filter, no extra exchange."""
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg((F.sum(_rev_cents()) / 100.0).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@register(
+    "q107_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           sum({_REV_CENTS_SQL}) / 100.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q107_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items): revenue lost to returns per
+    customer, top 20 — join-heavy aggregation whose group key is the
+    customer, not the order.
+
+    Scale shape: the selective l_returnflag filter is pushed to the
+    lineitem scan (parquet min/max + dictionary); customer and nation
+    broadcast; the group-by shuffles on c_custkey and the top-20 fuses
+    into TakeOrderedAndProject — no global sort of all customers."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (F.sum(_rev_cents()) / 100.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q108_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           round(o_totalprice, 2) AS total_price,
+           total_qty
+    FROM big
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("join", "agg", "having", "semi", "tpch"),
+)
+def q108_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): customers whose single orders
+    exceed a quantity threshold — aggregate-then-join, the HAVING
+    result driving the join rather than filtering after it.
+
+    Scale shape: the heavy aggregation (sum of quantity per order)
+    runs FIRST on lineitem alone with map-side partial sums; only the
+    surviving order keys (a tiny fraction) join back to orders and
+    customer. At 100 TB the big-order set is small enough that AQE
+    converts the orders join to broadcast at runtime — the expensive
+    table is touched exactly once."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(25)
+    )
