@@ -1634,3 +1634,205 @@ def q108_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
         .limit(25)
     )
+
+
+@register(
+    "q109_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "outer", "agg", "subquery", "tpch"),
+)
+def q109_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): how many customers placed
+    0, 1, 2, … orders — a LEFT OUTER join whose null-extended rows are
+    the point (zero-order customers must survive into the histogram),
+    then a second aggregation over the first's result.
+
+    Scale shape: the outer join shuffles both sides on custkey once;
+    the per-customer count is map-side partial after it; the second
+    group-by is over a tiny domain (distinct order counts), so the
+    final exchange moves almost nothing. count(o_orderkey) — not
+    count(*) — keeps null-extended rows at zero in both engines."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q110_idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("join", "anti", "subquery", "scalar", "agg", "tpch"),
+)
+def q110_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers with no URGENT order — an uncorrelated scalar subquery
+    (the average) AND a correlated NOT EXISTS (the anti join) in one
+    predicate. (Q22 correlates against all orders; the synthetic data
+    gives every customer at least one order at small SFs, so the
+    correlate filters to urgent orders to keep the result non-empty —
+    5 / 75 / 937 rows-in at sf 0.001 / 0.01 / 0.1.)
+
+    Scale shape: the average is one map-side-combinable pass over
+    customer, broadcast back as a literal; the NOT EXISTS becomes a
+    left-anti shuffle join on custkey against orders projected to its
+    join key only (column pruning makes the probe side narrow). Money
+    accumulates as integer cents so the surfaced double is
+    summation-order independent."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               count(*) AS n_custs,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0D AS total_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "q111_cheapest_in_type",
+    oracle="""
+    SELECT p_type, p_partkey, p_name, p_brand,
+           round(p_retailprice, 2) AS retail
+    FROM part p
+    WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+                           FROM part p2 WHERE p2.p_type = p.p_type)
+    ORDER BY p_type, p_partkey
+    """,
+    tags=("subquery", "correlated", "window", "argmin", "tpch"),
+)
+def q111_cheapest_in_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's core pattern (correlated argmin): the row(s) holding
+    the per-group minimum, expressed in the oracle as a correlated
+    scalar subquery.
+
+    Scale shape: implemented as a window min over p_type — ONE shuffle
+    on the group key and a streaming filter, where the naive
+    decorrelation (aggregate + self-join) would shuffle part twice.
+    Equality on the raw stored double is bit-exact in both engines
+    because min() returns one of the stored values unchanged."""
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        p.withColumn("min_price", F.min("p_retailprice").over(w))
+        .where(F.col("p_retailprice") == F.col("min_price"))
+        .select(
+            "p_type",
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("retail"),
+        )
+        .orderBy("p_type", "p_partkey")
+    )
+
+
+@register(
+    "q112_priority_returns",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "semi", "subquery", "exists", "agg", "tpch"),
+)
+def q112_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders with at least
+    one returned line, counted per priority — a correlated EXISTS that
+    must NOT double-count orders with several matching lines.
+
+    Scale shape: the EXISTS is a left-semi join (emits each order at
+    most once, no dedup pass needed); the returnflag filter is pushed
+    to the lineitem scan and the semi-join probe side carries only
+    l_orderkey. The final group-by is over 5 priorities — the last
+    exchange is negligible."""
+    o = t(spark, sf_dir, "orders")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q113_top_revenue_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, sum({_REV_CENTS_SQL}) / 100.0 AS total_revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    tags=("subquery", "scalar", "agg", "join", "tpch"),
+)
+def q113_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose total revenue
+    equals the global maximum — the same derived aggregate used twice
+    (as rows and as a scalar max), the pattern Q15 expresses with a
+    view.
+
+    Scale shape: revenue-per-supplier is one partial+final aggregation
+    of lineitem; the max is a 1-row aggregate of THAT small result
+    (supplier-cardinality, not lineitem-cardinality) broadcast back as
+    a scalar; supplier joins by broadcast. The fact table is scanned
+    exactly once. Revenue sums integer cents, so the double compared
+    for equality is identical in both engines."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        f"""
+        WITH rev AS (
+          SELECT l_suppkey, sum({_REV_CENTS_SQL}) / 100.0D AS total_revenue
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+        """
+    )
