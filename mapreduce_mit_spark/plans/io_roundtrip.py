@@ -252,3 +252,66 @@ def q105_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "q114_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("sink", "source", "bucketed", "join"),
+)
+def q114_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed storage as the co-located-join primitive: both sides
+    written ``bucketBy(8, key)`` into managed parquet tables, then
+    joined WITHOUT shuffling either table — the bucket layout *is* the
+    exchange, paid once at write time and amortized over every
+    subsequent join on that key.
+
+    Scale shape: this is the 100 TB answer to a fact-fact join that
+    recurs (orders⋈customer on custkey here): pre-bucket both tables on
+    the join key and every later join/aggregation on that key is
+    exchange-free (plan-pinned — the only Exchange left is the final
+    segment group-by, whose input is already partial-aggregated). The
+    ``merge`` hint stands in for disabling broadcast so the plan shows
+    the bucketed sort-merge path even at test SF; at real SF the
+    optimizer picks it unaided. Writers run mode=overwrite, so
+    re-invocation in one session is idempotent."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for name, df, key in (
+        ("mms_bkt_orders", o, "o_custkey"),
+        ("mms_bkt_customer", c, "c_custkey"),
+    ):
+        # A managed-table LOCATION can outlive its catalog entry (the
+        # in-memory catalog dies with the session, the directory does
+        # not) — saveAsTable refuses the orphan dir, so clear both.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = os.path.join(warehouse.removeprefix("file:"), name)
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    bo = spark.table("mms_bkt_orders")
+    bc = spark.table("mms_bkt_customer").hint("merge")
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")) / 100.0).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

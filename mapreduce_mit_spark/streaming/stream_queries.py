@@ -545,3 +545,124 @@ def q76_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("click_id", "purchase_id", "user_id")
     _run_to_table(joined, "q76_sink", "append")
     return spark.table("q76_sink").orderBy("click_id", "purchase_id")
+
+
+@register(
+    "q115_stream_upsert",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "foreachbatch", "upsert", "sink"),
+)
+def q115_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental upsert: the stream is split into
+    multiple micro-batches (maxFilesPerTrigger over a re-sharded copy),
+    and each batch MERGES its per-user partial aggregates into a
+    persistent parquet state table — the exactly-once sink pattern for
+    engines without a transactional table format.
+
+    Exactly-once mechanics, each one load-bearing:
+    - per-batch partial agg first, so the merge input is keys-sized,
+      not events-sized;
+    - ping-pong state dirs (write batch N's merge to the dir batch N-1
+      did NOT write), so a mid-write crash never corrupts the readable
+      state — the atomic "commit" is a driver-side pointer flip;
+    - the pointer file records the last applied batch_id; a replayed
+      batch (foreachBatch redelivers after failure) is skipped, making
+      the sink idempotent — THE property that upgrades Structured
+      Streaming's at-least-once redelivery to exactly-once results.
+    State accumulates integer cents, so the final per-user totals are
+    independent of batch boundaries and merge order — which is what
+    lets an incremental, multi-batch materialization be value-checked
+    against a single-shot SQL oracle. At 100 TB the parquet ping-pong
+    becomes a Delta/Iceberg MERGE keyed the same way; the batch-id
+    guard and keys-sized merge input carry over unchanged."""
+    import json
+    import shutil
+
+    from ..sources.io import ensure_reader_confs, load_table
+
+    ensure_reader_confs(spark)
+    root = os.path.join(tempfile.gettempdir(), "mms_upsert")
+    # Fresh state per invocation: this query's contract is "stream the
+    # whole table from scratch", so stale state from a previous call
+    # must not leak in (deterministic dir, removed up front — no tmpdir
+    # accumulation across runs).
+    shutil.rmtree(root, ignore_errors=True)
+    src_dir = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    state_dirs = [os.path.join(root, "state_a"), os.path.join(root, "state_b")]
+    meta_path = os.path.join(root, "meta.json")
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    # Re-shard so the file stream source yields several micro-batches
+    # (one parquet file would collapse to a single batch and the merge
+    # loop would never exercise its incremental path).
+    ev.repartition(6).write.mode("overwrite").parquet(src_dir)
+
+    def _state() -> tuple[int, str] | None:
+        if not os.path.exists(meta_path):
+            return None
+        m = json.loads(open(meta_path).read())
+        return m["batch_id"], m["dir"]
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        cur = _state()
+        if cur is not None and batch_id <= cur[0]:
+            return  # replayed batch: already applied, skip (idempotence)
+        agg = batch.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+        )
+        if cur is not None:
+            prev = batch.sparkSession.read.parquet(cur[1])
+            agg = (
+                prev.unionByName(agg)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("cents").alias("cents"),
+                )
+            )
+        nxt = state_dirs[batch_id % 2]
+        agg.write.mode("overwrite").parquet(nxt)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"batch_id": batch_id, "dir": nxt}))
+        os.replace(tmp, meta_path)  # the atomic commit
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        LAST_QUERY["q115_sink"] = q
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    final = _state()
+    assert final is not None, "stream produced no batches"
+    return (
+        spark.read.parquet(final[1])
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("cents") / 100.0).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -297,3 +297,14 @@ def test_json_roundtrip_writes_sharded(spark, tmp_path):
     parts = glob.glob(f"{path}/part-*")
     assert len(parts) == 4
     assert read_json(spark, path, schema=df.schema).count() == 1000
+
+
+def test_bucketed_catalog_join_shuffles_neither_table(plan):
+    """q114: the bucket layout replaces the join exchange — neither
+    orders nor customer is hash-partitioned at query time; the only
+    exchanges left are the tiny post-join segment aggregation and the
+    final sort."""
+    p = plan("q114_bucketed_join")
+    assert "SortMergeJoin" in p
+    assert "Exchange hashpartitioning(o_custkey" not in p
+    assert "Exchange hashpartitioning(c_custkey" not in p

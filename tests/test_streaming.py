@@ -245,3 +245,32 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     # a third drain with no new files is a no-op
     drain()
     assert spark.read.parquet(str(sink)).count() == 3
+
+
+def test_upsert_merges_across_multiple_batches(spark):
+    """q115's incremental-merge path must actually run: the availableNow
+    drain over the re-sharded source (6 files, maxFilesPerTrigger=2)
+    has to produce >1 micro-batch, otherwise the foreachBatch merge is
+    a single-shot write and the upsert/replay machinery is dead code."""
+    from mapreduce_mit_spark.registry import REGISTRY
+    from mapreduce_mit_spark.streaming.stream_queries import last_progress
+
+    out = REGISTRY["q115_stream_upsert"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    assert len(rows) > 0
+    batches = [p for p in last_progress("q115_sink") if p.get("numInputRows", 0) > 0]
+    assert len(batches) >= 3, f"expected >=3 data micro-batches, saw {len(batches)}"
+    # final state equals the batch aggregate, independent of batching
+    ev = load_table(spark, SF_SMALL, "events")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in exact]
