@@ -1836,3 +1836,579 @@ def q113_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_suppkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H completion pack (the remaining 11 of the 22 canonical queries).
+# The synthetic schema is a reduced TPC-H — no partsupp, l_shipmode,
+# l_commitdate/l_receiptdate, or p_container — so Q9/Q11/Q12/Q16/Q19/
+# Q20/Q21 keep the canonical query SHAPE (the join topology, subquery
+# nesting, and aggregate structure the optimizer must handle) with
+# predicates adapted to the columns that exist. Reference provenance:
+# the reference engine (mapreduce/master.go:55-87) can express none of
+# these — they are the relational surface a reference user would need
+# Spark for.
+# --------------------------------------------------------------------------
+
+@register(
+    "q116_forecast_revenue",
+    oracle="""
+    SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter", "tpch"),
+)
+def q116_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): a pure scan-filter-agg
+    with three conjunctive range predicates and no join or group key.
+
+    Scale shape: ALL three predicates push to the parquet scan
+    (min/max row-group skipping on l_shipdate does most of the work at
+    100 TB — a year of a 7-year table reads ~1/7 of the row groups);
+    the aggregate is a map-side partial sum with a 1-row final — no
+    meaningful shuffle. The revenue product rounds to integer cents
+    per row before summing, so the surfaced double is bit-identical
+    across engines and partitionings."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (
+                F.sum(F.expr("CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)"))
+                / 100.0
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q117_market_share",
+    oracle=f"""
+    WITH sold AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+             sn.n_name AS supp_nation,
+             {_REV_CENTS_SQL} AS cents
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT order_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END) AS BIGINT)
+                 * 1.0 / CAST(sum(cents) AS BIGINT), 6) AS mkt_share
+    FROM sold
+    GROUP BY order_year
+    ORDER BY order_year
+    """,
+    tags=("join", "multiway", "agg", "ratio", "tpch"),
+)
+def q117_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of revenue
+    within one region's customers for one part type, per year — an
+    8-table join with nation playing two roles, feeding a conditional-
+    sum ratio.
+
+    Scale shape: every dimension (part, supplier, customer, nation x2,
+    region) broadcasts; the only repartition-scale shuffle is
+    lineitem⋈orders, then a tiny group-by on year. The share divides
+    two exact integer cent sums, so the rounded double is
+    deterministic regardless of partial-agg order."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    cn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", _rev_cents()).otherwise(F.lit(0))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(nation_cents * 1.0 / F.sum(_rev_cents()), 6).alias("mkt_share")
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "q118_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           sum(CAST(round((l_extendedprice * (1 - l_discount)
+                           - 0.5 * p_retailprice * l_quantity) * 100) AS BIGINT))
+             / 100.0 AS profit
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY n_name, order_year
+    ORDER BY nation, order_year DESC
+    """,
+    tags=("join", "multiway", "agg", "expression", "tpch"),
+)
+def q118_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit): per-nation, per-year profit on
+    parts matching a name pattern. The canonical cost term is
+    ps_supplycost (partsupp is absent from this schema), so cost is
+    modeled as half the part's retail price per unit — same expression
+    shape: a multi-table arithmetic combining fact and dimension
+    columns inside one aggregate.
+
+    Scale shape: part (filtered by the LIKE before broadcast),
+    supplier, and nation broadcast; lineitem⋈orders is the one big
+    shuffle. The LIKE prefix pattern pushes to the part scan as a
+    string-range predicate. Profit rounds to integer cents per row
+    before summation — order-independent across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    profit_cents = F.expr(
+        "CAST(round((l_extendedprice * (1 - l_discount)"
+        " - 0.5 * p_retailprice * l_quantity) * 100) AS BIGINT)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg((F.sum(profit_cents) / 100.0).alias("profit"))
+        .orderBy("nation", F.col("order_year").desc())
+    )
+
+
+@register(
+    "q119_vital_suppliers",
+    oracle=f"""
+    WITH sv AS (
+      SELECT s_suppkey, s_name,
+             CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS value_cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_suppkey, s_name
+    )
+    SELECT s_suppkey, s_name, value_cents / 100.0 AS ship_value
+    FROM sv
+    WHERE value_cents > (SELECT CAST(sum({_REV_CENTS_SQL}) AS BIGINT) FROM lineitem)
+                        * 1.05 / (SELECT count(*) FROM supplier)
+    ORDER BY value_cents DESC, s_suppkey
+    """,
+    tags=("agg", "subquery", "scalar", "having", "tpch"),
+)
+def q119_vital_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock) shape: per-key aggregate filtered
+    against a FRACTION OF THE GLOBAL aggregate of the same measure —
+    partsupp value in the canonical query, shipped revenue here. The
+    defining feature survives: the same fact table aggregated twice at
+    different granularities, the scalar feeding a HAVING-style filter.
+
+    Scale shape: per-supplier revenue is one partial+final agg of
+    lineitem; the global total is a second 1-row aggregate REUSING the
+    per-supplier result (supplier-cardinality input, not a second
+    lineitem scan — Spark-side, sv is cached into both roles by the
+    self-referencing plan); the threshold broadcasts as a scalar.
+    Integer-cents comparison both sides."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        f"""
+        WITH sv AS (
+          SELECT s_suppkey, s_name,
+                 CAST(sum({_REV_CENTS_SQL}) AS BIGINT) AS value_cents
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY s_suppkey, s_name
+        )
+        SELECT s_suppkey, s_name, value_cents / 100.0D AS ship_value
+        FROM sv
+        WHERE value_cents > (SELECT sum(value_cents) FROM sv)
+                            * 1.05 / (SELECT count(*) FROM supplier)
+        ORDER BY value_cents DESC, s_suppkey
+        """
+    )
+
+
+@register(
+    "q120_late_shipment_priority",
+    oracle="""
+    SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 180 DAY
+    GROUP BY ship_year
+    ORDER BY ship_year
+    """,
+    tags=("join", "agg", "case-when", "tpch"),
+)
+def q120_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority): late line items
+    bucketed into high- vs low-priority counts per group. The schema
+    has no l_shipmode or commit/receipt dates, so "late" is shipped
+    more than 180 days after the order date and the group key is the
+    ship year — the shape (join + cross-table inequality predicate +
+    dual conditional counts) is Q12's.
+
+    Scale shape: the lateness predicate compares columns from BOTH
+    sides, so it cannot push below the join — it evaluates as a
+    post-join filter on the one lineitem⋈orders shuffle. Conditional
+    counts are map-side partial; the final exchange carries one row
+    per year."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+@register(
+    "q121_promo_revenue",
+    oracle=f"""
+    SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
+           round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_CENTS_SQL}
+                          ELSE 0 END) AS BIGINT)
+                 * 100.0 / CAST(sum({_REV_CENTS_SQL}) AS BIGINT), 4)
+             AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ship_year
+    ORDER BY ship_year
+    """,
+    tags=("join", "agg", "ratio", "tpch"),
+)
+def q121_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percentage of revenue from PROMO
+    parts per ship year — a conditional sum over a dimension attribute
+    divided by the unconditional sum, in one aggregation.
+
+    Scale shape: part broadcasts (it is the small side everywhere);
+    both sums fold into ONE map-side-combinable aggregate pass — the
+    ratio of two exact cent totals is computed after the final agg, so
+    no second scan and no float drift."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    promo_cents = F.sum(
+        F.when(F.col("p_type") == "PROMO", _rev_cents()).otherwise(F.lit(0))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.round(promo_cents * 100.0 / F.sum(_rev_cents()), 4).alias(
+                "promo_share_pct"
+            )
+        )
+        .orderBy("ship_year")
+    )
+
+
+@register(
+    "q122_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier
+            WHERE s_acctbal < 0.5 * (SELECT avg(s_acctbal) FROM supplier))
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    tags=("join", "agg", "distinct", "subquery", "anti", "tpch"),
+)
+def q122_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many distinct
+    suppliers ship each (brand, size) combination, excluding a
+    blocklist of suppliers produced by a subquery — the canonical
+    complaint-comment filter becomes a below-half-average balance
+    filter on the columns this schema has.
+
+    Scale shape: the NOT IN is a broadcast left-anti join (the
+    blocklist is supplier-cardinality); part filters before its
+    broadcast; count(DISTINCT) expands to a two-phase exact distinct
+    (partial distinct on (brand,size,suppkey), then count) — one
+    shuffle keyed by the group columns."""
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        t(spark, sf_dir, "part")
+        .where((F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    s = t(spark, sf_dir, "supplier")
+    avg_bal = s.agg(F.avg("s_acctbal").alias("ab"))
+    blocked = s.join(F.broadcast(avg_bal)).where(
+        F.col("s_acctbal") < 0.5 * F.col("ab")
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(blocked), li.l_suppkey == blocked.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@register(
+    "q123_small_quantity_revenue",
+    oracle=f"""
+    SELECT CAST(sum({_REV_CENTS_SQL}) AS BIGINT) / 100.0 / 7.0 AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("join", "agg", "subquery", "correlated", "tpch"),
+)
+def q123_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lines whose quantity
+    is below half that part's average quantity — a correlated scalar
+    subquery on the FACT table itself, the classic decorrelate-to-
+    aggregate-join pattern.
+
+    Scale shape: decorrelated as a per-part average (one map-side-
+    combinable agg of lineitem projected to two columns), joined back
+    by part key. The per-part aggregate is part-cardinality, so it
+    broadcasts; lineitem is scanned twice but shuffled zero times for
+    the threshold path. Quantities are whole numbers stored as
+    doubles, so avg = exact-sum / exact-count is bit-identical across
+    engines and the 0.5× threshold comparison is deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    part_avg = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(part_avg), li.l_partkey == F.col("pa_partkey"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_rev_cents()) / 100.0 / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q124_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(sum({_REV_CENTS_SQL}) AS BIGINT) / 100.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "agg", "disjunctive", "tpch"),
+)
+def q124_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): an OR of three conjunct groups,
+    each mixing part attributes and lineitem attributes — the stress
+    test for disjunctive predicate handling.
+
+    Scale shape: Catalyst factors what it can (the implied
+    p_brand IN (…) and l_quantity BETWEEN 1 AND 30 envelopes are
+    derivable; the brand disjunction prunes part BEFORE broadcast) and
+    evaluates the full cross-table disjunction as a map-side filter
+    after the broadcast join — no shuffle at all on the fact table
+    until the 1-row aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            (F.sum(_rev_cents()) / 100.0).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q125_part_promotion_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name, round(s_acctbal, 2) AS acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+        GROUP BY l_suppkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) >
+               (SELECT 0.5 * CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       / count(DISTINCT l_suppkey)
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'red%'))
+    ORDER BY s_suppkey
+    """,
+    tags=("join", "semi", "subquery", "having", "scalar", "tpch"),
+)
+def q125_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers whose shipped
+    quantity of pattern-matched parts clears a threshold derived from
+    another aggregate of the same data — an IN subquery containing a
+    GROUP BY … HAVING against a nested scalar subquery. (partsupp's
+    available-quantity threshold becomes half the mean per-supplier
+    shipped quantity.)
+
+    Scale shape: the inner aggregate is one shuffle of the
+    pattern-filtered lineitem keyed by supplier; its global mean is a
+    1-row re-aggregate of THAT (supplier-cardinality) result; the
+    survivors drive a broadcast semi join into supplier⋈nation. The
+    fact table is scanned once; quantities sum as exact integers."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    per_supp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("red_qty"))
+    )
+    threshold = per_supp.agg(
+        (0.5 * F.sum("red_qty") / F.count_distinct("l_suppkey")).alias("thr")
+    )
+    qualified = (
+        per_supp.join(F.broadcast(threshold))
+        .where(F.col("red_qty") > F.col("thr"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(qualified), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey", "s_name", "n_name", F.round("s_acctbal", 2).alias("acctbal")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q126_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+      JOIN orders   ON l1.l_orderkey = o_orderkey
+      JOIN supplier ON l1.l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("join", "semi", "anti", "subquery", "correlated", "agg", "tpch"),
+)
+def q126_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): for finished
+    orders, the supplier who was the ONLY late shipper on a
+    multi-supplier order — the canonical EXISTS + NOT EXISTS pair of
+    correlated self-joins on the fact table. "Late" is shipped >365
+    days after the order date (no commit/receipt dates in this
+    schema).
+
+    Scale shape: both correlated subqueries decorrelate into ONE
+    per-order aggregate over lineitem⋈orders (distinct supplier count,
+    distinct LATE supplier count — two measures, one shuffle on
+    l_orderkey), re-joined to the late rows ON THE SAME KEY — with the
+    join and the aggregate co-partitioned on l_orderkey, AQE schedules
+    no extra exchange for the probe. The EXISTS becomes
+    n_suppliers > 1; the NOT EXISTS becomes n_late_suppliers = 1.
+    Supplier and nation broadcast; the top-20 fuses into
+    TakeOrderedAndProject."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn("is_late", late)
+    order_stats = lo.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+    )
+    return (
+        lo.where(F.col("is_late"))
+        .join(order_stats, F.col("l_orderkey") == F.col("os_orderkey"))
+        .where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
