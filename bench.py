@@ -61,6 +61,8 @@ HEADLINE = [
     "q47_pivot",
     "q60_wordcount",
     "q61_inverted_index",
+    "q117_market_share",
+    "q126_waiting_suppliers",
     "q63_quality_score",
     "q67_bitmap_distinct",
     "q68_ivf_ann",

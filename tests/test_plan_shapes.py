@@ -308,3 +308,61 @@ def test_bucketed_catalog_join_shuffles_neither_table(plan):
     assert "SortMergeJoin" in p
     assert "Exchange hashpartitioning(o_custkey" not in p
     assert "Exchange hashpartitioning(c_custkey" not in p
+
+
+def test_tpch_q6_all_predicates_reach_scan(plan):
+    """q116: the pure scan-filter-agg must push all three range
+    predicates to the parquet scan (row-group skipping is the whole
+    game at 100 TB) and must contain no join and at most the single
+    1-row final-aggregate exchange."""
+    p = plan("q116_forecast_revenue")
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"({col}," in p or f"({col})" in p, f"{col} not pushed"
+    assert "Join" not in p
+    # only the partial->final aggregate exchange: a single-partition
+    # gather of one partial row per task, never a hash repartition
+    assert "Exchange hashpartitioning" not in p
+    assert "SinglePartition" in p
+
+
+def test_tpch_q8_dims_broadcast_no_cartesian(plan):
+    """q117: the 8-table market-share join — every dimension
+    (customer, nation x2, region, supplier, part) broadcasts; no
+    nested loop / cartesian anywhere; the conditional-sum ratio folds
+    into ONE aggregate (single partial_sum pair, not two agg passes)."""
+    p = plan("q117_market_share")
+    assert p.count("BroadcastHashJoin") >= 6
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q9_like_prefix_prunes_part_before_broadcast(plan):
+    """q118: the LIKE 'red%' prefix must reach the part scan as a
+    pushed StartsWith so only matching parts are broadcast."""
+    p = plan("q118_product_profit")
+    assert "StringStartsWith(p_name,red" in p.replace(" ", "")
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q21_single_fact_shuffle_and_topk(plan):
+    """q126: both correlated EXISTS subqueries decorrelate into one
+    per-order aggregate re-joined on the same key; supplier and nation
+    broadcast; the top-20 fuses into TakeOrderedAndProject (no global
+    sort of the s_name aggregate)."""
+    p = plan("q126_waiting_suppliers")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # the lineitem⋈orders segment appears twice (late rows + stats) but
+    # each shuffles on l_orderkey only — no exchange on any other key
+    # at repartition scale is pinned by the absence of a suppkey hash
+    assert "Exchange hashpartitioning(l_suppkey" not in p
+
+
+def test_tpch_q17_per_part_average_broadcasts(plan):
+    """q123: the decorrelated per-part average (part-cardinality) must
+    broadcast back onto lineitem — the fact table is never shuffled
+    for the threshold comparison."""
+    p = plan("q123_small_quantity_revenue")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
