@@ -1,0 +1,397 @@
+"""Feature-engineering pack — the per-example transforms a training-data
+pipeline runs between raw tables and the trainer.
+
+The reference engine's only transform surface is the user map function
+(wc.go:52-62); everything here is what a user of that engine would write
+map functions for, re-expressed as declarative single-pass DataFrame
+plans: quantile bucketing, scaling/standardization, deterministic
+train/val/test splitting, class rebalancing, SCD2 history, and batch CDC
+upsert. All are built-ins-only (no Python in the hot path) and every
+aggregate surfaced as a double is derived from exact integer sums so the
+DuckDB oracle matches bit-for-bit.
+
+Cross-engine determinism notes:
+- ``ntile``/``row_number`` tie-break on a unique key, so window results
+  are a pure function of the data.
+- means/variances come from integer-cent sums (exact under any
+  partitioning); only the final division produces a double.
+- splits are md5-of-key predicates (q46's technique): stable across
+  runs, engines, partition layouts, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ._util import t
+
+# Exact integer-cent sum of c_acctbal, shared by the scaling queries.
+_CENTS = "CAST(round(c_acctbal * 100) AS BIGINT)"
+
+
+@register(
+    "q127_quantile_bucketize",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment, c_acctbal,
+             ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT c_mktsegment, quartile,
+           count(*) AS n,
+           round(min(c_acctbal), 2) AS lo,
+           round(max(c_acctbal), 2) AS hi
+    FROM q
+    GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+    """,
+    tags=("features", "window", "bucketize", "training-pipeline"),
+)
+def q127_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile bucketing: each customer assigned to its
+    account-balance quartile WITHIN its market segment (the categorical
+    feature-binning primitive), then bucket boundaries summarized.
+
+    Scale shape: the window partitions by segment, so each segment
+    sorts independently in parallel — no global sort, no single-
+    partition window. Parallelism is bounded by segment cardinality;
+    for GLOBAL quantile bins over a low-cardinality key use the
+    distributed-sort percentile path (operators/quantiles.py, q17)
+    to compute cutpoints and broadcast them instead. ntile tie-breaks
+    on the unique key, so bucket assignment is deterministic in both
+    engines."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+@register(
+    "q128_minmax_scale",
+    oracle="""
+    WITH stats AS (
+      SELECT c_mktsegment AS seg, min(c_acctbal) AS lo, max(c_acctbal) AS hi
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - lo) / (hi - lo), 6) AS acctbal_scaled
+    FROM customer JOIN stats ON c_mktsegment = seg
+    ORDER BY c_custkey
+    """,
+    tags=("features", "scaling", "training-pipeline"),
+)
+def q128_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling to [0, 1] — the normalization
+    step before numeric features feed a model.
+
+    Scale shape: the stats side is group-cardinality (5 rows), computed
+    by one map-side-combinable min/max agg and BROADCAST back onto the
+    table — the fact side never shuffles. min/max are exact (no
+    float-order wobble), so the scaled value is a deterministic
+    function of each row and the oracle matches bit-for-bit after
+    rounding."""
+    c = t(spark, sf_dir, "customer")
+    stats = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    return (
+        c.join(F.broadcast(stats), c.c_mktsegment == stats.seg)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round((F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6).alias(
+                "acctbal_scaled"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q129_zscore_standardize",
+    oracle=f"""
+    WITH stats AS (
+      SELECT c_mktsegment AS seg,
+             count(*) AS n,
+             CAST(sum({_CENTS}) AS BIGINT) AS s,
+             CAST(sum({_CENTS} * {_CENTS}) AS BIGINT) AS ss
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - s / 100.0 / n)
+                 / sqrt((ss / 10000.0 - s / 100.0 * s / 100.0 / n) / (n - 1)), 4)
+             AS acctbal_z
+    FROM customer JOIN stats ON c_mktsegment = seg
+    ORDER BY c_custkey
+    """,
+    tags=("features", "scaling", "training-pipeline"),
+)
+def q129_zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization, with mean and sample variance
+    derived from EXACT integer-cent sums (sum and sum-of-squares), so
+    the statistics are order-independent — ``stddev_samp`` on doubles
+    would differ between engines in the last bits and occasionally flip
+    the rounded z.
+
+    Scale shape: one map-side-combinable agg produces (n, Σ, Σ²) per
+    segment (5 rows), broadcast back; the table never shuffles. The
+    Σ² accumulator holds cents² — bounded by n·(max_cents)²; for
+    columns where that nears int64 range at full scale, shift to
+    per-partition Welford via applyInPandas (the sketch pattern), or
+    scale the units down first."""
+    c = t(spark, sf_dir, "customer")
+    cents = F.expr(_CENTS)
+    stats = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    mean = F.col("s") / 100.0 / F.col("n")
+    var = (F.col("ss") / 10000.0 - F.col("s") / 100.0 * mean) / (F.col("n") - 1)
+    return (
+        c.join(F.broadcast(stats), c.c_mktsegment == stats.seg)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round((F.col("c_acctbal") - mean) / F.sqrt(var), 4).alias("acctbal_z"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q130_train_val_test_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM tagged
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+    tags=("features", "sampling", "split", "training-pipeline"),
+)
+def q130_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split keyed on md5 of the
+    document id, reported per language — the split is a pure function
+    of the key (q46's primitive extended to three arms), so it is
+    reproducible across engines, reruns, partitionings, and cluster
+    sizes, and any later pipeline stage can recompute membership
+    without a membership table.
+
+    Scale shape: split assignment is a scan-side expression (zero
+    shuffle); the only exchange carries (lang, split) partial counts.
+    Leakage-safety note: keying on doc_id splits DOCUMENTS — dedup
+    (q80/q81) must run upstream so near-duplicates can't straddle
+    train/test."""
+    d = t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(h < "cccc", "train").when(h < "e666", "val").otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "q131_class_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT label, count(*) AS n FROM embeddings GROUP BY label
+    )
+    SELECT label, n,
+           round((SELECT CAST(sum(n) AS BIGINT) FROM counts) * 1.0
+                 / ((SELECT count(*) FROM counts) * n), 6) AS class_weight
+    FROM counts
+    ORDER BY label
+    """,
+    tags=("features", "rebalancing", "training-pipeline"),
+)
+def q131_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (sklearn's ``balanced``
+    formula: total / (n_classes * count)) over the embedding labels —
+    the loss-reweighting alternative to resampling (q48) for skewed
+    label distributions.
+
+    Scale shape: one agg to label cardinality, then the total/class
+    count come from a 1-row re-aggregate of THAT tiny result joined
+    back by broadcast — the embeddings table is scanned once and only
+    (label, count) rows move. Integer count arithmetic, so the rounded
+    weight is deterministic."""
+    e = t(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_classes")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "label",
+            "n",
+            F.round(
+                F.col("total") * 1.0 / (F.col("n_classes") * F.col("n")), 6
+            ).alias("class_weight"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q132_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev_type,
+             row_number() OVER w AS rn
+      FROM events
+      WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS effective_from
+      FROM ordered
+      WHERE rn = 1 OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, effective_from,
+           lead(effective_from) OVER (PARTITION BY user_id
+                                      ORDER BY effective_from) AS effective_to,
+           lead(effective_from) OVER (PARTITION BY user_id
+                                      ORDER BY effective_from) IS NULL AS is_current
+    FROM changes
+    ORDER BY user_id, effective_from
+    """,
+    tags=("features", "scd2", "window", "cdc"),
+)
+def q132_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse an event stream into
+    versioned (effective_from, effective_to, is_current) state rows per
+    user, keeping only rows where the tracked attribute actually
+    changed — the standard dimension-history build.
+
+    Scale shape: both windows partition by user_id, so ONE hash
+    exchange on user_id serves the lag, the change filter, and the
+    lead (Spark reuses the partitioning across same-key windows; the
+    change filter shrinks rows between them). Ties break on event_id →
+    deterministic history. The user_id<30 filter bounds catalog output;
+    remove it and nothing in the shape changes."""
+    e = t(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("effective_from"),
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where((F.col("rn") == 1) | (F.col("event_type") != F.col("prev_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("effective_from")
+    eff_to = F.lead("effective_from").over(w2)
+    return (
+        changes.select(
+            "user_id",
+            "event_type",
+            "effective_from",
+            eff_to.alias("effective_to"),
+            eff_to.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "effective_from")
+    )
+
+
+@register(
+    "q133_cdc_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, value, ts FROM (
+        SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-20'
+      ) WHERE rn = 1
+    ),
+    delta AS (
+      SELECT user_id, value, ts FROM (
+        SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+      ) WHERE rn = 1
+    )
+    SELECT coalesce(delta.user_id, base.user_id) AS user_id,
+           round(coalesce(delta.value, base.value), 2) AS latest_value,
+           coalesce(delta.ts, base.ts) AS latest_ts,
+           delta.user_id IS NOT NULL AS updated
+    FROM base FULL OUTER JOIN delta ON base.user_id = delta.user_id
+    ORDER BY user_id
+    """,
+    tags=("features", "cdc", "merge", "upsert"),
+)
+def q133_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC merge (MERGE INTO emulation): a base snapshot (latest
+    value per key before the cutoff) upserted with a delta batch
+    (latest value per key after it) via full-outer-join + coalesce —
+    insert-new, update-existing, keep-untouched in one pass. The
+    streaming twin is q115's foreachBatch upsert sink.
+
+    Scale shape: each side reduces to key cardinality with one
+    row_number window (same user_id partitioning), and the merge join
+    reuses that same key — with AQE, the snapshot-sized sides join
+    without an extra exchange. Tie-break on event_id makes "latest"
+    deterministic."""
+    e = t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.select("user_id", "value", "ts", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    base = latest(e.where(F.col("ts") < cutoff)).alias("base")
+    delta = latest(e.where(F.col("ts") >= cutoff)).alias("delta")
+    return (
+        base.join(delta, F.col("base.user_id") == F.col("delta.user_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("delta.user_id"), F.col("base.user_id")).alias("user_id"),
+            F.round(F.coalesce(F.col("delta.value"), F.col("base.value")), 2).alias(
+                "latest_value"
+            ),
+            F.coalesce(F.col("delta.ts"), F.col("base.ts")).alias("latest_ts"),
+            F.col("delta.user_id").isNotNull().alias("updated"),
+        )
+        .orderBy("user_id")
+    )

@@ -61,6 +61,7 @@ def load_all_plans() -> None:
     from .operators import multimodal  # noqa: F401
     from .plans import (  # noqa: F401
         dedup,
+        features,
         io_roundtrip,
         iterative,
         mapreduce_parity,

@@ -366,3 +366,36 @@ def test_tpch_q17_per_part_average_broadcasts(plan):
     p = plan("q123_small_quantity_revenue")
     assert p.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in p
+
+
+def test_minmax_scale_broadcasts_stats(plan):
+    """q128: the per-segment min/max stats (group-cardinality) must
+    broadcast back onto customer — the table never hash-shuffles for
+    the scaling join."""
+    p = plan("q128_minmax_scale")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Exchange hashpartitioning(c_custkey" not in p
+
+
+def test_split_assignment_is_scan_side(plan):
+    """q130: train/val/test membership is a pure row expression — the
+    only exchange in the plan carries (lang, split) partial counts, and
+    the scan reads just the three columns the query touches."""
+    p = plan("q130_train_val_test_split")
+    assert "Join" not in p
+    read_schema = next(l for l in p.splitlines() if "ReadSchema:" in l)
+    assert "text" not in read_schema, "split must not read document bodies"
+
+
+def test_scd2_windows_share_one_exchange(plan):
+    """q132: lag, change-filter, and lead all partition by user_id —
+    the plan must contain exactly ONE hash exchange on user_id (Spark
+    reuses the partitioning across the two windows)."""
+    p = plan("q132_scd2_history")
+    n_user_exchanges = sum(
+        1
+        for line in p.splitlines()
+        if line.strip().startswith("Arguments: hashpartitioning(user_id")
+    )
+    assert n_user_exchanges == 1, p
