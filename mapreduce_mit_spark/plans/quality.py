@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.textfns import tokens_col, tokens_sql
 from ..registry import register
@@ -326,25 +327,35 @@ def q09_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     count how many docs each span appears in globally, and drop docs
     where shared spans dominate.
 
-    Plan: both shuffles key on the 32-byte span hash or doc_id — the
-    span text never moves after the map side. The global span→doc-count
-    table is bounded by distinct-span vocabulary (Zipfian, far smaller
-    than the corpus); the join back is a plain shuffled equi-join on
-    the hash, the honest shape when both sides are corpus-scale."""
+    Plan: tokenize ONCE — the span stream is first reduced to distinct
+    (span_hash, doc_id) pairs with an occurrence count (map-side
+    combinable, so duplicate spans within a partition collapse before
+    the shuffle), then the global doc-frequency is a count over a
+    span_hash window on those already-distinct pairs (no self-join, so
+    the corpus is never re-tokenized for the probe side), then one
+    doc_id agg. Every shuffled row is (32-byte hash, id, small int) —
+    the span text never moves after the map side."""
     d = tw(spark, sf_dir, "documents")
-    spans = d.select(
-        "doc_id",
-        F.explode(_spans_col(tokens_col("text"))).alias("span"),
-    ).select("doc_id", F.md5("span").alias("span_hash"))
-    gc = spans.groupBy("span_hash").agg(
-        F.count_distinct("doc_id").alias("n_docs")
+    pairs = (
+        d.select(
+            "doc_id",
+            F.explode(_spans_col(tokens_col("text"))).alias("span"),
+        )
+        .select("doc_id", F.md5("span").alias("span_hash"))
+        .groupBy("span_hash", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
     )
+    # pairs are distinct per (span_hash, doc_id): the doc-frequency of a
+    # span is a plain count over its hash partition
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
     per_doc = (
-        spans.join(gc, "span_hash")
+        pairs.withColumn("n_docs", n_docs)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_shared"),
+            F.sum("occ").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") > 1, F.col("occ")).otherwise(0)).alias(
+                "n_shared"
+            ),
         )
     )
     return (
