@@ -666,3 +666,163 @@ def q115_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- transformWithState (Spark 4 arbitrary-stateful API) -------------------
+
+def _has_transform_with_state_runtime() -> bool:
+    """transformWithStateInPandas talks to a Python state server over
+    protobuf; this container ships pyspark without the protobuf package
+    (and installs are off-limits), so the API crashes at stream start
+    with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. Same posture
+    as the image codecs (operators/multimodal.py): detect honestly,
+    run the modern path when the environment supports it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+class _UserStatsProcessor:
+    """StatefulProcessor for q134: per-user running (count, cent total,
+    cent max) in a ValueState. Integer-cents state keeps the result an
+    exact, order-independent function of the input — the same
+    falsifiability discipline as q93's GroupState twin."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "totals", "n BIGINT, cents BIGINT, max_cents BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, cents, max_cents = (
+            self._state.get() if self._state.exists() else (0, 0, None)
+        )
+        for pdf in rows:
+            n += len(pdf)
+            c = (pdf["value"] * 100).round().astype("int64")
+            cents += int(c.sum())
+            batch_max = int(c.max())
+            max_cents = batch_max if max_cents is None else max(max_cents, batch_max)
+        self._state.update((n, cents, max_cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "max_value": [max_cents / 100.0],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+@register(
+    "q134_stream_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+           max(CAST(round(value * 100) AS BIGINT)) / 100.0 AS max_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "transform-with-state"),
+)
+def q134_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming via transformWithStateInPandas — the
+    Spark 4 successor to applyInPandasWithState (q93), with named state
+    variables, TTL, and timers managed by a StatefulProcessor. Here a
+    ValueState holds per-user (count, cent-total, cent-max); update
+    mode emits one row per user per micro-batch, and the availableNow
+    drain leaves exactly the batch answer in the sink.
+
+    Scale shape: state is keyed by user in the RocksDB state store
+    (transformWithState requires the RocksDB provider — changelog
+    checkpointing and out-of-heap state at scale); the only shuffle is
+    the groupBy(user_id) routing, sized by STREAM_STATE_PARTITIONS.
+    The provider conf is set for the run and restored after.
+
+    Runtime gate: the API's Python state server needs protobuf, which
+    this container lacks — there the SAME per-user state logic runs via
+    applyInPandasWithState (GroupState), so the catalog result is
+    identical either way; tests/test_streaming.py exercises the
+    processor class directly and skips the end-to-end modern path
+    when protobuf is absent."""
+    grouped = _events_stream(spark, sf_dir).groupBy("user_id")
+    if _has_transform_with_state_runtime():
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        # subclassing at call time keeps the module importable even if
+        # the ABC moves; the processor itself is plain-Python above
+        proc = type("UserStats", (_UserStatsProcessor, StatefulProcessor), {})()
+        updates = grouped.transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=_TWS_OUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        rocksdb = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+        prev = spark.conf.get(provider_key, None)
+        spark.conf.set(provider_key, rocksdb)
+        try:
+            _run_to_table(updates, "q134_sink", "update")
+        finally:
+            if prev is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev)
+    else:
+        updates = grouped.applyInPandasWithState(
+            _user_stats_group_state,
+            outputStructType=_TWS_OUT_SCHEMA,
+            stateStructType="n BIGINT, cents BIGINT, max_cents BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        _run_to_table(updates, "q134_sink", "update")
+    return spark.table("q134_sink").orderBy("user_id")
+
+
+def _user_stats_group_state(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """GroupState twin of _UserStatsProcessor — identical accumulation,
+    used when the transformWithState runtime is unavailable."""
+    n, cents, max_cents = state.get if state.exists else (0, 0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        c = (pdf["value"] * 100).round().astype("int64")
+        cents += int(c.sum())
+        batch_max = int(c.max())
+        max_cents = batch_max if max_cents is None else max(max_cents, batch_max)
+    state.update((n, cents, max_cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [cents / 100.0],
+            "max_value": [max_cents / 100.0],
+        }
+    )

@@ -274,3 +274,62 @@ def test_upsert_merges_across_multiple_batches(spark):
         .collect()
     )
     assert [tuple(r) for r in rows] == [tuple(r) for r in exact]
+
+
+def test_stateful_processor_accumulates_like_group_state():
+    """q134's StatefulProcessor, driven directly (no stream): two
+    micro-batches for one key must accumulate count/cents/max exactly
+    like its GroupState twin — the logic both execution paths share."""
+    import pandas as pd
+
+    from mapreduce_mit_spark.streaming.stream_queries import _UserStatsProcessor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+    proc = _UserStatsProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    b1 = pd.DataFrame({"value": [1.25, 2.50]})
+    b2 = pd.DataFrame({"value": [10.00]})
+    out1 = list(proc.handleInputRows((7,), iter([b1]), None))
+    out2 = list(proc.handleInputRows((7,), iter([b2]), None))
+    assert handle.state.get() == (3, 1375, 1000)
+    assert out1[0].iloc[0]["n_events"] == 2
+    row = out2[0].iloc[0]
+    assert (row["user_id"], row["n_events"]) == (7, 3)
+    assert (row["total_value"], row["max_value"]) == (13.75, 10.0)
+
+
+def test_transform_with_state_end_to_end_when_runtime_present(spark):
+    """Full transformWithStateInPandas drain — runs only where the
+    protobuf runtime exists (skipped in this container; the catalog
+    entry q134 falls back to the GroupState path there)."""
+    from mapreduce_mit_spark.streaming.stream_queries import (
+        _has_transform_with_state_runtime,
+    )
+
+    if not _has_transform_with_state_runtime():
+        pytest.skip("protobuf runtime absent: transformWithState cannot start")
+    from mapreduce_mit_spark import registry
+
+    registry.load_all_plans()
+    df = registry.REGISTRY["q134_stream_transform_with_state"].fn(spark, SF_SMALL)
+    assert df.count() > 0
