@@ -2412,3 +2412,48 @@ def q126_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "q136_asof_forward",
+    oracle="""
+    SELECT c.event_id,
+           c.user_id,
+           c.ts,
+           min(p.ts) AS next_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.event_id, c.user_id, c.ts
+    ORDER BY c.event_id
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def q136_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: for each click, the next
+    purchase by the same user within one hour (conversion attribution).
+    Completes the as-of family — q28 is backward/unbounded, this is
+    forward/bounded.
+
+    Spark plan: same single-window-pass strategy as q28 (reference for
+    why: relational.py q28 docstring) — union stream, partition by
+    user, RANGE frame (+1 µs, +1 h] over the numeric timestamp, min of
+    purchase timestamps in frame. One shuffle on user_id, linear work;
+    the tolerance bound also bounds window state. The oracle's
+    join+min formulation is the quadratic shape this avoids."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(1, 3_600_000_000)
+    )
+    enriched = e.withColumn(
+        "next_purchase_ts",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w),
+    )
+    return (
+        enriched.where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "next_purchase_ts")
+        .orderBy("event_id")
+    )

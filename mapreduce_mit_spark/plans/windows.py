@@ -142,3 +142,79 @@ def q72_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "q135_rollup_ladder",
+    oracle="""
+    WITH minute AS (
+      SELECT time_bucket(INTERVAL '1 minute', ts) AS bucket_start,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    hour AS (
+      SELECT time_bucket(INTERVAL '1 hour', bucket_start) AS bucket_start,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      FROM minute GROUP BY 1
+    ),
+    day AS (
+      SELECT time_bucket(INTERVAL '1 day', bucket_start) AS bucket_start,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      FROM hour GROUP BY 1
+    )
+    SELECT level, bucket_start, n_events, total_value FROM (
+      SELECT 'hour' AS level, bucket_start, n AS n_events,
+             cents / 100.0 AS total_value
+      FROM hour
+      UNION ALL
+      SELECT 'day' AS level, bucket_start, n AS n_events,
+             cents / 100.0 AS total_value
+      FROM day
+    )
+    ORDER BY level, bucket_start
+    """,
+    tags=("window-time", "rollup-ladder", "timeseries"),
+)
+def q135_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate ladder: raw events roll up
+    to minute buckets ONCE, then each coarser level (hour, day)
+    aggregates the PREVIOUS level — the mergeable-aggregate discipline
+    (count and integer-cent sums are associative) that time-series
+    engines use to serve any-resolution queries without re-touching raw
+    data.
+
+    Scale shape: the 100 TB raw table is scanned exactly once, for the
+    minute level; the hour level shuffles minute-cardinality rows and
+    the day level hour-cardinality — both negligible. Catalyst plans
+    the reused minute subtree once per consumer; on a real deployment
+    each level would be a materialized sink the next level reads
+    incrementally (the q115 upsert pattern), so the plan shape here —
+    level N reading level N-1, never raw — is the one that matters."""
+    e = t(spark, sf_dir, "events")
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket_start")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket_start").alias("bucket_start")
+    ).agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start")
+    ).agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+
+    def level(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("level"),
+            "bucket_start",
+            F.col("n").alias("n_events"),
+            (F.col("cents") / 100.0).alias("total_value"),
+        )
+
+    return (
+        level(hour, "hour")
+        .unionAll(level(day, "day"))
+        .orderBy("level", "bucket_start")
+    )
