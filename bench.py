@@ -68,6 +68,7 @@ HEADLINE = [
     "q68_ivf_ann",
     "q70_tumbling_window",
     "q72_session_window",
+    "q135_rollup_ladder",
     "q73_stream_stream_join",
     "q80_exact_dedup",
     "q81_minhash_lsh",

@@ -395,3 +395,41 @@ def q133_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q137_reservoir_sample",
+    oracle="""
+    SELECT lang, doc_id, source FROM (
+      SELECT lang, doc_id, source,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    ORDER BY lang, doc_id
+    """,
+    tags=("features", "sampling", "reservoir", "training-pipeline"),
+)
+def q137_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-per-group uniform sample (the reservoir-sampling use
+    case, derandomized): rank rows within each group by md5 of the key
+    and keep the k smallest — each doc's rank key is a uniform hash, so
+    the k kept are a uniform sample, yet fully deterministic and
+    re-derivable (same property as the q46/q130 splits).
+
+    Scale shape: one shuffle on the group key; Spark inserts
+    WindowGroupLimit, so each map task forwards only its local top-k
+    per group before the shuffle — the 100 TB table contributes
+    k·partitions rows to the exchange, which IS the reservoir-merge
+    dataflow of the classic algorithm."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("lang", "doc_id")
+    )

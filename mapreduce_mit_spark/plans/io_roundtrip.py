@@ -315,3 +315,69 @@ def q114_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q138_wholefile_datasource",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) + count(*) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("source", "sink", "python-datasource"),
+)
+def q138_wholefile_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file scan as a Spark 4 custom Python DataSource — the
+    reference's input contract (one file = one map task, map sees
+    (filename, contents); master.go:63-65, common_map.go:61) rebuilt as
+    a planner-native ``format("wholefile_text")`` source
+    (sources/pydatasource.py).
+
+    Round-trip: documents are exported one text FILE PER LANGUAGE
+    (repartition by lang + partitionBy sink — the whole-file layout),
+    the custom source reads each file as one (path, content) row in its
+    own partition, and per-lang doc/char counts are recomputed from the
+    raw bytes: n_docs = newline count, n_chars = content length
+    (each doc contributes len(text)+1 — texts contain no newlines,
+    which the writer asserts by construction here).
+
+    Scale posture: planning lists files driver-side only; each file is
+    one task (the reference's exact parallelism model); a production
+    variant would binpack small files per partition — that policy lives
+    in WholeFileTextReader.partitions()."""
+    from ..sources.pydatasource import register_wholefile_source
+
+    d = t(spark, sf_dir, "documents")
+    loc = os.path.join(_scratch("wholefile"), "docs_by_lang")
+    (
+        d.select("lang", F.col("text").alias("value"))
+        .repartition("lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .text(loc)
+    )
+
+    register_wholefile_source(spark)
+    files = (
+        spark.read.format("wholefile_text")
+        .option("path", os.path.join(loc, "lang=*", "*.txt"))
+        .load()
+    )
+    return (
+        files.select(
+            F.regexp_extract("path", r"lang=([^/]+)", 1).alias("lang"),
+            F.length(F.regexp_replace("content", r"[^\n]", "")).cast("long").alias(
+                "n_docs"
+            ),
+            F.length("content").cast("long").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -143,6 +143,68 @@ def test_asof_window_pass_equals_pairwise(spark_prop, raw):
     assert got == want
 
 
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(events_strategy)
+def test_forward_asof_window_pass_equals_pairwise(spark_prop, raw):
+    """q136's rewrite: a forward RANGE frame (+1 us, +1 h] min-of-
+    purchase-ts == the quadratic pairwise min with p.ts > c.ts AND
+    p.ts <= c.ts + 1 h — including same-timestamp collisions (strict >
+    must exclude them) and events exactly at the tolerance bound
+    (inclusive <= must keep them)."""
+    spark = spark_prop
+    rows = [
+        (
+            i,
+            u,
+            "click" if i % 2 == 0 else "purchase",
+            BASE + timedelta(minutes=slot * GAP_MIN + extra),
+        )
+        for i, (u, slot, extra) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(1, 3_600_000_000)
+    )
+    got = sorted(
+        (r["event_id"], r["next_purchase_ts"])
+        for r in df.withColumn(
+            "next_purchase_ts",
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w),
+        )
+        .where(F.col("event_type") == "click")
+        .select("event_id", "next_purchase_ts")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "ev",
+        __import__("pandas").DataFrame(
+            rows, columns=["event_id", "user_id", "event_type", "ts"]
+        ),
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT c.event_id, min(p.ts) AS next_purchase_ts
+            FROM (SELECT * FROM ev WHERE event_type = 'click') c
+            LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            GROUP BY c.event_id
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+
 @pytest.fixture(scope="module")
 def spark_prop(spark):
     # hypothesis re-enters the test many times; reuse the session fixture
