@@ -433,3 +433,142 @@ def q137_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("lang", "doc_id")
     )
+
+
+@register(
+    "q139_table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col, count(o_custkey) AS n_filled,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_s,
+           CAST(max(o_custkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(o_orderpriority),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(o_orderstatus),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    ORDER BY col
+    """,
+    tags=("features", "profiling", "statistics"),
+)
+def q139_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (filled count, distinct count,
+    min/max as strings) in long format, one row per profiled column —
+    the statistics-collection pass planners and data-quality monitors
+    run over every table.
+
+    Scale shape: ONE scan feeding one aggregate with several
+    count(DISTINCT) columns — Catalyst plans the multi-distinct via a
+    single Expand (rows × #distinct-cols before partial agg), the
+    honest exact shape; a 100 TB profile run would swap
+    count_distinct → approx_count_distinct (HLL, q16's
+    falsifiable-sketch pattern) and drop the Expand entirely. min/max
+    surfaced as strings so heterogeneous column types share one
+    schema."""
+    o = t(spark, sf_dir, "orders")
+    prof = o.agg(
+        *[
+            f
+            for c in ("o_custkey", "o_orderpriority", "o_orderstatus")
+            for f in (
+                F.count(c).alias(f"{c}__n"),
+                F.count_distinct(F.col(c)).alias(f"{c}__d"),
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            )
+        ]
+    )
+    cols = ("o_custkey", "o_orderpriority", "o_orderstatus")
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__d, {c}__min, {c}__max" for c in cols
+    )
+    return (
+        prof.selectExpr(
+            f"stack({len(cols)}, {stack}) AS (col, n_filled, n_distinct, min_s, max_s)"
+        )
+        .orderBy("col")
+    )
+
+
+@register(
+    "q140_robust_outliers",
+    oracle="""
+    WITH rv AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*)     OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             max(CASE WHEN rn = floor((n-1) * 0.5) + 1 THEN value END) AS med
+      FROM rv GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    rd AS (
+      SELECT event_type, adev,
+             row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+             count(*)     OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type,
+             max(CASE WHEN rn = floor((n-1) * 0.5) + 1 THEN adev END) AS mad
+      FROM rd GROUP BY event_type
+    )
+    SELECT d.event_type,
+           count(*) AS n,
+           round(max(d.med), 2) AS med,
+           round(max(m.mad), 2) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    tags=("features", "robust-stats", "outliers", "percentile"),
+)
+def q140_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median + MAD (median absolute
+    deviation), flagging values beyond 3 MADs — the heavy-tail-safe
+    alternative to q129's z-score for anomaly screening.
+
+    Scale shape: two exact_quantiles passes (operators/quantiles.py —
+    distributed range-sort, the same machinery as q17, no hashmap-merge
+    percentile state), each producing a group-cardinality table that
+    BROADCASTS back onto the stream; discrete-mode medians are data
+    values, so every derived comparison is bit-deterministic across
+    engines."""
+    from ..operators.quantiles import exact_quantiles
+
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    med = exact_quantiles(e, ["event_type"], "value", {"med": 0.5}, mode="disc")
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = exact_quantiles(
+        dev.select("event_type", "adev"), ["event_type"], "adev",
+        {"mad": 0.5}, mode="disc",
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("med"), 2).alias("med"),
+            F.round(F.max("mad"), 2).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
