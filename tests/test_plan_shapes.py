@@ -399,3 +399,17 @@ def test_scd2_windows_share_one_exchange(plan):
         if line.strip().startswith("Arguments: hashpartitioning(user_id")
     )
     assert n_user_exchanges == 1, p
+
+
+def test_rollup_ladder_reuses_hour_exchange(spark):
+    """q135: in the final AQE plan, the day level must read a
+    ReusedExchange of the hour level's shuffle — the raw events table
+    is scanned exactly once for the whole ladder."""
+    df = registry.REGISTRY["q135_rollup_ladder"].fn(spark, SF_SMALL)
+    df.collect()  # AQE finalizes the plan during execution
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    final = buf.getvalue().split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("Scan parquet") == 1, final
