@@ -181,3 +181,62 @@ def q102_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q141_arrow_normalize",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE) * x))), 6)
+             AS l2_norm
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    tags=("modern", "arrow", "vector", "similarity"),
+)
+def q141_arrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math via ``mapInArrow`` — Arrow RecordBatches processed
+    directly (no pandas materialization): the embedding ListArray's
+    flat float buffer is viewed zero-copy as a (rows × 64) numpy
+    matrix, L2 norms computed vectorized, and a new RecordBatch
+    emitted. The third Python batch surface after pandas_udf/
+    mapInPandas (q97-q99) and applyInPandasWithState (q93) — this one
+    skips the Arrow→pandas conversion entirely, which matters when the
+    payload is large fixed-width arrays.
+
+    Scale shape: a pure per-batch map — no shuffle, no state; each
+    task streams batches through the UDF with one float64 upcast as
+    the only copy. Norms are summed per row in float64; at dim=64 the
+    engine-order drift is ~1e-15 relative, far below the 6-dp
+    rounding."""
+    import pyarrow as pa
+
+    e = t(spark, sf_dir, "embeddings")
+    dim = 64  # fixed by the table contract (TESTDATA.md)
+
+    def normalize(batches):
+        import numpy as np
+
+        for batch in batches:
+            emb = batch.column("embedding")
+            # flatten() yields the values buffer; zero-copy to numpy,
+            # then one upcast to float64 for the squared sum
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.astype("float64").reshape(-1, dim)
+            norms = np.sqrt((mat * mat).sum(axis=1)).round(6)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    pa.array([dim] * len(batch), type=pa.int64()),
+                    pa.array(norms, type=pa.float64()),
+                ],
+                names=["vec_id", "dim", "l2_norm"],
+            )
+
+    return (
+        e.select("vec_id", "embedding")
+        .mapInArrow(normalize, "vec_id long, dim long, l2_norm double")
+        .orderBy("vec_id")
+    )

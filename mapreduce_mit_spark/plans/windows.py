@@ -218,3 +218,71 @@ def q135_rollup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(level(day, "day"))
         .orderBy("level", "bucket_start")
     )
+
+
+@register(
+    "q142_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           s3.user_id IS NOT NULL AS completed
+    FROM s1
+      LEFT JOIN s2 ON s1.user_id = s2.user_id
+      LEFT JOIN s3 ON s2.user_id = s3.user_id
+    ORDER BY s1.user_id
+    """,
+    tags=("window-time", "funnel", "sequential-pattern"),
+)
+def q142_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): each step's
+    timestamp is the first occurrence STRICTLY AFTER the previous
+    step — the sequential-pattern query engines with MATCH_RECOGNIZE
+    express natively, built here from ordered min-aggregates and
+    same-key joins.
+
+    Scale shape: each step is one filtered scan (event_type pushes to
+    the parquet scan) aggregated to user cardinality; every join and
+    aggregate keys on user_id, so AQE schedules the step joins on the
+    same partitioning with no extra exchange; step N's input is
+    step N-1's (shrinking) survivor set. min(ts) is exact —
+    deterministic flags."""
+    e = t(spark, sf_dir, "events")
+
+    def step(etype: str, prev: DataFrame | None, prev_ts: str, out_ts: str) -> DataFrame:
+        s = e.where(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            s = s.join(prev.select("user_id", prev_ts), "user_id").where(
+                F.col("ts") > F.col(prev_ts)
+            )
+        return s.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+
+    s1 = step("view", None, "", "t_view")
+    s2 = step("click", s1, "t_view", "t_click")
+    s3 = step("purchase", s2, "t_click", "t_purchase")
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("completed"),
+        )
+        .orderBy("user_id")
+    )
