@@ -826,3 +826,94 @@ def _user_stats_group_state(
             "max_value": [max_cents / 100.0],
         }
     )
+
+
+@register(
+    "q143_stream_join_then_window",
+    oracle="""
+    WITH matches AS (
+      SELECT p.ts AS purchase_ts, p.value AS purchase_value
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 30 MINUTE AS w
+    )
+    SELECT time_bucket(INTERVAL '1 hour', purchase_ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', purchase_ts) + INTERVAL 1 HOUR
+             AS window_end,
+           count(*) AS n_conversions,
+           sum(CAST(round(purchase_value * 100) AS BIGINT)) / 100.0
+             AS converted_value
+    FROM matches, wm
+    WHERE time_bucket(INTERVAL '1 hour', purchase_ts) + INTERVAL 1 HOUR <= w
+    GROUP BY 1, 2
+    ORDER BY window_start
+    """,
+    tags=("streaming", "stream-stream-join", "chained-stateful", "watermark"),
+)
+def q143_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming operators (Spark 3.4+ capability):
+    a watermarked stream-stream interval join (q73's click→purchase
+    attribution) feeding a tumbling-window aggregation in the SAME
+    query — two state stores, one dataflow.
+
+    Exactness: the availableNow drain processes all files, then the
+    watermark advances to min(max click_ts, max purchase_ts) − 30 min
+    (the global watermark is the minimum across both watermarked
+    inputs), and append mode emits exactly the windows whose end is ≤
+    that watermark — reproduced in the oracle's wm CTE, the same
+    technique as q91's single-operator eviction oracle.
+
+    Scale shape: join state is bounded by the 30-minute interval
+    constraint (q73); the downstream agg holds one row per open
+    (window) — both stores keyed and evicted by watermark. The join
+    and the agg shuffle on different keys (user_id, then window), which
+    is precisely why chaining matters: the engine pipelines the
+    re-keying between stateful operators inside one micro-batch."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL 30 MINUTES
+            """
+        ),
+    )
+    agg = (
+        joined.groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_conversions"),
+            (
+                F.sum(F.expr("CAST(round(purchase_value * 100) AS BIGINT)")) / 100.0
+            ).alias("converted_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_conversions",
+            "converted_value",
+        )
+    )
+    _run_to_table(agg, "q143_sink", "append")
+    return spark.table("q143_sink").orderBy("window_start")
