@@ -286,3 +286,78 @@ def q142_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q144_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, time_bucket(INTERVAL '1 week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, time_bucket(INTERVAL '1 week', ts) AS active_week
+      FROM events
+    ),
+    ret AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, a.active_week) / 7 AS BIGINT)
+               AS week_offset,
+             count(DISTINCT a.user_id) AS n_active
+      FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+      WHERE a.active_week >= c.cohort_week
+        AND date_diff('day', c.cohort_week, a.active_week) <= 21
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_week, count(*) AS n_cohort FROM cohorts GROUP BY 1
+    )
+    SELECT r.cohort_week, r.week_offset, r.n_active, s.n_cohort,
+           round(r.n_active * 100.0 / s.n_cohort, 2) AS retention_pct
+    FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+    ORDER BY r.cohort_week, week_offset
+    """,
+    tags=("window-time", "cohort", "retention"),
+)
+def q144_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, then the
+    share still active 0-3 weeks later — the product-analytics query
+    every event warehouse serves.
+
+    Scale shape: cohorts and activity are both user-keyed aggregates of
+    one events scan each (the distinct collapses map-side); their join
+    keys on user_id so AQE reuses the partitioning, and the retention
+    matrix is (weeks × offsets) rows — tiny. The percentage divides two
+    exact counts. Week buckets use Monday-anchored truncation in both
+    engines (DuckDB time_bucket's default origin is 2000-01-03, a
+    Monday, matching Spark's date_trunc('week'))."""
+    e = t(spark, sf_dir, "events")
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    cohorts = e.groupBy("user_id").agg(week(F.min("ts")).alias("cohort_week"))
+    activity = e.select("user_id", week("ts").alias("active_week")).distinct()
+    offset = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    ret = (
+        cohorts.join(activity, "user_id")
+        .where(
+            (F.col("active_week") >= F.col("cohort_week"))
+            & (F.datediff(F.col("active_week"), F.col("cohort_week")) <= 21)
+        )
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    return (
+        ret.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") * 100.0 / F.col("n_cohort"), 2).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
