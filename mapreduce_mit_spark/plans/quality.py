@@ -292,6 +292,32 @@ _SPANS_SQL = (
 )
 
 
+def _span_share(d):
+    """Shared core of q09/q145: per-doc (n_spans, n_shared) from the
+    single-tokenize pair pre-agg + span_hash doc-frequency window."""
+    pairs = (
+        d.select(
+            "doc_id",
+            F.explode(_spans_col(tokens_col("text"))).alias("span"),
+        )
+        .select("doc_id", F.md5("span").alias("span_hash"))
+        .groupBy("span_hash", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    # pairs are distinct per (span_hash, doc_id): the doc-frequency of a
+    # span is a plain count over its hash partition
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
+    return (
+        pairs.withColumn("n_docs", n_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") > 1, F.col("occ")).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
+    )
+
 @register(
     "q09_span_dedup",
     oracle=f"""
@@ -336,28 +362,7 @@ def q09_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id agg. Every shuffled row is (32-byte hash, id, small int) —
     the span text never moves after the map side."""
     d = tw(spark, sf_dir, "documents")
-    pairs = (
-        d.select(
-            "doc_id",
-            F.explode(_spans_col(tokens_col("text"))).alias("span"),
-        )
-        .select("doc_id", F.md5("span").alias("span_hash"))
-        .groupBy("span_hash", "doc_id")
-        .agg(F.count(F.lit(1)).alias("occ"))
-    )
-    # pairs are distinct per (span_hash, doc_id): the doc-frequency of a
-    # span is a plain count over its hash partition
-    n_docs = F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
-    per_doc = (
-        pairs.withColumn("n_docs", n_docs)
-        .groupBy("doc_id")
-        .agg(
-            F.sum("occ").alias("n_spans"),
-            F.sum(F.when(F.col("n_docs") > 1, F.col("occ")).otherwise(0)).alias(
-                "n_shared"
-            ),
-        )
-    )
+    per_doc = _span_share(d)
     return (
         d.select("doc_id")
         .join(per_doc, "doc_id", "left")
@@ -368,4 +373,150 @@ def q09_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("n_shared") * 2 <= F.col("n_spans"))
         .orderBy("doc_id")
+    )
+
+
+_SPAN_PER_DOC_SQL = f"""
+    tok AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, md5(unnest({_SPANS_SQL})) AS span_hash FROM tok
+    ),
+    global_counts AS (
+      SELECT span_hash, count(DISTINCT doc_id) AS n_docs
+      FROM spans GROUP BY span_hash
+    ),
+    span_per_doc AS (
+      SELECT s.doc_id,
+             count(*) AS n_spans,
+             CAST(sum(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM spans s JOIN global_counts g ON s.span_hash = g.span_hash
+      GROUP BY s.doc_id
+    )
+"""
+
+
+@register(
+    "q145_corpus_curation",
+    oracle=f"""
+    WITH {_SPAN_PER_DOC_SQL},
+    q AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT)  AS nc,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+               AS na,
+             CAST(len({tokens_sql('text')}) AS BIGINT) AS nt,
+             CAST(len(list_filter({tokens_sql('text')},
+                  x -> list_contains(['the','and','of','to','a','el','la','de',
+                                      'le','der','die','und'], x)))
+                  AS BIGINT) AS ns
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id,
+             (2 * (5 * na * greatest(nt, 1) * 100
+                   + 3 * ns * greatest(nc, 1) * 100
+                   + 2 * least(nt, 100) * greatest(nc, 1) * greatest(nt, 1))
+                * 10000
+              + 10 * greatest(nc, 1) * greatest(nt, 1) * 100)
+             // (2 * 10 * greatest(nc, 1) * greatest(nt, 1) * 100) AS quality4
+      FROM q
+    ),
+    class AS (
+      SELECT d.source,
+             CASE
+               WHEN d.lang <> 'en' THEN 'wrong_lang'
+               WHEN coalesce(p.n_shared, 0) * 2 > coalesce(p.n_spans, 0)
+                 THEN 'dup'
+               WHEN quality4 < 5000 THEN 'low_quality'
+               ELSE 'kept'
+             END AS cls
+      FROM documents d
+        LEFT JOIN span_per_doc p ON d.doc_id = p.doc_id
+        JOIN quality ON d.doc_id = quality.doc_id
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN cls = 'wrong_lang' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_wrong_lang,
+           CAST(sum(CASE WHEN cls = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(sum(CASE WHEN cls = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_quality,
+           CAST(sum(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM class
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("quality", "curation", "pipeline-composition", "training-pipeline"),
+)
+def q145_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE plan: every document passes
+    the language gate (en), the cross-doc span-dedup gate (q09's keep),
+    and the quality gate (q63's integer-exact score ≥ 0.5) in strict
+    precedence, and the result is the per-source survivorship funnel —
+    the one-query version of the filter chain a 100 TB pretraining
+    pipeline runs between crawl and tokenizer.
+
+    Composition: the span stage is q09's shared core (_span_share —
+    tokenize-once pair pre-agg + doc-frequency window); the quality
+    stage is q63's HALF_UP integer arithmetic (no float ratios cross
+    engines); the funnel is one conditional-count aggregate. Scale
+    shape: one corpus tokenize feeding the span shuffle, one pure-map
+    quality pass, then a source-cardinality agg — nothing new beyond
+    the stages' own costs, which is the point of fusing them."""
+    d = tw(spark, sf_dir, "documents")
+    per_doc = _span_share(d)
+
+    toks = tokens_col("text")
+    sw = F.array(*[F.lit(w) for w in
+                   ("the", "and", "of", "to", "a", "el", "la", "de", "le",
+                    "der", "die", "und")])
+    quality = d.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("long").alias("na"),
+        F.length("text").cast("long").alias("ncr"),
+        F.size(toks).cast("long").alias("nt"),
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("long").alias("ns"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "(2 * (5 * na * greatest(nt, 1L) * 100"
+            " + 3 * ns * greatest(ncr, 1L) * 100"
+            " + 2 * least(nt, 100L) * greatest(ncr, 1L) * greatest(nt, 1L)) * 10000"
+            " + 10 * greatest(ncr, 1L) * greatest(nt, 1L) * 100)"
+            " div (2 * 10 * greatest(ncr, 1L) * greatest(nt, 1L) * 100)"
+        ).alias("quality4"),
+    )
+    cls = (
+        d.select("doc_id", "lang", "source")
+        .join(per_doc, "doc_id", "left")
+        .join(quality, "doc_id")
+        .select(
+            "source",
+            F.when(F.col("lang") != "en", "wrong_lang")
+            .when(
+                F.coalesce("n_shared", F.lit(0)) * 2
+                > F.coalesce("n_spans", F.lit(0)),
+                "dup",
+            )
+            .when(F.col("quality4") < 5000, "low_quality")
+            .otherwise("kept")
+            .alias("cls"),
+        )
+    )
+    cnt = lambda name: F.sum(F.when(F.col("cls") == name, 1).otherwise(0)).alias(  # noqa: E731
+        f"n_{name}"
+    )
+    return (
+        cls.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            cnt("wrong_lang"),
+            cnt("dup"),
+            cnt("low_quality"),
+            cnt("kept"),
+        )
+        .orderBy("source")
     )
