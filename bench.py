@@ -72,6 +72,7 @@ HEADLINE = [
     "q73_stream_stream_join",
     "q80_exact_dedup",
     "q81_minhash_lsh",
+    "q145_corpus_curation",
     "q83_simhash",
     "q84_edit_distance",
     "q85_cosine_topk",
