@@ -2457,3 +2457,40 @@ def q136_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "next_purchase_ts")
         .orderBy("event_id")
     )
+
+
+@register(
+    "q146_lateral_join",
+    oracle="""
+    SELECT s.seg, l.c_custkey, round(l.c_acctbal, 2) AS acctbal
+    FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer) s,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer
+             WHERE c_mktsegment = s.seg
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+    ORDER BY seg, c_custkey
+    """,
+    tags=("join", "lateral", "subquery", "topk-per-group"),
+)
+def q146_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery in FROM (SQL:1999 lateral derived
+    table): per market segment, the top-2 customers by balance — the
+    lateral formulation of per-group top-k, complementing q30's window
+    formulation and q100's UDTF lateral. Exercises Catalyst's
+    DecorrelateInnerQuery on a LIMIT-bearing correlated subquery
+    (supported since Spark 3.4).
+
+    Scale shape: Catalyst decorrelates the lateral into a
+    window/rank-per-partition over one shuffle on the correlation key —
+    same physical shape as q30, arrived at from the SQL-surface side;
+    deterministic via the custkey tie-break."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT s.seg, l.c_custkey, round(l.c_acctbal, 2) AS acctbal
+        FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer) s,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                 WHERE c_mktsegment = s.seg
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+        ORDER BY seg, c_custkey
+        """
+    )

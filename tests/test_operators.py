@@ -390,3 +390,33 @@ def test_salted_ops_equal_unsalted(spark):
         sorted((r["id"], r["attr"]) for r in salted.select("id", "attr").collect())
         == sorted((r["id"], r["attr"]) for r in plain.select("id", "attr").collect())
     )
+
+
+def test_observation_metrics_without_extra_pass(spark):
+    """df.observe(): pipeline telemetry (rows in, rows kept) accumulated
+    DURING the one action — the observability surface a production
+    pipeline uses instead of extra .count() passes (each of which would
+    be a full scan at 100 TB)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.sources.io import load_table
+
+    from .conftest import SF_SMALL
+
+    obs = Observation("hygiene")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    kept = (
+        li.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum((F.col("l_discount") > 0.05).cast("long")).alias("rows_disc"),
+        )
+        .where(F.col("l_discount") > 0.05)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total_kept = sum(r["n"] for r in kept.collect())
+    m = obs.get
+    assert m["rows_in"] == li.count()
+    assert m["rows_disc"] == total_kept
