@@ -413,3 +413,20 @@ def test_rollup_ladder_reuses_hour_exchange(spark):
     final = buf.getvalue().split("== Initial Plan ==")[0]
     assert "ReusedExchange" in final
     assert final.count("Scan parquet") == 1, final
+
+
+def test_lateral_decorrelates_to_window(plan):
+    """q146: the LIMIT-bearing correlated lateral must decorrelate into
+    a rank-per-partition window — never a per-segment nested loop."""
+    p = plan("q146_lateral_join")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cdc_upsert_no_nested_loop(plan):
+    """q133: both sides reduce via row_number windows on user_id and the
+    merge is an equi full-outer join — no nested loop anywhere."""
+    p = plan("q133_cdc_upsert")
+    assert "FullOuter" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
