@@ -420,3 +420,41 @@ def test_observation_metrics_without_extra_pass(spark):
     m = obs.get
     assert m["rows_in"] == li.count()
     assert m["rows_disc"] == total_kept
+
+
+def test_json_source_corrupt_record_handling(spark, tmp_path):
+    """Malformed-input robustness: a JSON source with a corrupt line
+    must (a) quarantine it into _corrupt_record under PERMISSIVE mode
+    (the default — bad rows isolated, good rows flow) and (b) fail
+    loudly under FAILFAST — the two contracts a 100 TB ingest needs
+    (silent row drops are the one unacceptable behavior)."""
+    import pytest
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"k": 1, "v": "ok"}\n'
+        '{"k": 2, "v": "also ok"}\n'
+        '{"k": 3, "v": broken!!\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = spark.read.schema(schema).json(str(p)).cache()
+    try:
+        good = df.where(F.col("_corrupt_record").isNull())
+        bad = df.where(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 2 and bad.count() == 1
+        assert "broken" in bad.collect()[0]["_corrupt_record"]
+    finally:
+        df.unpersist()
+
+    with pytest.raises(Exception, match="FAILFAST|Malformed|MALFORMED"):
+        spark.read.option("mode", "FAILFAST").schema(
+            "k long, v string"
+        ).json(str(p)).collect()
