@@ -382,3 +382,61 @@ def q68_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("vec_id", "label", "cluster", F.round("_sim", 4).alias("cos_sim"))
     )
+
+
+@register(
+    "q147_semantic_decontamination",
+    oracle=f"""
+    WITH eval_set AS (
+      SELECT vec_id AS eval_id, embedding AS ev FROM embeddings
+      WHERE vec_id % 25 = 0
+    ),
+    sims AS (
+      SELECT e.vec_id, eval_id, {cosine_sql('e.embedding', 'ev')} AS cs
+      FROM embeddings e, eval_set
+      WHERE e.vec_id % 25 <> 0
+    )
+    SELECT vec_id,
+           round(max(cs), 4) AS max_eval_sim,
+           CAST(sum(CASE WHEN cs >= 0.30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_close_eval,
+           (sum(CASE WHEN cs >= 0.30 THEN 1 ELSE 0 END) > 0) AS contaminated
+    FROM sims
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "decontamination", "training-pipeline"),
+)
+def q147_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination: flag training examples whose
+    embedding is too close to any held-out eval example — the
+    paraphrase-robust complement to q06's exact n-gram protocol (an
+    eval item rephrased shares no 5-grams but keeps high cosine).
+    Same deterministic eval membership as q06 (id-keyed predicate).
+
+    Scale shape: the eval set is benchmark-sized (thousands) against a
+    100 TB train side, so its vectors BROADCAST and the check is a
+    map-side crossJoin + per-row max — the train embeddings never
+    shuffle; the only exchange carries (vec_id, partial max/count).
+    For eval sets too big to broadcast, fall back to the sign-LSH
+    bucket equi-join (q87/q89) as the candidate filter. Threshold
+    compares raw float cosine identically in both engines (same IEEE
+    ops, same order); only the surfaced max is rounded."""
+    e = t(spark, sf_dir, "embeddings")
+    is_eval = F.col("vec_id") % 25 == 0
+    eval_set = e.where(is_eval).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev")
+    )
+    cs = cosine_col(F.col("embedding"), F.col("ev"))
+    return (
+        e.where(~is_eval)
+        .crossJoin(F.broadcast(eval_set))
+        .select("vec_id", cs.alias("cs"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.max("cs"), 4).alias("max_eval_sim"),
+            F.sum((F.col("cs") >= 0.30).cast("long")).alias("n_close_eval"),
+        )
+        .withColumn("contaminated", F.col("n_close_eval") > 0)
+        .orderBy("vec_id")
+    )
