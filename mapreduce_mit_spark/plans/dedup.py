@@ -143,12 +143,7 @@ def q81_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     group to pairs. At 100 TB the join key distributes uniformly (md5),
     so no skew; candidate volume is controlled by band/row tuning
     (12 hashes = 4 bands × 3 rows ⇒ ~jaccard>0.6 pairs surface)."""
-    sig = minhash_signatures(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*_band_key_cols())).alias("band_idx", "band_key"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = (_lsh_bands(spark, sf_dir).alias(x) for x in ("a", "b"))
     return (
         a.join(
             b,
@@ -159,6 +154,32 @@ def q81_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_key) — the LSH banding of the minhash
+    signatures, shared by q81 (counted pairs) and q148 (the pipeline)."""
+    return minhash_signatures(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(F.array(*_band_key_cols())).alias("band_idx", "band_key"),
+    )
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_a, doc_b) LSH candidate pairs over the FULL corpus
+    — the production candidate generator (one shuffle keyed by the
+    32-byte band hash; candidate volume O(docs × bands), never O(n²))."""
+    a, b = (_lsh_bands(spark, sf_dir).alias(x) for x in ("a", "b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
 
 
@@ -557,4 +578,141 @@ def q77_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.where(hamming <= 3)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def _lsh_bands_sql() -> str:
+    """q81's LSH banding as CTE text (sh/sig/bands) over the full corpus."""
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat(mh{b * BAND_SIZE}, mh{b * BAND_SIZE + 1}, mh{b * BAND_SIZE + 2})) AS band_key "
+        f"FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    sh AS (
+      SELECT doc_id, {shingles_sql()} AS shingles FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, {", ".join(minhash_sql_exprs("shingles", N_HASHES))} FROM sh
+    ),
+    bands AS (
+      {bands_union}
+    )"""
+
+
+@register(
+    "q148_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_lsh_bands_sql()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+    ctoks AS (
+      SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS token
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM cdocs)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ctoks GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+      FROM cand c
+        JOIN ctoks a ON a.doc_id = c.doc_a
+        JOIN ctoks b ON b.doc_id = c.doc_b AND b.token = a.token
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT s.doc_a, s.doc_b
+      FROM shared s
+        JOIN sizes sa ON sa.doc_id = s.doc_a
+        JOIN sizes sb ON sb.doc_id = s.doc_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node),
+    sized AS (
+      SELECT doc_id, cluster,
+             CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) - 1 AS n_removed
+      FROM comp
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, s.n_removed
+    FROM sized s JOIN documents d ON s.doc_id = d.doc_id
+    WHERE s.doc_id = s.cluster
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "clustering", "iterative", "training-pipeline", "end-to-end"),
+)
+def q148_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup chain, end-to-end over the FULL corpus:
+    MinHash-LSH candidates (q81's generator) → exact token-Jaccard
+    verification restricted to CANDIDATE PAIRS ONLY → connected
+    components → one survivor per cluster with its removed-dup count.
+
+    This is the scale path the scoped q82/q78/q79 probes stand in for:
+    no stage ever touches all O(n²) pairs — candidates are
+    band-bucketed, the verify join replicates each doc's token set once
+    per candidate pair it participates in (near-dup docs sit in O(1)
+    pairs), and the closure runs on the verified edge list only. The
+    analog of the reference's final merged artifact
+    (master_splitmerge.go:14-51): the table the next stage consumes."""
+    from ..operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    # cached: the candidate set feeds the doc filter AND the verify join;
+    # materialized once by connected_components' first round
+    cand = lsh_candidate_pairs(spark, sf_dir).persist()
+    cand_docs = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    toks = (
+        d.join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("token"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    shared = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    verified = (
+        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(
+        d.select("doc_id"), verified,
+        node_col="doc_id", src_col="doc_a", dst_col="doc_b",
+        shuffle_partitions=16,
+    )
+    cand.unpersist()
+    w = Window.partitionBy("label")
+    survivors = (
+        comp.withColumn("n_removed", F.count(F.lit(1)).over(w) - 1)
+        .where(F.col("node") == F.col("label"))
+        .select(F.col("node").alias("doc_id"), "n_removed")
+    )
+    return (
+        survivors.join(d, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars", "n_removed")
+        .orderBy("doc_id")
     )

@@ -37,7 +37,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.textfns import tokens_col, tokens_sql
 from ..registry import register
@@ -294,7 +293,16 @@ _SPANS_SQL = (
 
 def _span_share(d):
     """Shared core of q09/q145: per-doc (n_spans, n_shared) from the
-    single-tokenize pair pre-agg + span_hash doc-frequency window."""
+    single-tokenize pair pre-agg + span_hash doc-frequency agg/join.
+
+    The doc-frequency is deliberately a groupBy + join-back rather than
+    `count().over(Window.partitionBy("span_hash"))`: a window partition
+    must land every (span, doc) pair for one hash on ONE task, so a
+    boilerplate span shared by millions of docs ("all rights reserved…")
+    serializes the whole stage — and windows get no AQE skew handling.
+    The aggregate + equi-join shape keeps the partial count map-side
+    combinable and lets AQE's skew-join split a hot span_hash across
+    tasks."""
     pairs = (
         d.select(
             "doc_id",
@@ -305,10 +313,10 @@ def _span_share(d):
         .agg(F.count(F.lit(1)).alias("occ"))
     )
     # pairs are distinct per (span_hash, doc_id): the doc-frequency of a
-    # span is a plain count over its hash partition
-    n_docs = F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
+    # span is the row count of its hash group
+    freq = pairs.groupBy("span_hash").agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        pairs.withColumn("n_docs", n_docs)
+        pairs.join(freq, "span_hash")
         .groupBy("doc_id")
         .agg(
             F.sum("occ").alias("n_spans"),
@@ -356,11 +364,12 @@ def q09_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: tokenize ONCE — the span stream is first reduced to distinct
     (span_hash, doc_id) pairs with an occurrence count (map-side
     combinable, so duplicate spans within a partition collapse before
-    the shuffle), then the global doc-frequency is a count over a
-    span_hash window on those already-distinct pairs (no self-join, so
-    the corpus is never re-tokenized for the probe side), then one
-    doc_id agg. Every shuffled row is (32-byte hash, id, small int) —
-    the span text never moves after the map side."""
+    the shuffle), then the global doc-frequency is a groupBy on
+    span_hash joined back to the pairs (skew-safe: AQE can split a hot
+    span across tasks, which a window partition cannot — see
+    _span_share), then one doc_id agg. Every shuffled row is
+    (32-byte hash, id, small int) — the span text never moves after
+    the map side."""
     d = tw(spark, sf_dir, "documents")
     per_doc = _span_share(d)
     return (

@@ -282,6 +282,43 @@ def test_span_dedup_shuffles_on_hash_only(plan):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "hashpartitioning(span_hash" in p
     assert "hashpartitioning(span#" not in p  # raw span text never keys a shuffle
+    # skew posture: span doc-frequency must be an aggregate + equi-join
+    # (AQE skew-splittable), NEVER a Window over span_hash — a window
+    # partition pins every doc sharing one boilerplate span onto ONE task
+    assert "Window" not in p
+
+
+def test_span_dedup_survives_hot_span(spark, tmp_path):
+    """Injected skew: one boilerplate span shared by EVERY document.
+    The agg+join doc-frequency shape must still compute exact shared
+    counts; at scale AQE splits the hot span_hash across tasks, which
+    the old window-partition shape could not."""
+    from mapreduce_mit_spark.plans.quality import SPAN
+
+    def letters(i: int) -> str:  # digit-free token, survives the tokenizer
+        return "".join(chr(ord("a") + int(c)) for c in str(i))
+
+    n = 200
+    rows = [
+        # 2*SPAN letter tokens: one globally-hot span + one unique span
+        (i, "all rights reserved " + " ".join(f"x{letters(i)}{k}" for k in "abc"))
+        for i in range(n)
+    ]
+    assert SPAN == 3
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    from mapreduce_mit_spark import registry as _r
+
+    out = {
+        r["doc_id"]: r
+        for r in _r.REGISTRY["q09_span_dedup"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == n
+    for i in range(n):
+        assert out[i]["n_spans"] == 2, out[i]
+        assert out[i]["n_shared"] == 1, out[i]
+        assert out[i]["keep"] is True
 
 
 def test_json_roundtrip_writes_sharded(spark, tmp_path):
