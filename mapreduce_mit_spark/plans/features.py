@@ -435,65 +435,134 @@ def q137_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tables the ANALYZE pass profiles, with the column KINDS the oracle is
+# generated from (num → avg_num, str → avg_len, other → min/max only).
+# The Spark side derives everything from the LIVE DataFrame schema;
+# tests/test_plan_shapes.py::test_profile_schema_map_matches_live pins
+# this map against the live schema so drift is a test failure, not a
+# silent oracle mismatch.
+PROFILE_SCHEMA: dict[str, tuple[tuple[str, str], ...]] = {
+    "region": (("r_regionkey", "num"), ("r_name", "str")),
+    "nation": (("n_nationkey", "num"), ("n_name", "str"), ("n_regionkey", "num")),
+    "customer": (
+        ("c_custkey", "num"),
+        ("c_name", "str"),
+        ("c_nationkey", "num"),
+        ("c_acctbal", "num"),
+        ("c_mktsegment", "str"),
+    ),
+    "orders": (
+        ("o_orderkey", "num"),
+        ("o_custkey", "num"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "other"),
+        ("o_orderpriority", "str"),
+    ),
+}
+
+_NUM_DTYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def profile_kind(dtype: str) -> str | None:
+    """Map a Spark dtype string to a profile kind (None = skip)."""
+    base = dtype.split("(")[0]
+    if base in ("array", "map", "struct", "binary", "variant"):
+        return None
+    if base in _NUM_DTYPES or base == "decimal":
+        return "num"
+    if base == "string":
+        return "str"
+    return "other"
+
+
+def _profile_one(df: DataFrame, tbl: str) -> DataFrame:
+    """One table's full-schema profile, long format: derived from
+    ``df.dtypes`` — nothing hand-listed."""
+    aggs, cols = [], []
+    for c, dt in df.dtypes:
+        kind = profile_kind(dt)
+        if kind is None:  # composite payloads are not profiled
+            continue
+        null_d = F.max(F.lit(None).cast("double"))
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.count_distinct(F.col(c)).alias(f"{c}__d"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            (
+                F.round(F.avg(F.col(c).cast("double")), 4)
+                if kind == "num"
+                else null_d
+            ).alias(f"{c}__avgn"),
+            (
+                F.round(F.avg(F.length(c).cast("double")), 4)
+                if kind == "str"
+                else null_d
+            ).alias(f"{c}__avgl"),
+        ]
+        cols.append(c)
+    stack = ", ".join(
+        f"'{tbl}', '{c}', {c}__n, {c}__d, {c}__min, {c}__max, {c}__avgn, {c}__avgl"
+        for c in cols
+    )
+    return df.agg(*aggs).selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(tbl, col, n_filled, n_distinct, min_s, max_s, avg_num, avg_len)"
+    )
+
+
+def _profile_oracle() -> str:
+    selects = []
+    for tbl, cols in PROFILE_SCHEMA.items():
+        for c, kind in cols:
+            avg_num = (
+                f"round(avg(CAST({c} AS DOUBLE)), 4)"
+                if kind == "num"
+                else "CAST(NULL AS DOUBLE)"
+            )
+            avg_len = (
+                f"round(avg(CAST(length({c}) AS DOUBLE)), 4)"
+                if kind == "str"
+                else "CAST(NULL AS DOUBLE)"
+            )
+            selects.append(
+                f"SELECT '{tbl}' AS tbl, '{c}' AS col, count({c}) AS n_filled, "
+                f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+                f"CAST(min({c}) AS VARCHAR) AS min_s, "
+                f"CAST(max({c}) AS VARCHAR) AS max_s, "
+                f"{avg_num} AS avg_num, {avg_len} AS avg_len FROM {tbl}"
+            )
+    return " UNION ALL ".join(selects) + " ORDER BY tbl, col"
+
+
 @register(
     "q139_table_profile",
-    oracle="""
-    SELECT 'o_custkey' AS col, count(o_custkey) AS n_filled,
-           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
-           CAST(min(o_custkey) AS VARCHAR) AS min_s,
-           CAST(max(o_custkey) AS VARCHAR) AS max_s
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderpriority', count(o_orderpriority),
-           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
-           min(o_orderpriority), max(o_orderpriority)
-    FROM orders
-    UNION ALL
-    SELECT 'o_orderstatus', count(o_orderstatus),
-           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
-           min(o_orderstatus), max(o_orderstatus)
-    FROM orders
-    ORDER BY col
-    """,
+    oracle=_profile_oracle(),
     tags=("features", "profiling", "statistics"),
 )
 def q139_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style column profile (filled count, distinct count,
-    min/max as strings) in long format, one row per profiled column —
-    the statistics-collection pass planners and data-quality monitors
-    run over every table.
+    """ANALYZE-style profile of EVERY column of every profiled table,
+    driven by the live schema (``df.dtypes``), long format — the
+    statistics-collection pass planners and data-quality monitors run
+    over a lake. Per-kind stats: all columns get filled/distinct counts
+    and min/max (as strings, so heterogeneous types share one schema);
+    numeric columns add avg_num; string columns add avg length.
 
-    Scale shape: ONE scan feeding one aggregate with several
+    Scale shape: ONE scan per table feeding one aggregate with several
     count(DISTINCT) columns — Catalyst plans the multi-distinct via a
     single Expand (rows × #distinct-cols before partial agg), the
     honest exact shape; a 100 TB profile run would swap
     count_distinct → approx_count_distinct (HLL, q16's
-    falsifiable-sketch pattern) and drop the Expand entirely. min/max
-    surfaced as strings so heterogeneous column types share one
-    schema."""
-    o = t(spark, sf_dir, "orders")
-    prof = o.agg(
-        *[
-            f
-            for c in ("o_custkey", "o_orderpriority", "o_orderstatus")
-            for f in (
-                F.count(c).alias(f"{c}__n"),
-                F.count_distinct(F.col(c)).alias(f"{c}__d"),
-                F.min(c).cast("string").alias(f"{c}__min"),
-                F.max(c).cast("string").alias(f"{c}__max"),
-            )
-        ]
-    )
-    cols = ("o_custkey", "o_orderpriority", "o_orderstatus")
-    stack = ", ".join(
-        f"'{c}', {c}__n, {c}__d, {c}__min, {c}__max" for c in cols
-    )
-    return (
-        prof.selectExpr(
-            f"stack({len(cols)}, {stack}) AS (col, n_filled, n_distinct, min_s, max_s)"
-        )
-        .orderBy("col")
-    )
+    falsifiable-sketch pattern) and drop the Expand entirely. Tables
+    union AFTER their single-row aggregates, so the union is free."""
+    parts = [
+        _profile_one(t(spark, sf_dir, tbl), tbl) for tbl in PROFILE_SCHEMA
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("tbl", "col")
 
 
 @register(

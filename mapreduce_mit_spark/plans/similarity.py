@@ -93,54 +93,6 @@ def q85_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q86_nn_per_label",
-    oracle=f"""
-    WITH pairs AS (
-      SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id,
-             {cosine_sql('a.embedding', 'b.embedding')} AS sim
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id != b.vec_id
-      WHERE a.vec_id < 100
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_vec_id) AS rn
-      FROM pairs
-    )
-    SELECT vec_id, label, nn_vec_id, round(sim, 4) AS cos_sim
-    FROM ranked WHERE rn = 1
-    ORDER BY vec_id
-    """,
-    tags=("similarity", "blocked-knn"),
-)
-def q86_nn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest neighbor within each label block (vec_id < 100 probe set).
-
-    The label is the coarse quantizer of an IVF index: the equi-join on
-    label bounds comparisons to one block instead of all pairs. At
-    100 TB, labels become learned centroid assignments; the plan shape
-    (equi-join + per-key top-1 window) is unchanged."""
-    e = t(spark, sf_dir, "embeddings")
-    a = e.where(F.col("vec_id") < 100).alias("a")
-    b = e.alias("b")
-    sim = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
-    pairs = a.join(
-        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") != F.col("b.vec_id"))
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("a.label").alias("label"),
-        F.col("b.vec_id").alias("nn_vec_id"),
-        sim.alias("sim"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "nn_vec_id")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "nn_vec_id", F.round("sim", 4).alias("cos_sim"))
-        .orderBy("vec_id")
-    )
-
-
 def _hyperplanes() -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1]^DIM, derived
     from md5(plane,dim) — pure function, embedded as literals in BOTH
@@ -185,6 +137,102 @@ def _bucket_sql(emb: str, n_planes: int = N_PLANES) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+BLOCK_CAP = 128  # rows per block before the quadratic is sub-bucketed
+N_SUB_PLANES = 2  # 4 sub-buckets — quarters an oversized block
+
+
+def blocked_embeddings(e: DataFrame) -> DataFrame:
+    """Embeddings + a bounded blocking key: (label, sub).
+
+    The label-blocked quadratic (q86/q88) is O(Σ block²) — fine until
+    one skewed label holds a large share of the table, when its block
+    alone reverts to ~O(n²). Bound it: labels whose population exceeds
+    ``BLOCK_CAP`` are refined with a 2-plane sign-LSH sub-bucket (the
+    q87 hyperplanes — deterministic, oracle-reproducible), splitting
+    the hot block ~4-way; small labels keep sub = 0, so results below
+    the cap are bit-identical to the uncapped query. Recursing on
+    still-hot sub-blocks adds planes — same shape. The per-label count
+    is a broadcast aggregate (10s–1000s of labels), never a shuffle of
+    the vectors."""
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
+    sub = (
+        F.when(
+            F.col("_n") > BLOCK_CAP, _bucket_col(F.col("embedding"), N_SUB_PLANES)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return e.join(F.broadcast(counts), "label").withColumn("sub", sub).drop("_n")
+
+
+def _blocked_sql() -> str:
+    """DuckDB CTE text (counts/blocked) mirroring blocked_embeddings."""
+    return f"""
+    counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    blocked AS (
+      SELECT e.vec_id, e.label, e.embedding,
+             CAST(CASE WHEN c.n > {BLOCK_CAP}
+                  THEN {_bucket_sql('e.embedding', N_SUB_PLANES)}
+                  ELSE 0 END AS BIGINT) AS sub
+      FROM embeddings e JOIN counts c ON e.label = c.label
+    )"""
+
+
+@register(
+    "q86_nn_per_label",
+    oracle=f"""
+    WITH {_blocked_sql()},
+    pairs AS (
+      SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id,
+             {cosine_sql('a.embedding', 'b.embedding')} AS sim
+      FROM blocked a JOIN blocked b
+        ON a.label = b.label AND a.sub = b.sub AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 100
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_vec_id) AS rn
+      FROM pairs
+    )
+    SELECT vec_id, label, nn_vec_id, round(sim, 4) AS cos_sim
+    FROM ranked WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "blocked-knn"),
+)
+def q86_nn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbor within each label block (vec_id < 100 probe set).
+
+    The label is the coarse quantizer of an IVF index: the equi-join on
+    label bounds comparisons to one block instead of all pairs. At
+    100 TB, labels become learned centroid assignments; the plan shape
+    (equi-join + per-key top-1 window) is unchanged. Oversized labels
+    are sub-bucketed by sign-LSH (``blocked_embeddings``) so one skewed
+    label can never revert the join to all-pairs."""
+    e = t(spark, sf_dir, "embeddings")
+    blocked = blocked_embeddings(e)
+    a = blocked.where(F.col("vec_id") < 100).alias("a")
+    b = blocked.alias("b")
+    sim = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.sub") == F.col("b.sub"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.label").alias("label"),
+        F.col("b.vec_id").alias("nn_vec_id"),
+        sim.alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "nn_vec_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "nn_vec_id", F.round("sim", 4).alias("cos_sim"))
+        .orderBy("vec_id")
+    )
+
+
 @register(
     "q87_lsh_buckets",
     oracle=f"""
@@ -215,10 +263,11 @@ def q87_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q88_embedding_near_dup",
     oracle=f"""
+    WITH {_blocked_sql()}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            round({cosine_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM blocked a JOIN blocked b
+      ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
     WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.35
     ORDER BY vec_a, vec_b
     """,
@@ -227,12 +276,22 @@ def q87_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q88_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within label blocks
     (threshold 0.35 — the corpus has no true dups; the operator and its
-    blocked-join shape are what's under test)."""
+    blocked-join shape are what's under test). Blocks are capped via
+    ``blocked_embeddings``: an oversized label is sub-bucketed by
+    sign-LSH, trading a sliver of cross-bucket recall for a hard bound
+    on the quadratic (near-dups have cosine ≈ 1, so they land in the
+    same sub-bucket with high probability)."""
     e = t(spark, sf_dir, "embeddings")
-    a, b = e.alias("a"), e.alias("b")
+    blocked = blocked_embeddings(e)
+    a, b = blocked.alias("a"), blocked.alias("b")
     sim = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -245,34 +304,79 @@ def q88_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-probe spread: the query's own bucket plus its 4 hamming-1
+# neighbors (5/16 of the table in expectation with 4 planes). Measured
+# recall@5 vs the exact scan: 0.4 at sf0.001/0.01/0.1 — the in-band
+# audit below makes that number part of the query result, q16/q102
+# style, so a recall regression is a correctness FAIL, not a guess.
+_PROBE_XORS = (0, 1, 2, 4, 8)
+Q89_RECALL_TARGET = 0.2
+ANN_K = 5
+
+
+def _exact_topk_sql(k: int) -> str:
+    """CTE text: the exact top-k neighbor ids (the q85 scan at k)."""
+    return f"""
+    exact AS (
+      SELECT vec_id FROM embeddings, (SELECT embedding AS xqv FROM embeddings
+                                      WHERE vec_id = {QUERY_VEC_ID})
+      WHERE vec_id != {QUERY_VEC_ID}
+      ORDER BY {cosine_sql('embedding', 'xqv')} DESC, vec_id
+      LIMIT {k}
+    )"""
+
+
 @register(
     "q89_ann_probe",
     oracle=f"""
     WITH b AS (
       SELECT vec_id, label, embedding,
-             {{bucket}} AS bucket
+             {_bucket_sql("embedding", 4)} AS bucket
       FROM embeddings
     ),
-    q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID})
-    SELECT vec_id, label, bucket,
-           round({cosine_sql('embedding', 'qv')}, 4) AS cos_sim
-    FROM b, q
-    WHERE b.bucket = q.qbucket AND vec_id != {QUERY_VEC_ID}
-    ORDER BY {cosine_sql('embedding', 'qv')} DESC, vec_id
-    LIMIT 5
-    """.format(bucket=_bucket_sql("embedding", 4)),
+    q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID}),
+    probes AS (
+      SELECT qv, xor(qbucket, v) AS pbucket
+      FROM q, (SELECT unnest([{", ".join(str(v) for v in _PROBE_XORS)}]) AS v)
+    ),
+    hits AS (
+      SELECT vec_id, label, bucket, {cosine_sql('embedding', 'qv')} AS cs
+      FROM b JOIN probes ON b.bucket = probes.pbucket
+      WHERE vec_id != {QUERY_VEC_ID}
+      ORDER BY cs DESC, vec_id
+      LIMIT {ANN_K}
+    ),
+    {_exact_topk_sql(ANN_K)},
+    marked AS (
+      SELECT h.vec_id, h.label, h.bucket, h.cs,
+             (e.vec_id IS NOT NULL) AS in_exact_topk
+      FROM hits h LEFT JOIN exact e ON h.vec_id = e.vec_id
+    ),
+    rec AS (
+      SELECT CAST(sum(CASE WHEN in_exact_topk THEN 1 ELSE 0 END) AS DOUBLE)
+               / {ANN_K} AS recall_at_k
+      FROM marked
+    )
+    SELECT vec_id, label, bucket, round(cs, 4) AS cos_sim, in_exact_topk,
+           recall_at_k, (recall_at_k >= {Q89_RECALL_TARGET}) AS recall_ok
+    FROM marked, rec
+    ORDER BY cs DESC, vec_id
+    """,
     tags=("similarity", "ann", "lsh"),
 )
 def q89_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-probed ANN search — the scale path end-to-end.
+    """LSH-probed ANN search — the scale path end-to-end, with its
+    recall measured IN-BAND against the exact scan.
 
-    The query vector hashes to its sign-LSH bucket; only that bucket's
-    vectors (1/256th of the table in expectation) are scored, then
-    top-5 by cosine. Contrast with q85's exact linear scan: at 100 TB
-    the bucket equi-join prunes the candidate set before any vector
-    math runs, and recall is tuned by probing hamming-neighbor buckets.
-    The 1-row query side is broadcast — the embeddings table never
-    shuffles."""
+    The query vector hashes to its sign-LSH bucket; the probe scores
+    that bucket plus its hamming-1 neighbors (a broadcast equi-join on
+    the bucket id — the embeddings table never shuffles), then top-5 by
+    cosine. Each result row carries whether it appears in the exact
+    top-5 (q85's scan at k=5), plus the probe's recall@5 and a
+    recall_ok contract bit — the q16/q102 discipline: the approximation
+    ships with the evidence that would falsify it. The audit side is a
+    second linear scan; at 100 TB you run it on a sampled query set,
+    not per query — the contract shape is what's pinned here."""
     e = t(spark, sf_dir, "embeddings")
     # 4 planes -> 16 coarse buckets: the probe set stays large enough to
     # rank meaningfully at test SFs; production tunes planes to data size.
@@ -283,19 +387,63 @@ def q89_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.where(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"))
     )
+    probes = q.select(
+        "qv",
+        F.explode(
+            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(v)) for v in _PROBE_XORS])
+        ).alias("pbucket"),
+    )
     sim = cosine_col(F.col("embedding"), F.col("qv"))
-    return (
+    hits = (
         b.where(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
         .select("vec_id", "label", "bucket", sim.alias("_sim"))
         .orderBy(F.col("_sim").desc(), "vec_id")
-        .limit(5)
-        .select("vec_id", "label", "bucket", F.round("_sim", 4).alias("cos_sim"))
+        .limit(ANN_K)
+    )
+    marked = _mark_exact_topk(hits, b, ANN_K)
+    return _with_recall(marked, ANN_K, Q89_RECALL_TARGET).select(
+        "vec_id", "label", "bucket", F.round("_sim", 4).alias("cos_sim"),
+        "in_exact_topk", "recall_at_k", "recall_ok",
+    )
+
+
+def _mark_exact_topk(hits: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Left-mark each hit row with membership in the exact top-k
+    (the q85 brute-force scan at k) — the audit side of the ANN
+    contract. ``b`` must carry (vec_id, embedding)."""
+    q = b.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("xqv"))
+    es = cosine_col(F.col("embedding"), F.col("xqv"))
+    exact = (
+        b.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", es.alias("_es"))
+        .orderBy(F.col("_es").desc(), "vec_id")
+        .limit(k)
+        .select("vec_id", F.lit(True).alias("in_exact_topk"))
+    )
+    return hits.join(F.broadcast(exact), "vec_id", "left").withColumn(
+        "in_exact_topk", F.coalesce("in_exact_topk", F.lit(False))
+    )
+
+
+def _with_recall(marked: DataFrame, k: int, target: float) -> DataFrame:
+    """Attach the constant recall@k column (hit-count / k, exact in
+    both engines) and its contract bit, preserving score order."""
+    rec = marked.agg(
+        (F.sum(F.col("in_exact_topk").cast("long")).cast("double") / F.lit(float(k)))
+        .alias("recall_at_k")
+    )
+    return (
+        marked.crossJoin(F.broadcast(rec))
+        .withColumn("recall_ok", F.col("recall_at_k") >= target)
+        .orderBy(F.col("_sim").desc(), "vec_id")
     )
 
 
 N_IVF_CENTROIDS = 8
 N_PROBE = 2
+Q68_RECALL_TARGET = 0.8
 
 
 @register(
@@ -321,13 +469,30 @@ N_PROBE = 2
       SELECT cid FROM sims WHERE vec_id = {QUERY_VEC_ID}
       ORDER BY sim DESC, cid LIMIT {N_PROBE}
     ),
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
-    SELECT a.vec_id, a.label, a.cluster,
-           round({cosine_sql('a.embedding', 'qv')}, 4) AS cos_sim
-    FROM assign a JOIN probe p ON a.cluster = p.cid, q
-    WHERE a.vec_id != {QUERY_VEC_ID}
-    ORDER BY {cosine_sql('a.embedding', 'qv')} DESC, a.vec_id
-    LIMIT 5
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    hits AS (
+      SELECT a.vec_id, a.label, a.cluster,
+             {cosine_sql('a.embedding', 'qv')} AS cs
+      FROM assign a JOIN probe p ON a.cluster = p.cid, q
+      WHERE a.vec_id != {QUERY_VEC_ID}
+      ORDER BY cs DESC, a.vec_id
+      LIMIT {ANN_K}
+    ),
+    {_exact_topk_sql(ANN_K)},
+    marked AS (
+      SELECT h.vec_id, h.label, h.cluster, h.cs,
+             (e.vec_id IS NOT NULL) AS in_exact_topk
+      FROM hits h LEFT JOIN exact e ON h.vec_id = e.vec_id
+    ),
+    rec AS (
+      SELECT CAST(sum(CASE WHEN in_exact_topk THEN 1 ELSE 0 END) AS DOUBLE)
+               / {ANN_K} AS recall_at_k
+      FROM marked
+    )
+    SELECT vec_id, label, cluster, round(cs, 4) AS cos_sim, in_exact_topk,
+           recall_at_k, (recall_at_k >= {Q68_RECALL_TARGET}) AS recall_ok
+    FROM marked, rec
+    ORDER BY cs DESC, vec_id
     """,
     tags=("similarity", "ivf", "ann"),
 )
@@ -373,14 +538,18 @@ def q68_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
     qsim = cosine_col(F.col("embedding"), F.col("qv"))
-    return (
+    hits = (
         assign.join(F.broadcast(probe), assign.cluster == F.col("cid"))
         .where(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .select("vec_id", "label", "cluster", qsim.alias("_sim"))
         .orderBy(F.col("_sim").desc(), "vec_id")
-        .limit(5)
-        .select("vec_id", "label", "cluster", F.round("_sim", 4).alias("cos_sim"))
+        .limit(ANN_K)
+    )
+    marked = _mark_exact_topk(hits, e, ANN_K)
+    return _with_recall(marked, ANN_K, Q68_RECALL_TARGET).select(
+        "vec_id", "label", "cluster", F.round("_sim", 4).alias("cos_sim"),
+        "in_exact_topk", "recall_at_k", "recall_ok",
     )
 
 

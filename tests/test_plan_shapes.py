@@ -461,6 +461,58 @@ def test_lateral_decorrelates_to_window(plan):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_blocked_knn_joins_on_capped_block_key(plan):
+    """q86/q88: the pairwise join must key on (label, sub) — the
+    sub-bucket refinement that bounds a skewed label's quadratic — and
+    the per-label population join must broadcast (label cardinality,
+    never the vectors). Nothing may degenerate to a nested loop."""
+    for name in ("q86_nn_per_label", "q88_embedding_near_dup"):
+        p = plan(name)
+        assert "sub#" in p, f"{name}: pairwise join lost the sub-bucket key"
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_oversized_label_block_is_subbucketed(spark):
+    """Injected skew: one label holding BLOCK_CAP×4+ vectors must split
+    into 4 sign-LSH sub-blocks (each far below the original size), while
+    an under-cap label keeps the single sub = 0 block — so q86/q88's
+    per-block pair count stays bounded under label skew."""
+    import numpy as np
+
+    from mapreduce_mit_spark.plans.similarity import BLOCK_CAP, blocked_embeddings
+
+    rng = np.random.RandomState(7)
+    n_hot = BLOCK_CAP * 4 + 88
+    rows = [(i, "hot", [float(x) for x in rng.randn(64)]) for i in range(n_hot)]
+    rows += [(10_000 + i, "cold", [float(x) for x in rng.randn(64)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id int, label string, embedding array<float>")
+    blocks = blocked_embeddings(df).groupBy("label", "sub").count().collect()
+    cold = [r for r in blocks if r["label"] == "cold"]
+    hot = [r for r in blocks if r["label"] == "hot"]
+    assert len(cold) == 1 and cold[0]["sub"] == 0  # under the cap: untouched
+    assert len(hot) == 4  # 2 planes -> 4 sub-buckets
+    assert max(r["count"] for r in hot) < n_hot / 2  # the quadratic is bounded
+
+
+def test_profile_schema_map_matches_live(spark):
+    """q139's oracle is generated from PROFILE_SCHEMA while the Spark
+    side derives from the live DataFrame schema; this pins the static
+    map to the live tables so schema drift fails here, not as a silent
+    oracle mismatch in the driver."""
+    from mapreduce_mit_spark.plans.features import PROFILE_SCHEMA, profile_kind
+    from mapreduce_mit_spark.sources.io import load_table
+
+    for tbl, expected in PROFILE_SCHEMA.items():
+        live = tuple(
+            (c, profile_kind(dt))
+            for c, dt in load_table(spark, SF_SMALL, tbl).dtypes
+            if profile_kind(dt) is not None
+        )
+        assert live == expected, f"{tbl}: live {live} != map {expected}"
+
+
 def test_cdc_upsert_no_nested_loop(plan):
     """q133: both sides reduce via row_number windows on user_id and the
     merge is an equi full-outer join — no nested loop anywhere."""
