@@ -340,9 +340,11 @@ def q138_wholefile_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     (repartition by lang + partitionBy sink — the whole-file layout),
     the custom source reads each file as one (path, content) row in its
     own partition, and per-lang doc/char counts are recomputed from the
-    raw bytes: n_docs = newline count, n_chars = content length
-    (each doc contributes len(text)+1 — texts contain no newlines,
-    which the writer asserts by construction here).
+    raw bytes: n_docs = newline count, n_chars = content length (each
+    doc contributes len(text)+1). That arithmetic is only sound if no
+    TEXT contains a newline, so the writer enforces it: a raise_error
+    guard in the export projection fails the write on the first
+    newline-bearing document instead of silently inflating n_docs.
 
     Scale posture: planning lists files driver-side only; each file is
     one task (the reference's exact parallelism model); a production
@@ -352,8 +354,17 @@ def q138_wholefile_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     loc = os.path.join(_scratch("wholefile"), "docs_by_lang")
+    # newline-free contract, enforced at write time (see docstring)
+    guarded = F.when(F.instr("text", "\n") == 0, F.col("text")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q138: newline inside document text, doc_id="),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
     (
-        d.select("lang", F.col("text").alias("value"))
+        d.select("lang", guarded.alias("value"))
         .repartition("lang")
         .write.mode("overwrite")
         .partitionBy("lang")

@@ -2028,7 +2028,7 @@ def q118_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s_suppkey, s_name, value_cents / 100.0 AS ship_value
     FROM sv
-    WHERE value_cents > (SELECT CAST(sum({_REV_CENTS_SQL}) AS BIGINT) FROM lineitem)
+    WHERE value_cents > (SELECT CAST(sum(value_cents) AS BIGINT) FROM sv)
                         * 1.05 / (SELECT count(*) FROM supplier)
     ORDER BY value_cents DESC, s_suppkey
     """,

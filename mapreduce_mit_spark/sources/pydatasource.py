@@ -66,10 +66,8 @@ class WholeFileTextReader(DataSourceReader):
 
 
 def register_wholefile_source(spark: SparkSession) -> None:
-    """Idempotently register the source with this session."""
-    try:
-        spark.dataSource.register(WholeFileTextDataSource)
-    except Exception:
-        # already registered in this session — the API offers no lookup,
-        # and re-registration is the only failure mode here
-        pass
+    """Register the source with this session (idempotent by API
+    contract: re-registering the same name simply replaces the entry,
+    verified on PySpark 4.1 — so genuine failures like a missing
+    DataSource API must propagate, never be swallowed)."""
+    spark.dataSource.register(WholeFileTextDataSource)

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..plans._util import money_sum as _total_value
@@ -88,6 +89,25 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, link)
     schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
     return normalize_ns_timestamps(spark.readStream.schema(schema).parquet(stage))
+
+
+def _final_updates(spark: SparkSession, name: str, seq_col: str = "n_events") -> DataFrame:
+    """Reduce an update-mode memory sink to the FINAL update per user.
+
+    A memory sink in update mode APPENDS each micro-batch's rows rather
+    than upserting, so any multi-batch drain (e.g. a maxFilesPerTrigger
+    source change splitting the availableNow run) would leave stale
+    per-user running-total rows alongside the final ones. The per-user
+    accumulators are strictly monotone in ``seq_col`` (event counts only
+    grow), so the final state row is exactly the per-user seq-max row —
+    selected here instead of trusting the single-batch assumption."""
+    w = Window.partitionBy("user_id").orderBy(F.col(seq_col).desc())
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
@@ -398,7 +418,7 @@ def q93_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     _run_to_table(updates, "q93_sink", "update")
-    return spark.table("q93_sink").orderBy("user_id")
+    return _final_updates(spark, "q93_sink").orderBy("user_id")
 
 
 @register(
@@ -802,7 +822,7 @@ def q134_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
         _run_to_table(updates, "q134_sink", "update")
-    return spark.table("q134_sink").orderBy("user_id")
+    return _final_updates(spark, "q134_sink").orderBy("user_id")
 
 
 def _user_stats_group_state(

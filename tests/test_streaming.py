@@ -333,3 +333,26 @@ def test_transform_with_state_end_to_end_when_runtime_present(spark):
     registry.load_all_plans()
     df = registry.REGISTRY["q134_stream_transform_with_state"].fn(spark, SF_SMALL)
     assert df.count() > 0
+
+
+def test_final_updates_keeps_only_last_row_per_user(spark):
+    """The update-mode memory sink APPENDS each micro-batch's rows; a
+    multi-batch drain leaves stale running totals. _final_updates must
+    reduce the sink to the per-user row with the max event count (the
+    accumulator is strictly monotone), matching what a true upsert sink
+    would have stored."""
+    from mapreduce_mit_spark.streaming.stream_queries import _final_updates
+
+    rows = [  # user 1 was updated across two micro-batches
+        (1, 2, 5.0),
+        (1, 4, 9.0),
+        (2, 1, 1.0),
+    ]
+    spark.createDataFrame(
+        rows, "user_id int, n_events int, total_value double"
+    ).createOrReplaceTempView("fake_update_sink")
+    out = _final_updates(spark, "fake_update_sink").collect()
+    assert {(r.user_id, r.n_events, r.total_value) for r in out} == {
+        (1, 4, 9.0),
+        (2, 1, 1.0),
+    }

@@ -6,7 +6,13 @@ compares row count, column names, and order-insensitive values
 in spirit than the driver's value hash, so passing here predicts
 passing there).
 
-Usage: python tools/verify_local.py [--bare] [--types] [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--bare] [--types] [--summary PATH]
+       [sf_dir] [query ...]
+
+``--summary PATH`` additionally writes a machine-readable JSON artifact
+(per-query status/rows/seconds + per-tag-family pass counts). Committed
+once per round (VERIFY_SUMMARY_r{N}.json) so the driver-unsampled
+queries carry in-repo verification evidence, not just prose.
 
 ``--bare`` runs on a default SparkSession with NONE of our session
 factory's confs — replicating the driver's environment (the r1 q28
@@ -116,6 +122,11 @@ def main() -> int:
     argv = sys.argv[1:]
     bare = "--bare" in argv
     types = "--types" in argv
+    summary_path = None
+    if "--summary" in argv:
+        i = argv.index("--summary")
+        summary_path = argv[i + 1]
+        del argv[i : i + 2]
     argv = [a for a in argv if a not in ("--bare", "--types")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -132,6 +143,16 @@ def main() -> int:
         spark = get_spark("verify_local")
     con = duck_con(sf_dir)
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name: str, status: str, rows: int, t0: float, why: str = "") -> None:
+        results[name] = {
+            "status": status,
+            "rows": rows,
+            "secs": round(time.time() - t0, 2),
+            **({"why": why[:300]} if why else {}),
+        }
+
     for name, q in sorted(registry.REGISTRY.items()):
         if only and name not in only:
             continue
@@ -143,9 +164,11 @@ def main() -> int:
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception:
             failures.append(name)
+            record(name, "FAIL", -1, t0, "spark error")
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             continue
         if q.oracle is None:
+            record(name, "rows-only", len(spark_rows), t0)
             print(f"rows  {name}: {len(spark_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
@@ -154,17 +177,21 @@ def main() -> int:
             duck_rows = rel.fetchall()
         except Exception:
             failures.append(name)
+            record(name, "FAIL", len(spark_rows), t0, "duckdb error")
             print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
             continue
         if sorted(spark_cols) != sorted(duck_cols):
             failures.append(name)
-            print(f"FAIL  {name}: columns {sorted(spark_cols)} vs {sorted(duck_cols)}")
+            why = f"columns {sorted(spark_cols)} vs {sorted(duck_cols)}"
+            record(name, "FAIL", len(spark_rows), t0, why)
+            print(f"FAIL  {name}: {why}")
             continue
         if types:
             probs = type_mismatches(spark_schema, duck_cols, list(rel.types))
             probs += cell_type_mismatches(spark_rows, spark_cols, duck_rows, duck_cols)
             if probs:
                 failures.append(name)
+                record(name, "FAIL", len(spark_rows), t0, f"type contract: {probs}")
                 print(f"FAIL  {name}: type contract: {probs}")
                 continue
         ok, why = approx_equal(canon(spark_rows, spark_cols), canon(duck_rows, duck_cols))
@@ -173,10 +200,39 @@ def main() -> int:
         )
         if ok:
             tag = "OK   " if exact else "OK~  "
+            record(name, "OK" if exact else "OK~", len(spark_rows), t0)
             print(f"{tag} {name}: {len(spark_rows)} rows [{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
+            record(name, "FAIL", len(spark_rows), t0, why)
             print(f"FAIL  {name}: {why}")
+
+    if summary_path:
+        import json
+
+        families: dict[str, dict[str, int]] = {}
+        for name, r in results.items():
+            for tag in registry.REGISTRY[name].tags or ("untagged",):
+                fam = families.setdefault(tag, {"pass": 0, "total": 0})
+                fam["total"] += 1
+                fam["pass"] += r["status"] != "FAIL"
+        summary = {
+            "sf_dir": sf_dir,
+            "bare": bare,
+            "types": types,
+            "total": len(results),
+            "oracle_checked": sum(
+                r["status"] in ("OK", "OK~") for r in results.values()
+            ),
+            "rows_only": sum(r["status"] == "rows-only" for r in results.values()),
+            "failures": sorted(failures),
+            "families": dict(sorted(families.items())),
+            "queries": results,
+        }
+        with open(summary_path, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=False)
+        print(f"summary written: {summary_path}")
+
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
