@@ -469,7 +469,7 @@ def q145_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs between crawl and tokenizer.
 
     Composition: the span stage is q09's shared core (_span_share —
-    tokenize-once pair pre-agg + doc-frequency window); the quality
+    tokenize-once pair pre-agg + skew-safe doc-frequency agg/join); the quality
     stage is q63's HALF_UP integer arithmetic (no float ratios cross
     engines); the funnel is one conditional-count aggregate. Scale
     shape: one corpus tokenize feeding the span shuffle, one pure-map
@@ -528,4 +528,71 @@ def q145_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             cnt("kept"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "q149_unigram_logprob",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS c FROM occ GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM freq),
+    scored AS (
+      SELECT o.doc_id, ln(f.c / t.total) AS lp
+      FROM occ o JOIN freq f ON o.token = f.token, tot t
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 4) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+           p.avg_logprob,
+           (coalesce(p.avg_logprob, -100) >= -8.5) AS keep
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("quality", "language-model", "training-pipeline"),
+)
+def q149_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM fluency filter: score each document by the mean
+    log-probability of its tokens under the corpus's own unigram model
+    (the cheap stand-in for the KenLM-perplexity gate production
+    pipelines run; gibberish and boilerplate-stuffed docs score low).
+
+    Scale shape: the model IS a DataFrame — one (token, count)
+    aggregate over the corpus (map-side combinable); the normalizing
+    total is a broadcast 1-row aggregate, never a driver ``.count()``.
+    Scoring joins occurrences to the frequency table on token — an
+    equi-join AQE can skew-split when a stopword dominates (same
+    posture as q09's doc-frequency join; a window over token would
+    serialize on "the"). Per-doc reduction is one doc_id aggregate.
+    At 100 TB you'd trim the model to top-V tokens with a floor
+    probability for the tail — the plan shape is unchanged. The mean
+    log-prob is rounded to 4 decimals in both engines (the q63 float
+    discipline); the keep gate compares the ROUNDED score so the
+    boolean is cross-engine stable."""
+    d = tw(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    freq = occ.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("total"))
+    scored = occ.join(freq, "token").crossJoin(F.broadcast(tot)).select(
+        "doc_id", F.log(F.col("c") / F.col("total")).alias("lp")
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "avg_logprob",
+            (F.coalesce("avg_logprob", F.lit(-100.0)) >= -8.5).alias("keep"),
+        )
+        .orderBy("doc_id")
     )
