@@ -80,6 +80,7 @@ HEADLINE = [
     "q73_stream_stream_join",
     "q80_exact_dedup",
     "q81_minhash_lsh",
+    "q149_unigram_logprob",
     "q145_corpus_curation",
     "q83_simhash",
     "q84_edit_distance",

@@ -458,3 +458,31 @@ def test_json_source_corrupt_record_handling(spark, tmp_path):
         spark.read.option("mode", "FAILFAST").schema(
             "k long, v string"
         ).json(str(p)).collect()
+
+
+def test_dedup_pipeline_end_to_end_removes_cluster(spark, dup_docs, tmp_path):
+    """q148 on an injected corpus: {exact dup, one-word near-dup} of doc
+    0 must collapse into one cluster — LSH surfaces the pairs, Jaccard
+    confirms them, the closure groups all three, and the survivor table
+    keeps doc 0 with n_removed=2 while the unrelated docs pass through
+    untouched."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    (
+        dup_docs.select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("test").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    )
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["q148_dedup_pipeline"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {0, 3, 4}
+    assert out[0].n_removed == 2
+    assert out[3].n_removed == 0 and out[4].n_removed == 0
