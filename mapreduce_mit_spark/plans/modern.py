@@ -2,12 +2,13 @@
 
 The reference's whole programming model is user-supplied functions
 (mapF/reduceF — /root/reference/src/mapreduce/master.go:55-58). The
-engine already covers UDF (pandas/Arrow, operators/multimodal.py) and
-UDAF (applyInPandas / applyInPandasWithState, streaming); this module
-completes the triple with a REAL Python UDTF (table function, lateral
-join) — the exact flatMap shape of the reference's mapF (one input row
-→ N output rows, common_map.go:61) surfaced through Spark 4's
-first-class UDTF API rather than an explode(udf()) workaround.
+engine covers UDF (pandas/Arrow, operators/multimodal.py), UDAF
+(GROUPED_AGG pandas UDAF q150, batch applyInPandas q151, streaming
+applyInPandasWithState q93), and completes the triple with a REAL
+Python UDTF (table function, lateral join) — the exact flatMap shape
+of the reference's mapF (one input row → N output rows,
+common_map.go:61) surfaced through Spark 4's first-class UDTF API
+rather than an explode(udf()) workaround.
 
 Also here: VARIANT (Spark 4's semi-structured type — the right 100 TB
 answer for the ``events.props`` JSON column: parse once, store binary
@@ -240,3 +241,149 @@ def q141_arrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInArrow(normalize, "vec_id long, dim long, l2_norm double")
         .orderBy("vec_id")
     )
+
+
+@register(
+    "q150_pandas_udaf_trimmed_mean",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY c, event_id) AS rn,
+             count(*)     OVER (PARTITION BY event_type) AS n
+      FROM v
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(c) FILTER (WHERE rn > n // 10 AND rn <= n - n // 10)
+                 / 100.0, 4) AS trimmed_mean_value
+    FROM r
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("udaf", "pandas", "python", "robust-stats"),
+)
+def q150_pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True vectorized UDAF (GROUPED_AGG ``pandas_udf``): per event
+    type, the 10%-trimmed mean of event values — the robust-stats
+    aggregate Spark has no builtin for, computed over each group's
+    Arrow-shipped column in one pass. Completes the user-aggregate
+    surface next to applyInPandasWithState (streaming, q93) and the
+    RDD-compat reduceF (operators/mapreduce.py).
+
+    Cross-engine exactness: values become integer cents BEFORE any
+    arithmetic; the trim boundary sorts on (cents, event_id) so ties
+    are deterministic; every partial sum of the trimmed window stays
+    under 2^53, so pandas' and DuckDB's accumulation orders cannot
+    diverge; the single rounding happens JVM-side (F.round, HALF_UP —
+    matching DuckDB, avoiding Python's banker's rounding).
+
+    Scale shape: one hash shuffle on event_type feeding the grouped
+    aggregate; each group streams to Python as Arrow batches. A
+    skew-prone key set would pre-aggregate per (key, salt) and merge —
+    the UDAF itself is the pattern's leaf."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType
+
+    e = t(spark, sf_dir, "events")
+
+    # explicit eval type: this module's `from __future__ import
+    # annotations` stringifies type hints, which defeats signature
+    # inference for pandas UDFs
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(value, event_id):
+        df = pd.DataFrame(
+            {"c": (value * 100).round().astype("int64"), "e": event_id}
+        ).sort_values(["c", "e"])
+        n = len(df)
+        k = n // 10
+        return float(df["c"].iloc[k : n - k].mean()) / 100.0
+
+    # Catalyst refuses to mix a GROUPED_AGG pandas UDF with JVM
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count rides the same Arrow transfer as a second pandas UDAF
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(event_id):
+        return len(event_id)
+
+    return (
+        e.groupBy("event_type")
+        .agg(
+            n_rows("event_id").alias("n_events"),
+            F.round(trimmed_mean("value", "event_id"), 4).alias(
+                "trimmed_mean_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q151_grouped_map_drawdown",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, c,
+             max(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS rm
+      FROM v
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(rm - c) AS BIGINT) / 100.0 AS max_drawdown
+    FROM r
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("udaf", "pandas", "grouped-map", "python"),
+)
+def q151_grouped_map_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch grouped-map (``applyInPandas``): per-user maximum drawdown
+    of the event-value series (largest drop from a running peak, in
+    exact integer cents) — the canonical sequential-per-group
+    computation, here surfacing the one Python batch surface the
+    catalog hadn't pinned (groupBy().applyInPandas on a static frame;
+    its streaming sibling is q93, its map-side sibling q97-q99).
+
+    This particular statistic IS window-expressible (the oracle proves
+    it with a running max + aggregate), and at 100 TB you would prefer
+    that JVM-native form; the operator exists for the per-group logic
+    that isn't — model scoring, per-entity solvers, library calls —
+    and pins the plan you get: ONE hash shuffle on user_id, each
+    group's rows shipped to Python as Arrow batches, group size
+    bounded by the hottest key (salt + two-level merge when a key
+    outgrows a worker)."""
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events")
+
+    def drawdown(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        c = (pdf["value"] * 100).round().astype("int64")
+        rm = c.cummax()
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "dd_cents": [int((rm - c).max())],
+            }
+        )
+
+    out = e.groupBy("user_id").applyInPandas(
+        drawdown, "user_id bigint, n_events bigint, dd_cents bigint"
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.col("dd_cents") / 100.0).alias("max_drawdown"),
+    ).orderBy("user_id")
