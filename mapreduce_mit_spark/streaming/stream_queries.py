@@ -14,6 +14,9 @@ state management, not a batch rewrite:
   emitted set deterministic, so it too has an exact SQL oracle.
 - q92: streaming dedup with dropDuplicatesWithinWatermark (rows-only).
 - q93: custom stateful op via applyInPandasWithState (rows-only).
+- q152: checkpointed parquet FILE sink (exactly-once landing path; the
+  memory sinks above are observation harnesses, this is the production
+  sink contract, rerun-idempotent by checkpoint).
 
 Scale posture: state lives in the state store keyed by (window[, user]);
 watermarks bound state growth; file source here stands in for
@@ -937,3 +940,82 @@ def q143_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_table(agg, "q143_sink", "append")
     return spark.table("q143_sink").orderBy("window_start")
+
+
+@register(
+    "q152_stream_file_sink",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
+             time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_value
+      FROM events
+      GROUP BY 1, 2
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS watermark FROM events)
+    SELECT window_start, window_end, n_events, total_value
+    FROM agg, wm
+    WHERE window_end <= watermark
+    ORDER BY window_start
+    """,
+    tags=("streaming", "sink", "exactly-once", "checkpoint"),
+)
+def q152_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed parquet FILE sink — the production exactly-once
+    path (the memory sinks elsewhere in this module are observation
+    harnesses). Watermark-closed hourly aggregates stream into a
+    parquet directory under a persistent checkpoint; the query returns
+    the files read back, so the driver verifies the SINK's contents,
+    not the in-memory result.
+
+    Exactly-once contract: the checkpoint records which source files
+    each committed batch consumed and the sink's file manifest — a
+    re-run (same checkpoint, no new source data) schedules zero new
+    batches and rewrites nothing, so the directory's contents are
+    stable across restarts (pinned by
+    tests/test_streaming.py::test_file_sink_rerun_is_idempotent).
+    At scale this is the object-store landing pattern: one writer per
+    state partition, manifest-committed files, downstream readers see
+    only committed data."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "mms_stream_sink",
+        "v1",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    out, ck = os.path.join(base, "data"), os.path.join(base, "checkpoint")
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        LAST_QUERY["q152_file_sink"] = q
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out).orderBy("window_start")

@@ -356,3 +356,33 @@ def test_final_updates_keeps_only_last_row_per_user(spark):
         (1, 4, 9.0),
         (2, 1, 1.0),
     }
+
+
+def test_file_sink_rerun_is_idempotent(spark):
+    """q152's exactly-once contract: a second drain against the same
+    checkpoint (no new source data) schedules no new batches and leaves
+    the parquet sink byte-stable — same rows, same files."""
+    import glob
+
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    fn = REGISTRY["q152_stream_file_sink"].fn
+    first = fn(spark, SF_SMALL).collect()
+    import os
+    import tempfile
+
+    data_dir = os.path.join(
+        tempfile.gettempdir(),
+        "mms_stream_sink",
+        "v1",
+        SF_SMALL.strip("/").replace("/", "_"),
+        "data",
+    )
+    files_before = sorted(glob.glob(os.path.join(data_dir, "part-*")))
+    mtimes_before = [os.path.getmtime(p) for p in files_before]
+    second = fn(spark, SF_SMALL).collect()
+    files_after = sorted(glob.glob(os.path.join(data_dir, "part-*")))
+    assert files_before == files_after
+    assert mtimes_before == [os.path.getmtime(p) for p in files_after]
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
