@@ -23,7 +23,6 @@ recall.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
-from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import minhash_cols, minhash_sql_exprs, norm_text_col, norm_text_sql
@@ -428,11 +427,14 @@ def q78_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b",
         shuffle_partitions=8,  # sized to the 100-node probe set
     )
-    w = Window.partitionBy("cluster")
+    # cluster sizes via agg + join (q09's skew discipline — no window
+    # over an unbounded-cardinality cluster key)
+    cmap = comp.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+    sizes = cmap.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
-        comp.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
-        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        cmap.join(sizes, "cluster")
         .withColumn("is_keeper", F.col("doc_id") == F.col("cluster"))
+        .select("doc_id", "cluster", "cluster_size", "is_keeper")
         .orderBy("doc_id")
     )
 
@@ -484,10 +486,10 @@ def q79_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b",
         shuffle_partitions=8,
     )
-    w = Window.partitionBy("label")
+    sizes = comp.groupBy("label").agg((F.count(F.lit(1)) - 1).alias("n_removed"))
     survivors = (
-        comp.withColumn("n_removed", F.count(F.lit(1)).over(w) - 1)
-        .where(F.col("node") == F.col("label"))
+        comp.where(F.col("node") == F.col("label"))
+        .join(sizes, "label")
         .select(F.col("node").alias("doc_id"), "n_removed")
     )
     return (
@@ -705,10 +707,16 @@ def q148_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shuffle_partitions=16,
     )
     cand.unpersist()
-    w = Window.partitionBy("label")
+    # cluster sizes via agg + join, NOT a window over label: a
+    # pathological corpus (one giant dup cluster) would pin a window
+    # partition on one task; the aggregate is map-side combinable and
+    # only KEEPER rows cross the join (q09's skew discipline)
+    sizes = comp.groupBy("label").agg(
+        (F.count(F.lit(1)) - 1).alias("n_removed")
+    )
     survivors = (
-        comp.withColumn("n_removed", F.count(F.lit(1)).over(w) - 1)
-        .where(F.col("node") == F.col("label"))
+        comp.where(F.col("node") == F.col("label"))
+        .join(sizes, "label")
         .select(F.col("node").alias("doc_id"), "n_removed")
     )
     return (
