@@ -7,18 +7,25 @@ the merge serializes on the handful of group reducers (measured ~2× the
 runtime of this operator on 600k rows, and the gap grows with data:
 at 100 TB the merge is a straight OOM).
 
-This operator instead computes the classic linear-interpolation
+These operators instead compute the classic linear-interpolation
 quantile (the quantile_cont / numpy 'linear' definition, identical to
-``percentile``'s) from a range-partitioned window sort:
+``percentile``'s) from sorted ranks:
 
-  rn   = row_number over (partition by keys order by col)
-  n    = count over (partition by keys)
+  rn   = global per-group rank of the row by col
+  n    = group size
   pos  = (n - 1) * q ;  k = floor(pos) ;  frac = pos - k
   qval = v[rn = k+1] + frac * (v[rn = k+2] - v[rn = k+1])
 
-The sort distributes across the cluster (Spark's window sort spills),
-only the ≤ 2·|qs| boundary rows per group survive the filter, and the
-final combine touches a few rows per group.
+Only the ≤ 2·|qs| boundary rows per group survive the filter, and the
+final combine touches a few rows per group. Two rank strategies:
+
+- ``exact_quantiles``: one window sort keyed by the group — one
+  shuffle; each group sorts on one task (external sort spills). Right
+  when groups are many and modest.
+- ``exact_quantiles_ranged``: range-repartition + partition-local
+  ranks + broadcast prefix counts — two shuffles, but NO task ever
+  holds more than a shuffle partition, so a handful of giant groups
+  (or one) cannot serialize the job.
 """
 
 from __future__ import annotations
@@ -53,6 +60,20 @@ def exact_quantiles(
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(wn))
     )
+    return _rank_select(d, keys, col, qs, nd, mode)
+
+
+def _rank_select(
+    d: DataFrame,
+    keys: list[str],
+    col: str,
+    qs: dict[str, float],
+    nd: int | None,
+    mode: str,
+) -> DataFrame:
+    """Shared tail of both quantile paths: given rows carrying a global
+    per-group rank ``_rn`` and group size ``_n``, keep only boundary
+    rows and fold them into one row per group."""
 
     def pos(q: float):
         return (F.col("_n") - 1) * F.lit(q)
@@ -87,3 +108,58 @@ def exact_quantiles(
         aggs.append((F.round(val, nd) if nd is not None else val).alias(alias))
 
     return d.where(keep).groupBy(*keys).agg(*aggs)
+
+
+def exact_quantiles_ranged(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    qs: dict[str, float],
+    nd: int | None = None,
+    mode: str = "linear",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group quantiles that survive FEW GIANT GROUPS.
+
+    ``exact_quantiles`` windows by the group key, so one group's sort
+    runs on ONE task — right when groups are many and modest, fatal
+    when a handful of groups hold the table (l_returnflag at 100 TB:
+    3 groups of tens of TB each). This variant bounds every sort by a
+    SHUFFLE PARTITION instead:
+
+    1. range-repartition by (keys, col): each group becomes a
+       contiguous run of partitions, each partition a bounded slice;
+    2. local rank via a window keyed by (partition_id, keys) — no
+       window partition can exceed a shuffle partition;
+    3. global rank = local rank + prefix, where the prefix comes from
+       the (partitions × groups)-row count table (broadcast) summed
+       over preceding partition ids;
+    4. the same rank-arithmetic filter + tiny final aggregate.
+
+    Costs two data shuffles (range + the pid-keyed window hash) versus
+    one — the price of removing the per-group single-task bound.
+    Quantile VALUES are invariant to where the range boundaries fall,
+    so runtime boundary sampling cannot perturb results."""
+    spark = df.sparkSession
+    P = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        df.select(*keys, col)
+        .repartitionByRange(P, *[F.col(k) for k in keys], F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wl = Window.partitionBy("_pid", *keys).orderBy(col)
+    local = d.withColumn("_lrn", F.row_number().over(wl))
+    cnt = local.groupBy("_pid", *keys).agg(F.count(F.lit(1)).alias("_c"))
+    wp = (
+        Window.partitionBy(*keys)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = cnt.withColumn("_prefix", F.coalesce(F.sum("_c").over(wp), F.lit(0)))
+    tot = cnt.groupBy(*keys).agg(F.sum("_c").alias("_n"))
+    ranked = (
+        local.join(F.broadcast(pre.select("_pid", *keys, "_prefix")), ["_pid", *keys])
+        .join(F.broadcast(tot), list(keys))
+        .withColumn("_rn", F.col("_lrn") + F.col("_prefix"))
+    )
+    return _rank_select(ranked, keys, col, qs, nd, mode)

@@ -921,12 +921,59 @@ def q17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce exact half-way midpoints whose float rounding is
     engine-dependent (observed at sf0.001). The operator also offers
     mode='linear' (numpy-verified); sketch-tolerant consumers should use
-    ``approx_percentile`` (t-digest) instead."""
+    ``approx_percentile`` (t-digest) instead.
+
+    Group-size caveat: each group sorts on ONE task here (fine for
+    many modest groups); l_returnflag has only 3 values, so the
+    few-giant-groups formulation that bounds every sort by a shuffle
+    partition is q153 (exact_quantiles_ranged) — both paths are
+    checked against the same oracle."""
     from ..operators.quantiles import exact_quantiles
 
     li = t(spark, sf_dir, "lineitem")
     return (
         exact_quantiles(
+            li, ["l_returnflag"], "l_extendedprice",
+            {"p25_price": 0.25, "median_price": 0.5, "p90_price": 0.9},
+            mode="disc",
+        )
+        .select("l_returnflag", "p25_price", "median_price", "p90_price")
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q153_quantiles_giant_groups",
+    oracle="""
+    WITH rp AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             count(*)     OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           max(CASE WHEN rn = floor((n-1) * 0.25) + 1 THEN v END) AS p25_price,
+           max(CASE WHEN rn = floor((n-1) * 0.5)  + 1 THEN v END) AS median_price,
+           max(CASE WHEN rn = floor((n-1) * 0.9)  + 1 THEN v END) AS p90_price
+    FROM rp GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile", "skew"),
+)
+def q153_quantiles_giant_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17's exact percentiles computed by the FEW-GIANT-GROUPS path
+    (operators/quantiles.exact_quantiles_ranged): range-repartition on
+    (group, value), partition-local ranks, broadcast prefix counts —
+    no task ever sorts more than one shuffle partition, so 3 groups
+    spanning a 100 TB table cannot serialize onto 3 tasks the way a
+    group-keyed window sort would. Same oracle as q17: the two rank
+    strategies must agree value-for-value (and do — this is the
+    cross-implementation check)."""
+    from ..operators.quantiles import exact_quantiles_ranged
+
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        exact_quantiles_ranged(
             li, ["l_returnflag"], "l_extendedprice",
             {"p25_price": 0.25, "median_price": 0.5, "p90_price": 0.9},
             mode="disc",

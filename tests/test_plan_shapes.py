@@ -496,6 +496,19 @@ def test_oversized_label_block_is_subbucketed(spark):
     assert max(r["count"] for r in hot) < n_hot / 2  # the quadratic is bounded
 
 
+def test_ranged_quantiles_bound_window_by_partition(plan, spark):
+    """q153: the data-sized rank window must key on (_pid, group) —
+    bounded by a shuffle partition — so a giant group cannot serialize
+    onto one task (the group-keyed windows that remain run only on the
+    partitions×groups count table). And the two rank strategies must
+    agree value-for-value with q17."""
+    p = plan("q153_quantiles_giant_groups")
+    assert "hashpartitioning(_pid" in p
+    a = registry.REGISTRY["q17_percentiles"].fn(spark, SF_SMALL).collect()
+    b = registry.REGISTRY["q153_quantiles_giant_groups"].fn(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_profile_schema_map_matches_live(spark):
     """q139's oracle is generated from PROFILE_SCHEMA while the Spark
     side derives from the live DataFrame schema; this pins the static
