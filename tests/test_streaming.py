@@ -386,3 +386,50 @@ def test_file_sink_rerun_is_idempotent(spark):
     assert files_before == files_after
     assert mtimes_before == [os.path.getmtime(p) for p in files_after]
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_checkpointed_sink_processes_only_new_files(spark, tmp_path):
+    """Incremental exactly-once with NEW data: after a drain commits,
+    dropping one more source file and re-draining must process ONLY the
+    new file (checkpoint remembers consumed files), and the parquet
+    sink must accumulate both batches' rows exactly once."""
+    import glob
+    import os
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def drop_file(name, ids):
+        spark.createDataFrame(
+            [(i, f"u{i % 3}") for i in ids], "event_id long, user string"
+        ).coalesce(1).write.parquet(os.path.join(src, "_stage_" + name))
+        part = glob.glob(os.path.join(src, "_stage_" + name, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(src, name + ".parquet"))
+
+    def drain():
+        q = (
+            spark.readStream.schema("event_id long, user string")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    drop_file("a", range(0, 100))
+    q1 = drain()
+    rows1 = [p["numInputRows"] for p in q1.recentProgress if p is not None]
+    assert spark.read.parquet(out).count() == 100
+
+    drop_file("b", range(100, 130))
+    q2 = drain()
+    rows2 = sum(p["numInputRows"] for p in q2.recentProgress if p is not None)
+    assert rows2 == 30, f"second drain must read only the new file, got {rows2}"
+    assert spark.read.parquet(out).count() == 130
+    assert sum(rows1) == 100
