@@ -72,11 +72,12 @@ def main() -> int:
     print(f"ok ({time.time()-t0:.0f}s)\n")
 
     print("== preflight 2/3: verify_local --bare --types (all queries) ==")
-    rc = subprocess.call(
-        [sys.executable, os.path.join(REPO, "tools", "verify_local.py"),
-         "--bare", "--types", sf_dir],
-        cwd=REPO,
-    )
+    cmd = [sys.executable, os.path.join(REPO, "tools", "verify_local.py"),
+           "--bare", "--types"]
+    summary = os.environ.get("SPARK_GRAFT_SUMMARY")  # e.g. VERIFY_SUMMARY_r04.json
+    if summary:
+        cmd += ["--summary", summary]
+    rc = subprocess.call(cmd + [sf_dir], cwd=REPO)
     if rc != 0:
         print("\nPREFLIGHT FAIL: verify_local --bare --types")
         return rc
