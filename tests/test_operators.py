@@ -486,3 +486,27 @@ def test_dedup_pipeline_end_to_end_removes_cluster(spark, dup_docs, tmp_path):
     assert set(out) == {0, 3, 4}
     assert out[0].n_removed == 2
     assert out[3].n_removed == 0 and out[4].n_removed == 0
+
+
+def test_ranged_quantiles_single_giant_group(spark):
+    """exact_quantiles_ranged's reason to exist: ONE group spanning many
+    range partitions. Prefix-count rank recovery must reproduce numpy's
+    'lower' percentile exactly, and 'linear' interpolation too."""
+    import numpy as np
+
+    from mapreduce_mit_spark.operators.quantiles import exact_quantiles_ranged
+
+    rng = np.random.RandomState(11)
+    vals = rng.permutation(50_000).astype(float) / 7.0
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "k string, v double"
+    )
+    qs = {"p10": 0.10, "p50": 0.50, "p99": 0.99}
+    got = exact_quantiles_ranged(df, ["k"], "v", qs, mode="disc", partitions=8).collect()[0]
+    for alias, q in qs.items():
+        expect = float(np.percentile(vals, q * 100, method="lower"))
+        assert got[alias] == expect, (alias, got[alias], expect)
+    got_lin = exact_quantiles_ranged(df, ["k"], "v", qs, mode="linear", partitions=8).collect()[0]
+    for alias, q in qs.items():
+        expect = float(np.percentile(vals, q * 100, method="linear"))
+        assert abs(got_lin[alias] - expect) < 1e-9, (alias, got_lin[alias], expect)
