@@ -252,3 +252,83 @@ def q39_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_thr")
         .orderBy("doc_id")
     )
+
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min, microseconds — q72's gap
+
+
+@register(
+    "q154_event_sequences",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    s AS (
+      SELECT *, sum(CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_US}
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id,
+           CAST(sess AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+           min(ts) AS started_at,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+             AS dur_secs
+    FROM s
+    GROUP BY user_id, sess
+    ORDER BY user_id, session_id
+    """,
+    tags=("pipeline", "sessionization", "sequences", "training-pipeline"),
+)
+def q154_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior-sequence construction: each user's event stream split
+    into sessions at >30-minute silences (q72's gap, batch-side), each
+    session emitted as the ORDERED event-type string a sequence model
+    trains on — the events-table analog of q37/q38's document packing.
+
+    Plan: one window pass keyed by user_id (lag for the gap flag, a
+    running sum for the session number — both share one user_id
+    exchange; per-user fan-in is a user's own events, bounded), then
+    one (user, session) aggregate. The in-order concatenation is an
+    array_sort over structs collected per group — deterministic (ties
+    break on event_id), no second window. Gap arithmetic in integer
+    MICROseconds on both engines, so sub-second timestamps cannot
+    diverge under double epoch rounding."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sess = F.sum(is_new).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = e.select("user_id", "ts", "event_id", "event_type", sess.alias("sess"))
+    ordered_types = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda r: r.event_type,
+    )
+    return (
+        s.groupBy("user_id", "sess")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(ordered_types, ">").alias("seq"),
+            F.min("ts").alias("started_at"),
+            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+             / F.lit(1_000_000)).cast("long").alias("dur_secs"),
+        )
+        .select(
+            "user_id",
+            F.col("sess").cast("long").alias("session_id"),
+            "n_events", "seq", "started_at", "dur_secs",
+        )
+        .orderBy("user_id", "session_id")
+    )
