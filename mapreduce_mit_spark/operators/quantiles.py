@@ -141,7 +141,24 @@ def exact_quantiles_ranged(
     Quantile VALUES are invariant to where the range boundaries fall,
     so runtime boundary sampling cannot perturb results."""
     spark = df.sparkSession
-    P = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if partitions is not None:
+        P = partitions
+    else:
+        conf = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            P = int(conf)
+        except ValueError as e:
+            raise ValueError(
+                "spark.sql.shuffle.partitions is not an integer "
+                f"({conf!r}); pass partitions= explicitly"
+            ) from e
+    if P < 1:
+        raise ValueError(f"partitions must be >= 1, got {P}")
+    # The broadcast prefix table in step 3 is O(P × n_groups) rows. This
+    # operator is for FEW giant groups; a high-cardinality key set makes
+    # that table explode and would only fail late at the broadcast limit.
+    # exact_quantiles (window path) or exact_quantiles_auto is the right
+    # tool there — bound documented here, enforced in _auto.
     d = (
         df.select(*keys, col)
         .repartitionByRange(P, *[F.col(k) for k in keys], F.col(col))
@@ -163,3 +180,47 @@ def exact_quantiles_ranged(
         .withColumn("_rn", F.col("_lrn") + F.col("_prefix"))
     )
     return _rank_select(ranked, keys, col, qs, nd, mode)
+
+
+def exact_quantiles_auto(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    qs: dict[str, float],
+    nd: int | None = None,
+    mode: str = "linear",
+) -> DataFrame:
+    """Pick the right exact-quantile strategy from the data's shape.
+
+    The two fixed strategies each have a failure regime:
+
+    - ``exact_quantiles`` (window) sorts each group on ONE task — fatal
+      when a handful of giant groups hold the table;
+    - ``exact_quantiles_ranged`` broadcasts an O(P × n_groups) prefix
+      table — fatal when groups are high-cardinality.
+
+    The selector runs one cheap aggregate-only job,
+    ``approx_count_distinct`` over the keys (a HyperLogLog scan — no
+    shuffle of the data, only sketch merge), and routes:
+
+    - n_groups >= shuffle-partitions → every task already holds ~one
+      group's worth of data → window path (one shuffle);
+    - n_groups <  shuffle-partitions → some group must span partitions
+      → ranged path; the broadcast table is then at most
+      P × P rows ≈ 32×32 here, a few KB even at P=2000.
+
+    The boundary is a heuristic (group-size *skew* at high cardinality
+    still favors ranged for the giant groups specifically — use the
+    explicit entry points when you know the shape); the guarantee is
+    that each path is only chosen inside its safe regime, so the
+    library's default entry point has no footgun. Both paths compute
+    the identical quantile definition, so the choice never changes the
+    result (unit-tested on both regimes in tests/test_operators.py)."""
+    spark = df.sparkSession
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_groups = df.select(
+        F.approx_count_distinct(F.concat_ws("\x1f", *keys)).alias("n")
+    ).first()["n"]
+    if n_groups >= P:
+        return exact_quantiles(df, keys, col, qs, nd, mode)
+    return exact_quantiles_ranged(df, keys, col, qs, nd, mode, partitions=P)

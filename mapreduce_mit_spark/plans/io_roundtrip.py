@@ -354,12 +354,30 @@ def q138_wholefile_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     loc = os.path.join(_scratch("wholefile"), "docs_by_lang")
-    # newline-free contract, enforced at write time (see docstring)
-    guarded = F.when(F.instr("text", "\n") == 0, F.col("text")).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("q138: newline inside document text, doc_id="),
-                F.col("doc_id").cast("string"),
+    # newline-free contract, enforced at write time (see docstring).
+    # NULL text gets its own branch FIRST: instr(NULL) is NULL, so the
+    # newline test is never true for it and it would otherwise fall into
+    # the newline error — with a message that is itself NULL when doc_id
+    # is NULL (concat propagates). A null document violates the
+    # one-doc-per-line contract just as a newline does, but the error
+    # must say which.
+    guarded = (
+        F.when(
+            F.col("text").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("q138: NULL document text, doc_id="),
+                    F.coalesce(F.col("doc_id").cast("string"), F.lit("NULL")),
+                )
+            ),
+        )
+        .when(F.instr("text", "\n") == 0, F.col("text"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("q138: newline inside document text, doc_id="),
+                    F.coalesce(F.col("doc_id").cast("string"), F.lit("NULL")),
+                )
             )
         )
     )

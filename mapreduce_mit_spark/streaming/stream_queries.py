@@ -979,11 +979,22 @@ def q152_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is the object-store landing pattern: one writer per
     state partition, manifest-committed files, downstream readers see
     only committed data."""
+    # The base path embeds a fingerprint (size+mtime) of the source file:
+    # if the testdata is regenerated in place, the old checkpoint would
+    # still consider 'events.parquet' consumed and return STALE sink
+    # contents computed from the previous data. A new fingerprint gives a
+    # fresh checkpoint+sink, mirroring _events_stream's stale-symlink
+    # re-point. Production analog: checkpoint identity is tied to the
+    # source prefix's manifest generation, not just its name.
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
     base = os.path.join(
         tempfile.gettempdir(),
         "mms_stream_sink",
         "v1",
         sf_dir.strip("/").replace("/", "_"),
+        fp,
     )
     out, ck = os.path.join(base, "data"), os.path.join(base, "checkpoint")
     agg = (

@@ -510,3 +510,63 @@ def test_ranged_quantiles_single_giant_group(spark):
     for alias, q in qs.items():
         expect = float(np.percentile(vals, q * 100, method="linear"))
         assert abs(got_lin[alias] - expect) < 1e-9, (alias, got_lin[alias], expect)
+
+
+def test_ranged_quantiles_arg_validation(spark):
+    """partitions=0 / negative must fail fast, not silently fall back to
+    the session conf (ADVICE r4); a garbage conf value must raise a
+    readable error instead of an opaque int() ValueError."""
+    import pytest as _pytest
+
+    from mapreduce_mit_spark.operators.quantiles import exact_quantiles_ranged
+
+    df = spark.createDataFrame([("g", 1.0), ("g", 2.0)], "k string, v double")
+    with _pytest.raises(ValueError, match="partitions must be >= 1"):
+        exact_quantiles_ranged(df, ["k"], "v", {"p50": 0.5}, partitions=0)
+    with _pytest.raises(ValueError, match="partitions must be >= 1"):
+        exact_quantiles_ranged(df, ["k"], "v", {"p50": 0.5}, partitions=-3)
+
+
+def test_quantiles_auto_selects_per_regime(spark):
+    """exact_quantiles_auto routes each regime to its safe strategy and
+    both routes return the identical quantile values.
+
+    - 3 giant groups (n_groups < shuffle partitions) → ranged path;
+    - 200 modest groups (n_groups >= partitions at the test conf) →
+      window path. Verified against numpy per group in both regimes."""
+    import numpy as np
+
+    from mapreduce_mit_spark.operators.quantiles import exact_quantiles_auto
+
+    rng = np.random.RandomState(7)
+    qs = {"p25": 0.25, "p50": 0.50, "p90": 0.90}
+
+    # regime 1: few giant groups
+    rows = []
+    data = {}
+    for g in ("a", "b", "c"):
+        vals = rng.permutation(5000).astype(float) + ord(g)
+        data[g] = vals
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r for r in exact_quantiles_auto(df, ["k"], "v", qs).collect()}
+    for g, vals in data.items():
+        for alias, q in qs.items():
+            expect = float(np.percentile(vals, q * 100, method="linear"))
+            assert abs(got[g][alias] - expect) < 1e-9, (g, alias)
+
+    # regime 2: many modest groups (>= shuffle partitions)
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_groups = max(P + 10, 50)
+    rows2 = []
+    data2 = {}
+    for gi in range(n_groups):
+        vals = rng.permutation(40).astype(float) + gi
+        data2[gi] = vals
+        rows2 += [(gi, float(v)) for v in vals]
+    df2 = spark.createDataFrame(rows2, "k int, v double")
+    got2 = {r["k"]: r for r in exact_quantiles_auto(df2, ["k"], "v", qs).collect()}
+    for gi, vals in data2.items():
+        for alias, q in qs.items():
+            expect = float(np.percentile(vals, q * 100, method="linear"))
+            assert abs(got2[gi][alias] - expect) < 1e-9, (gi, alias)

@@ -125,6 +125,12 @@ def main() -> int:
     summary_path = None
     if "--summary" in argv:
         i = argv.index("--summary")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print(
+                "usage: verify_local.py [--bare] [--types] "
+                "[--summary OUT.json] [SF_DIR] [QUERY ...]"
+            )
+            return 2
         summary_path = argv[i + 1]
         del argv[i : i + 2]
     argv = [a for a in argv if a not in ("--bare", "--types")]
