@@ -942,6 +942,28 @@ def q143_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q143_sink").orderBy("window_start")
 
 
+def q152_sink_base(sf_dir: str) -> str:
+    """Sink/checkpoint root for q152, shared with bench.py (which resets
+    it before a cold run so the cold number measures the stream, not a
+    checkpoint no-op read-back).
+
+    The path embeds a fingerprint (size+mtime) of the source file: if
+    the testdata is regenerated in place, the old checkpoint would still
+    consider 'events.parquet' consumed and return STALE sink contents
+    computed from the previous data. A new fingerprint gives a fresh
+    checkpoint+sink, mirroring _events_stream's stale-symlink re-point.
+    Production analog: checkpoint identity is tied to the source
+    prefix's manifest generation, not just its name."""
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    return os.path.join(
+        tempfile.gettempdir(),
+        "mms_stream_sink",
+        "v1",
+        sf_dir.strip("/").replace("/", "_"),
+        f"{st.st_size}_{st.st_mtime_ns}",
+    )
+
+
 @register(
     "q152_stream_file_sink",
     oracle="""
@@ -979,23 +1001,7 @@ def q152_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale this is the object-store landing pattern: one writer per
     state partition, manifest-committed files, downstream readers see
     only committed data."""
-    # The base path embeds a fingerprint (size+mtime) of the source file:
-    # if the testdata is regenerated in place, the old checkpoint would
-    # still consider 'events.parquet' consumed and return STALE sink
-    # contents computed from the previous data. A new fingerprint gives a
-    # fresh checkpoint+sink, mirroring _events_stream's stale-symlink
-    # re-point. Production analog: checkpoint identity is tied to the
-    # source prefix's manifest generation, not just its name.
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    fp = f"{st.st_size}_{st.st_mtime_ns}"
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "mms_stream_sink",
-        "v1",
-        sf_dir.strip("/").replace("/", "_"),
-        fp,
-    )
+    base = q152_sink_base(sf_dir)
     out, ck = os.path.join(base, "data"), os.path.join(base, "checkpoint")
     agg = (
         _events_stream(spark, sf_dir)
