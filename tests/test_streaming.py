@@ -364,28 +364,171 @@ def test_file_sink_rerun_is_idempotent(spark):
     the parquet sink byte-stable — same rows, same files."""
     import glob
 
+    import os
+
     from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+    from mapreduce_mit_spark.streaming.stream_queries import q152_sink_base
 
     load_all_plans()
     fn = REGISTRY["q152_stream_file_sink"].fn
     first = fn(spark, SF_SMALL).collect()
-    import os
-    import tempfile
-
-    data_dir = os.path.join(
-        tempfile.gettempdir(),
-        "mms_stream_sink",
-        "v1",
-        SF_SMALL.strip("/").replace("/", "_"),
-        "data",
-    )
+    data_dir = os.path.join(q152_sink_base(SF_SMALL), "data")
     files_before = sorted(glob.glob(os.path.join(data_dir, "part-*")))
+    assert files_before, "sink wrote no files — path derivation broken"
     mtimes_before = [os.path.getmtime(p) for p in files_before]
     second = fn(spark, SF_SMALL).collect()
     files_after = sorted(glob.glob(os.path.join(data_dir, "part-*")))
     assert files_before == files_after
     assert mtimes_before == [os.path.getmtime(p) for p in files_after]
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_file_sink_exactly_once_across_crash_kill(spark, tmp_path):
+    """The reference's core failure lab — a worker dies mid-job and the
+    job still produces exactly one copy of every output
+    (test_test.go:174-208) — replayed against the streaming file sink.
+
+    The stream (same shape as q152: watermarked hourly aggregate →
+    parquet sink) is started with maxFilesPerTrigger=1 so the drain
+    spans multiple micro-batches, stopped mid-drain once at least one
+    batch has landed rows in the sink, and then the CRASH WINDOW is
+    injected deterministically: the checkpoint commit marker for the
+    last sink-visible batch is deleted (sink files durable, batch not
+    recorded as committed — exactly the state a crash between
+    FileStreamSink.addBatch and the commit-log write leaves behind).
+    On restart Spark must re-execute that batch from its offsets entry;
+    the sink's _spark_metadata manifest must reject the duplicate add;
+    and after new data is also drained, the directory must equal the
+    batch oracle — no duplicated window, no missing window."""
+    import glob
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    H = 3600
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "ts_s long, value double").selectExpr(
+            "timestamp_seconds(ts_s) AS ts", "value"
+        ).coalesce(1).write.parquet(os.path.join(src, "_stage_" + name))
+        part = glob.glob(os.path.join(src, "_stage_" + name, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(src, name + ".parquet"))
+
+    # file A: hours 0-2 (+ a row at 3h so the watermark passes 2h50m);
+    # file B: hours 4-5. Batch 0 (A) advances the watermark; batch 1 (B)
+    # is the first batch that EMITS closed windows into the sink.
+    drop(
+        "a",
+        [(h * H + m * 60, float(h)) for h in range(3) for m in range(0, 60, 5)]
+        + [(3 * H, 99.0)],
+    )
+    drop("b", [(h * H + m * 60, float(h)) for h in (4, 5) for m in range(0, 60, 5)])
+
+    def agg_stream():
+        return (
+            spark.readStream.schema("ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+            .select(F.col("w.start").alias("window_start"), "n_events", "total")
+        )
+
+    def sink(df, trigger_kwargs):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    # phase 1: continuous trigger, killed once COMMITTED rows are
+    # visible through the sink manifest (reading via _spark_metadata
+    # sees only manifest-committed files, so count>0 means some batch
+    # both wrote rows and registered them — the state a crash right
+    # after that registration leaves behind).
+    q = sink(agg_stream(), {"processingTime": "1 second"})
+    manifest_dir = os.path.join(out, "_spark_metadata")
+
+    def committed_rows():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    deadline = time.time() + 120
+    while time.time() < deadline and committed_rows() == 0:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    assert committed_rows() > 0, "no committed sink rows before the kill"
+    # m computed AFTER full stop: a batch committing between a stale
+    # sample and the stop would otherwise leave manifest entries above
+    # m that silently swallow the re-numbered post-restart batches.
+    batches = sorted(
+        int(os.path.basename(p))
+        for p in glob.glob(os.path.join(manifest_dir, "*"))
+        if os.path.basename(p).isdigit()
+    )
+    m = batches[-1]
+
+    # crash injection: sink manifest for batch m exists, checkpoint says
+    # it never committed. Trailing offsets entries (> m) are removed too
+    # — as if the crash predated them — so restart resumes AT batch m.
+    # The local-FS checkpoint keeps .N.crc sidecars next to each entry;
+    # they must go with it or the replayed commit's rename fails on the
+    # stale crc destination.
+    def rm_entries(d, pred):
+        for p in glob.glob(os.path.join(d, "*")) + glob.glob(
+            os.path.join(d, ".*.crc")
+        ):
+            b = os.path.basename(p).removeprefix(".").removesuffix(".crc")
+            if b.isdigit() and pred(int(b)):
+                os.remove(p)
+
+    rm_entries(os.path.join(ck, "commits"), lambda b: b >= m)
+    rm_entries(os.path.join(ck, "offsets"), lambda b: b > m)
+
+    # new data arrives while "down": hour 6, plus a sentinel far enough
+    # ahead to close every real window at the final watermark.
+    drop(
+        "c",
+        [(6 * H + mnt * 60, 6.0) for mnt in range(0, 60, 5)] + [(100 * H, 0.0)],
+    )
+
+    # phase 2: restart from the same checkpoint, drain everything
+    q2 = sink(agg_stream(), {"availableNow": True})
+    q2.awaitTermination()
+    replayed = [p["batchId"] for p in q2.recentProgress if p is not None]
+    assert m in replayed, f"batch {m} was not re-executed after the crash ({replayed})"
+
+    got = sorted(
+        (r["window_start"], r["n_events"], r["total"])
+        for r in spark.read.parquet(out).collect()
+    )
+    starts = [g[0] for g in got]
+    assert len(starts) == len(set(starts)), f"duplicated window after replay: {got}"
+
+    batch = spark.read.schema("ts timestamp, value double").parquet(src)
+    wm = batch.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    ).first()["wm"]
+    expected = sorted(
+        (r["window_start"], r["n_events"], r["total"])
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+            .where(F.col("w.end") <= F.lit(wm))
+            .select(F.col("w.start").alias("window_start"), "n_events", "total")
+        ).collect()
+    )
+    assert got == expected, f"sink != oracle after crash+restart\n{got}\n{expected}"
 
 
 def test_checkpointed_sink_processes_only_new_files(spark, tmp_path):
