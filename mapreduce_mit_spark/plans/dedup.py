@@ -603,6 +603,88 @@ def _lsh_bands_sql() -> str:
     )"""
 
 
+def jaccard_verified_pairs(
+    d: DataFrame,
+    cand: DataFrame,
+    threshold: float = 0.8,
+    hot_degree: int = 64,
+    salt_fanout: int = 16,
+) -> DataFrame:
+    """Exact token-Jaccard verification of LSH candidate pairs —
+    skew-safe against a BOILERPLATE corpus.
+
+    The shared-token count joins each candidate doc's token set once
+    per pair it participates in. On an organic corpus a near-dup doc
+    sits in O(1) pairs; a template corpus (the adversary: hundreds of
+    near-identical documents, which LSH correctly buckets into one
+    clique) puts one doc in thousands of pairs, and an unsalted join on
+    doc_a would funnel that doc's entire pair×token expansion through
+    ONE reducer.
+
+    Differential salting bounds that: a cheap degree aggregate over the
+    candidate pairs finds docs with >= ``hot_degree`` pairs (broadcast
+    — by construction a tiny set), hot pairs get a salt derived from
+    the OTHER doc of the pair (deterministic, no rand(): every pair
+    lands in exactly one salt bucket, so counts stay exact), and only
+    HOT docs' token sets are replicated ``salt_fanout`` ways. A cold
+    corpus pays one empty broadcast and nothing else; the adversarial
+    key is split ``salt_fanout`` ways (pinned by
+    tests/test_plan_shapes.py::test_dedup_verify_join_survives_boilerplate_corpus).
+
+    The second join is keyed (doc_b, token): token already spreads a
+    hot doc_b's pairs across its whole vocabulary, so per-key fan-in is
+    bounded by the doc's candidate degree — no salt needed there."""
+    cand_docs = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    toks = d.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("token")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    hot = (
+        cand.groupBy("doc_a")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .where(F.col("_deg") >= hot_degree)
+        .select("doc_a")
+    )
+    cand_s = cand.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))), "doc_a", "left"
+    ).withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.pmod(F.xxhash64("doc_b"), F.lit(salt_fanout)).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).drop("_hot")
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    ta_hot = ta.join(F.broadcast(hot), "doc_a", "left_semi").select(
+        "doc_a",
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_fanout - 1))).alias("_salt"),
+    )
+    ta_cold = ta.join(F.broadcast(hot), "doc_a", "left_anti").withColumn(
+        "_salt", F.lit(0)
+    )
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    shared = (
+        cand_s.join(ta_hot.unionByName(ta_cold), ["doc_a", "_salt"])
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
 @register(
     "q148_dedup_pipeline",
     oracle=f"""
@@ -664,9 +746,11 @@ def q148_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the scale path the scoped q82/q78/q79 probes stand in for:
     no stage ever touches all O(n²) pairs — candidates are
-    band-bucketed, the verify join replicates each doc's token set once
-    per candidate pair it participates in (near-dup docs sit in O(1)
-    pairs), and the closure runs on the verified edge list only. The
+    band-bucketed, the verify join (jaccard_verified_pairs) is
+    differentially salted so even a boilerplate corpus that puts one
+    doc in thousands of candidate pairs cannot funnel its pair×token
+    expansion through one reducer, and the closure runs on the
+    verified edge list only. The
     analog of the reference's final merged artifact
     (master_splitmerge.go:14-51): the table the next stage consumes."""
     from ..operators.graph import connected_components
@@ -675,32 +759,7 @@ def q148_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the candidate set feeds the doc filter AND the verify join;
     # materialized once by connected_components' first round
     cand = lsh_candidate_pairs(spark, sf_dir).persist()
-    cand_docs = cand.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
-    toks = (
-        d.join(cand_docs, "doc_id", "left_semi")
-        .select("doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("token"))
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
-    shared = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_shared").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
-    )
-    verified = (
-        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .where(jac >= 0.8)
-        .select("doc_a", "doc_b")
-    )
+    verified = jaccard_verified_pairs(d, cand, threshold=0.8)
     comp = connected_components(
         d.select("doc_id"), verified,
         node_col="doc_id", src_col="doc_a", dst_col="doc_b",

@@ -321,6 +321,92 @@ def test_span_dedup_survives_hot_span(spark, tmp_path):
         assert out[i]["keep"] is True
 
 
+def test_dedup_verify_join_survives_boilerplate_corpus(spark, tmp_path):
+    """Injected adversary for q148's verify stage: a template corpus of
+    520 identical documents. LSH correctly buckets them into one clique,
+    so every boilerplate doc sits in ~500+ candidate pairs — the regime
+    where an unsalted doc_a join funnels one doc's whole pair×token
+    expansion through a single reducer.
+
+    Pins three things: (1) the adversary is real — max candidate degree
+    ≥ 500; (2) the production verify join is salted — the join carries
+    _salt, and the salt formula splits the hot doc's pairs at least 4×
+    below its degree; (3) the survivor set stays EXACT — one keeper for
+    the clique with n_removed = 519, every unique doc untouched."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark import registry as _r
+    from mapreduce_mit_spark.plans.dedup import (
+        jaccard_verified_pairs,
+        lsh_candidate_pairs,
+    )
+    from mapreduce_mit_spark.plans._util import t as _t
+
+    def letters(i: int) -> str:
+        return "".join(chr(ord("a") + int(c)) for c in str(i))
+
+    n_boiler, n_uniq = 520, 8
+    boiler = (
+        "all rights reserved this document is provided as is without "
+        "warranty of any kind either express or implied including the "
+        "implied warranties of merchantability and fitness for purpose"
+    )
+    rows = [(i, boiler, "en", "web", len(boiler)) for i in range(n_boiler)]
+    rows += [
+        (
+            1000 + i,
+            f"utterly distinct prose number {letters(i)} about "
+            + " ".join(f"topic{letters(i)}{c}" for c in "abcdefghij"),
+            "en",
+            "web",
+            50,
+        )
+        for i in range(n_uniq)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    # (1) the adversary is real
+    cand = lsh_candidate_pairs(spark, str(tmp_path)).persist()
+    max_deg = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("d")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_deg >= 500, f"fixture failed to create a hot doc: {max_deg}"
+
+    # (2a) the production join is keyed by the salt
+    analyzed = jaccard_verified_pairs(
+        _t(spark, str(tmp_path), "documents"), cand
+    )._jdf.queryExecution().analyzed().toString()
+    assert "_salt" in analyzed
+
+    # (2b) the salt formula actually splits the hot key: no (doc_a,
+    # salt-bucket) holds more than degree/4 of the hot doc's pairs
+    bucket_max = (
+        cand.withColumn("_salt", F.pmod(F.xxhash64("doc_b"), F.lit(16)))
+        .groupBy("doc_a", "_salt")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert bucket_max * 4 <= max_deg, (bucket_max, max_deg)
+    cand.unpersist()
+
+    # (3) survivors are still exact
+    out = {
+        r["doc_id"]: r
+        for r in _r.REGISTRY["q148_dedup_pipeline"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 1 + n_uniq
+    assert out[0]["n_removed"] == n_boiler - 1
+    for i in range(n_uniq):
+        assert out[1000 + i]["n_removed"] == 0
+
+
 def test_json_roundtrip_writes_sharded(spark, tmp_path):
     """The JSON sink must write one file per partition (no driver
     funnel): repartitioned input produces multiple part files."""
