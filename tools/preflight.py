@@ -75,12 +75,41 @@ def main() -> int:
     cmd = [sys.executable, os.path.join(REPO, "tools", "verify_local.py"),
            "--bare", "--types"]
     summary = os.environ.get("SPARK_GRAFT_SUMMARY")  # e.g. VERIFY_SUMMARY_r04.json
+    if not summary and full:
+        # a --full round-close MUST leave the coverage artifact behind
+        summary = "VERIFY_SUMMARY_latest.json"
     if summary:
         cmd += ["--summary", summary]
     rc = subprocess.call(cmd + [sf_dir], cwd=REPO)
     if rc != 0:
         print("\nPREFLIGHT FAIL: verify_local --bare --types")
         return rc
+
+    if summary:
+        # the artifact must cover the WHOLE registry: a silently-shrunk
+        # catalog (import error dropping a plans module, a deleted
+        # @register) must fail the round-close loudly, not produce a
+        # smaller-but-all-green summary.
+        import json
+
+        from mapreduce_mit_spark import registry
+
+        registry.load_all_plans()
+        with open(os.path.join(REPO, summary)) as f:
+            recorded = json.load(f)["queries"]
+        missing = sorted(set(registry.REGISTRY) - set(recorded))
+        extra = sorted(set(recorded) - set(registry.REGISTRY))
+        if len(recorded) != len(registry.REGISTRY) or missing or extra:
+            print(
+                f"\nPREFLIGHT FAIL: summary covers {len(recorded)} queries, "
+                f"registry has {len(registry.REGISTRY)} "
+                f"(missing={missing[:5]}, extra={extra[:5]})"
+            )
+            return 1
+        print(
+            f"coverage artifact {summary}: {len(recorded)}/"
+            f"{len(registry.REGISTRY)} registry queries recorded"
+        )
 
     if full:
         print("\n== preflight 3/3: pytest ==")
