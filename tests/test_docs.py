@@ -1,0 +1,42 @@
+"""Documentation staleness gates.
+
+The README's generated query-catalog map must match the live registry —
+a new @register, a moved function, or a deleted query must fail here
+until `python tools/gen_opmap.py --write` is re-run.
+"""
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def test_readme_opmap_is_fresh():
+    import gen_opmap
+
+    expected = gen_opmap.generate()
+    with open(os.path.join(REPO, "README.md")) as f:
+        text = f.read()
+    m = re.search(
+        re.escape(gen_opmap.BEGIN) + r".*?" + re.escape(gen_opmap.END),
+        text,
+        flags=re.S,
+    )
+    assert m, "README.md is missing the generated OPMAP section"
+    assert m.group(0) == expected, (
+        "README query map is stale — run `python tools/gen_opmap.py --write`"
+    )
+
+
+def test_opmap_covers_whole_registry():
+    """Every registered query appears exactly once in the map."""
+    import gen_opmap
+
+    from mapreduce_mit_spark import registry
+
+    registry.load_all_plans()
+    section = gen_opmap.generate()
+    for name in registry.REGISTRY:
+        assert section.count(f"| `{name}` |") == 1, name
