@@ -141,11 +141,13 @@ def q81_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     → self-join on the band key (shuffle keyed by 32-byte band hash) →
     group to pairs. At 100 TB the join key distributes uniformly (md5),
     so no skew; candidate volume is controlled by band/row tuning
-    (12 hashes = 4 bands × 3 rows ⇒ ~jaccard>0.6 pairs surface)."""
+    (12 hashes = 4 bands × 3 rows ⇒ ~jaccard>0.6 pairs surface).
+    Self-join pinned to sort-merge for the same reason as
+    lsh_candidate_pairs: equal-size sides, pre-explode size estimate."""
     a, b = (_lsh_bands(spark, sf_dir).alias(x) for x in ("a", "b"))
     return (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -168,11 +170,20 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_a, doc_b) LSH candidate pairs over the FULL corpus
     — the production candidate generator (one shuffle keyed by the
-    32-byte band hash; candidate volume O(docs × bands), never O(n²))."""
+    32-byte band hash; candidate volume O(docs × bands), never O(n²)).
+
+    The band self-join is pinned to sort-merge (`hint("merge")`): both
+    sides are the SAME exploded table, so broadcasting one side is
+    never right at scale — but the plan-time size estimate sits below
+    the session's broadcast threshold (the estimate comes from the
+    parquet scan, before the ×N_BANDS posexplode, and no shuffle sits
+    under the join for AQE to re-decide from), and at the 100× study
+    scale the resulting forced broadcast build OOM'd the driver. The
+    hint makes the always-correct physical choice deterministic."""
     a, b = (_lsh_bands(spark, sf_dir).alias(x) for x in ("a", "b"))
     return (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -622,14 +633,22 @@ def jaccard_verified_pairs(
     ONE reducer.
 
     Differential salting bounds that: a cheap degree aggregate over the
-    candidate pairs finds docs with >= ``hot_degree`` pairs (broadcast
-    — by construction a tiny set), hot pairs get a salt derived from
-    the OTHER doc of the pair (deterministic, no rand(): every pair
-    lands in exactly one salt bucket, so counts stay exact), and only
-    HOT docs' token sets are replicated ``salt_fanout`` ways. A cold
-    corpus pays one empty broadcast and nothing else; the adversarial
-    key is split ``salt_fanout`` ways (pinned by
+    candidate pairs finds docs with >= ``hot_degree`` pairs, hot pairs
+    get a salt derived from the OTHER doc of the pair (deterministic,
+    no rand(): every pair lands in exactly one salt bucket, so counts
+    stay exact), and only HOT docs' token sets are replicated
+    ``salt_fanout`` ways. A cold corpus pays three cheap joins against
+    an empty hot set; the adversarial key is split ``salt_fanout`` ways
+    (pinned by
     tests/test_plan_shapes.py::test_dedup_verify_join_survives_boilerplate_corpus).
+
+    The hot-set joins carry NO broadcast hint on purpose: on an organic
+    corpus the set is tiny and AQE broadcasts it from runtime stats,
+    but under a universal-duplication adversary (the 100× fixture:
+    every doc replicated 100 ways) EVERY doc is hot and a forced
+    broadcast is an O(corpus) driver build — the 100× study's first
+    q148 run died exactly there. Letting AQE decide keeps both regimes
+    safe: broadcast when actually small, shuffle when not.
 
     The second join is keyed (doc_b, token): token already spreads a
     hot doc_b's pairs across its whole vocabulary, so per-key fan-in is
@@ -649,7 +668,7 @@ def jaccard_verified_pairs(
         .select("doc_a")
     )
     cand_s = cand.join(
-        F.broadcast(hot.withColumn("_hot", F.lit(True))), "doc_a", "left"
+        hot.withColumn("_hot", F.lit(True)), "doc_a", "left"
     ).withColumn(
         "_salt",
         F.when(
@@ -658,14 +677,12 @@ def jaccard_verified_pairs(
         ).otherwise(F.lit(0)),
     ).drop("_hot")
     ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
-    ta_hot = ta.join(F.broadcast(hot), "doc_a", "left_semi").select(
+    ta_hot = ta.join(hot, "doc_a", "left_semi").select(
         "doc_a",
         "token",
         F.explode(F.sequence(F.lit(0), F.lit(salt_fanout - 1))).alias("_salt"),
     )
-    ta_cold = ta.join(F.broadcast(hot), "doc_a", "left_anti").withColumn(
-        "_salt", F.lit(0)
-    )
+    ta_cold = ta.join(hot, "doc_a", "left_anti").withColumn("_salt", F.lit(0))
     tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
     shared = (
         cand_s.join(ta_hot.unionByName(ta_cold), ["doc_a", "_salt"])
