@@ -923,11 +923,16 @@ def q17_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode='linear' (numpy-verified); sketch-tolerant consumers should use
     ``approx_percentile`` (t-digest) instead.
 
-    Group-size caveat: each group sorts on ONE task here (fine for
-    many modest groups); l_returnflag has only 3 values, so the
-    few-giant-groups formulation that bounds every sort by a shuffle
-    partition is q153 (exact_quantiles_ranged) — both paths are
-    checked against the same oracle."""
+    Group-size caveat, now MEASURED (SCALING.md round 5): each group
+    sorts on ONE task here, and with only 3 l_returnflag groups the
+    100× study degrades this plan 102× (1.0 s → 105 s) while q153's
+    ranged formulation (exact_quantiles_ranged — every sort bounded by
+    a shuffle partition) runs the same semantics at 8.7×. This query
+    keeps the window strategy deliberately as the many-modest-groups
+    representative; library users should call
+    operators/quantiles.exact_quantiles_auto, which routes between the
+    two from an approx_count_distinct probe. Both paths are checked
+    against the same oracle."""
     from ..operators.quantiles import exact_quantiles
 
     li = t(spark, sf_dir, "lineitem")

@@ -321,6 +321,19 @@ def test_span_dedup_survives_hot_span(spark, tmp_path):
         assert out[i]["keep"] is True
 
 
+def test_lsh_band_self_join_is_sort_merge(plan):
+    """The band self-join must stay sort-merge: both sides are the SAME
+    exploded table, and the plan-time size estimate (taken from the
+    parquet scan, before the ×N_BANDS posexplode, with no shuffle under
+    the join for AQE to re-decide from) sits under the broadcast
+    threshold — at the 100× study scale the resulting force-broadcast
+    OOM'd the driver build. The hint("merge") pin is the fix; this test
+    keeps a refactor from silently losing it."""
+    p = plan("q81_minhash_lsh")
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p
+
+
 def test_dedup_verify_join_survives_boilerplate_corpus(spark, tmp_path):
     """Injected adversary for q148's verify stage: a template corpus of
     520 identical documents. LSH correctly buckets them into one clique,
