@@ -59,6 +59,16 @@ def run_scale(spark, sf_dir: str, queries: list[str], reps: int) -> dict:
         fn = registry.REGISTRY[name].fn
 
         def run() -> float:
+            if name == "q152_stream_file_sink":
+                # reset the persistent checkpoint so every rep measures
+                # the stream, not a zero-batch read-back (see bench.py)
+                import shutil
+
+                from mapreduce_mit_spark.streaming.stream_queries import (
+                    q152_sink_base,
+                )
+
+                shutil.rmtree(q152_sink_base(sf_dir), ignore_errors=True)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
@@ -72,10 +82,34 @@ def run_scale(spark, sf_dir: str, queries: list[str], reps: int) -> dict:
             "total": round(sum(timings.values()), 3)}
 
 
+FLAGSHIPS = [
+    "q153_quantiles_giant_groups", "q149_unigram_logprob",
+    "q152_stream_file_sink", "q148_dedup_pipeline",
+]
+
+
 def main() -> int:
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/tmp/mms_scale/sf10"]
+    argv = [a for a in sys.argv[1:] if a != "--flagships"]
+    flagships = "--flagships" in sys.argv
+    dirs = argv or ["/root/testdata/sf0.1", "/tmp/mms_scale/sf10"]
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
-    queries = FLAT + SUBLINEAR + OUTPUT_BOUND
+    if flagships:
+        # q148 at the 100x fixture is a ~2,000x true-pair adversarial
+        # workload; local mode shares ONE JVM between driver, executors,
+        # caches and broadcasts, and the default 8g heap OOMs there
+        # (SCALING.md round 5). Insist on an explicit heap so the run
+        # fails fast with advice instead of 2 minutes in.
+        if os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g") == "8g":
+            print(
+                "flagships at 100x need a bigger single-JVM heap: "
+                "SPARK_GRAFT_DRIVER_MEM=48g python tools/scale_study.py "
+                "--flagships ...",
+                file=sys.stderr,
+            )
+            return 2
+        queries = FLAGSHIPS
+    else:
+        queries = FLAT + SUBLINEAR + OUTPUT_BOUND
     registry.load_all_plans()
     spark = get_spark("scale_study")
     spark.sparkContext.setLogLevel("ERROR")
