@@ -30,6 +30,32 @@ def test_readme_opmap_is_fresh():
     )
 
 
+def test_preflight_summary_coverage_check(tmp_path):
+    """The round-close gate rejects a summary that silently lost
+    queries, accepts a full one, and rejects unknown extras."""
+    import json
+
+    import preflight
+
+    from mapreduce_mit_spark import registry
+
+    registry.load_all_plans()
+    full = {"queries": {n: {"status": "OK"} for n in registry.REGISTRY}}
+    p = tmp_path / "s.json"
+    p.write_text(json.dumps(full))
+    assert preflight.check_summary_coverage(str(p)) is None
+
+    short = dict(full["queries"])
+    short.pop(next(iter(short)))
+    p.write_text(json.dumps({"queries": short}))
+    assert "missing" in preflight.check_summary_coverage(str(p))
+
+    extra = dict(full["queries"])
+    extra["q999_ghost"] = {"status": "OK"}
+    p.write_text(json.dumps({"queries": extra}))
+    assert "extra" in preflight.check_summary_coverage(str(p))
+
+
 def test_opmap_covers_whole_registry():
     """Every registered query appears exactly once in the map."""
     import gen_opmap

@@ -59,6 +59,28 @@ def hazard_sweep(sf_dir: str) -> int:
     return bad
 
 
+def check_summary_coverage(summary_path: str) -> str | None:
+    """The coverage artifact must record the WHOLE registry: a silently-
+    shrunk catalog (an import error dropping a plans module, a deleted
+    @register) must fail the round-close loudly, not produce a
+    smaller-but-all-green summary. Returns an error string, or None."""
+    import json
+
+    from mapreduce_mit_spark import registry
+
+    registry.load_all_plans()
+    with open(summary_path) as f:
+        recorded = json.load(f)["queries"]
+    missing = sorted(set(registry.REGISTRY) - set(recorded))
+    extra = sorted(set(recorded) - set(registry.REGISTRY))
+    if len(recorded) != len(registry.REGISTRY) or missing or extra:
+        return (
+            f"summary covers {len(recorded)} queries, registry has "
+            f"{len(registry.REGISTRY)} (missing={missing[:5]}, extra={extra[:5]})"
+        )
+    return None
+
+
 def main() -> int:
     full = "--full" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
@@ -86,30 +108,11 @@ def main() -> int:
         return rc
 
     if summary:
-        # the artifact must cover the WHOLE registry: a silently-shrunk
-        # catalog (import error dropping a plans module, a deleted
-        # @register) must fail the round-close loudly, not produce a
-        # smaller-but-all-green summary.
-        import json
-
-        from mapreduce_mit_spark import registry
-
-        registry.load_all_plans()
-        with open(os.path.join(REPO, summary)) as f:
-            recorded = json.load(f)["queries"]
-        missing = sorted(set(registry.REGISTRY) - set(recorded))
-        extra = sorted(set(recorded) - set(registry.REGISTRY))
-        if len(recorded) != len(registry.REGISTRY) or missing or extra:
-            print(
-                f"\nPREFLIGHT FAIL: summary covers {len(recorded)} queries, "
-                f"registry has {len(registry.REGISTRY)} "
-                f"(missing={missing[:5]}, extra={extra[:5]})"
-            )
+        err = check_summary_coverage(os.path.join(REPO, summary))
+        if err:
+            print(f"\nPREFLIGHT FAIL: {err}")
             return 1
-        print(
-            f"coverage artifact {summary}: {len(recorded)}/"
-            f"{len(registry.REGISTRY)} registry queries recorded"
-        )
+        print(f"coverage artifact {summary}: full registry recorded")
 
     if full:
         print("\n== preflight 3/3: pytest ==")
