@@ -321,6 +321,17 @@ def test_span_dedup_survives_hot_span(spark, tmp_path):
         assert out[i]["keep"] is True
 
 
+def test_dedup_pipeline_tail_has_no_window(plan):
+    """q148's cluster sizes and survivor selection must stay agg+join:
+    a Window over the cluster label would pin one pathological giant
+    dup-cluster onto ONE task (the q09 skew discipline, applied to the
+    pipeline's tail). The final plan may sort for output order but must
+    contain no Window node and no nested-loop join."""
+    p = plan("q148_dedup_pipeline")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_lsh_band_self_join_is_sort_merge(plan):
     """The band self-join must stay sort-merge: both sides are the SAME
     exploded table, and the plan-time size estimate (taken from the
