@@ -78,6 +78,59 @@ def test_minhash_lsh_recall_and_precision(spark, dup_docs):
     assert not any(3 in p or 4 in p for p in pairs)  # unrelated docs don't
 
 
+def test_lsh_recall_measured_against_exact_all_pairs(spark, tmp_path):
+    """In-band falsifiability for the LSH candidate generator (the q89
+    discipline applied to dedup): on a corpus with CONTROLLED true
+    Jaccard, measure candidate recall against brute-force ground truth.
+
+    Fixture: 80 near-dup pairs built from a 60-token base, one member
+    editing the 2 leading tokens and the other the 2 trailing tokens —
+    shingle Jaccard ≈ 52/64 ≈ 0.81, just above the verify threshold,
+    the hardest regime LSH must still catch. Plus 40 decoy docs with
+    mostly-unique vocabulary. Everything is deterministic (seeded
+    generation + md5 hashing), so the measured recall is a fixed
+    number, not a flaky estimate. At 4 bands × 3 rows theory predicts
+    P(candidate) = 1-(1-j³)⁴ ≈ 0.95 at j ≈ 0.81; assert ≥ 0.85 — a
+    hash-family or banding regression (e.g. band keys built from the
+    wrong seeds) drops this to near zero and fails loudly. Decoys must
+    surface no candidate pair among themselves."""
+    import random
+
+    from mapreduce_mit_spark.plans.dedup import lsh_candidate_pairs
+
+    def letters(i: int) -> str:
+        return "".join(chr(ord("a") + int(c)) for c in str(i))
+
+    rng = random.Random(42)
+    vocab = [f"w{letters(i)}" for i in range(4000)]
+    rows = []
+    truth = set()
+    n_pairs = 80
+    for p in range(n_pairs):
+        base = rng.sample(vocab, 60)
+        a, b = list(base), list(base)
+        a[0], a[1] = rng.choice(vocab), rng.choice(vocab)
+        b[58], b[59] = rng.choice(vocab), rng.choice(vocab)
+        rows.append((2 * p, " ".join(a), "en", "syn", 0))
+        rows.append((2 * p + 1, " ".join(b), "en", "syn", 0))
+        truth.add((2 * p, 2 * p + 1))
+    for d in range(40):  # decoys: mostly-unique vocabulary
+        rows.append((10_000 + d, " ".join(rng.sample(vocab, 50)), "en", "syn", 0))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(spark, str(tmp_path)).collect()
+    }
+    found = len(truth & cand)
+    recall = found / len(truth)
+    assert recall >= 0.85, f"LSH recall {recall:.2f} ({found}/{len(truth)})"
+    decoy_pairs = [p for p in cand if p[0] >= 10_000 and p[1] >= 10_000]
+    assert not decoy_pairs, f"decoys became candidates: {decoy_pairs[:5]}"
+
+
 def test_simhash_identical_docs_equal_fingerprint(spark, dup_docs):
     from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
 
