@@ -205,6 +205,54 @@ def test_forward_asof_window_pass_equals_pairwise(spark_prop, raw):
 
 
 
+quantile_groups_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),                 # group
+        st.integers(min_value=-1000, max_value=1000),          # value (ties likely)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(raw=quantile_groups_strategy)
+@settings(max_examples=30, deadline=None, derandomize=True)
+def test_quantile_strategies_agree_with_numpy(spark_prop, raw):
+    """Both exact-quantile formulations — the window sort (q17's
+    strategy) and the ranged prefix-count recovery (q153's) — must
+    return numpy's 'linear' quantile for ARBITRARY group shapes:
+    singleton groups, all-duplicate values, negative values, and group
+    counts above and below the partition count. This is the consistency
+    contract exact_quantiles_auto relies on: routing can never change
+    the answer."""
+    import numpy as np
+
+    from mapreduce_mit_spark.operators.quantiles import (
+        exact_quantiles,
+        exact_quantiles_ranged,
+    )
+
+    spark = spark_prop
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in raw], "g int, v double"
+    )
+    qs = {"p10": 0.10, "p50": 0.50, "p75": 0.75}
+    byg: dict[int, list[float]] = {}
+    for g, v in raw:
+        byg.setdefault(g, []).append(float(v))
+
+    for impl in (
+        lambda: exact_quantiles(df, ["g"], "v", qs),
+        lambda: exact_quantiles_ranged(df, ["g"], "v", qs, partitions=4),
+    ):
+        got = {r["g"]: r for r in impl().collect()}
+        assert set(got) == set(byg)
+        for g, vals in byg.items():
+            for alias, q in qs.items():
+                want = float(np.percentile(vals, q * 100, method="linear"))
+                assert abs(got[g][alias] - want) < 1e-9, (g, alias, raw)
+
+
 @pytest.fixture(scope="module")
 def spark_prop(spark):
     # hypothesis re-enters the test many times; reuse the session fixture
