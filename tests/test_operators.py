@@ -131,6 +131,60 @@ def test_lsh_recall_measured_against_exact_all_pairs(spark, tmp_path):
     assert not decoy_pairs, f"decoys became candidates: {decoy_pairs[:5]}"
 
 
+def test_salted_verify_equals_cold_path_and_python(spark, tmp_path):
+    """The differential salt in jaccard_verified_pairs must be
+    RESULT-INVISIBLE: forcing every doc down the hot/salted path
+    (hot_degree=1) and forcing every doc down the cold path
+    (hot_degree=10**9) must produce the identical verified pair set,
+    and both must equal a pure-Python exact token-Jaccard computed on
+    the same candidates. Pins the exactness claim behind the skew fix —
+    a double-counted salt bucket or a dropped replica changes
+    n_shared and fails here."""
+    import itertools
+    import re
+
+    from mapreduce_mit_spark.plans.dedup import jaccard_verified_pairs
+
+    docs = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "alpha beta gamma delta epsilon zeta eta iota",      # j=7/9
+        2: "alpha beta gamma delta epsilon zeta kappa lam",     # j vs 0: 6/10
+        3: "totally different words entirely unrelated here now thus",
+        4: "alpha beta gamma delta epsilon zeta eta theta",     # exact dup of 0
+    }
+    rows = [(i, t, "en", "syn", len(t)) for i, t in docs.items()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    d = spark.read.parquet(str(tmp_path / "documents.parquet"))
+
+    cand_pairs = list(itertools.combinations(sorted(docs), 2))
+    cand = spark.createDataFrame(cand_pairs, "doc_a long, doc_b long")
+
+    def toks(s):
+        return {t.lower() for t in re.split(r"[^A-Za-z]+", s) if t}
+
+    expect = set()
+    for a, b in cand_pairs:
+        ta, tb = toks(docs[a]), toks(docs[b])
+        if len(ta & tb) / len(ta | tb) >= 0.8:
+            expect.add((a, b))
+
+    hot = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_verified_pairs(
+            d, cand, threshold=0.8, hot_degree=1, salt_fanout=8
+        ).collect()
+    }
+    cold = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_verified_pairs(
+            d, cand, threshold=0.8, hot_degree=10**9
+        ).collect()
+    }
+    assert hot == cold == expect, (hot, cold, expect)
+
+
 def test_simhash_identical_docs_equal_fingerprint(spark, dup_docs):
     from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
 
