@@ -32,6 +32,12 @@ windows, text analytics, dedup (minhash/simhash), similarity search,
 a streaming run, and (r5) the flagships: the end-to-end dedup chain
 (q148), giant-group exact quantiles (q153), and the exactly-once
 streaming file sink (q152, sink reset before its cold run).
+
+(r6) The flagships run in an ISOLATED subprocess+session after the
+headline: the round-6 interleaved A/B measured ~2 s of cold-time
+inflation on the queries scheduled after them when they share the
+session (block-manager pressure from q148's localCheckpoint blocks and
+q152's streaming state). Their numbers merge into the same JSON line.
 """
 
 from __future__ import annotations
@@ -45,6 +51,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mapreduce_mit_spark import registry
 from mapreduce_mit_spark.session import get_spark
+
+# The three flagships run in their OWN subprocess+session (role env
+# below): round 6's interleaved A/B (3 trials each way, same box,
+# SCALING.md) measured that running them mid-headline inflates the cold
+# times of the queries AFTER them by ~2.0 s (q85 +1.4 s, q98 +0.8 s —
+# q148's localCheckpoint blocks and streaming state live in the block
+# manager until GC), while queries before them moved +0.6 s (noise).
+# Isolation removes that pressure; their timings merge into the same
+# JSON line.
+FLAGSHIP = [
+    "q148_dedup_pipeline",
+    "q153_quantiles_giant_groups",
+    "q152_stream_file_sink",
+]
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -82,9 +102,6 @@ HEADLINE = [
     "q73_stream_stream_join",
     "q80_exact_dedup",
     "q81_minhash_lsh",
-    "q148_dedup_pipeline",
-    "q153_quantiles_giant_groups",
-    "q152_stream_file_sink",
     "q149_unigram_logprob",
     "q145_corpus_curation",
     "q83_simhash",
@@ -171,20 +188,9 @@ def _corpus_queries(spark):
     return {"wc_corpus_16mb": wc_corpus, "ii_corpus_16mb": ii_corpus}
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    registry.load_all_plans()
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # warm-up: JVM JIT, parquet footer cache, codegen — uncounted
-    registry.REGISTRY["q01_pricing_summary"].fn(spark, sf_dir).collect()
-
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
+def _run_set(spark, names, sf_dir, reps, timings, cold) -> None:
+    """Cold + warm-median timing for each named catalog query."""
+    for name in names:
         fn = registry.REGISTRY[name].fn
 
         if name == "q152_stream_file_sink":
@@ -212,6 +218,29 @@ def main() -> None:
             f"# {name}: median {timings[name]:.3f}s cold {cold[name]:.3f}s ({n} rows)",
             file=sys.stderr,
         )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all_plans()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM JIT, parquet footer cache, codegen — uncounted
+    registry.REGISTRY["q01_pricing_summary"].fn(spark, sf_dir).collect()
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+
+    if os.environ.get("SPARK_GRAFT_BENCH_ROLE") == "flagships":
+        # child process: flagships only, own JVM/session; one JSON line
+        _run_set(spark, FLAGSHIP, sf_dir, reps, timings, cold)
+        print(json.dumps({"queries": timings, "queries_cold": cold}))
+        return
+
+    _run_set(spark, HEADLINE, sf_dir, reps, timings, cold)
 
     import glob as _glob
 
@@ -244,6 +273,28 @@ def main() -> None:
                 )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # flagships in an isolated subprocess+session (see FLAGSHIP note):
+    # their block-manager/state pressure cannot touch the numbers above,
+    # and the JVM startup is the child's, uncounted.
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_ROLE="flagships")
+    child = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    if child.returncode != 0:
+        print(child.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError(f"flagship bench subprocess failed rc={child.returncode}")
+    for line in child.stderr.splitlines():
+        if line.startswith("#"):
+            print(line, file=sys.stderr)
+    fl = json.loads(child.stdout.strip().splitlines()[-1])
+    timings.update(fl["queries"])
+    cold.update(fl["queries_cold"])
 
     total = round(sum(timings.values()), 3)
     print(

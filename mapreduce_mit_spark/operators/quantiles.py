@@ -110,6 +110,26 @@ def _rank_select(
     return d.where(keep).groupBy(*keys).agg(*aggs)
 
 
+def _resolve_partitions(df: DataFrame, partitions: int | None) -> int:
+    """Shared partition-count resolution: explicit arg wins; otherwise
+    the session conf, parsed with a readable error (the conf can be a
+    non-integer like 'auto' on some platforms)."""
+    if partitions is not None:
+        P = partitions
+    else:
+        conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        try:
+            P = int(conf)
+        except ValueError as e:
+            raise ValueError(
+                "spark.sql.shuffle.partitions is not an integer "
+                f"({conf!r}); pass partitions= explicitly"
+            ) from e
+    if P < 1:
+        raise ValueError(f"partitions must be >= 1, got {P}")
+    return P
+
+
 def exact_quantiles_ranged(
     df: DataFrame,
     keys: list[str],
@@ -140,20 +160,7 @@ def exact_quantiles_ranged(
     one — the price of removing the per-group single-task bound.
     Quantile VALUES are invariant to where the range boundaries fall,
     so runtime boundary sampling cannot perturb results."""
-    spark = df.sparkSession
-    if partitions is not None:
-        P = partitions
-    else:
-        conf = spark.conf.get("spark.sql.shuffle.partitions")
-        try:
-            P = int(conf)
-        except ValueError as e:
-            raise ValueError(
-                "spark.sql.shuffle.partitions is not an integer "
-                f"({conf!r}); pass partitions= explicitly"
-            ) from e
-    if P < 1:
-        raise ValueError(f"partitions must be >= 1, got {P}")
+    P = _resolve_partitions(df, partitions)
     # The broadcast prefix table in step 3 is O(P × n_groups) rows. This
     # operator is for FEW giant groups; a high-cardinality key set makes
     # that table explode and would only fail late at the broadcast limit.
@@ -189,6 +196,7 @@ def exact_quantiles_auto(
     qs: dict[str, float],
     nd: int | None = None,
     mode: str = "linear",
+    n_groups_hint: int | None = None,
 ) -> DataFrame:
     """Pick the right exact-quantile strategy from the data's shape.
 
@@ -215,12 +223,23 @@ def exact_quantiles_auto(
     that each path is only chosen inside its safe regime, so the
     library's default entry point has no footgun. Both paths compute
     the identical quantile definition, so the choice never changes the
-    result (unit-tested on both regimes in tests/test_operators.py)."""
-    spark = df.sparkSession
-    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_groups = df.select(
-        F.approx_count_distinct(F.concat_ws("\x1f", *keys)).alias("n")
-    ).first()["n"]
+    result (unit-tested on both regimes in tests/test_operators.py).
+
+    COST NOTE: without ``n_groups_hint``, the probe is a driver-blocking
+    Spark job PER CALL (cheap — aggregate-only, no data shuffle — but a
+    job). Callers invoking this in a loop, or that already know the key
+    cardinality (a dimension enum, a prior profile), should pass
+    ``n_groups_hint`` to make routing a pure plan-time decision with no
+    Spark action at all."""
+    P = _resolve_partitions(df, None)
+    if n_groups_hint is not None:
+        if n_groups_hint < 1:
+            raise ValueError(f"n_groups_hint must be >= 1, got {n_groups_hint}")
+        n_groups = n_groups_hint
+    else:
+        n_groups = df.select(
+            F.approx_count_distinct(F.concat_ws("\x1f", *keys)).alias("n")
+        ).first()["n"]
     if n_groups >= P:
         return exact_quantiles(df, keys, col, qs, nd, mode)
     return exact_quantiles_ranged(df, keys, col, qs, nd, mode, partitions=P)

@@ -98,17 +98,23 @@ def _band_key_cols() -> list[Column]:
     ]
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + mh0..mh{N-1} minhash signature columns.
-
-    fan_out (via tw) because minhash is the heaviest per-row compute in
-    the catalog; the scan's partition count caps the stage otherwise."""
-    d = tw(spark, sf_dir, "documents")
+def minhash_signatures_df(docs: DataFrame) -> DataFrame:
+    """doc_id + mh0..mh{N-1} minhash signature columns over an arbitrary
+    (doc_id, text, ...) DataFrame — the reusable core of q81/q148 (the
+    q148 exact-dedup pre-pass feeds it the distinct-content corpus)."""
     return (
-        d.select("doc_id", tokens_col("text").alias("toks"))
+        docs.select("doc_id", tokens_col("text").alias("toks"))
         .select("doc_id", shingles_col(F.col("toks")).alias("shingles"))
         .select("doc_id", *minhash_cols(F.col("shingles"), N_HASHES))
     )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signatures over the full documents table.
+
+    fan_out (via tw) because minhash is the heaviest per-row compute in
+    the catalog; the scan's partition count caps the stage otherwise."""
+    return minhash_signatures_df(tw(spark, sf_dir, "documents"))
 
 
 @register(
@@ -161,14 +167,23 @@ def q81_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band_idx, band_key) — the LSH banding of the minhash
     signatures, shared by q81 (counted pairs) and q148 (the pipeline)."""
-    return minhash_signatures(spark, sf_dir).select(
+    return _lsh_bands_df(tw(spark, sf_dir, "documents"))
+
+
+def _lsh_bands_df(docs: DataFrame) -> DataFrame:
+    return minhash_signatures_df(docs).select(
         "doc_id",
         F.posexplode(F.array(*_band_key_cols())).alias("band_idx", "band_key"),
     )
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_a, doc_b) LSH candidate pairs over the FULL corpus
+    """Candidate pairs over the full documents table (see the _df core)."""
+    return lsh_candidate_pairs_df(tw(spark, sf_dir, "documents"))
+
+
+def lsh_candidate_pairs_df(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) LSH candidate pairs over ``docs``
     — the production candidate generator (one shuffle keyed by the
     32-byte band hash; candidate volume O(docs × bands), never O(n²)).
 
@@ -180,7 +195,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the join for AQE to re-decide from), and at the 100× study
     scale the resulting forced broadcast build OOM'd the driver. The
     hint makes the always-correct physical choice deterministic."""
-    a, b = (_lsh_bands(spark, sf_dir).alias(x) for x in ("a", "b"))
+    a, b = (_lsh_bands_df(docs).alias(x) for x in ("a", "b"))
     return (
         a.join(
             b.hint("merge"),
@@ -757,43 +772,91 @@ def jaccard_verified_pairs(
 )
 def q148_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION dedup chain, end-to-end over the FULL corpus:
-    MinHash-LSH candidates (q81's generator) → exact token-Jaccard
-    verification restricted to CANDIDATE PAIRS ONLY → connected
-    components → one survivor per cluster with its removed-dup count.
+    exact-dedup PRE-PASS (collapse byte-identical token streams) →
+    MinHash-LSH candidates over DISTINCT contents only → exact
+    token-Jaccard verification restricted to CANDIDATE PAIRS ONLY →
+    connected components → replica re-expansion → one survivor per
+    cluster with its removed-dup count.
 
-    This is the scale path the scoped q82/q78/q79 probes stand in for:
-    no stage ever touches all O(n²) pairs — candidates are
-    band-bucketed, the verify join (jaccard_verified_pairs) is
-    differentially salted so even a boilerplate corpus that puts one
-    doc in thousands of candidate pairs cannot funnel its pair×token
-    expansion through one reducer, and the closure runs on the
-    verified edge list only. The
-    analog of the reference's final merged artifact
+    The pre-pass is the C4/RefinedWeb discipline: a corpus is mostly
+    verbatim copies, so minhashing and verifying each copy separately
+    multiplies every downstream stage by the duplication factor — the
+    100× adversarial fixture (every doc replicated) produced 24.7M
+    verified pairs and needed a 48 GiB heap without it. Collapsing
+    first reduces LSH+verify to the distinct-content workload.
+
+    The collapse key is md5 of the TOKEN SEQUENCE (not norm_text):
+    identical token sequences provably behave identically through
+    shingle → minhash → band → Jaccard-verify (identical signatures;
+    jaccard 1 with each other; identical similarity to any third doc),
+    so collapsing on it cannot change the final survivor set — which is
+    why the oracle, which runs the chain with NO pre-pass, stays green.
+    A norm_text key would over-collapse: tokenization is case-sensitive
+    ("Foo" vs "foo" are different tokens) while norm_text lowercases.
+
+    Scale shape after the pre-pass: the content-key pass shuffles
+    32-byte hashes (q80's cost); the replica map is (doc_id, rep_id) —
+    narrow; LSH/verify/CC run on distinct contents; re-expansion is one
+    equi-join of the narrow map against the rep→cluster labels. No
+    stage ever touches all O(n²) pairs — candidates are band-bucketed,
+    the verify join (jaccard_verified_pairs) is differentially salted
+    so a boilerplate corpus cannot funnel one doc's pair×token
+    expansion through one reducer, and the closure runs on the verified
+    edge list only. The analog of the reference's final merged artifact
     (master_splitmerge.go:14-51): the table the next stage consumes."""
     from ..operators.graph import connected_components
+    from ..sources.io import fan_out
 
     d = t(spark, sf_dir, "documents")
-    # cached: the candidate set feeds the doc filter AND the verify join;
-    # materialized once by connected_components' first round
-    cand = lsh_candidate_pairs(spark, sf_dir).persist()
-    verified = jaccard_verified_pairs(d, cand, threshold=0.8)
+    base = fan_out(d)  # spread once; every downstream pass inherits it
+    # ---- exact pre-pass: one narrow (doc_id, content_key) projection,
+    # persisted (32-byte key + id per doc; the heavy token arrays are
+    # never cached). Two consumers: the rep election and the replica map.
+    ck = base.select(
+        "doc_id",
+        F.md5(F.concat_ws("\x1f", tokens_col("text"))).alias("_ck"),
+    )
+    ck.persist()
+    reps = ck.groupBy("_ck").agg(F.min("doc_id").alias("rep_id"))
+    # eager localCheckpoint: the map is consumed AFTER the closure loop
+    # (lazily, at the caller's collect) — checkpointing the two-column
+    # map now lets ck unpersist below without a full re-tokenize then
+    rep_map = (
+        ck.join(reps, "_ck").select("doc_id", "rep_id").localCheckpoint(eager=True)
+    )
+    rep_docs = base.join(
+        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    # ---- fuzzy chain over distinct contents only. cand cached: it
+    # feeds the doc filter AND the verify join.
+    cand = lsh_candidate_pairs_df(rep_docs).persist()
+    verified = jaccard_verified_pairs(rep_docs, cand, threshold=0.8)
     comp = connected_components(
-        d.select("doc_id"), verified,
+        rep_docs.select("doc_id"), verified,
         node_col="doc_id", src_col="doc_a", dst_col="doc_b",
         shuffle_partitions=16,
     )
     cand.unpersist()
+    # ---- re-expand replicas into their representative's cluster. The
+    # component label is the min rep id reachable, and each rep is the
+    # min doc_id of its content group, so the label is also the min
+    # doc_id over ALL docs in the expanded cluster — survivor selection
+    # (doc_id == label) needs no renumbering.
+    full = rep_map.join(
+        comp.select(F.col("node").alias("rep_id"), "label"), "rep_id"
+    ).select("doc_id", "label")
+    ck.unpersist()
     # cluster sizes via agg + join, NOT a window over label: a
     # pathological corpus (one giant dup cluster) would pin a window
     # partition on one task; the aggregate is map-side combinable and
     # only KEEPER rows cross the join (q09's skew discipline)
-    sizes = comp.groupBy("label").agg(
+    sizes = full.groupBy("label").agg(
         (F.count(F.lit(1)) - 1).alias("n_removed")
     )
     survivors = (
-        comp.where(F.col("node") == F.col("label"))
+        full.where(F.col("doc_id") == F.col("label"))
         .join(sizes, "label")
-        .select(F.col("node").alias("doc_id"), "n_removed")
+        .select("doc_id", "n_removed")
     )
     return (
         survivors.join(d, "doc_id")

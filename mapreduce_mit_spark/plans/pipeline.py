@@ -255,6 +255,7 @@ def q39_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SESSION_GAP_US = 1800 * 1_000_000  # 30 min, microseconds — q72's gap
+MAX_SESSION_EVENTS = 256  # hard cap per emitted session (flood guard)
 
 
 @register(
@@ -272,16 +273,27 @@ SESSION_GAP_US = 1800 * 1_000_000  # 30 min, microseconds — q72's gap
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS sess
       FROM o
+    ),
+    capped AS (
+      SELECT *, (row_number() OVER (PARTITION BY user_id, sess
+                                    ORDER BY ts, event_id) - 1)
+                  // {MAX_SESSION_EVENTS} AS chunk
+      FROM s
+    ),
+    renum AS (
+      SELECT *, dense_rank() OVER (PARTITION BY user_id
+                                   ORDER BY sess, chunk) AS session_id
+      FROM capped
     )
     SELECT user_id,
-           CAST(sess AS BIGINT) AS session_id,
+           CAST(session_id AS BIGINT) AS session_id,
            CAST(count(*) AS BIGINT) AS n_events,
            string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
            min(ts) AS started_at,
            CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
              AS dur_secs
-    FROM s
-    GROUP BY user_id, sess
+    FROM renum
+    GROUP BY user_id, session_id
     ORDER BY user_id, session_id
     """,
     tags=("pipeline", "sessionization", "sequences", "training-pipeline"),
@@ -292,12 +304,24 @@ def q154_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     session emitted as the ORDERED event-type string a sequence model
     trains on — the events-table analog of q37/q38's document packing.
 
-    Plan: one window pass keyed by user_id (lag for the gap flag, a
-    running sum for the session number — both share one user_id
-    exchange; per-user fan-in is a user's own events, bounded), then
-    one (user, session) aggregate. The in-order concatenation is an
-    array_sort over structs collected per group — deterministic (ties
-    break on event_id), no second window. Gap arithmetic in integer
+    FLOOD GUARD: a gap-session longer than MAX_SESSION_EVENTS (256) is
+    split into consecutive chunks of at most that many events — the
+    same budget discipline q37 applies to token packing. Without it the
+    per-session collect_list is bounded only by session length, and a
+    single-user event flood (bot traffic: no 30-min silence, ever)
+    makes one group — and the task holding it — unbounded. Sessions are
+    renumbered densely after the split, so organic corpora (every
+    session under the cap) produce byte-identical output to the
+    uncapped query.
+
+    Plan: three window passes ALL keyed by user_id — the lag/running
+    sum (gap → sess), the within-session row_number (chunk), and the
+    dense_rank renumber. hash(user_id) satisfies the (user_id, sess)
+    clustering requirement, so Catalyst plans ONE exchange with
+    re-sorts between passes; per-user fan-in stays a user's own events.
+    The in-order concatenation is an array_sort over structs collected
+    per (user, session) group — deterministic (ties break on event_id),
+    group size ≤ the cap by construction. Gap arithmetic in integer
     MICROseconds on both engines, so sub-second timestamps cannot
     diverge under double epoch rounding."""
     e = t(spark, sf_dir, "events")
@@ -310,6 +334,20 @@ def q154_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     s = e.select("user_id", "ts", "event_id", "event_type", sess.alias("sess"))
+    chunk = F.floor(
+        (
+            F.row_number().over(
+                Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+            )
+            - 1
+        )
+        / MAX_SESSION_EVENTS
+    )
+    capped = s.withColumn("chunk", chunk)
+    session_id = F.dense_rank().over(
+        Window.partitionBy("user_id").orderBy("sess", "chunk")
+    )
+    renum = capped.withColumn("session_id", session_id.cast("long"))
     ordered_types = F.transform(
         F.array_sort(
             F.collect_list(F.struct("ts", "event_id", "event_type"))
@@ -317,7 +355,7 @@ def q154_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda r: r.event_type,
     )
     return (
-        s.groupBy("user_id", "sess")
+        renum.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.array_join(ordered_types, ">").alias("seq"),
@@ -326,9 +364,7 @@ def q154_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.lit(1_000_000)).cast("long").alias("dur_secs"),
         )
         .select(
-            "user_id",
-            F.col("sess").cast("long").alias("session_id"),
-            "n_events", "seq", "started_at", "dur_secs",
+            "user_id", "session_id", "n_events", "seq", "started_at", "dur_secs",
         )
         .orderBy("user_id", "session_id")
     )

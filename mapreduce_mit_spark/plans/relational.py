@@ -973,15 +973,21 @@ def q153_quantiles_giant_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     spanning a 100 TB table cannot serialize onto 3 tasks the way a
     group-keyed window sort would. Same oracle as q17: the two rank
     strategies must agree value-for-value (and do — this is the
-    cross-implementation check)."""
-    from ..operators.quantiles import exact_quantiles_ranged
+    cross-implementation check).
+
+    Routed through ``exact_quantiles_auto`` with ``n_groups_hint=3``:
+    l_returnflag is a known 3-value enum, so the hint replaces the
+    per-call approx_count_distinct probe job with a pure plan-time
+    decision (3 < shuffle-partitions → the ranged path, as before)."""
+    from ..operators.quantiles import exact_quantiles_auto
 
     li = t(spark, sf_dir, "lineitem")
     return (
-        exact_quantiles_ranged(
+        exact_quantiles_auto(
             li, ["l_returnflag"], "l_extendedprice",
             {"p25_price": 0.25, "median_price": 0.5, "p90_price": 0.9},
             mode="disc",
+            n_groups_hint=3,
         )
         .select("l_returnflag", "p25_price", "median_price", "p90_price")
         .orderBy("l_returnflag")

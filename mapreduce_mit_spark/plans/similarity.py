@@ -401,58 +401,286 @@ def q89_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_sim").desc(), "vec_id")
         .limit(ANN_K)
     )
-    marked = _mark_exact_topk(hits, b, ANN_K)
+    queries1 = b.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    marked = _mark_exact_topk(
+        hits.withColumn("query_id", F.lit(QUERY_VEC_ID).cast("long")), b, queries1, ANN_K
+    )
     return _with_recall(marked, ANN_K, Q89_RECALL_TARGET).select(
         "vec_id", "label", "bucket", F.round("_sim", 4).alias("cos_sim"),
         "in_exact_topk", "recall_at_k", "recall_ok",
     )
 
 
-def _mark_exact_topk(hits: DataFrame, b: DataFrame, k: int) -> DataFrame:
-    """Left-mark each hit row with membership in the exact top-k
-    (the q85 brute-force scan at k) — the audit side of the ANN
-    contract. ``b`` must carry (vec_id, embedding)."""
-    q = b.where(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("xqv"))
-    es = cosine_col(F.col("embedding"), F.col("xqv"))
-    exact = (
-        b.where(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", es.alias("_es"))
-        .orderBy(F.col("_es").desc(), "vec_id")
-        .limit(k)
-        .select("vec_id", F.lit(True).alias("in_exact_topk"))
+def sample_queries(
+    e: DataFrame, sample_frac: float = 0.02, tag: str = "audit1"
+) -> DataFrame:
+    """Deterministic pseudo-random query sample for recall audits:
+    (query_id, qv) rows where the first 4 hex chars of
+    md5(tag:vec_id) fall below ``sample_frac`` of the 16-bit space —
+    the q46 hash-sample technique, so the same set reproduces in any
+    engine and any run without a seed or a shuffle."""
+    if not 0.0 < sample_frac <= 1.0:
+        raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+    thr = int(sample_frac * 65536)
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{tag}:"), F.col("vec_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return e.where(key < F.lit(thr)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    return hits.join(F.broadcast(exact), "vec_id", "left").withColumn(
+
+
+def exact_topk_per_query(b: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """(query_id, vec_id) — the exact cosine top-k neighbor ids of EACH
+    query vector: the ground truth an ANN audit compares against.
+
+    ``queries`` is (query_id, qv) and broadcasts; the data side never
+    shuffles — scoring is a map-side crossJoin, then one window keyed
+    by query_id ranks each query's scored rows (|queries| partitions of
+    n rows each). This is the audit tool for a SAMPLED query set, not a
+    per-query production path: cost is O(n × |queries|)."""
+    scored = (
+        b.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_col(F.col("embedding"), F.col("qv")).alias("_es"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_es").desc(), "vec_id")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("query_id", "vec_id")
+    )
+
+
+def _mark_exact_topk(hits: DataFrame, b: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Left-mark each (query_id, vec_id) hit row with membership in that
+    query's exact top-k — the audit side of the ANN contract. ``b``
+    must carry (vec_id, embedding); ``hits`` must carry query_id."""
+    exact = exact_topk_per_query(b, queries, k).withColumn(
+        "in_exact_topk", F.lit(True)
+    )
+    return hits.join(F.broadcast(exact), ["query_id", "vec_id"], "left").withColumn(
         "in_exact_topk", F.coalesce("in_exact_topk", F.lit(False))
     )
 
 
 def _with_recall(marked: DataFrame, k: int, target: float) -> DataFrame:
-    """Attach the constant recall@k column (hit-count / k, exact in
+    """Attach each query's recall@k column (hit-count / k, exact in
     both engines) and its contract bit, preserving score order."""
-    rec = marked.agg(
+    rec = marked.groupBy("query_id").agg(
         (F.sum(F.col("in_exact_topk").cast("long")).cast("double") / F.lit(float(k)))
         .alias("recall_at_k")
     )
     return (
-        marked.crossJoin(F.broadcast(rec))
+        marked.join(F.broadcast(rec), "query_id")
         .withColumn("recall_ok", F.col("recall_at_k") >= target)
         .orderBy(F.col("_sim").desc(), "vec_id")
     )
 
 
+def recall_audit(
+    b: DataFrame, queries: DataFrame, hits: DataFrame, k: int
+) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact scan.
+
+    ``b``: (vec_id, embedding) corpus; ``queries``: (query_id, qv) —
+    typically ``sample_queries(e, sample_frac)``; ``hits``: the ANN
+    candidates (query_id, vec_id). Returns one row per query:
+    (query_id, n_found, recall_at_k). Mean recall is one aggregate
+    away: ``audit.agg(F.avg("recall_at_k"))`` — kept separate so
+    callers can inspect the per-query distribution (a fine mean can
+    hide dead queries). This is the production form of q89/q68's
+    in-band single-probe audit: at 100 TB you run it over a sampled
+    query set on a schedule, not per query.
+
+    A query whose ANN path produced NO hits still gets a row (recall
+    0.0) — dead queries are the failure an audit exists to surface, so
+    they must not silently drop out of the mean."""
+    marked = _mark_exact_topk(hits, b, queries, k)
+    found = F.sum(F.col("in_exact_topk").cast("long"))
+    per_q = marked.groupBy("query_id").agg(found.alias("n_found"))
+    return (
+        queries.select("query_id")
+        .join(per_q, "query_id", "left")
+        .withColumn("n_found", F.coalesce("n_found", F.lit(0)))
+        .withColumn(
+            "recall_at_k", F.col("n_found").cast("double") / F.lit(float(k))
+        )
+    )
+
+
+def lsh_probe_hits(
+    b: DataFrame,
+    queries: DataFrame,
+    k: int,
+    probe_xors: tuple[int, ...] = _PROBE_XORS,
+) -> DataFrame:
+    """Multi-query LSH-probed ANN: each query probes its own bucket plus
+    the given hamming-xor neighbors; top-k by cosine per query —
+    the q89 single-probe plan generalized to a query SET. ``b`` must
+    carry (vec_id, embedding, bucket); ``queries`` (query_id, qv,
+    qbucket). One broadcast equi-join on the bucket id — the corpus
+    never shuffles; ranking is a per-query window over probed rows."""
+    probes = queries.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(v)) for v in probe_xors])
+        ).alias("pbucket"),
+    )
+    sim = cosine_col(F.col("embedding"), F.col("qv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), "vec_id")
+    return (
+        b.join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("_sim"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 N_IVF_CENTROIDS = 8
-N_PROBE = 2
-Q68_RECALL_TARGET = 0.8
+# 3 of 8 learned cells per query. MEASURED calibration (round 6, all
+# three SFs): the learned codebook's cells are balanced (max_frac
+# 0.13-0.15, q155), so nprobe bounds scanned fraction at ~3/8; mean
+# recall@5 over a 3% hash-sampled query set is 0.62 (nprobe=3) vs the
+# retired first-8-vectors stand-in's 0.47-0.49 (nprobe=2) — the old
+# 0.8 in-band number was single-query luck (the pinned probe vector
+# scored 1.0 while the stand-in's population mean was 0.47). The
+# pinned-query target below is set under its measured 0.6 with margin;
+# a broken codebook (wrong init hash, mis-assigned cells) collapses it
+# to ~0.1 and fails loudly.
+N_PROBE = 3
+Q68_RECALL_TARGET = 0.5
+N_KMEANS_ITERS = 2
+
+
+def ivf_codebook(
+    e: DataFrame, k: int = N_IVF_CENTROIDS, iters: int = N_KMEANS_ITERS
+) -> DataFrame:
+    """LEARNED IVF codebook: deterministic sampled k-means (Lloyd),
+    returning (cid, cv) with cv array<double>.
+
+    Every step is a pure function of the data so the DuckDB oracle
+    replays the identical codebook (``_ivf_codebook_sql``):
+
+    - init: the ``k`` vectors ranked first by md5('ivf:'||vec_id) — a
+      deterministic pseudo-random sample, no seed/no rand();
+    - ``iters`` Lloyd rounds, UNROLLED into one lazy plan (pagerank's
+      discipline — no driver action): assign each vector to its
+      max-cosine centroid (ties → lowest cid), then recompute each
+      centroid as the element-wise mean of its cell, ROUNDED to 6
+      decimals — the cross-engine float discipline: the mean's
+      summation-order wobble (~1e-13 relative) dies at the 6th decimal,
+      so both engines iterate from bit-identical centroids;
+    - an emptied cell keeps its previous centroid (left join +
+      coalesce), identically in both engines.
+
+    Scale shape: the codebook is k rows and BROADCASTS; each round is
+    one map-side crossJoin + argmax (max_by — partial-aggregable, one
+    narrow shuffle of (cluster, partial sums)) — the embeddings never
+    shuffle. This is the spark.ml KMeans dataflow restated in pure
+    DataFrame ops so the oracle can replay it; swap in spark.ml (fit
+    once, broadcast centroids) when cross-engine replay isn't needed."""
+    init = (
+        e.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+            F.md5(
+                F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))
+            ).alias("_ord"),
+        )
+        .orderBy("_ord", "vec_id")
+        .limit(k)
+    )
+    cent = init.select(
+        (F.row_number().over(Window.orderBy("_ord", "vec_id")) - 1)
+        .cast("long")
+        .alias("cid"),
+        "cv",
+    )
+    for _ in range(iters):
+        sims = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine_col(F.col("embedding"), F.col("cv")).alias("sim"),
+        )
+        assign = sims.groupBy("vec_id").agg(
+            F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc")))
+            .alias("cluster"),
+            F.any_value("embedding").alias("embedding"),
+        )
+        means = assign.groupBy("cluster").agg(
+            *[
+                F.round(
+                    F.avg(F.element_at("embedding", i + 1).cast("double")), 6
+                ).alias(f"m{i}")
+                for i in range(DIM)
+            ]
+        )
+        cent = cent.join(
+            means, cent.cid == means.cluster, "left"
+        ).select(
+            "cid",
+            F.when(F.col("cluster").isNull(), F.col("cv"))
+            .otherwise(F.array(*[F.col(f"m{i}") for i in range(DIM)]))
+            .alias("cv"),
+        )
+    return cent
+
+
+def _ivf_codebook_sql(k: int = N_IVF_CENTROIDS, iters: int = N_KMEANS_ITERS) -> str:
+    """DuckDB CTE text replaying :func:`ivf_codebook` exactly; the final
+    codebook CTE is named ``cent``."""
+    ctes = [
+        f"""cent0 AS (
+      SELECT cid, cv FROM (
+        SELECT row_number() OVER (ORDER BY md5(concat('ivf:', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings)
+      WHERE cid < {k}
+    )"""
+    ]
+    for r in range(1, iters + 1):
+        avgs = ", ".join(
+            f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6) AS m{i}"
+            for i in range(DIM)
+        )
+        mlist = ", ".join(f"m.m{i}" for i in range(DIM))
+        ctes.append(f"""assign{r} AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+        FROM embeddings e, cent{r - 1} c)
+      WHERE rn = 1
+    )""")
+        ctes.append(f"""cent{r} AS (
+      SELECT p.cid,
+             CASE WHEN m.cluster IS NULL THEN p.cv
+                  ELSE list_value({mlist}) END AS cv
+      FROM cent{r - 1} p LEFT JOIN (
+        SELECT cluster, {avgs} FROM assign{r} GROUP BY cluster) m
+        ON m.cluster = p.cid
+    )""")
+    ctes.append(f"cent AS (SELECT cid, cv FROM cent{iters})")
+    return ",\n    ".join(ctes)
 
 
 @register(
     "q68_ivf_ann",
     oracle=f"""
-    WITH cent AS (
-      SELECT vec_id AS cid, embedding AS cv FROM embeddings
-      WHERE vec_id < {N_IVF_CENTROIDS}
-    ),
+    WITH {_ivf_codebook_sql()},
     sims AS (
       SELECT e.vec_id, e.label, e.embedding, c.cid,
              {cosine_sql('e.embedding', 'c.cv')} AS sim
@@ -501,9 +729,12 @@ def q68_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook partitions vectors into cluster lists; a query searches
     only its ``N_PROBE`` nearest clusters' lists instead of the table.
 
-    The codebook here is the first N_IVF_CENTROIDS vectors —
-    deterministic so the oracle reproduces the index exactly; in
-    production it comes from k-means, and nothing in the plan changes.
+    The codebook is LEARNED: a deterministic sampled k-means
+    (:func:`ivf_codebook` — hash-sampled init, unrolled Lloyd rounds,
+    rounded means) that the oracle replays CTE-for-CTE, so the index
+    build itself is value-checked cross-engine. Cell balance — the
+    property IVF's speedup actually depends on — is surfaced by
+    q155_ivf_cells as an in-band contract.
     Scale shape: assignment is one pass over the table against a
     BROADCAST codebook with a partial-aggregable argmax (max_by) — no
     vector ever shuffles for index build; the probe joins the
@@ -511,9 +742,7 @@ def q68_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed lists only — the IVF trade the LSH variant (q87/q89) makes
     with hyperplanes instead of centroids."""
     e = t(spark, sf_dir, "embeddings")
-    cent = e.where(F.col("vec_id") < N_IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
+    cent = ivf_codebook(e)
     sims = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
@@ -546,10 +775,133 @@ def q68_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("_sim").desc(), "vec_id")
         .limit(ANN_K)
     )
-    marked = _mark_exact_topk(hits, e, ANN_K)
+    queries1 = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    marked = _mark_exact_topk(
+        hits.withColumn("query_id", F.lit(QUERY_VEC_ID).cast("long")), e, queries1, ANN_K
+    )
     return _with_recall(marked, ANN_K, Q68_RECALL_TARGET).select(
         "vec_id", "label", "cluster", F.round("_sim", 4).alias("cos_sim"),
         "in_exact_topk", "recall_at_k", "recall_ok",
+    )
+
+
+def ivf_probe_hits(
+    e: DataFrame,
+    cent: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """Multi-query IVF ANN: assign the corpus to the (cid, cv) codebook
+    once, rank each query's nprobe nearest cells, scan only those
+    cells' lists — q68's plan generalized to a query SET, the IVF twin
+    of :func:`lsh_probe_hits`. Returns (query_id, vec_id, _sim).
+
+    Scale shape: the codebook broadcasts for BOTH the corpus assignment
+    and the query-cell ranking; the probed-cell join broadcasts the
+    (|queries| × nprobe)-row probe set; the corpus never shuffles."""
+    sims = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine_col(F.col("embedding"), F.col("cv")).alias("sim"),
+    )
+    assign = sims.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias(
+            "cluster"
+        ),
+        F.any_value("embedding").alias("embedding"),
+    )
+    qs = queries.crossJoin(F.broadcast(cent)).select(
+        "query_id", "qv", "cid", cosine_col(F.col("qv"), F.col("cv")).alias("qsim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), "cid")
+    probe = (
+        qs.withColumn("_rk", F.row_number().over(wq))
+        .where(F.col("_rk") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    sim = cosine_col(F.col("embedding"), F.col("qv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), "vec_id")
+    return (
+        assign.join(F.broadcast(probe), assign.cluster == F.col("cid"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("_sim"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+Q155_BALANCE_BOUND = 0.5
+
+
+@register(
+    "q155_ivf_cells",
+    oracle=f"""
+    WITH {_ivf_codebook_sql()},
+    sims AS (
+      SELECT e.vec_id, c.cid, {cosine_sql('e.embedding', 'c.cv')} AS sim
+      FROM embeddings e, cent c
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM sims)
+      WHERE rn = 1
+    ),
+    cells AS (SELECT cluster, count(*) AS n_vectors FROM assign GROUP BY cluster),
+    tot AS (SELECT sum(n_vectors) AS n FROM cells),
+    mx AS (SELECT max(n_vectors) AS mx FROM cells)
+    SELECT cluster, n_vectors,
+           round(CAST(n_vectors AS DOUBLE) / n, 4) AS frac,
+           round(CAST(mx AS DOUBLE) / n, 4) AS max_frac,
+           (CAST(mx AS DOUBLE) / n <= {Q155_BALANCE_BOUND}) AS balanced_ok
+    FROM cells, tot, mx
+    ORDER BY cluster
+    """,
+    tags=("similarity", "ivf", "index-quality"),
+)
+def q155_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF CELL BALANCE — the index-quality stat q68's speedup claim
+    rests on: probing N_PROBE of k cells only cuts work if no cell
+    holds most of the table. One row per learned-codebook cell with its
+    population and fraction, plus the in-band contract (q89's
+    discipline): max_frac and a balanced_ok bit asserting no cell
+    exceeds Q155_BALANCE_BOUND (0.5) of the corpus.
+
+    Scale shape: assignment is the same broadcast-codebook argmax as
+    q68 (embeddings never shuffle); the stats are two 1-row broadcast
+    aggregates over the 8-row cell table — no driver count."""
+    e = t(spark, sf_dir, "embeddings")
+    cent = ivf_codebook(e)
+    sims = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", cosine_col(F.col("embedding"), F.col("cv")).alias("sim")
+    )
+    assign = sims.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias(
+            "cluster"
+        )
+    )
+    cells = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = cells.agg(F.sum("n_vectors").alias("n"))
+    mx = cells.agg(F.max("n_vectors").alias("mx"))
+    frac = F.col("n_vectors").cast("double") / F.col("n")
+    max_frac = F.col("mx").cast("double") / F.col("n")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "cluster",
+            "n_vectors",
+            F.round(frac, 4).alias("frac"),
+            F.round(max_frac, 4).alias("max_frac"),
+            (max_frac <= Q155_BALANCE_BOUND).alias("balanced_ok"),
+        )
+        .orderBy("cluster")
     )
 
 

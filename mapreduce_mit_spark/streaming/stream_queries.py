@@ -951,17 +951,34 @@ def q152_sink_base(sf_dir: str) -> str:
     the testdata is regenerated in place, the old checkpoint would still
     consider 'events.parquet' consumed and return STALE sink contents
     computed from the previous data. A new fingerprint gives a fresh
-    checkpoint+sink, mirroring _events_stream's stale-symlink re-point.
+    checkpoint+sink, mirroring _events_stream's stale-symlink re-point;
+    SIBLING fingerprints of the same sf_dir (checkpoints of a
+    since-regenerated source) are pruned here, so regenerating testdata
+    cannot accumulate orphaned checkpoint+sink trees under /tmp forever.
     Production analog: checkpoint identity is tied to the source
     prefix's manifest generation, not just its name."""
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    return os.path.join(
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+    except FileNotFoundError as e:
+        raise FileNotFoundError(
+            f"q152 source file missing: {src} — the streaming file sink "
+            "reads the events table of the given sf_dir"
+        ) from e
+    sf_root = os.path.join(
         tempfile.gettempdir(),
         "mms_stream_sink",
         "v1",
         sf_dir.strip("/").replace("/", "_"),
-        f"{st.st_size}_{st.st_mtime_ns}",
     )
+    fp = f"{st.st_size}_{st.st_mtime_ns}"
+    if os.path.isdir(sf_root):
+        import shutil
+
+        for stale in os.listdir(sf_root):
+            if stale != fp:
+                shutil.rmtree(os.path.join(sf_root, stale), ignore_errors=True)
+    return os.path.join(sf_root, fp)
 
 
 @register(

@@ -595,6 +595,48 @@ def test_dedup_pipeline_end_to_end_removes_cluster(spark, dup_docs, tmp_path):
     assert out[3].n_removed == 0 and out[4].n_removed == 0
 
 
+def test_dedup_pipeline_prepass_reexpands_replicas(spark, tmp_path):
+    """q148's exact-dedup pre-pass: a corpus where every document is
+    replicated verbatim R ways (the 100× adversarial fixture's shape)
+    must still produce the same survivors as the conceptual no-pre-pass
+    chain — replicas collapse BEFORE minhashing and re-expand into
+    their representative's cluster afterward.
+
+    Shape: text A (ids 0,10,20,...), near-dup A' (ids 1,11,21,...),
+    unrelated B (ids 2,12,22,...). Expected clusters: {A ∪ A'} with
+    survivor 0 and n_removed = 2R-1 (the near-dup edge must be found
+    between REPRESENTATIVES and then cover both replica sets), and {B}
+    with survivor 2 and n_removed = R-1 (a pure exact-dup cluster that
+    never touches LSH)."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    R = 12
+    a = BASE
+    a2 = BASE.replace("quiet", "noisy")
+    b = (
+        "completely different content about spark query planning and "
+        "shuffle partitioning strategies for large scale data systems"
+    )
+    rows = [(i * 10 + j, txt) for i in range(R) for j, txt in enumerate((a, a2, b))]
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("test").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    )
+    out = {
+        r.doc_id: r.n_removed
+        for r in REGISTRY["q148_dedup_pipeline"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {0: 2 * R - 1, 2: R - 1}, out
+
+
 def test_ranged_quantiles_single_giant_group(spark):
     """exact_quantiles_ranged's reason to exist: ONE group spanning many
     range partitions. Prefix-count rank recovery must reproduce numpy's
@@ -632,6 +674,44 @@ def test_ranged_quantiles_arg_validation(spark):
         exact_quantiles_ranged(df, ["k"], "v", {"p50": 0.5}, partitions=0)
     with _pytest.raises(ValueError, match="partitions must be >= 1"):
         exact_quantiles_ranged(df, ["k"], "v", {"p50": 0.5}, partitions=-3)
+
+
+def test_quantiles_auto_hint_runs_no_job(spark):
+    """With n_groups_hint, exact_quantiles_auto must make a pure
+    plan-time routing decision — NO Spark action during construction
+    (the status tracker's job list must not grow); without the hint the
+    approx_count_distinct probe runs exactly as documented (job list
+    grows). The hint must not change the values — checked against the
+    probe path on the same frame."""
+    import pytest as _pytest
+
+    from mapreduce_mit_spark.operators.quantiles import exact_quantiles_auto
+
+    real = spark.createDataFrame(
+        [("a", float(v)) for v in range(100)] + [("b", float(v)) for v in range(50)],
+        "k string, v double",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    out = exact_quantiles_auto(real, ["k"], "v", {"p50": 0.5}, n_groups_hint=3)
+    assert "p50" in out.columns
+    assert set(tracker.getJobIdsForGroup()) == before, "hint path ran a Spark job"
+
+    exact_quantiles_auto(real, ["k"], "v", {"p50": 0.5})
+    assert len(set(tracker.getJobIdsForGroup())) > len(before), (
+        "probe path should run the documented per-call job"
+    )
+
+    with _pytest.raises(ValueError, match="n_groups_hint must be >= 1"):
+        exact_quantiles_auto(real, ["k"], "v", {"p50": 0.5}, n_groups_hint=0)
+
+    hinted = exact_quantiles_auto(
+        real, ["k"], "v", {"p50": 0.5}, mode="disc", n_groups_hint=2
+    ).collect()
+    probed = exact_quantiles_auto(
+        real, ["k"], "v", {"p50": 0.5}, mode="disc"
+    ).collect()
+    assert sorted(map(tuple, hinted)) == sorted(map(tuple, probed))
 
 
 def test_quantiles_auto_selects_per_regime(spark):
@@ -677,3 +757,133 @@ def test_quantiles_auto_selects_per_regime(spark):
         for alias, q in qs.items():
             expect = float(np.percentile(vals, q * 100, method="linear"))
             assert abs(got2[gi][alias] - expect) < 1e-9, (gi, alias)
+
+
+def test_recall_audit_over_sampled_query_set(spark):
+    """The parameterized ANN recall audit (the production form of
+    q89/q68's single-probe in-band check): a deterministic hash-sampled
+    query set with n>1 queries, LSH-probed hits per query, and a
+    per-query + mean recall@k.
+
+    Pins: (a) every sampled query gets an audit row — including any
+    whose probe came back empty (recall 0, not a silent drop); (b)
+    recall values are n_found/k in [0,1]; (c) the single-query audit of
+    vec 0 agrees with q89's in-band recall_at_k; (d) exact top-k ground
+    truth per query matches a numpy brute-force check on 3 queries."""
+    from mapreduce_mit_spark.plans.similarity import (
+        ANN_K,
+        _PROBE_XORS,
+        _bucket_col,
+        exact_topk_per_query,
+        lsh_probe_hits,
+        recall_audit,
+        sample_queries,
+    )
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+    from mapreduce_mit_spark.sources.io import load_table
+
+    e = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    queries = sample_queries(e, sample_frac=0.05)
+    qids = sorted(r.query_id for r in queries.select("query_id").collect())
+    assert len(qids) > 1, "sample too small to be a multi-query audit"
+
+    b = e.select(
+        "vec_id", "embedding", _bucket_col(F.col("embedding"), 4).alias("bucket")
+    )
+    qb = queries.withColumn("qbucket", _bucket_col(F.col("qv"), 4))
+    hits = lsh_probe_hits(b, qb, ANN_K, _PROBE_XORS)
+    audit = recall_audit(e, queries, hits, ANN_K).collect()
+
+    assert sorted(r.query_id for r in audit) == qids
+    for r in audit:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert abs(r.recall_at_k - r.n_found / ANN_K) < 1e-12
+    mean = sum(r.recall_at_k for r in audit) / len(audit)
+    assert 0.0 <= mean <= 1.0
+
+    # (c) single-query consistency with q89's in-band audit
+    load_all_plans()
+    q89 = REGISTRY["q89_ann_probe"].fn(spark, SF_SMALL).collect()
+    q0 = queries.where(F.col("query_id") == 0)
+    if q0.count() == 0:
+        q0 = e.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    hits0 = lsh_probe_hits(b, q0.withColumn("qbucket", _bucket_col(F.col("qv"), 4)),
+                           ANN_K, _PROBE_XORS)
+    audit0 = recall_audit(e, q0, hits0, ANN_K).collect()[0]
+    assert abs(audit0.recall_at_k - q89[0].recall_at_k) < 1e-12
+
+    # (d) ground truth sanity: exact_topk_per_query == numpy brute force
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in e.collect()}
+    three = queries.limit(3)
+    gt = exact_topk_per_query(e, three, ANN_K).collect()
+    by_q = {}
+    for r in gt:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for qid, got_ids in by_q.items():
+        qv = vecs[qid]
+        sims = sorted(
+            (
+                (-float(np.dot(v, qv) / (np.linalg.norm(v) * np.linalg.norm(qv))), vid)
+                for vid, v in vecs.items()
+                if vid != qid
+            ),
+        )[:ANN_K]
+        assert sorted(got_ids) == sorted(vid for _s, vid in sims), qid
+
+
+def test_learned_ivf_codebook_quality(spark):
+    """The learned IVF codebook's two quality claims, measured on the
+    sampled multi-query audit (not the single lucky pinned query):
+
+    - cell balance: no cell above Q155_BALANCE_BOUND (the property the
+      nprobe cost bound depends on — the stand-in codebook had it by
+      luck; the learned one must have it by construction);
+    - mean recall@5 over a hash-sampled query set at N_PROBE is at
+      least 0.45 — comfortably above the retired first-8-vectors
+      stand-in's measured 2-probe population mean (0.47-0.49 at larger
+      SFs; this floor holds margin for the small-SF sample) and far
+      above the ~0.1 a broken codebook produces."""
+    from mapreduce_mit_spark.plans.similarity import (
+        ANN_K,
+        N_PROBE,
+        Q155_BALANCE_BOUND,
+        ivf_codebook,
+        ivf_probe_hits,
+        recall_audit,
+        sample_queries,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    e = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cent = ivf_codebook(e)
+    assert cent.count() == 8
+
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            cosine_col(F.col("embedding"), F.col("cv")).alias("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias("cluster"))
+    )
+    cells = assign.groupBy("cluster").count().collect()
+    total = sum(c["count"] for c in cells)
+    assert max(c["count"] for c in cells) / total <= Q155_BALANCE_BOUND
+
+    queries = sample_queries(e, 0.08)
+    assert queries.count() > 1
+    hits = ivf_probe_hits(e, cent, queries, ANN_K, N_PROBE)
+    audit = recall_audit(e, queries, hits, ANN_K)
+    mean = audit.agg(F.avg("recall_at_k")).first()[0]
+    assert mean >= 0.45, f"learned codebook mean recall {mean:.3f}"

@@ -113,3 +113,52 @@ def test_chunking_invariants(spark):
         # coverage: the final chunk reaches the last token
         last = chunks[-1]
         assert last["start_token"] - 1 + last["n_chunk_tokens"] >= n
+
+
+def test_event_sequences_flood_stays_bounded(spark, tmp_path):
+    """q154's flood guard: a single user emitting 100k events with no
+    30-minute silence is ONE gap-session; the cap must split it into
+    ceil(100k/256) chunk-sessions of <= MAX_SESSION_EVENTS each (so no
+    collect_list group — and no task — is unbounded), renumbered
+    densely, while a second user's small organic sessions keep the
+    exact uncapped numbering."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.pipeline import MAX_SESSION_EVENTS
+
+    n_flood = 100_000
+    flood = [(1, i, i * 60, "click") for i in range(n_flood)]  # 1-min gaps
+    organic = [
+        (2, n_flood + 1, 0, "view"),
+        (2, n_flood + 2, 60, "click"),
+        (2, n_flood + 3, 10_000, "purchase"),  # >30 min later: session 2
+    ]
+    (
+        spark.createDataFrame(
+            flood + organic, "user_id long, event_id long, ts_s long, event_type string"
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.timestamp_seconds("ts_s").alias("ts"),
+            "event_type",
+            F.lit(1.0).alias("value"),
+        )
+        .write.parquet(str(tmp_path / "events.parquet"))
+    )
+    rows = registry.REGISTRY["q154_event_sequences"].fn(spark, str(tmp_path)).collect()
+    u1 = sorted((r for r in rows if r.user_id == 1), key=lambda r: r.session_id)
+    expected_sessions = -(-n_flood // MAX_SESSION_EVENTS)
+    assert len(u1) == expected_sessions
+    assert [r.session_id for r in u1] == list(range(1, expected_sessions + 1))
+    assert all(r.n_events <= MAX_SESSION_EVENTS for r in u1)
+    assert sum(r.n_events for r in u1) == n_flood
+    # chunk boundaries respect event order: session k covers events
+    # [ (k-1)*CAP, k*CAP ) — spot-check via duration of the first chunk
+    assert u1[0].n_events == MAX_SESSION_EVENTS
+    assert u1[0].dur_secs == (MAX_SESSION_EVENTS - 1) * 60
+    u2 = sorted((r for r in rows if r.user_id == 2), key=lambda r: r.session_id)
+    assert [(r.session_id, r.n_events, r.seq) for r in u2] == [
+        (1, 2, "view>click"),
+        (2, 1, "purchase"),
+    ]

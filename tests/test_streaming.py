@@ -576,3 +576,380 @@ def test_checkpointed_sink_processes_only_new_files(spark, tmp_path):
     assert rows2 == 30, f"second drain must read only the new file, got {rows2}"
     assert spark.read.parquet(out).count() == 130
     assert sum(rows1) == 100
+
+
+def _drop_parquet(spark, src, name, rows, schema="ts_s long, value double",
+                  select=("timestamp_seconds(ts_s) AS ts", "value")):
+    """Atomically land one parquet file in a streaming source dir."""
+    import glob
+    import os
+
+    spark.createDataFrame(rows, schema).selectExpr(*select).coalesce(1).write.parquet(
+        os.path.join(src, "_stage_" + name)
+    )
+    part = glob.glob(os.path.join(src, "_stage_" + name, "part-*.parquet"))[0]
+    os.rename(part, os.path.join(src, name + ".parquet"))
+
+
+def _rm_ck_entries(d, pred):
+    """Remove checkpoint entries (and their .crc sidecars) whose batch
+    id satisfies pred — the crash-injection primitive of the q152 test."""
+    import glob
+    import os
+
+    for p in glob.glob(os.path.join(d, "*")) + glob.glob(os.path.join(d, ".*.crc")):
+        b = os.path.basename(p).removeprefix(".").removesuffix(".crc")
+        if b.isdigit() and pred(int(b)):
+            os.remove(p)
+
+
+def _crash_kill_roundtrip(spark, tmp_path, build_stream, partial_state_op=None):
+    """Shared crash-kill harness (the q152 proof generalized to any
+    stream shape): drain with maxFilesPerTrigger=1 until committed rows
+    are visible, stop, delete the last visible batch's commit marker
+    (sink files durable, batch not recorded — a crash between
+    FileStreamSink.addBatch and the commit-log write), optionally also
+    delete ONE operator's state delta for that batch while keeping the
+    others' (a crash BETWEEN two state-store commits inside the batch),
+    drop new data, restart, and assert batch replay + sink == oracle
+    with no duplicate keys.
+
+    ``build_stream(src_dir)`` → streaming DataFrame;
+    ``partial_state_op``: 'agg' to delete the aggregation-style state
+    store's post-batch delta (bare N.delta under partition dirs),
+    simulating join-committed/agg-not."""
+    import glob
+    import os
+    import time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+
+    def sink(df, trigger_kwargs):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    def committed_rows():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    q = sink(build_stream(src), {"processingTime": "1 second"})
+    deadline = time.time() + 180
+    while time.time() < deadline and committed_rows() == 0:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    assert committed_rows() > 0, "no committed sink rows before the kill"
+
+    manifest_dir = os.path.join(out, "_spark_metadata")
+    batches = sorted(
+        int(os.path.basename(p))
+        for p in glob.glob(os.path.join(manifest_dir, "*"))
+        if os.path.basename(p).isdigit()
+    )
+    m = batches[-1]
+    _rm_ck_entries(os.path.join(ck, "commits"), lambda b: b >= m)
+    _rm_ck_entries(os.path.join(ck, "offsets"), lambda b: b > m)
+
+    if partial_state_op == "agg":
+        # A crash BETWEEN the two operators' state commits happens
+        # MID-BATCH — i.e. before the sink manifest entry for m was
+        # written (every task's state commit precedes the job-complete
+        # manifest write; "manifest present, one store's delta missing"
+        # is unreachable on real hardware, and Spark legitimately
+        # relies on that: a manifest hit short-circuits the whole batch
+        # replay). So this injection also removes the manifest entry m,
+        # leaving the batch's ORPHANED data files in the directory —
+        # exactly what a real mid-batch crash leaves. The manifest is
+        # the source of truth: the replay must re-add the batch and the
+        # orphans must stay invisible to manifest-driven reads.
+        _rm_ck_entries(manifest_dir, lambda b: b >= m)
+        # the two-state-store topology: find the operator whose
+        # partition dirs hold BARE N.delta files (the agg; the join's
+        # sit under named store subdirs) and delete its version-(m+1)
+        # delta — state as a crash after the join's commit but before
+        # the agg's leaves it. Replay must load version m regardless.
+        state_root = os.path.join(ck, "state")
+        agg_deltas = []
+        join_store_dirs = 0
+        for op in sorted(os.listdir(state_root)):
+            for part in glob.glob(os.path.join(state_root, op, "*")):
+                if not os.path.isdir(part):
+                    continue
+                bare = glob.glob(os.path.join(part, f"{m + 1}.delta"))
+                named = [
+                    p
+                    for p in glob.glob(os.path.join(part, "*"))
+                    if os.path.isdir(p)
+                ]
+                agg_deltas += bare
+                join_store_dirs += len(named)
+        assert agg_deltas, "no aggregation state store found to crash"
+        assert join_store_dirs > 0, "expected a second (join) state store"
+        for p in agg_deltas:
+            # the local FS keeps checksum sidecars (N.delta.crc and the
+            # hidden .N.delta.crc[.crc] forms) next to each delta; a
+            # REAL crash never wrote any of them, and a stale crc makes
+            # the replayed commit's rename silently fail — same gotcha
+            # as the commit-log injection above.
+            d, base = os.path.split(p)
+            for side in (
+                p,
+                os.path.join(d, base + ".crc"),
+                os.path.join(d, "." + base + ".crc"),
+                os.path.join(d, "." + base + ".crc.crc"),
+            ):
+                if os.path.exists(side):
+                    os.remove(side)
+
+    return m, out, sink, committed_rows
+
+
+def test_chained_stateful_exactly_once_across_crash_kill(spark, tmp_path):
+    """The reference's worker-death lab (test_test.go:174-208) applied
+    to the HARDEST state topology the engine claims: q143's chained
+    stream-stream interval join → tumbling window aggregate (two state
+    stores in one dataflow) landing in a checkpointed parquet sink.
+
+    Crash window: mid-batch between the two operators' state commits —
+    the window-agg store's post-batch delta is deleted while the join's
+    stores keep theirs, and (since state commits precede the manifest
+    write) the batch's commit marker AND manifest entry go too, leaving
+    its data files ORPHANED in the sink directory. On restart the batch
+    must re-execute against the PRE-batch versions of both stores
+    (including the join store whose newer delta must be ignored, not
+    resumed from), the orphaned files must stay invisible to
+    manifest-driven reads, and the final directory must equal the batch
+    oracle (q143's watermark formula) — no duplicated window, no
+    missing window."""
+    import os
+    import time
+
+    H = 3600
+    schema = "user_id long, event_type string, ts_s long, value double"
+    select = ("user_id", "event_type", "timestamp_seconds(ts_s) AS ts", "value")
+
+    def mk(h_lo, h_hi):
+        rows = []
+        for h in range(h_lo, h_hi):
+            for u in range(1, 6):
+                rows.append((u, "click", h * H + u * 60, 0.0))
+                rows.append((u, "purchase", h * H + u * 60 + 300, float(h * 10 + u)))
+        return rows
+
+    src_files = {
+        "a": mk(0, 2),
+        "b": mk(2, 5),  # advances the watermark past hours 0-1 windows
+    }
+    post_crash = mk(5, 6) + [
+        (1, "click", 100 * H, 0.0),
+        (1, "purchase", 100 * H + 60, 0.0),
+    ]  # sentinel far ahead: closes every real window at the final drain
+
+    def build_stream(src):
+        ev = (
+            spark.readStream.schema("user_id long, event_type string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        clicks = (
+            ev.where(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("click_ts"))
+            .withWatermark("click_ts", "30 minutes")
+        )
+        purchases = (
+            ev.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+            .withWatermark("purchase_ts", "30 minutes")
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+            ),
+        )
+        return (
+            joined.groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_conversions"),
+                (
+                    F.sum(F.expr("CAST(round(purchase_value * 100) AS BIGINT)")) / 100.0
+                ).alias("converted_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "n_conversions",
+                "converted_value",
+            )
+        )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for name, rows in src_files.items():
+        _drop_parquet(spark, src, name, rows, schema, select)
+
+    m, out, sink, committed_rows = _crash_kill_roundtrip(
+        spark, tmp_path, build_stream, partial_state_op="agg"
+    )
+
+    _drop_parquet(spark, src, "c", post_crash, schema, select)
+    q2 = sink(build_stream(src), {"availableNow": True})
+    q2.awaitTermination()
+    replayed = [p["batchId"] for p in q2.recentProgress if p is not None]
+    assert m in replayed, f"batch {m} was not re-executed after the crash ({replayed})"
+
+    got = sorted(
+        (r["window_start"], r["n_conversions"], round(r["converted_value"], 2))
+        for r in spark.read.parquet(out).collect()
+    )
+    starts = [g[0] for g in got]
+    assert len(starts) == len(set(starts)), f"duplicated window after replay: {got}"
+
+    batch = spark.read.schema(
+        "user_id long, event_type string, ts timestamp, value double"
+    ).parquet(src)
+    clicks = batch.where("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = batch.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    wm = (
+        clicks.agg(F.max("click_ts").alias("c"))
+        .crossJoin(purchases.agg(F.max("purchase_ts").alias("p")))
+        .selectExpr("least(c, p) - INTERVAL 30 MINUTES AS wm")
+        .first()["wm"]
+    )
+    expected = sorted(
+        (r["window_start"], r["n_conversions"], round(r["converted_value"], 2))
+        for r in (
+            clicks.join(
+                purchases,
+                F.expr(
+                    "user_id = p_user_id AND purchase_ts >= click_ts "
+                    "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+                ),
+            )
+            .groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_conversions"),
+                (
+                    F.sum(F.expr("CAST(round(purchase_value * 100) AS BIGINT)")) / 100.0
+                ).alias("converted_value"),
+            )
+            .where(F.col("w.end") <= F.lit(wm))
+            .select(F.col("w.start").alias("window_start"), "n_conversions", "converted_value")
+        ).collect()
+    )
+    assert got == expected, f"sink != oracle after crash+restart\n{got}\n{expected}"
+
+
+def test_stream_stream_join_exactly_once_across_crash_kill(spark, tmp_path):
+    """q73's watermarked interval join under the same crash injection:
+    the commit marker of the last sink-visible batch is removed (sink
+    parquet durable, batch uncommitted), the join's four state stores
+    keep their deltas, restart re-executes the batch from its offsets
+    entry — the manifest must dedupe the re-add and the final sink must
+    equal the batch join exactly (inner interval joins emit matches
+    eagerly, so the oracle is ALL matched pairs over all files)."""
+    import os
+
+    H = 3600
+    schema = "user_id long, event_type string, ts_s long, value double"
+    select = ("user_id", "event_type", "timestamp_seconds(ts_s) AS ts", "value")
+
+    def mk(h_lo, h_hi):
+        rows = []
+        for h in range(h_lo, h_hi):
+            for u in range(1, 6):
+                rows.append((u, "click", h * H + u * 60, 0.0))
+                rows.append((u, "purchase", h * H + u * 60 + 300, float(h * 10 + u)))
+        return rows
+
+    def build_stream(src):
+        ev = (
+            spark.readStream.schema("user_id long, event_type string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        clicks = (
+            ev.where(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("click_ts"))
+            .withWatermark("click_ts", "30 minutes")
+        )
+        purchases = (
+            ev.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+            .withWatermark("purchase_ts", "30 minutes")
+        )
+        return clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+            ),
+        ).select("user_id", "click_ts", "purchase_ts", "purchase_value")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    _drop_parquet(spark, src, "a", mk(0, 2), schema, select)
+    _drop_parquet(spark, src, "b", mk(2, 4), schema, select)
+
+    m, out, sink, committed_rows = _crash_kill_roundtrip(spark, tmp_path, build_stream)
+
+    _drop_parquet(spark, src, "c", mk(4, 5), schema, select)
+    q2 = sink(build_stream(src), {"availableNow": True})
+    q2.awaitTermination()
+    replayed = [p["batchId"] for p in q2.recentProgress if p is not None]
+    assert m in replayed, f"batch {m} was not re-executed after the crash ({replayed})"
+
+    got = sorted(
+        (r["user_id"], r["click_ts"], r["purchase_ts"], r["purchase_value"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(got) == len(set(got)), "duplicated join match after replay"
+    batch = spark.read.schema(
+        "user_id long, event_type string, ts timestamp, value double"
+    ).parquet(src)
+    clicks = batch.where("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = batch.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    expected = sorted(
+        (r["user_id"], r["click_ts"], r["purchase_ts"], r["purchase_value"])
+        for r in clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user_id AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+            ),
+        )
+        .select("user_id", "click_ts", "purchase_ts", "purchase_value")
+        .collect()
+    )
+    assert got == expected, f"sink != oracle after crash+restart\n{got[:5]}\n{expected[:5]}"

@@ -94,19 +94,18 @@ def main() -> int:
     dirs = argv or ["/root/testdata/sf0.1", "/tmp/mms_scale/sf10"]
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
     if flagships:
-        # q148 at the 100x fixture is a ~2,000x true-pair adversarial
-        # workload; local mode shares ONE JVM between driver, executors,
-        # caches and broadcasts, and the default 8g heap OOMs there
-        # (SCALING.md round 5). Insist on an explicit heap so the run
-        # fails fast with advice instead of 2 minutes in.
-        if os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g") == "8g":
+        # Since the q148 exact-dedup pre-pass (round 6) the 100x
+        # adversarial fixture runs in the default 8g single-JVM heap
+        # (SCALING.md records the measured run), so this is advice, not
+        # a refusal. Test for the variable being UNSET — a user who
+        # deliberately exports 8g has made a choice and is not nagged.
+        if os.environ.get("SPARK_GRAFT_DRIVER_MEM") is None:
             print(
-                "flagships at 100x need a bigger single-JVM heap: "
-                "SPARK_GRAFT_DRIVER_MEM=48g python tools/scale_study.py "
-                "--flagships ...",
+                "note: flagships at 100x run in the default 8g heap since "
+                "the q148 pre-pass; export SPARK_GRAFT_DRIVER_MEM to size "
+                "the single JVM explicitly if your fixture is larger.",
                 file=sys.stderr,
             )
-            return 2
         queries = FLAGSHIPS
     else:
         queries = FLAT + SUBLINEAR + OUTPUT_BOUND
