@@ -628,8 +628,13 @@ def ivf_codebook(
                 for i in range(DIM)
             ]
         )
+        # means is <= k rows by construction (one per cluster), but its
+        # plan-time size estimate is a full-table aggregate's (unknown →
+        # large), so Spark picks a sort-merge join inside the broadcast
+        # subquery where AQE never re-plans; the explicit broadcast is
+        # always right here
         cent = cent.join(
-            means, cent.cid == means.cluster, "left"
+            F.broadcast(means), cent.cid == means.cluster, "left"
         ).select(
             "cid",
             F.when(F.col("cluster").isNull(), F.col("cv"))
