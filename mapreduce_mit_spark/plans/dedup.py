@@ -34,6 +34,13 @@ N_HASHES = 12
 BAND_SIZE = 3
 N_BANDS = N_HASHES // BAND_SIZE
 
+# q148 runs its exact-dedup pre-pass only when distinct contents are
+# below this fraction of the corpus (i.e. exact-dup mass > 2%): below
+# breakeven the pre-pass machinery costs more than the LSH/verify work
+# it saves (measured: 2× at sf0.1 on an all-distinct corpus). The
+# probe is an HLL estimate at rsd 0.01, well inside the 2% margin.
+DEDUP_PREPASS_DISTINCT_RATIO = 0.98
+
 
 @register(
     "q80_exact_dedup",
@@ -772,18 +779,25 @@ def jaccard_verified_pairs(
 )
 def q148_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION dedup chain, end-to-end over the FULL corpus:
-    exact-dedup PRE-PASS (collapse byte-identical token streams) →
-    MinHash-LSH candidates over DISTINCT contents only → exact
-    token-Jaccard verification restricted to CANDIDATE PAIRS ONLY →
-    connected components → replica re-expansion → one survivor per
-    cluster with its removed-dup count.
+    exact-dedup PRE-PASS (collapse byte-identical token streams, run
+    adaptively when the probe finds real dup mass) → MinHash-LSH
+    candidates over DISTINCT contents only → exact token-Jaccard
+    verification restricted to CANDIDATE PAIRS ONLY → connected
+    components → replica re-expansion → one survivor per cluster with
+    its removed-dup count.
 
-    The pre-pass is the C4/RefinedWeb discipline: a corpus is mostly
+    The pre-pass is the C4/RefinedWeb discipline: a raw crawl is mostly
     verbatim copies, so minhashing and verifying each copy separately
     multiplies every downstream stage by the duplication factor — the
     100× adversarial fixture (every doc replicated) produced 24.7M
-    verified pairs and needed a 48 GiB heap without it. Collapsing
-    first reduces LSH+verify to the distinct-content workload.
+    verified pairs and needed a 48 GiB heap without it; with it the
+    same fixture runs in the default 8 g heap at 1.3× the sf0.1 wall
+    (SCALING.md round 6). On an ALREADY-DISTINCT corpus the machinery
+    costs ~2× the fuzzy chain for zero savings, so one aggregate-only
+    probe (count + HLL distinct over the 32-byte content keys) routes:
+    dup mass > 2% → pre-pass; else the direct chain — both paths
+    provably produce the identical survivor set, so the routing never
+    shows in the result.
 
     The collapse key is md5 of the TOKEN SEQUENCE (not norm_text):
     identical token sequences provably behave identically through
@@ -809,30 +823,56 @@ def q148_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     base = fan_out(d)  # spread once; every downstream pass inherits it
-    # ---- exact pre-pass: one narrow (doc_id, content_key) projection,
+    # ---- dup-mass probe: one narrow (doc_id, content_key) projection,
     # persisted (32-byte key + id per doc; the heavy token arrays are
-    # never cached). Two consumers: the rep election and the replica map.
+    # never cached), and ONE aggregate-only job (count + HLL distinct —
+    # no shuffle of the keys). The exact_quantiles_auto discipline: the
+    # pre-pass pays when it collapses real dup mass, and costs ~2× the
+    # fuzzy chain's base when the corpus is already distinct (measured
+    # at sf0.1, round 6: 7.6 s → 14.9 s warm) — so route by the data.
+    # Routing is RESULT-INVISIBLE: the pre-pass provably preserves the
+    # survivor set (below), so both paths satisfy the same oracle.
     ck = base.select(
         "doc_id",
         F.md5(F.concat_ws("\x1f", tokens_col("text"))).alias("_ck"),
     )
     ck.persist()
-    reps = ck.groupBy("_ck").agg(F.min("doc_id").alias("rep_id"))
-    # eager localCheckpoint: the map is consumed AFTER the closure loop
-    # (lazily, at the caller's collect) — checkpointing the two-column
-    # map now lets ck unpersist below without a full re-tokenize then
-    rep_map = (
-        ck.join(reps, "_ck").select("doc_id", "rep_id").localCheckpoint(eager=True)
-    )
-    rep_docs = base.join(
-        reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-    )
-    # ---- fuzzy chain over distinct contents only. cand cached: it
-    # feeds the doc filter AND the verify join.
-    cand = lsh_candidate_pairs_df(rep_docs).persist()
-    verified = jaccard_verified_pairs(rep_docs, cand, threshold=0.8)
+    stats = ck.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("_ck", 0.01).alias("nd"),
+    ).first()
+    prepass = stats["nd"] < stats["n"] * DEDUP_PREPASS_DISTINCT_RATIO
+    if prepass:
+        # eager localCheckpoints: reps is consumed by 4 later subplans
+        # (both band-join sides, the verify tokenizer, the CC node set)
+        # and rep_map AFTER the closure loop — materializing the tiny
+        # tables once beats re-running the groupBy per consumer, and
+        # lets ck unpersist without a re-tokenize.
+        reps = (
+            ck.groupBy("_ck")
+            .agg(F.min("doc_id").alias("rep_id"))
+            .localCheckpoint(eager=True)
+        )
+        rep_map = (
+            ck.join(reps, "_ck")
+            .select("doc_id", "rep_id")
+            .localCheckpoint(eager=True)
+        )
+        docs = base.join(
+            reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+        )
+        nodes = reps.select(F.col("rep_id").alias("doc_id"))
+    else:
+        rep_map = None
+        docs = base
+        nodes = d.select("doc_id")
+    ck.unpersist()
+    # ---- fuzzy chain (over distinct contents when the pre-pass ran).
+    # cand cached: it feeds the doc filter AND the verify join.
+    cand = lsh_candidate_pairs_df(docs).persist()
+    verified = jaccard_verified_pairs(docs, cand, threshold=0.8)
     comp = connected_components(
-        rep_docs.select("doc_id"), verified,
+        nodes, verified,
         node_col="doc_id", src_col="doc_a", dst_col="doc_b",
         shuffle_partitions=16,
     )
@@ -842,10 +882,12 @@ def q148_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min doc_id of its content group, so the label is also the min
     # doc_id over ALL docs in the expanded cluster — survivor selection
     # (doc_id == label) needs no renumbering.
-    full = rep_map.join(
-        comp.select(F.col("node").alias("rep_id"), "label"), "rep_id"
-    ).select("doc_id", "label")
-    ck.unpersist()
+    if rep_map is not None:
+        full = rep_map.join(
+            comp.select(F.col("node").alias("rep_id"), "label"), "rep_id"
+        ).select("doc_id", "label")
+    else:
+        full = comp.select(F.col("node").alias("doc_id"), "label")
     # cluster sizes via agg + join, NOT a window over label: a
     # pathological corpus (one giant dup cluster) would pin a window
     # partition on one task; the aggregate is map-side combinable and
