@@ -235,7 +235,12 @@ def main() -> None:
     cold: dict[str, float] = {}
 
     if os.environ.get("SPARK_GRAFT_BENCH_ROLE") == "flagships":
-        # child process: flagships only, own JVM/session; one JSON line
+        # child process: flagships only, own JVM/session; one JSON line.
+        # Extra warm-up on the dedup path (q80: tokenize/md5/agg): the
+        # child JVM is fresh, and without it q148's "cold" number is
+        # mostly first-touch JIT of code the parent's headline had
+        # already compiled when the flagships shared its session.
+        registry.REGISTRY["q80_exact_dedup"].fn(spark, sf_dir).collect()
         _run_set(spark, FLAGSHIP, sf_dir, reps, timings, cold)
         print(json.dumps({"queries": timings, "queries_cold": cold}))
         return
