@@ -818,9 +818,21 @@ def q148_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion through one reducer, and the closure runs on the verified
     edge list only. The analog of the reference's final merged artifact
     (master_splitmerge.go:14-51): the table the next stage consumes."""
+    return _dedup_pipeline(spark, sf_dir)
+
+
+def _dedup_pipeline(
+    spark: SparkSession, sf_dir: str, force_route: str | None = None
+) -> DataFrame:
+    """q148's body. ``force_route`` ('prepass' | 'direct' | None) exists
+    for the equivalence test that pins the routing-invisibility claim:
+    both forced routes must produce the identical survivor table on the
+    same corpus. None = route by the dup-mass probe."""
     from ..operators.graph import connected_components
     from ..sources.io import fan_out
 
+    if force_route not in (None, "prepass", "direct"):
+        raise ValueError(f"unknown force_route: {force_route!r}")
     d = t(spark, sf_dir, "documents")
     base = fan_out(d)  # spread once; every downstream pass inherits it
     # ---- dup-mass probe: one narrow (doc_id, content_key) projection,
@@ -837,11 +849,14 @@ def q148_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws("\x1f", tokens_col("text"))).alias("_ck"),
     )
     ck.persist()
-    stats = ck.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.approx_count_distinct("_ck", 0.01).alias("nd"),
-    ).first()
-    prepass = stats["nd"] < stats["n"] * DEDUP_PREPASS_DISTINCT_RATIO
+    if force_route is None:
+        stats = ck.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("_ck", 0.01).alias("nd"),
+        ).first()
+        prepass = stats["nd"] < stats["n"] * DEDUP_PREPASS_DISTINCT_RATIO
+    else:
+        prepass = force_route == "prepass"
     if prepass:
         # eager localCheckpoints: reps is consumed by 4 later subplans
         # (both band-join sides, the verify tokenizer, the CC node set)

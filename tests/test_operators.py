@@ -887,3 +887,50 @@ def test_learned_ivf_codebook_quality(spark):
     audit = recall_audit(e, queries, hits, ANN_K)
     mean = audit.agg(F.avg("recall_at_k")).first()[0]
     assert mean >= 0.45, f"learned codebook mean recall {mean:.3f}"
+
+
+def test_dedup_prepass_route_equivalence(spark, tmp_path):
+    """The routing-invisibility claim behind q148's adaptive pre-pass,
+    pinned DIRECTLY: on one mixed corpus (exact-dup groups, a cross-
+    group near-dup, case-variant texts that norm_text would wrongly
+    merge, unrelated docs), the chain FORCED through the pre-pass and
+    FORCED direct must produce the identical survivor table — and it
+    must match the independent q148 result the probe routes to."""
+    from mapreduce_mit_spark.plans.dedup import _dedup_pipeline
+
+    near = BASE.replace("quiet", "noisy")
+    docs = [
+        (0, BASE), (1, BASE), (2, BASE),          # exact-dup group
+        (3, near), (4, near),                      # near-dup group (edges to 0's group)
+        (5, BASE.upper()),                         # case variant: NOT an exact dup
+        (6, "completely different content about spark query planning and "
+            "shuffle partitioning strategies for large scale data systems"),
+        (7, "yet another unrelated document mentioning streaming watermarks "
+            "and stateful aggregation semantics in modern engines"),
+    ]
+    (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .select(
+            "doc_id", "text",
+            F.lit("en").alias("lang"), F.lit("t").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    )
+    sf = str(tmp_path)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    via_prepass = rows(_dedup_pipeline(spark, sf, force_route="prepass"))
+    via_direct = rows(_dedup_pipeline(spark, sf, force_route="direct"))
+    via_probe = rows(_dedup_pipeline(spark, sf))
+    assert via_prepass == via_direct == via_probe
+    surv = {r[0]: r[4] for r in via_probe}  # doc_id -> n_removed
+    # 0's cluster = {0,1,2,3,4} (near-dup edge bridges the groups);
+    # 5 (case variant) must SURVIVE alone — the collapse key is the
+    # case-sensitive token sequence, so it never merges into 0's group
+    # unless LSH+verify independently decide so (they don't: disjoint
+    # lowercase/uppercase token sets).
+    assert surv[0] == 4
+    assert surv.get(5) == 0 and surv.get(6) == 0 and surv.get(7) == 0
