@@ -368,3 +368,93 @@ def q154_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+TEMP_ALPHA_SQRT = True  # alpha = 0.5, computed as sqrt() (IEEE-exact both engines)
+TEMP_TARGET_FRAC = 0.5  # sample ~half the corpus, redistributed across sources
+
+
+@register(
+    "q156_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(sqrt(CAST(n_s AS DOUBLE))) AS z, sum(n_s) AS n FROM counts
+    ),
+    rates AS (
+      SELECT source, n_s,
+             round(least(1.0,
+               (sqrt(CAST(n_s AS DOUBLE)) / z) * ({TEMP_TARGET_FRAC} * n) / n_s
+             ), 6) AS rate
+      FROM counts, tot
+    ),
+    thr AS (
+      SELECT source, rate,
+             CASE WHEN rate >= 1.0 THEN 'g'
+                  ELSE printf('%04x', CAST(floor(rate * 65536) AS INT)) END AS hex_thr
+      FROM rates
+    )
+    SELECT d.doc_id, d.source, t.rate
+    FROM documents d JOIN thr t ON d.source = t.source
+    WHERE substr(md5(concat('tmix1:', CAST(d.doc_id AS VARCHAR))), 1, 4) < t.hex_thr
+    ORDER BY d.doc_id
+    """,
+    tags=("pipeline", "mixture", "sampling", "rebalancing", "training-pipeline"),
+)
+def q156_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-based source rebalancing (the mBERT/XLM exponent
+    trick, alpha = 0.5): a source's share of the sampled corpus is
+    proportional to sqrt(its population) instead of its population, so
+    head sources are downsampled and tail sources keep (up to) all
+    their documents — the data-mixing step that stops one dominant
+    crawl from drowning minority sources. q39 is the fixed-rate flavor
+    (rates from config); here the rates are COMPUTED from the corpus.
+
+    Per-source acceptance rate: w_s = sqrt(n_s)/Σ sqrt(n_s) (the
+    temperature weight), target volume = TEMP_TARGET_FRAC × N, so
+    rate_s = min(1, w_s × target / n_s), rounded to 6 decimals — the
+    cross-engine float discipline: sqrt is IEEE-correctly-rounded in
+    both engines, counts are exact integers, and the rounding kills the
+    Σ sqrt summation-order wobble before the threshold compare.
+    Membership: the first 4 md5 hex chars of 'tmix1:'||doc_id compared
+    LEXICOGRAPHICALLY against printf('%04x', floor(rate × 65536)) —
+    q39's string-threshold technique (P(hex4 < H) = H/65536 exactly,
+    'g' sorts after every hex digit = keep all), so the selection
+    replays exactly in both engines and across epochs (salt bump
+    re-randomizes) with no hex→int parsing anywhere.
+
+    Scale shape: counts is a per-source aggregate (dozens of rows,
+    broadcast); the corpus never shuffles — membership is a pure
+    per-row predicate against the broadcast rate table."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n_s").cast("double"))).alias("z"),
+        F.sum("n_s").alias("n"),
+    )
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            (F.sqrt(F.col("n_s").cast("double")) / F.col("z"))
+            * (F.lit(TEMP_TARGET_FRAC) * F.col("n"))
+            / F.col("n_s"),
+        ),
+        6,
+    )
+    hex_thr = F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+        F.format_string("%04x", F.floor(F.col("rate") * 65536).cast("int"))
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source", rate.alias("rate"), hex_thr.alias("hex_thr")
+    )
+    key = F.substring(
+        F.md5(F.concat(F.lit("tmix1:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .where(key < F.col("hex_thr"))
+        .select("doc_id", "source", "rate")
+        .orderBy("doc_id")
+    )

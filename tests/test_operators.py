@@ -934,3 +934,44 @@ def test_dedup_prepass_route_equivalence(spark, tmp_path):
     # lowercase/uppercase token sets).
     assert surv[0] == 4
     assert surv.get(5) == 0 and surv.get(6) == 0 and surv.get(7) == 0
+
+
+def test_codebook_cache_invalidates_on_source_change(spark, tmp_path):
+    """The fitted-codebook memo must be keyed by the SOURCE FINGERPRINT:
+    regenerating embeddings.parquet in place (new size/mtime) must
+    refit, never serve centroids of the old data — the q152 checkpoint
+    staleness class applied to the index artifact. Also pins that a
+    repeat call with unchanged data is a cache hit (same DataFrame
+    object back, i.e. no refit)."""
+    import time as _time
+
+    import numpy as _np
+
+    from mapreduce_mit_spark.plans.similarity import DIM, codebook_for
+
+    def write(seed, n):
+        rng = _np.random.RandomState(seed)
+        rows = [
+            (int(i), int(i % 4), [float(x) for x in rng.randn(DIM)])
+            for i in range(n)
+        ]
+        (
+            spark.createDataFrame(
+                rows, "vec_id long, label int, embedding array<float>"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / "embeddings.parquet"))
+        )
+
+    write(1, 64)
+    c1 = codebook_for(spark, str(tmp_path))
+    rows1 = {r.cid: list(r.cv) for r in c1.collect()}
+    assert codebook_for(spark, str(tmp_path)) is c1  # unchanged data: hit
+
+    _time.sleep(0.05)  # ensure a distinct mtime_ns even on coarse clocks
+    write(2, 80)
+    c2 = codebook_for(spark, str(tmp_path))
+    assert c2 is not c1
+    rows2 = {r.cid: list(r.cv) for r in c2.collect()}
+    assert rows1 != rows2, "refit served stale centroids"

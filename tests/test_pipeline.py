@@ -162,3 +162,55 @@ def test_event_sequences_flood_stays_bounded(spark, tmp_path):
         (1, 2, "view>click"),
         (2, 1, "purchase"),
     ]
+
+
+def test_temperature_mix_matches_python_and_rebalances(spark, tmp_path):
+    """q156 against a THIRD implementation on a skewed corpus: rates
+    computed in pure Python (sqrt weights, 6-decimal round, hex
+    threshold) must select exactly the same doc set, and the sampled
+    shares must actually rebalance — the head source's share shrinks,
+    the tail source keeps (nearly) everything (rate capped at 1)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.pipeline import TEMP_TARGET_FRAC
+
+    pops = {"head": 2000, "mid": 200, "tail": 20}
+    rows = []
+    i = 0
+    for src, n in pops.items():
+        for _ in range(n):
+            rows.append((i, f"text {i}", "en", src, 10))
+            i += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = registry.REGISTRY["q156_temperature_mix"].fn(spark, str(tmp_path)).collect()
+
+    z = sum(math.sqrt(n) for n in pops.values())
+    ntot = sum(pops.values())
+    expect_ids = set()
+    rates = {}
+    for src, n in pops.items():
+        rate = round(min(1.0, (math.sqrt(n) / z) * (TEMP_TARGET_FRAC * ntot) / n), 6)
+        rates[src] = rate
+        thr = "g" if rate >= 1.0 else format(int(rate * 65536), "04x")
+    for doc_id, _t, _l, src, _c in rows:
+        rate = rates[src]
+        thr = "g" if rate >= 1.0 else format(int(rate * 65536), "04x")
+        if _md5(f"tmix1:{doc_id}")[:4] < thr:
+            expect_ids.add(doc_id)
+    assert {r.doc_id for r in got} == expect_ids
+    for r in got:
+        assert abs(r.rate - rates[r.source]) < 1e-9
+
+    # rebalancing property: tail keeps all (rate 1), head is cut hardest
+    assert rates["tail"] >= 1.0 or rates["tail"] > rates["mid"] > rates["head"]
+    from collections import Counter
+
+    samp = Counter(r.source for r in got)
+    head_share_before = pops["head"] / ntot
+    head_share_after = samp["head"] / max(len(got), 1)
+    assert head_share_after < head_share_before
