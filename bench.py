@@ -96,6 +96,8 @@ HEADLINE = [
     "q63_quality_score",
     "q67_bitmap_distinct",
     "q68_ivf_ann",
+    "q157_pq_ann",
+    "q156_temperature_mix",
     "q70_tumbling_window",
     "q72_session_window",
     "q135_rollup_ladder",

@@ -920,3 +920,149 @@ def _dedup_pipeline(
         .select("doc_id", "lang", "source", "n_chars", "n_removed")
         .orderBy("doc_id")
     )
+
+
+EVAL_MOD = 25            # q06/q147's eval-membership protocol
+CONTAIN_THRESHOLD = 0.5  # fraction of the eval item's tokens present
+
+
+@register(
+    "q158_fuzzy_decontamination",
+    oracle=f"""
+    WITH {_lsh_bands_sql()},
+    tb AS (SELECT * FROM bands WHERE doc_id % {EVAL_MOD} <> 0),
+    eb AS (SELECT * FROM bands WHERE doc_id % {EVAL_MOD} = 0),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+      FROM tb t JOIN eb e
+        ON t.band_idx = e.band_idx AND t.band_key = e.band_key
+    ),
+    etoks AS (
+      SELECT doc_id AS eval_id, unnest(list_distinct({tokens_sql('text')})) AS token
+      FROM documents
+      WHERE doc_id % {EVAL_MOD} = 0
+        AND doc_id IN (SELECT eval_id FROM cand)
+    ),
+    esizes AS (SELECT eval_id, count(*) AS en FROM etoks GROUP BY eval_id),
+    ttoks AS (
+      SELECT doc_id AS train_id, unnest(list_distinct({tokens_sql('text')})) AS token
+      FROM documents
+      WHERE doc_id IN (SELECT train_id FROM cand)
+    ),
+    shared AS (
+      SELECT c.train_id, c.eval_id, count(*) AS n
+      FROM cand c
+        JOIN ttoks t ON t.train_id = c.train_id
+        JOIN etoks e ON e.eval_id = c.eval_id AND e.token = t.token
+      GROUP BY 1, 2
+    ),
+    cont AS (
+      SELECT s.train_id, s.eval_id,
+             CAST(s.n AS DOUBLE) / es.en AS containment
+      FROM shared s JOIN esizes es ON es.eval_id = s.eval_id
+      WHERE CAST(s.n AS DOUBLE) / es.en >= {CONTAIN_THRESHOLD}
+    )
+    SELECT train_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_flagged_evals,
+           round(max(containment), 4) AS max_containment
+    FROM cont
+    GROUP BY 1
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "decontamination", "minhash-lsh", "training-pipeline"),
+)
+def q158_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the third leg of the trio: q06
+    catches verbatim n-gram overlap, q147 catches paraphrase via
+    embeddings, and this catches NEAR-VERBATIM text (light edits,
+    truncation, formatting churn) that breaks exact n-grams but keeps
+    high token overlap. Flags train documents whose token CONTAINMENT
+    of any eval item (|train ∩ eval| / |eval|) reaches
+    CONTAIN_THRESHOLD, with candidates from a BIPARTITE MinHash-LSH
+    band join — never an all-pairs product.
+
+    Scale shape (the asymmetry is the point): the eval side is
+    benchmark-sized at any corpus scale, so its bands AND its token
+    sets broadcast; the train corpus is banded in one narrow pass and
+    NEVER shuffles — candidates come from a map-side equi-join against
+    the broadcast eval bands, and only candidate train docs' tokens are
+    ever exploded for the verify. Same q148 verify discipline
+    (candidates only), but keyed by containment, not Jaccard: an eval
+    item embedded in a longer train doc has low Jaccard and high
+    containment, and containment is what leaks eval answers. Known
+    limit, documented: plain MinHash bands under-recall when the train
+    doc is MUCH longer than the eval item (band collision probability
+    tracks Jaccard); production systems add containment-aware LSH or
+    eval-sized shingle windows — the recall-injection pytest covers the
+    regime this implementation promises."""
+    from ..sources.io import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    bands = _lsh_bands_df(fan_out(d))  # banding is one narrow pass
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    tb = bands.where(~is_eval)
+    eb = bands.where(is_eval)
+    cand = (
+        tb.alias("t")
+        .join(
+            F.broadcast(eb.alias("e")),
+            (F.col("t.band_idx") == F.col("e.band_idx"))
+            & (F.col("t.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.col("t.doc_id").alias("train_id"), F.col("e.doc_id").alias("eval_id")
+        )
+        .distinct()
+        # eager checkpoint: three lazy consumers (both semi filters and
+        # the verify join) would each re-run the band join otherwise;
+        # the candidate set is tiny (bounded by eval-band collisions)
+        .localCheckpoint(eager=True)
+    )
+    etoks = (
+        d.where(is_eval)
+        .join(
+            F.broadcast(cand.select("eval_id").distinct()),
+            F.col("doc_id") == F.col("eval_id"),
+            "left_semi",
+        )
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(F.array_distinct(tokens_col("text"))).alias("token"),
+        )
+    )
+    esizes = etoks.groupBy("eval_id").agg(F.count(F.lit(1)).alias("en"))
+    ttoks = (
+        d.join(
+            cand.select("train_id").distinct(),
+            F.col("doc_id") == F.col("train_id"),
+            "left_semi",
+        )
+        .select(
+            F.col("doc_id").alias("train_id"),
+            F.explode(F.array_distinct(tokens_col("text"))).alias("token"),
+        )
+    )
+    shared = (
+        cand.join(ttoks, "train_id")
+        .join(F.broadcast(etoks), ["eval_id", "token"])
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    containment = F.col("n").cast("double") / F.col("en")
+    cont = (
+        shared.join(F.broadcast(esizes), "eval_id")
+        .where(containment >= CONTAIN_THRESHOLD)
+        .select("train_id", "eval_id", containment.alias("containment"))
+    )
+    out = (
+        cont.groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_flagged_evals"),
+            F.round(F.max("containment"), 4).alias("max_containment"),
+        )
+        .select(
+            F.col("train_id").alias("doc_id"), "n_flagged_evals", "max_containment"
+        )
+        .orderBy("doc_id")
+    )
+    return out

@@ -103,3 +103,48 @@ def test_span_dedup_flags_planted_duplicates(spark, tmp_path):
     assert rows[1]["n_shared"] == 2 and not rows[1]["keep"]
     assert rows[2]["n_shared"] == 2 and not rows[2]["keep"]
     assert rows[3]["n_shared"] == 0 and rows[3]["keep"]
+
+
+def test_fuzzy_decontamination_flags_near_verbatim(spark, tmp_path):
+    """q158 recall injection: a train doc that lightly EDITS an eval
+    item and one that EMBEDS it verbatim inside extra text must both be
+    flagged (LSH candidate + containment >= threshold); unrelated train
+    docs must not. Eval membership is the id protocol (doc_id % 25)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    base = [f"tok{chr(97 + i // 4)}{chr(97 + i % 4)}x{i}" for i in range(40)]
+    eval_text = " ".join(base)
+    # edit the two TRAILING tokens: each changed token kills ~3 word
+    # shingles, so edits must stay light/clustered for the shingle
+    # Jaccard (what LSH bands see) to stay above the collision knee
+    edited = list(base)
+    for i in (38, 39):
+        edited[i] = f"changed{i}"
+    rows = [
+        (25, eval_text),                                    # the eval item
+        (3, " ".join(edited)),                              # near-verbatim edit
+        (8, eval_text + " plus some extra trailing words here"),  # embeds it
+        (7, "completely unrelated text about watermarks and shuffle "
+            "partitioning strategies for large engines today"),
+        (50, "another eval item with its own distinct vocabulary "
+             "entirely separate from the first one indeed"),
+    ]
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .select(
+            "doc_id", "text",
+            F.lit("en").alias("lang"), F.lit("t").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    )
+    got = {
+        r.doc_id: (r.n_flagged_evals, r.max_containment)
+        for r in REGISTRY["q158_fuzzy_decontamination"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {3, 8}, got
+    assert got[8][1] == 1.0          # verbatim embedding: full containment
+    assert got[3][1] >= 0.9          # 38/40 tokens survive the edit
