@@ -1016,6 +1016,7 @@ N_SUB = 8          # subspaces
 SUB_DIM = DIM // N_SUB
 K_PQ = 32          # centroids per subspace -> 5-bit codes
 PQ_ITERS = 2
+PQ_FIT_SAMPLE = 2048  # Lloyd fits on this many hash-ranked vectors, not the corpus
 PQ_SHORTLIST = 100  # ADC shortlist size; exact rerank runs on these only
 Q157_RECALL_TARGET = 0.6  # measured >= 0.8 across SFs; floor w/ margin
 
@@ -1056,11 +1057,20 @@ def pq_codebooks(e: DataFrame) -> DataFrame:
     sampling pass); PQ_ITERS unrolled Lloyd rounds with 6-decimal
     rounded means; argmin ties break to the lowest cid; an emptied cell
     keeps its previous centroid. The DuckDB oracle replays it
-    CTE-for-CTE (_pq_codebook_sql). Fit cost: each round is one
-    broadcast join + one map-side-combinable aggregate over
-    N_SUB × corpus narrow rows; the codebook is N_SUB × K_PQ = 128 rows
-    and localCheckpoints eagerly ("fit once")."""
-    seed = (
+    CTE-for-CTE (_pq_codebook_sql). Fit cost is SAMPLE-BOUNDED: Lloyd
+    runs over the first PQ_FIT_SAMPLE hash-ranked vectors (one parallel
+    TakeOrdered over the corpus, then per-round joins/aggregates over
+    N_SUB × sample narrow rows) — scale-flat at any corpus size; the
+    codebook is N_SUB × K_PQ rows and localCheckpoints eagerly
+    ("fit once")."""
+    # ONE hash ranking serves both roles: the first K_PQ rows seed the
+    # centroids, the first PQ_FIT_SAMPLE rows are the Lloyd fit set —
+    # k-means cost is bounded by the sample at ANY corpus size (the
+    # full-corpus fit measured 48× wall at the 100× fixture; the
+    # sample-fit is scale-flat). orderBy+limit is a parallel
+    # TakeOrdered; the row_number window runs over the 2048-row sample
+    # only, never the corpus.
+    sample = (
         e.select(
             "vec_id",
             "embedding",
@@ -1069,18 +1079,22 @@ def pq_codebooks(e: DataFrame) -> DataFrame:
             ).alias("_ord"),
         )
         .orderBy("_ord", "vec_id")
-        .limit(K_PQ)
-    )
-    ranked = seed.select(
-        (F.row_number().over(Window.orderBy("_ord", "vec_id")) - 1)
-        .cast("long")
-        .alias("cid"),
-        "embedding",
+        .limit(PQ_FIT_SAMPLE)
+        .select(
+            (F.row_number().over(Window.orderBy("_ord", "vec_id")))
+            .cast("long")
+            .alias("rn"),
+            "vec_id",
+            "embedding",
+        )
+        .localCheckpoint(eager=True)
     )
     cent = _subvectors(
-        ranked.select(F.col("cid").alias("vec_id"), "embedding")
+        sample.where(F.col("rn") <= K_PQ).select(
+            (F.col("rn") - 1).alias("vec_id"), "embedding"
+        )
     ).select("sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
-    sv = _subvectors(e)
+    sv = _subvectors(sample.select("vec_id", "embedding"))
     for _ in range(PQ_ITERS):
         dist = _l2_col(F.col("sv"), F.col("cv"))
         assign = (
@@ -1112,17 +1126,41 @@ def pq_codebooks(e: DataFrame) -> DataFrame:
     return cent.localCheckpoint(eager=True)
 
 
-def pq_codebooks_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The fitted PQ codebooks as a memoized index artifact — same
-    fingerprint-keyed cache contract as :func:`codebook_for`."""
+def pq_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The full PQ INDEX as a memoized serving artifact: (codebooks,
+    codes) — same fingerprint-keyed cache contract as
+    :func:`codebook_for`.
+
+    The CODES table (vec_id, sub, cluster — N_SUB narrow rows per
+    vector) is the one linear-cost pass of PQ: assigning every vector
+    to its nearest centroid per subspace. Building it per QUERY would
+    make every lookup pay the index build (measured 48×-of-base wall at
+    the 100× fixture); building it once per (session, source
+    fingerprint) is what "index" means — serving cost is then the
+    broadcast lookup table + one aggregation over the codes, sublinear
+    in the raw vector bytes. The codes localCheckpoint eagerly
+    (~N_SUB × corpus ids — 40 MB at 1.6M code rows, disk-backed)."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     key = ("pq", id(spark), os.path.abspath(src), st.st_size, st.st_mtime_ns)
-    df = _CODEBOOK_CACHE.get(key)
-    if df is None:
-        df = pq_codebooks(t(spark, sf_dir, "embeddings"))
-        _CODEBOOK_CACHE[key] = df
-    return df
+    pair = _CODEBOOK_CACHE.get(key)
+    if pair is None:
+        e = t(spark, sf_dir, "embeddings")
+        cent = pq_codebooks(e)
+        sv = _subvectors(tw(spark, sf_dir, "embeddings"))
+        dist = _l2_col(F.col("sv"), F.col("cv"))
+        codes = (
+            sv.join(F.broadcast(cent), "sub")
+            .select("vec_id", "sub", "cid", dist.alias("d"))
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("cluster")
+            )
+            .localCheckpoint(eager=True)
+        )
+        pair = (cent, codes)
+        _CODEBOOK_CACHE[key] = pair
+    return pair
 
 
 def _pq_codebook_sql(iters: int = PQ_ITERS) -> str:
@@ -1137,12 +1175,17 @@ def _pq_codebook_sql(iters: int = PQ_ITERS) -> str:
         f"""subv AS (
       SELECT vec_id, sub, {sv_expr} AS sv FROM embeddings, subs
     )""",
+        f"""pranked AS (
+      SELECT row_number() OVER (ORDER BY md5(concat('pq:', CAST(vec_id AS VARCHAR))), vec_id) AS rn,
+             vec_id, embedding
+      FROM embeddings
+    )""",
         f"""pseed AS (
-      SELECT cid, embedding FROM (
-        SELECT row_number() OVER (ORDER BY md5(concat('pq:', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS cid,
-               embedding
-        FROM embeddings)
-      WHERE cid < {K_PQ}
+      SELECT rn - 1 AS cid, embedding FROM pranked WHERE rn <= {K_PQ}
+    )""",
+        f"""subv_fit AS (
+      SELECT p.vec_id, sub, {sv_expr} AS sv
+      FROM pranked p, subs WHERE p.rn <= {PQ_FIT_SAMPLE}
     )""",
         f"""pcent0 AS (
       SELECT sub, cid, {sv_expr} AS cv FROM pseed, subs
@@ -1158,7 +1201,7 @@ def _pq_codebook_sql(iters: int = PQ_ITERS) -> str:
         SELECT v.vec_id, v.sub, v.sv, c.cid AS cluster,
                row_number() OVER (PARTITION BY v.vec_id, v.sub
                                   ORDER BY {_l2_sql('v.sv', 'c.cv')} ASC, c.cid) AS rn
-        FROM subv v JOIN pcent{r - 1} c ON v.sub = c.sub)
+        FROM subv_fit v JOIN pcent{r - 1} c ON v.sub = c.sub)
       WHERE rn = 1
     )""")
         ctes.append(f"""pcent{r} AS (
@@ -1270,15 +1313,8 @@ def q157_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-decimal rounded means, argmin ties to lowest cid); approx_dist is
     rounded at the surface only."""
     e = t(spark, sf_dir, "embeddings")
-    cent = pq_codebooks_for(spark, sf_dir)
+    cent, codes = pq_index_for(spark, sf_dir)
     sv = _subvectors(e)
-    dist = _l2_col(F.col("sv"), F.col("cv"))
-    codes = (
-        sv.join(F.broadcast(cent), "sub")
-        .select("vec_id", "sub", "cid", dist.alias("d"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("cluster"))
-    )
     qsub = sv.where(F.col("vec_id") == QUERY_VEC_ID).select(
         "sub", F.col("sv").alias("qv")
     )

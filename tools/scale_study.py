@@ -49,6 +49,7 @@ SUBLINEAR = [
     "q06_decontaminate", "q22_multiway_join", "q26_range_join",
     "q33_window_frames", "q46_hash_sample", "q61_inverted_index",
     "q80_exact_dedup", "q83_simhash", "q87_lsh_buckets", "q117_market_share",
+    "q157_pq_ann", "q158_fuzzy_decontamination",
 ]
 OUTPUT_BOUND = ["q32_window_running", "q17_percentiles", "q63_quality_score"]
 
