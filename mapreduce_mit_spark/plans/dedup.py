@@ -1066,3 +1066,166 @@ def q158_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return out
+
+
+# q130's split thresholds (first 4 md5 hex chars of doc_id):
+# < 'cccc' → train (80%), < 'e666' → val (10%), else test.
+SPLIT_TRAIN_HEX = "cccc"
+SPLIT_VAL_HEX = "e666"
+
+
+def _split_sql(id_expr: str) -> str:
+    h = f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 4)"
+    return (
+        f"CASE WHEN {h} < '{SPLIT_TRAIN_HEX}' THEN 'train' "
+        f"WHEN {h} < '{SPLIT_VAL_HEX}' THEN 'val' ELSE 'test' END"
+    )
+
+
+def _split_col(id_col: str = "doc_id") -> Column:
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    return (
+        F.when(h < SPLIT_TRAIN_HEX, F.lit("train"))
+        .when(h < SPLIT_VAL_HEX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@register(
+    "q159_split_leakage",
+    oracle=f"""
+    WITH {_lsh_bands_sql()},
+    tagged AS (
+      SELECT doc_id, band_idx, band_key, {_split_sql('doc_id')} AS split
+      FROM bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.split AS split_a, b.split AS split_b
+      FROM tagged a JOIN tagged b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      WHERE (a.split = 'train') <> (b.split = 'train')
+    ),
+    cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+    ctoks AS (
+      SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS token
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM cdocs)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ctoks GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, c.split_a, c.split_b, count(*) AS n_shared
+      FROM cand c
+        JOIN ctoks a ON a.doc_id = c.doc_a
+        JOIN ctoks b ON b.doc_id = c.doc_b AND b.token = a.token
+      GROUP BY 1, 2, 3, 4
+    ),
+    leaks AS (
+      SELECT s.doc_a, s.doc_b, s.split_a, s.split_b,
+             round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) AS jaccard
+      FROM shared s
+        JOIN sizes sa ON sa.doc_id = s.doc_a
+        JOIN sizes sb ON sb.doc_id = s.doc_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.8
+    )
+    SELECT CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END AS holdout_doc_id,
+           CASE WHEN split_a = 'train' THEN split_b ELSE split_a END AS holdout_split,
+           CASE WHEN split_a = 'train' THEN doc_a ELSE doc_b END AS train_doc_id,
+           jaccard
+    FROM leaks
+    ORDER BY holdout_doc_id, train_doc_id
+    """,
+    tags=("dedup", "split", "training-pipeline", "decontamination"),
+)
+def q159_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-LEAKAGE AUDIT: near-duplicate pairs that STRADDLE the
+    train/holdout boundary of q130's deterministic split — the
+    integrity check every eval pipeline needs (a val/test doc with a
+    near-verbatim train twin silently inflates eval metrics; random
+    splits leak whenever the corpus wasn't near-dup'd FIRST).
+
+    Candidates come from the q81 LSH banding with a CROSS-SPLIT
+    predicate pushed into the band self-join (exactly one side in
+    train), so within-split near-dups — q148's job — never reach the
+    verify; verification is the exact token-Jaccard on candidates
+    only. Output: one row per leaking (holdout doc, train doc) pair
+    with the verified jaccard.
+
+    Scale shape: identical to q148's candidate stage (band-keyed
+    self-join, merge-pinned; the split tag is a pure per-row hash
+    expression — no join against a split table), and the verify
+    explodes candidate docs' tokens only. An empty result is the audit
+    PASSING (the driver corpus happens to contain a handful of real
+    cross-split near-dups, so it also exercises the non-empty path);
+    tests/test_quality.py injects a straddling pair to prove recall."""
+    from ..sources.io import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    tagged = _lsh_bands_df(fan_out(d)).withColumn("split", _split_col())
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cand = (
+        a.join(
+            b.hint("merge"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ((F.col("a.split") == "train") != (F.col("b.split") == "train")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.split").alias("split_a"),
+            F.col("b.split").alias("split_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verified = jaccard_verified_pairs_scored(d, cand.select("doc_a", "doc_b"))
+    out = verified.join(cand, ["doc_a", "doc_b"])
+    holdout_is_b = F.col("split_a") == "train"
+    return out.select(
+        F.when(holdout_is_b, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "holdout_doc_id"
+        ),
+        F.when(holdout_is_b, F.col("split_b")).otherwise(F.col("split_a")).alias(
+            "holdout_split"
+        ),
+        F.when(holdout_is_b, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "train_doc_id"
+        ),
+        "jaccard",
+    ).orderBy("holdout_doc_id", "train_doc_id")
+
+
+def jaccard_verified_pairs_scored(
+    d: DataFrame, cand: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Like :func:`jaccard_verified_pairs` but surfacing the rounded
+    jaccard value per verified pair (doc_a, doc_b, jaccard). Unsalted:
+    for the audit queries whose candidate sets are boundary-filtered
+    and small; the salted variant remains the q148 production path."""
+    cand_docs = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    toks = d.join(cand_docs, "doc_id", "left_semi").select(
+        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("token")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    shared = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

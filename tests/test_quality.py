@@ -148,3 +148,58 @@ def test_fuzzy_decontamination_flags_near_verbatim(spark, tmp_path):
     assert set(got) == {3, 8}, got
     assert got[8][1] == 1.0          # verbatim embedding: full containment
     assert got[3][1] >= 0.9          # 38/40 tokens survive the edit
+
+
+def test_split_leakage_flags_straddling_near_dup(spark, tmp_path):
+    """q159 recall injection: two near-identical documents whose ids
+    hash into DIFFERENT splits (one train, one holdout) must be flagged
+    with the holdout doc identified and jaccard >= 0.8; a same-split
+    near-dup pair must NOT appear (that is q148's job, not leakage)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.dedup import SPLIT_TRAIN_HEX, SPLIT_VAL_HEX
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+
+    def split_of(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        return "train" if h < SPLIT_TRAIN_HEX else ("val" if h < SPLIT_VAL_HEX else "test")
+
+    train_ids = [i for i in range(1000) if split_of(i) == "train"]
+    test_ids = [i for i in range(1000) if split_of(i) == "test"]
+    base = " ".join(f"w{chr(97 + i % 26)}q{i}" for i in range(40))
+    near = base.rsplit(" ", 1)[0] + " changedtail"
+    rows = [
+        (train_ids[0], base),          # train member of the leaking pair
+        (test_ids[0], near),           # its holdout near-twin → LEAK
+        (train_ids[1], "completely unrelated words about stream state "
+                       "checkpoints and watermark eviction semantics"),
+        # same-split near-dups: must NOT be reported
+        (train_ids[2], base.replace("q0", "zz")),
+    ]
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .select(
+            "doc_id", "text",
+            F.lit("en").alias("lang"), F.lit("t").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    )
+    got = REGISTRY["q159_split_leakage"].fn(spark, str(tmp_path)).collect()
+    pairs = {(r.holdout_doc_id, r.train_doc_id): (r.holdout_split, r.jaccard) for r in got}
+    assert (test_ids[0], train_ids[0]) in pairs, pairs
+    sp, j = pairs[(test_ids[0], train_ids[0])]
+    assert sp == "test" and j >= 0.8
+    # same-split pairs are never reported: every row pairs a TRAIN doc
+    # with a HOLDOUT doc (train_ids[2] ≈ base legitimately leaks against
+    # the holdout twin too — but never against its train sibling)
+    for r in got:
+        assert split_of(r.train_doc_id) == "train"
+        assert split_of(r.holdout_doc_id) in ("val", "test")
+    assert (train_ids[0], train_ids[2]) not in {
+        (r.holdout_doc_id, r.train_doc_id) for r in got
+    }
