@@ -794,10 +794,11 @@ def q148_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixture runs in the default 8 g heap at 1.3× the sf0.1 wall
     (SCALING.md round 6). On an ALREADY-DISTINCT corpus the machinery
     costs ~2× the fuzzy chain for zero savings, so one aggregate-only
-    probe (count + HLL distinct over the 32-byte content keys) routes:
-    dup mass > 2% → pre-pass; else the direct chain — both paths
-    provably produce the identical survivor set, so the routing never
-    shows in the result.
+    probe (count + HLL distinct over the raw text bytes — no tokenize,
+    no shuffle; byte distinctness lower-bounds collapsible dup mass)
+    routes: dup mass > 2% → pre-pass; else the direct chain — both
+    paths provably produce the identical survivor set, so the routing
+    never shows in the result.
 
     The collapse key is md5 of the TOKEN SEQUENCE (not norm_text):
     identical token sequences provably behave identically through
@@ -835,34 +836,42 @@ def _dedup_pipeline(
         raise ValueError(f"unknown force_route: {force_route!r}")
     d = t(spark, sf_dir, "documents")
     base = fan_out(d)  # spread once; every downstream pass inherits it
-    # ---- dup-mass probe: one narrow (doc_id, content_key) projection,
-    # persisted (32-byte key + id per doc; the heavy token arrays are
-    # never cached), and ONE aggregate-only job (count + HLL distinct —
-    # no shuffle of the keys). The exact_quantiles_auto discipline: the
-    # pre-pass pays when it collapses real dup mass, and costs ~2× the
-    # fuzzy chain's base when the corpus is already distinct (measured
-    # at sf0.1, round 6: 7.6 s → 14.9 s warm) — so route by the data.
-    # Routing is RESULT-INVISIBLE: the pre-pass provably preserves the
-    # survivor set (below), so both paths satisfy the same oracle.
-    ck = base.select(
-        "doc_id",
-        F.md5(F.concat_ws("\x1f", tokens_col("text"))).alias("_ck"),
-    )
-    ck.persist()
+    # ---- dup-mass probe: ONE aggregate-only job over the RAW scan —
+    # count + HLL distinct of the text BYTES. No tokenize, no md5, no
+    # fan_out shuffle, no persist: the aggregate is map-side partial
+    # (each scan split ships one HLL sketch), so the probe costs one
+    # pass over the column it was going to read anyway (round-6 probe
+    # re-tokenized the whole corpus first: ~1.3 s of pure overhead at
+    # sf0.1 on the direct route, where the tokenize work is discarded).
+    # Byte-identical ⊆ token-identical, so byte distinctness is a
+    # LOWER bound on collapsible dup mass: the pre-pass triggers
+    # exactly when cheaply-detectable verbatim mass exists (the
+    # C4/RefinedWeb crawl regime it exists for); corpora whose dups
+    # differ only in non-token bytes route direct — a perf trade only.
+    # Routing stays RESULT-INVISIBLE: the pre-pass provably preserves
+    # the survivor set (below), so both paths satisfy the same oracle.
     if force_route is None:
-        stats = ck.agg(
+        stats = d.agg(
             F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct("_ck", 0.01).alias("nd"),
+            F.approx_count_distinct("text", 0.01).alias("nd"),
         ).first()
         prepass = stats["nd"] < stats["n"] * DEDUP_PREPASS_DISTINCT_RATIO
     else:
         prepass = force_route == "prepass"
     if prepass:
-        # eager localCheckpoints: reps is consumed by 4 later subplans
+        # the collapse key (md5 of the TOKEN sequence — see docstring)
+        # is only ever computed on this branch, where its cost is repaid
+        # by every downstream stage running on distinct contents only.
+        # persist: reps and rep_map both consume it; eager
+        # localCheckpoints because reps is consumed by 4 later subplans
         # (both band-join sides, the verify tokenizer, the CC node set)
         # and rep_map AFTER the closure loop — materializing the tiny
         # tables once beats re-running the groupBy per consumer, and
         # lets ck unpersist without a re-tokenize.
+        ck = base.select(
+            "doc_id",
+            F.md5(F.concat_ws("\x1f", tokens_col("text"))).alias("_ck"),
+        ).persist()
         reps = (
             ck.groupBy("_ck")
             .agg(F.min("doc_id").alias("rep_id"))
@@ -873,6 +882,7 @@ def _dedup_pipeline(
             .select("doc_id", "rep_id")
             .localCheckpoint(eager=True)
         )
+        ck.unpersist()
         docs = base.join(
             reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
         )
@@ -881,7 +891,6 @@ def _dedup_pipeline(
         rep_map = None
         docs = base
         nodes = d.select("doc_id")
-    ck.unpersist()
     # ---- fuzzy chain (over distinct contents when the pre-pass ran).
     # cand cached: it feeds the doc filter AND the verify join.
     cand = lsh_candidate_pairs_df(docs).persist()

@@ -1281,7 +1281,7 @@ def _pq_codebook_sql(iters: int = PQ_ITERS) -> str:
 )
 def q157_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT-QUANTIZATION ANN (Jégou et al.'s IVFADC sketch, the ADC
-    half): every vector is compressed to N_SUB 4-bit codes (its nearest
+    half): every vector is compressed to N_SUB 5-bit codes (its nearest
     learned centroid per 8-dim subspace), and a query is scored against
     CODES ONLY — one lookup table of K_PQ × N_SUB squared distances per
     query, summed per vector — never against the raw vectors.
