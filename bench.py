@@ -97,6 +97,7 @@ HEADLINE = [
     "q67_bitmap_distinct",
     "q68_ivf_ann",
     "q157_pq_ann",
+    "q160_ivfadc",
     "q156_temperature_mix",
     "q70_tumbling_window",
     "q72_session_window",
@@ -190,10 +191,48 @@ def _corpus_queries(spark):
     return {"wc_corpus_16mb": wc_corpus, "ii_corpus_16mb": ii_corpus}
 
 
+# Index-backed ANN queries: their first call FITS the index (memoized
+# per session+source in plans/similarity), every later call SERVES it.
+# A conflated number grades neither honestly, so the fit is timed as
+# its own "<name>_fit" entry (the memo keys for that index are evicted
+# first, so the fit is genuinely cold in this session), and the plain
+# "<name>" entries then measure SERVE — cold serve and warm-median
+# serve, round-over-round comparable. q160's fit SHARES q68's coarse
+# codebook through the cache (that is the composition's point), so if
+# q68 ran earlier its fit number is the incremental residual-PQ fit.
+def _index_fits():
+    from mapreduce_mit_spark.plans.similarity import (
+        codebook_for,
+        ivfadc_index_for,
+        pq_index_for,
+    )
+
+    return {
+        "q68_ivf_ann": (("ivf",), codebook_for),
+        "q157_pq_ann": (("pq",), pq_index_for),
+        "q160_ivfadc": (("ivfadc",), ivfadc_index_for),
+    }
+
+
 def _run_set(spark, names, sf_dir, reps, timings, cold) -> None:
     """Cold + warm-median timing for each named catalog query."""
+    index_fits = _index_fits()
     for name in names:
         fn = registry.REGISTRY[name].fn
+
+        if name in index_fits:
+            from mapreduce_mit_spark.plans.similarity import _session_cache
+
+            kinds, builder = index_fits[name]
+            cache = _session_cache(spark)
+            for k in [k for k in cache if k[0] in kinds]:
+                cache.pop(k)
+            t0 = time.perf_counter()
+            builder(spark, sf_dir)
+            fit = round(time.perf_counter() - t0, 3)
+            timings[f"{name}_fit"] = fit
+            cold[f"{name}_fit"] = fit
+            print(f"# {name}_fit: {fit:.3f}s", file=sys.stderr)
 
         if name == "q152_stream_file_sink":
             # the checkpointed sink persists in /tmp across bench runs;

@@ -89,11 +89,17 @@ def shingles_col(toks: Column | None = None) -> Column:
 
 
 def shingles_sql() -> str:
-    toks = tokens_sql("text")
-    return f"""CASE WHEN len({toks}) >= 3
-        THEN list_transform(range(1, len({toks}) - 1),
-                            i -> concat({toks}[i], ' ', {toks}[i+1], ' ', {toks}[i+2]))
-        ELSE [array_to_string({toks}, ' ')] END"""
+    return shingles_over_sql(tokens_sql("text"))
+
+
+def shingles_over_sql(tk: str) -> str:
+    """DuckDB word-3-gram shingles over an arbitrary token-list expr
+    (the parameterized core of :func:`shingles_sql`; q158's windowed
+    train banding shingles CHUNKS of the token array, not the text)."""
+    return f"""CASE WHEN len({tk}) >= 3
+        THEN list_transform(range(1, len({tk}) - 1),
+                            i -> concat({tk}[i], ' ', {tk}[i+1], ' ', {tk}[i+2]))
+        ELSE [array_to_string({tk}, ' ')] END"""
 
 
 def _band_key_cols() -> list[Column]:
@@ -934,16 +940,98 @@ def _dedup_pipeline(
 EVAL_MOD = 25            # q06/q147's eval-membership protocol
 CONTAIN_THRESHOLD = 0.5  # fraction of the eval item's tokens present
 
+# Containment-aware candidate generation (q158): MinHash band collision
+# probability tracks JACCARD, so an eval item buried in a much longer
+# train document rarely collides — the train doc's shingle set dilutes
+# the eval item's. The production fix: band the train side in
+# EVAL-SIZED WINDOWS (q38's sliding-window chunking composed with
+# q81's banding), so a contained span meets the eval item at chunk
+# scale where their Jaccard IS high. Whole-doc bands stay in the union,
+# making candidate recall monotonically >= plain banding's.
+DECON_WINDOW = 64   # tokens per train-side banding window (eval-sized)
+DECON_STRIDE = 32   # half-overlap: any span of <=33 tokens lies wholly
+#                     inside some window; longer contained spans overlap
+#                     one window in >=64 of their tokens
+
+
+def _decon_train_bands_df(d: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) for the TRAIN side of q158: the
+    union of whole-document bands and DECON_WINDOW-token sliding-window
+    bands. One narrow generate per doc — tokenize once, slice windows
+    from the token array, shingle+minhash each window; nothing
+    shuffles. Band volume is ~(1 + n_tokens/DECON_STRIDE) x plain
+    banding — linear in corpus tokens, the same asymptotic cost as the
+    banding pass itself."""
+    toks = d.select("doc_id", tokens_col("text").alias("tk"))
+    n_chunks_minus1 = (
+        f"(greatest(size(tk) - {DECON_WINDOW}, 0) + {DECON_STRIDE - 1})"
+        f" div {DECON_STRIDE}"
+    )
+    wins = toks.select(
+        "doc_id",
+        "tk",
+        F.expr(
+            f"explode(sequence(CAST(0 AS BIGINT), CAST({n_chunks_minus1} AS BIGINT)))"
+        ).alias("_cid"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"slice(tk, CAST(_cid * {DECON_STRIDE} + 1 AS INT), {DECON_WINDOW})"
+        ).alias("tk"),
+    )
+    both = toks.select("doc_id", "tk").unionByName(wins)
+    sigs = both.select(
+        "doc_id", shingles_col(F.col("tk")).alias("shingles")
+    ).select("doc_id", *minhash_cols(F.col("shingles"), N_HASHES))
+    return sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*_band_key_cols())).alias("band_idx", "band_key"),
+    )
+
+
+def _decon_train_bands_sql() -> str:
+    """DuckDB twin of :func:`_decon_train_bands_df` as CTE text; final
+    CTE ``tband`` (doc_id, band_idx, band_key) over non-eval docs."""
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat(mh{b * BAND_SIZE}, mh{b * BAND_SIZE + 1}, mh{b * BAND_SIZE + 2})) AS band_key "
+        f"FROM tsig"
+        for b in range(N_BANDS)
+    )
+    return f"""ttk AS (
+      SELECT doc_id, {tokens_sql('text')} AS tk FROM documents
+      WHERE doc_id % {EVAL_MOD} <> 0
+    ),
+    tchunks AS (
+      SELECT doc_id, tk FROM ttk
+      UNION ALL
+      SELECT doc_id,
+             tk[(cid * {DECON_STRIDE} + 1):(cid * {DECON_STRIDE} + {DECON_WINDOW})] AS tk
+      FROM (
+        SELECT doc_id, tk,
+               unnest(range(0, (greatest(len(tk) - {DECON_WINDOW}, 0) + {DECON_STRIDE - 1}) // {DECON_STRIDE} + 1)) AS cid
+        FROM ttk)
+    ),
+    tsh AS (
+      SELECT doc_id, {shingles_over_sql('tk')} AS shingles FROM tchunks
+    ),
+    tsig AS (
+      SELECT doc_id, {", ".join(minhash_sql_exprs("shingles", N_HASHES))} FROM tsh
+    ),
+    tband AS (
+      {bands_union}
+    )"""
+
 
 @register(
     "q158_fuzzy_decontamination",
     oracle=f"""
     WITH {_lsh_bands_sql()},
-    tb AS (SELECT * FROM bands WHERE doc_id % {EVAL_MOD} <> 0),
+    {_decon_train_bands_sql()},
     eb AS (SELECT * FROM bands WHERE doc_id % {EVAL_MOD} = 0),
     cand AS (
       SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
-      FROM tb t JOIN eb e
+      FROM tband t JOIN eb e
         ON t.band_idx = e.band_idx AND t.band_key = e.band_key
     ),
     etoks AS (
@@ -998,19 +1086,34 @@ def q158_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever exploded for the verify. Same q148 verify discipline
     (candidates only), but keyed by containment, not Jaccard: an eval
     item embedded in a longer train doc has low Jaccard and high
-    containment, and containment is what leaks eval answers. Known
-    limit, documented: plain MinHash bands under-recall when the train
-    doc is MUCH longer than the eval item (band collision probability
-    tracks Jaccard); production systems add containment-aware LSH or
-    eval-sized shingle windows — the recall-injection pytest covers the
-    regime this implementation promises."""
+    containment, and containment is what leaks eval answers.
+
+    CANDIDATES ARE CONTAINMENT-AWARE: plain MinHash bands under-recall
+    when the train doc is much longer than the eval item (collision
+    probability tracks Jaccard, and the long doc dilutes it), so the
+    train side is banded as the UNION of whole-document bands and
+    DECON_WINDOW-token sliding windows (q38's chunking composed with
+    q81's banding — :func:`_decon_train_bands_df`). A contained eval
+    span meets the eval item at window scale, where their Jaccard is
+    high; whole-doc bands stay in the union so recall is monotonically
+    >= plain banding's. The buried-eval regime is pinned by a pytest
+    that plain banding provably misses
+    (tests/test_operators.py::test_fuzzy_decon_flags_buried_eval).
+
+    Broadcast note: the eval side here is the `doc_id % EVAL_MOD`
+    protocol stand-in (~4% of the corpus), so this force-broadcast
+    grows with corpus size in THIS test harness; in production the eval
+    side is a FIXED benchmark list (thousands of items at any corpus
+    scale), which is what the broadcast is sized for. With a
+    mod-membership eval set at real scale, drop the hint and let AQE
+    decide from runtime stats."""
     from ..sources.io import fan_out
 
     d = t(spark, sf_dir, "documents")
-    bands = _lsh_bands_df(fan_out(d))  # banding is one narrow pass
+    base = fan_out(d)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    tb = bands.where(~is_eval)
-    eb = bands.where(is_eval)
+    tb = _decon_train_bands_df(base.where(~is_eval))
+    eb = _lsh_bands_df(base.where(is_eval))
     cand = (
         tb.alias("t")
         .join(

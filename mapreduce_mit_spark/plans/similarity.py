@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -435,25 +436,40 @@ def sample_queries(
     )
 
 
-def exact_topk_per_query(b: DataFrame, queries: DataFrame, k: int) -> DataFrame:
-    """(query_id, vec_id) — the exact cosine top-k neighbor ids of EACH
-    query vector: the ground truth an ANN audit compares against.
+def exact_topk_per_query(
+    b: DataFrame, queries: DataFrame, k: int, metric: str = "cosine"
+) -> DataFrame:
+    """(query_id, vec_id) — the exact top-k neighbor ids of EACH query
+    vector: the ground truth an ANN audit compares against. ``metric``
+    is ``"cosine"`` (descending similarity — q85/q89/q68's space) or
+    ``"l2"`` (ascending squared distance — q157/PQ's space: PQ
+    approximates L2, so its audit must rank by L2 too).
 
     ``queries`` is (query_id, qv) and broadcasts; the data side never
     shuffles — scoring is a map-side crossJoin, then one window keyed
     by query_id ranks each query's scored rows (|queries| partitions of
     n rows each). This is the audit tool for a SAMPLED query set, not a
     per-query production path: cost is O(n × |queries|)."""
+    if metric == "cosine":
+        score = cosine_col(F.col("embedding"), F.col("qv"))
+        order = F.col("_es").desc()
+    elif metric == "l2":
+        ev = F.transform("embedding", lambda x: x.cast("double"))
+        qd = F.transform("qv", lambda x: x.cast("double"))
+        score = F.aggregate(
+            F.zip_with(ev, qd, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        order = F.col("_es").asc()
+    else:
+        raise ValueError(f"unknown metric: {metric!r}")
     scored = (
         b.crossJoin(F.broadcast(queries))
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            cosine_col(F.col("embedding"), F.col("qv")).alias("_es"),
-        )
+        .select("query_id", "vec_id", score.alias("_es"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_es").desc(), "vec_id")
+    w = Window.partitionBy("query_id").orderBy(order, "vec_id")
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
@@ -461,11 +477,14 @@ def exact_topk_per_query(b: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _mark_exact_topk(hits: DataFrame, b: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+def _mark_exact_topk(
+    hits: DataFrame, b: DataFrame, queries: DataFrame, k: int,
+    metric: str = "cosine",
+) -> DataFrame:
     """Left-mark each (query_id, vec_id) hit row with membership in that
     query's exact top-k — the audit side of the ANN contract. ``b``
     must carry (vec_id, embedding); ``hits`` must carry query_id."""
-    exact = exact_topk_per_query(b, queries, k).withColumn(
+    exact = exact_topk_per_query(b, queries, k, metric).withColumn(
         "in_exact_topk", F.lit(True)
     )
     return hits.join(F.broadcast(exact), ["query_id", "vec_id"], "left").withColumn(
@@ -488,7 +507,8 @@ def _with_recall(marked: DataFrame, k: int, target: float) -> DataFrame:
 
 
 def recall_audit(
-    b: DataFrame, queries: DataFrame, hits: DataFrame, k: int
+    b: DataFrame, queries: DataFrame, hits: DataFrame, k: int,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Per-query recall@k of an ANN result against the exact scan.
 
@@ -505,7 +525,7 @@ def recall_audit(
     A query whose ANN path produced NO hits still gets a row (recall
     0.0) — dead queries are the failure an audit exists to surface, so
     they must not silently drop out of the mean."""
-    marked = _mark_exact_topk(hits, b, queries, k)
+    marked = _mark_exact_topk(hits, b, queries, k, metric)
     found = F.sum(F.col("in_exact_topk").cast("long"))
     per_q = marked.groupBy("query_id").agg(found.alias("n_found"))
     return (
@@ -663,7 +683,23 @@ def ivf_codebook(
     return cent.localCheckpoint(eager=True)
 
 
-_CODEBOOK_CACHE: dict[tuple, DataFrame] = {}
+# Per-session index cache: SparkSession -> {fingerprint key: artifact}.
+# WeakKey so a dropped/stopped session's entries (and the localCheckpoint
+# blocks their DataFrames pin in the block manager) become collectable
+# with the session object instead of living for the process lifetime —
+# id(spark) keys could never be evicted (and a recycled id could even
+# alias a new session onto a dead session's DataFrames).
+_CODEBOOK_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _session_cache(spark: SparkSession) -> dict:
+    d = _CODEBOOK_CACHE.get(spark)
+    if d is None:
+        d = {}
+        _CODEBOOK_CACHE[spark] = d
+    return d
 
 
 def codebook_for(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,11 +715,12 @@ def codebook_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     result-invisible. Entries are 8 localCheckpointed rows each."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    key = (id(spark), os.path.abspath(src), st.st_size, st.st_mtime_ns)
-    df = _CODEBOOK_CACHE.get(key)
+    cache = _session_cache(spark)
+    key = ("ivf", os.path.abspath(src), st.st_size, st.st_mtime_ns)
+    df = cache.get(key)
     if df is None:
         df = ivf_codebook(t(spark, sf_dir, "embeddings"))
-        _CODEBOOK_CACHE[key] = df
+        cache[key] = df
     return df
 
 
@@ -1142,8 +1179,9 @@ def pq_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     (~N_SUB × corpus ids — 40 MB at 1.6M code rows, disk-backed)."""
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    key = ("pq", id(spark), os.path.abspath(src), st.st_size, st.st_mtime_ns)
-    pair = _CODEBOOK_CACHE.get(key)
+    cache = _session_cache(spark)
+    key = ("pq", os.path.abspath(src), st.st_size, st.st_mtime_ns)
+    pair = cache.get(key)
     if pair is None:
         e = t(spark, sf_dir, "embeddings")
         cent = pq_codebooks(e)
@@ -1159,12 +1197,79 @@ def pq_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
             .localCheckpoint(eager=True)
         )
         pair = (cent, codes)
-        _CODEBOOK_CACHE[key] = pair
+        cache[key] = pair
     return pair
 
 
-def _pq_codebook_sql(iters: int = PQ_ITERS) -> str:
-    """DuckDB CTE text replaying :func:`pq_codebooks`; final CTEs:
+def pq_probe_hits(
+    e: DataFrame,
+    cent: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Multi-query PQ ANN serving: ADC shortlist + exact rerank per
+    query — q157's plan generalized to a query SET, the PQ twin of
+    :func:`lsh_probe_hits` / :func:`ivf_probe_hits`. ``e`` is the raw
+    (vec_id, embedding) table (rerank only touches shortlist rows);
+    ``cent``/``codes`` come from :func:`pq_index_for`; ``queries`` is
+    (query_id, qv). Returns (query_id, vec_id, approx_dist, dist) —
+    each query's top-k by exact squared-L2 over its ADC shortlist.
+
+    Scale shape: the per-query lookup tables (|queries| × N_SUB × K_PQ
+    rows) BROADCAST against the codes table — the corpus's raw vectors
+    are touched only by the shortlist equi-join (|queries| × shortlist
+    rows); ranking windows are per-query. Audit with
+    ``recall_audit(..., metric="l2")`` — PQ approximates L2, so cosine
+    ground truth would mis-grade it."""
+    qd = F.transform("qv", lambda x: x.cast("double"))
+    chunks = F.array(
+        *[F.slice(qd, s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)]
+    )
+    qsub = queries.select("query_id", F.posexplode(chunks).alias("sub", "qsv"))
+    lut = cent.join(F.broadcast(qsub), "sub").select(
+        "query_id", "sub", "cid", _l2_col(F.col("cv"), F.col("qsv")).alias("qd")
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.sub == lut.sub) & (codes.cluster == lut.cid),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("approx_dist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), "vec_id")
+    sl = (
+        scored.withColumn("_rk", F.row_number().over(ws))
+        .where(F.col("_rk") <= shortlist)
+        .drop("_rk")
+    )
+    ev = F.transform("embedding", lambda x: x.cast("double"))
+    qv2 = F.transform("qv", lambda x: x.cast("double"))
+    ed = F.aggregate(
+        F.zip_with(ev, qv2, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rer = (
+        sl.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id", "approx_dist", F.round(ed, 6).alias("dist"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), "vec_id")
+    return (
+        rer.withColumn("_rk", F.row_number().over(wr))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def _pq_codebook_sql(iters: int = PQ_ITERS, src: str = "embeddings") -> str:
+    """DuckDB CTE text replaying :func:`pq_codebooks` over relation
+    ``src`` (any CTE/table with (vec_id, embedding) — q157 fits raw
+    embeddings, q160 fits coarse-cell RESIDUALS); final CTEs:
     ``pcent`` (sub, cid, cv) and ``subv`` (vec_id, sub, sv)."""
     sv_expr = (
         f"list_transform(range(1, {SUB_DIM} + 1), "
@@ -1173,12 +1278,12 @@ def _pq_codebook_sql(iters: int = PQ_ITERS) -> str:
     ctes = [
         f"""subs AS (SELECT unnest(range({N_SUB})) AS sub)""",
         f"""subv AS (
-      SELECT vec_id, sub, {sv_expr} AS sv FROM embeddings, subs
+      SELECT vec_id, sub, {sv_expr} AS sv FROM {src}, subs
     )""",
         f"""pranked AS (
       SELECT row_number() OVER (ORDER BY md5(concat('pq:', CAST(vec_id AS VARCHAR))), vec_id) AS rn,
              vec_id, embedding
-      FROM embeddings
+      FROM {src}
     )""",
         f"""pseed AS (
       SELECT rn - 1 AS cid, embedding FROM pranked WHERE rn <= {K_PQ}
@@ -1368,6 +1473,347 @@ def q157_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", "approx_dist", "dist", "in_exact_topk", "recall_at_k",
             "recall_ok",
+        )
+        .orderBy(F.col("dist").asc(), "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q160: IVFADC — the composed Jégou serving index (coarse IVF cells +
+# product quantization of the RESIDUALS + asymmetric distance within
+# probed cells + exact rerank). q68 contributes the learned coarse
+# codebook (cells bound WHAT is scanned), q157 contributes the PQ
+# machinery (codes bound what a scan COSTS); composing them on residuals
+# is what the actual paper serves: residuals have far less variance than
+# raw vectors, so the same PQ budget quantizes them more finely.
+# ---------------------------------------------------------------------------
+
+# MEASURED calibration (round 8): pinned-query recall@5 is 0.8 / 0.6 /
+# 0.4 at sf0.001/0.01/0.1, and the sampled-population mean is 0.59
+# (sf0.01) / 0.55 (sf0.1) — essentially q68's coarse-probe population
+# mean (0.62): the recall cost of IVFADC is the PROBING trade it
+# inherits from IVF (nprobe/k cells scanned), while the PQ+rerank half
+# is near-lossless on top of it (PQ-only population mean 0.71-0.91).
+# The floor is set under the measured minimum with margin; a broken
+# composition (mis-joined codes, wrong residual) collapses it to ~0.
+Q160_RECALL_TARGET = 0.3
+
+
+def ivfadc_index_for(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The full IVFADC INDEX as a memoized serving artifact:
+    (coarse_cent, pq_cent, codes) with codes = (vec_id, cluster, sub,
+    code) — the coarse cell AND the per-subspace residual code of every
+    vector. Same fingerprint-keyed per-session cache contract as
+    :func:`codebook_for` / :func:`pq_index_for`; the coarse codebook is
+    SHARED with q68 through the same cache (one fit serves both).
+
+    Build shape: one broadcast-argmax pass assigns cells (the corpus
+    never shuffles for the index); residuals are a narrow map
+    (vector − its cell centroid); the residual PQ fit is
+    sample-bounded (PQ_FIT_SAMPLE hash-ranked residuals); the codes
+    pass is one broadcast join + partial argmin. At serve time the
+    codes table REPLACES the raw vectors and the cluster column is the
+    probe predicate — ADC cost is the probed cells' codes only,
+    ~nprobe/k of the corpus."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    cache = _session_cache(spark)
+    key = ("ivfadc", os.path.abspath(src), st.st_size, st.st_mtime_ns)
+    trip = cache.get(key)
+    if trip is None:
+        cent = codebook_for(spark, sf_dir)
+        e = tw(spark, sf_dir, "embeddings")
+        sims = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine_col(F.col("embedding"), F.col("cv")).alias("sim"),
+        )
+        assign = sims.groupBy("vec_id").agg(
+            F.max_by(
+                "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
+            ).alias("cluster"),
+            F.any_value("embedding").alias("embedding"),
+        )
+        resid = (
+            assign.join(F.broadcast(cent), assign.cluster == cent.cid)
+            .select(
+                "vec_id",
+                "cluster",
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.col("cv"),
+                    lambda x, y: x - y,
+                ).alias("embedding"),
+            )
+            # three consumers (PQ sample fit, codes assignment, the
+            # cluster map) — materialize the assignment+subtract once
+            .localCheckpoint(eager=True)
+        )
+        pcent = pq_codebooks(resid.select("vec_id", "embedding"))
+        sv = _subvectors(resid.select("vec_id", "embedding"))
+        dist = _l2_col(F.col("sv"), F.col("cv"))
+        codes = (
+            sv.join(F.broadcast(pcent), "sub")
+            .select("vec_id", "sub", "cid", dist.alias("d"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("code"))
+            .join(resid.select("vec_id", "cluster"), "vec_id")
+            .select("vec_id", "cluster", "sub", "code")
+            .localCheckpoint(eager=True)
+        )
+        trip = (cent, pcent, codes)
+        cache[key] = trip
+    return trip
+
+
+def ivfadc_probe_hits(
+    cent: DataFrame,
+    pcent: DataFrame,
+    codes: DataFrame,
+    e: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = N_PROBE,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Multi-query IVFADC serving: per query, rank its ``nprobe``
+    nearest coarse cells (cosine, like q68's probe), form the query
+    RESIDUAL against each probed cell's centroid, ADC-score only the
+    probed cells' codes, shortlist, exact-rerank. Returns (query_id,
+    vec_id, cluster, approx_dist, dist) — top-k per query by exact
+    squared L2.
+
+    Scale shape: every per-query structure broadcasts (probed cells ×
+    N_SUB × K_PQ lookup rows); the codes table is filtered to probed
+    cells BY the lookup equi-join itself (cluster is a join key), so
+    ADC cost is sublinear in the corpus — the probed fraction — and
+    raw vectors are touched for |queries| × shortlist rows only."""
+    qs = queries.select(
+        "query_id", F.transform("qv", lambda x: x.cast("double")).alias("qv")
+    )
+    qsims = qs.crossJoin(F.broadcast(cent)).select(
+        "query_id", "qv", "cid", "cv",
+        cosine_col(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "cid")
+    qres = (
+        qsims.withColumn("_rk", F.row_number().over(wq))
+        .where(F.col("_rk") <= nprobe)
+        .select(
+            "query_id",
+            F.col("cid").alias("pcell"),
+            F.zip_with("qv", "cv", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    chunks = F.array(
+        *[F.slice("qr", s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)]
+    )
+    qsub = qres.select(
+        "query_id", "pcell", F.posexplode(chunks).alias("sub", "qsv")
+    )
+    lut = pcent.join(F.broadcast(qsub), "sub").select(
+        "query_id", "pcell", "sub", "cid",
+        _l2_col(F.col("cv"), F.col("qsv")).alias("qd"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.cluster == lut.pcell)
+            & (codes.sub == lut.sub)
+            & (codes.code == lut.cid),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id", "cluster")
+        .agg(F.round(F.sum("qd"), 6).alias("approx_dist"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), "vec_id"
+    )
+    sl = (
+        scored.withColumn("_rk", F.row_number().over(ws))
+        .where(F.col("_rk") <= shortlist)
+        .drop("_rk")
+    )
+    ev = F.transform("embedding", lambda x: x.cast("double"))
+    qv2 = F.transform("qv", lambda x: x.cast("double"))
+    ed = F.aggregate(
+        F.zip_with(ev, qv2, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rer = (
+        sl.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id", "vec_id", "cluster", "approx_dist",
+            F.round(ed, 6).alias("dist"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), "vec_id")
+    return (
+        rer.withColumn("_rk", F.row_number().over(wr))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def _ivfadc_oracle_sql() -> str:
+    qr_expr = (
+        f"list_transform(range(1, {DIM} + 1), "
+        f"i -> CAST(q.embedding[i] AS DOUBLE) - c.cv[i])"
+    )
+    return f"""
+    WITH {_ivf_codebook_sql()},
+    csims AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {cosine_sql('e.embedding', 'c.cv')} AS sim
+      FROM embeddings e, cent c
+    ),
+    cassign AS (
+      SELECT vec_id, embedding, cid AS cluster
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM csims)
+      WHERE rn = 1
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cluster,
+             list_transform(range(1, {DIM} + 1),
+                            i -> CAST(a.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding
+      FROM cassign a JOIN cent c ON c.cid = a.cluster
+    ),
+    {_pq_codebook_sql(src="resid")},
+    codes AS (
+      SELECT s.vec_id, r.cluster, s.sub, s.code FROM (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT v.vec_id, v.sub, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id, v.sub
+                                    ORDER BY {_l2_sql('v.sv', 'c.cv')} ASC, c.cid) AS rn
+          FROM subv v JOIN pcent c ON v.sub = c.sub)
+        WHERE rn = 1) s
+      JOIN resid r ON r.vec_id = s.vec_id
+    ),
+    probe AS (
+      SELECT cid FROM csims WHERE vec_id = {QUERY_VEC_ID}
+      ORDER BY sim DESC, cid LIMIT {N_PROBE}
+    ),
+    qres AS (
+      SELECT c.cid AS pcell, {qr_expr} AS qr
+      FROM cent c JOIN probe p ON c.cid = p.cid,
+           (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+    ),
+    qsub AS (
+      SELECT pcell, sub,
+             list_transform(range(1, {SUB_DIM} + 1), i -> qr[sub * {SUB_DIM} + i]) AS qsv
+      FROM qres, subs
+    ),
+    lut AS (
+      SELECT q.pcell, q.sub, c.cid, {_l2_sql('c.cv', 'q.qsv')} AS qd
+      FROM pcent c JOIN qsub q ON c.sub = q.sub
+    ),
+    scored AS (
+      SELECT k.vec_id, k.cluster, round(sum(l.qd), 6) AS approx_dist
+      FROM codes k JOIN lut l
+        ON l.pcell = k.cluster AND l.sub = k.sub AND l.cid = k.code
+      WHERE k.vec_id != {QUERY_VEC_ID}
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT vec_id, cluster, approx_dist FROM scored
+      ORDER BY approx_dist ASC, vec_id LIMIT {PQ_SHORTLIST}
+    ),
+    qfull AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    rerank AS (
+      SELECT s.vec_id, s.cluster, s.approx_dist,
+             round({_l2_sql('list_transform(e.embedding, x -> CAST(x AS DOUBLE))', 'qv', DIM)}, 6) AS dist
+      FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id, qfull
+    ),
+    hits AS (
+      SELECT vec_id, cluster, approx_dist, dist FROM rerank
+      ORDER BY dist ASC, vec_id LIMIT {ANN_K}
+    ),
+    exact AS (
+      SELECT vec_id
+      FROM (SELECT vec_id,
+                   {_l2_sql('list_transform(embedding, x -> CAST(x AS DOUBLE))', 'qv', DIM)} AS ed
+            FROM embeddings, qfull WHERE vec_id != {QUERY_VEC_ID})
+      ORDER BY ed ASC, vec_id LIMIT {ANN_K}
+    ),
+    marked AS (
+      SELECT h.vec_id, h.cluster, h.approx_dist, h.dist,
+             (e.vec_id IS NOT NULL) AS in_exact_topk
+      FROM hits h LEFT JOIN exact e ON h.vec_id = e.vec_id
+    ),
+    rec AS (
+      SELECT CAST(sum(CASE WHEN in_exact_topk THEN 1 ELSE 0 END) AS DOUBLE)
+               / {ANN_K} AS recall_at_k
+      FROM marked
+    )
+    SELECT vec_id, cluster, approx_dist, dist, in_exact_topk, recall_at_k,
+           (recall_at_k >= {Q160_RECALL_TARGET}) AS recall_ok
+    FROM marked, rec
+    ORDER BY dist ASC, vec_id
+    """
+
+
+@register(
+    "q160_ivfadc",
+    oracle=_ivfadc_oracle_sql(),
+    tags=("similarity", "ann", "ivf", "quantization", "sketch"),
+)
+def q160_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the COMPOSED Jégou serving index, assembled from the
+    two halves the catalog already proves separately: q68's learned
+    coarse codebook bounds WHAT is scanned (inverted cell lists,
+    ``N_PROBE`` of ``N_IVF_CENTROIDS`` probed per query), and q157's
+    product quantization bounds what scanning COSTS (each vector's
+    RESIDUAL against its cell centroid compressed to N_SUB 5-bit
+    codes; distances via one lookup table per probed cell, raw vectors
+    untouched until rerank). Quantizing residuals instead of raw
+    vectors is the paper's point: residuals carry far less variance,
+    so the same code budget is finer.
+
+    Serving shape (the production pattern end-to-end): probe cells →
+    per-cell query residual → ADC over probed cells' CODES ONLY →
+    PQ_SHORTLIST shortlist → exact rerank of shortlist rows → top-k,
+    shipped with the in-band L2 recall@5 contract
+    (ground truth = exact scan; embeddings are unit-norm, so the
+    cosine cell probe and the L2 ADC rank the same neighborhoods).
+
+    Scale shape: every learned structure broadcasts (8 coarse
+    centroids, 256 PQ centroids, per-query LUTs); the codes table
+    replaces the embeddings at serve time and is filtered to probed
+    cells by the LUT equi-join itself (cluster is a join key), so ADC
+    cost ~ nprobe/k of the corpus — sublinear scan, constant-size
+    index artifacts, rerank touches PQ_SHORTLIST raw rows. Index build
+    (one broadcast-argmax cell pass, sample-bounded residual PQ fit,
+    one codes pass) is memoized per (session, source fingerprint) via
+    :func:`ivfadc_index_for` — fit once, serve many."""
+    e = t(spark, sf_dir, "embeddings")
+    cent, pcent, codes = ivfadc_index_for(spark, sf_dir)
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    hits = ivfadc_probe_hits(cent, pcent, codes, e, q, ANN_K)
+    marked = _mark_exact_topk(hits, e, q, ANN_K, metric="l2")
+    rec = marked.agg(
+        (
+            F.sum(F.col("in_exact_topk").cast("long")).cast("double")
+            / F.lit(float(ANN_K))
+        ).alias("recall_at_k")
+    )
+    return (
+        marked.crossJoin(F.broadcast(rec))
+        .withColumn("recall_ok", F.col("recall_at_k") >= Q160_RECALL_TARGET)
+        .select(
+            "vec_id", "cluster", "approx_dist", "dist", "in_exact_topk",
+            "recall_at_k", "recall_ok",
         )
         .orderBy(F.col("dist").asc(), "vec_id")
     )

@@ -953,10 +953,19 @@ def q152_sink_base(sf_dir: str) -> str:
     computed from the previous data. A new fingerprint gives a fresh
     checkpoint+sink, mirroring _events_stream's stale-symlink re-point;
     SIBLING fingerprints of the same sf_dir (checkpoints of a
-    since-regenerated source) are pruned here, so regenerating testdata
-    cannot accumulate orphaned checkpoint+sink trees under /tmp forever.
-    Production analog: checkpoint identity is tied to the source
-    prefix's manifest generation, not just its name."""
+    since-regenerated source) are pruned here once IDLE for
+    _SINK_PRUNE_AGE_S, so regenerating testdata cannot accumulate
+    orphaned checkpoint+sink trees under /tmp forever. The age gate is
+    the concurrency guard: a sibling fingerprint can belong to another
+    LIVE process that stat'ed the source just before a regeneration —
+    its stream is actively writing (recent mtimes throughout its
+    checkpoint tree), so an unconditional prune would delete a running
+    query's checkpoint+sink out from under it. Idle-for-an-hour trees
+    are orphans by definition (a micro-batch commits every few
+    seconds while a stream lives). Production analog: checkpoint
+    identity is tied to the source prefix's manifest generation, and
+    retired generations are garbage-collected after a grace period,
+    never synchronously with the cutover."""
     src = os.path.join(sf_dir, "events.parquet")
     try:
         st = os.stat(src)
@@ -974,11 +983,41 @@ def q152_sink_base(sf_dir: str) -> str:
     fp = f"{st.st_size}_{st.st_mtime_ns}"
     if os.path.isdir(sf_root):
         import shutil
+        import time
 
+        cutoff = time.time() - _SINK_PRUNE_AGE_S
         for stale in os.listdir(sf_root):
-            if stale != fp:
-                shutil.rmtree(os.path.join(sf_root, stale), ignore_errors=True)
+            if stale == fp:
+                continue
+            p = os.path.join(sf_root, stale)
+            if _tree_newest_mtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
     return os.path.join(sf_root, fp)
+
+
+# Orphaned sibling checkpoint+sink trees are pruned only after this
+# much IDLE time (no write anywhere in the tree) — long enough that a
+# live stream (micro-batches commit every few seconds) can never look
+# idle, short enough that /tmp doesn't accumulate regeneration orphans.
+_SINK_PRUNE_AGE_S = 3600
+
+
+def _tree_newest_mtime(path: str) -> float:
+    """Newest mtime anywhere in a directory tree (the tree's
+    last-write time). Checkpoint trees are small (dozens of files), so
+    the walk is cheap; unreadable entries count as 'just written' so a
+    racing writer is never treated as idle."""
+    try:
+        newest = os.path.getmtime(path)
+    except OSError:
+        return float("inf")
+    for root_, dirs, files in os.walk(path):
+        for n in dirs + files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root_, n)))
+            except OSError:
+                return float("inf")
+    return newest
 
 
 @register(

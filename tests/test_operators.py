@@ -889,6 +889,74 @@ def test_learned_ivf_codebook_quality(spark):
     assert mean >= 0.45, f"learned codebook mean recall {mean:.3f}"
 
 
+def test_pq_probe_hits_multi_query_audit(spark):
+    """pq_probe_hits (the PQ serving path over a query SET) audited
+    with L2 ground truth — the multi-query twin of q157's in-band
+    single-query contract.
+
+    Pins: (a) every sampled query gets an audit row with recall in
+    [0,1]; (b) mean recall@5 over the sampled set is >= 0.6 (q157's
+    floor — the shortlist+rerank design holds it per-query, so the
+    population mean must too); (c) the single-query path (vec 0)
+    reproduces q157's in-band recall_at_k exactly; (d) the audit is
+    L2-metric: cosine ground truth would mis-grade PQ, so the exact
+    set used here must equal a numpy L2 brute-force on 3 queries."""
+    import numpy as np
+
+    from mapreduce_mit_spark.plans.similarity import (
+        ANN_K,
+        QUERY_VEC_ID,
+        Q157_RECALL_TARGET,
+        exact_topk_per_query,
+        pq_index_for,
+        pq_probe_hits,
+        recall_audit,
+        sample_queries,
+    )
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+    from mapreduce_mit_spark.sources.io import load_table
+
+    load_all_plans()
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    cent, codes = pq_index_for(spark, SF_SMALL)
+    queries = sample_queries(e, sample_frac=0.05)
+    qids = sorted(r.query_id for r in queries.select("query_id").collect())
+    assert len(qids) > 1, "sample too small to be a multi-query audit"
+
+    hits = pq_probe_hits(e, cent, codes, queries, ANN_K)
+    audit = recall_audit(e, queries, hits, ANN_K, metric="l2").collect()
+    assert sorted(r.query_id for r in audit) == qids
+    for r in audit:
+        assert 0.0 <= r.recall_at_k <= 1.0
+    mean = sum(r.recall_at_k for r in audit) / len(audit)
+    assert mean >= Q157_RECALL_TARGET, f"PQ mean recall {mean:.3f}"
+
+    # (c) single-query consistency with q157's in-band audit
+    q157 = REGISTRY["q157_pq_ann"].fn(spark, SF_SMALL).collect()
+    q0 = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    hits0 = pq_probe_hits(e, cent, codes, q0, ANN_K)
+    audit0 = recall_audit(e, q0, hits0, ANN_K, metric="l2").collect()[0]
+    assert abs(audit0.recall_at_k - q157[0].recall_at_k) < 1e-12
+
+    # (d) L2 ground truth == numpy brute force
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    three = queries.limit(3)
+    gt = exact_topk_per_query(e, three, ANN_K, metric="l2").collect()
+    by_q = {}
+    for r in gt:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for qid, got_ids in by_q.items():
+        qv = vecs[qid]
+        dists = sorted(
+            (float(np.sum((v - qv) ** 2)), vid)
+            for vid, v in vecs.items()
+            if vid != qid
+        )[:ANN_K]
+        assert sorted(got_ids) == sorted(vid for _d, vid in dists), qid
+
+
 def test_dedup_prepass_route_equivalence(spark, tmp_path):
     """The routing-invisibility claim behind q148's adaptive pre-pass,
     pinned DIRECTLY: on one mixed corpus (exact-dup groups, a cross-

@@ -150,6 +150,65 @@ def test_fuzzy_decontamination_flags_near_verbatim(spark, tmp_path):
     assert got[3][1] >= 0.9          # 38/40 tokens survive the edit
 
 
+def test_fuzzy_decon_flags_buried_eval(spark, tmp_path):
+    """q158's containment blind-spot fix, pinned: an eval item buried
+    VERBATIM inside a much longer train document must be flagged.
+
+    Plain whole-document MinHash bands provably miss this pair — the
+    test computes them directly and asserts zero collisions (the train
+    doc's 384 distinct tokens dilute whole-doc Jaccard to ~0.17, far
+    below the band knee). The windowed train banding
+    (_decon_train_bands_df) finds it DETERMINISTICALLY: the eval item
+    is 64 = DECON_WINDOW tokens placed at offset 5 x DECON_STRIDE, so
+    window cid=5 is the eval token sequence exactly — identical
+    shingles, identical signature, all bands collide."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.dedup import (
+        DECON_STRIDE,
+        DECON_WINDOW,
+        _lsh_bands_df,
+    )
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    filler = ["".join(p) for p in itertools.product("abcdef", repeat=4)]
+    evaltoks = ["".join(p) for p in itertools.product("uvwxyz", repeat=3)][
+        :DECON_WINDOW
+    ]
+    pre = 5 * DECON_STRIDE
+    train_text = " ".join(filler[:pre] + evaltoks + filler[pre : pre + 160])
+    rows = [
+        (50, " ".join(evaltoks)),            # eval item (50 % 25 == 0)
+        (7, train_text),                      # eval buried mid-document
+        (8, " ".join(filler[400:700])),       # unrelated long train doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text",
+        F.lit("en").alias("lang"), F.lit("t").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    # the regime premise: whole-document bands alone do NOT collide
+    wb = _lsh_bands_df(df).select("doc_id", "band_idx", "band_key").collect()
+    eval_bands = {(r.band_idx, r.band_key) for r in wb if r.doc_id == 50}
+    train_bands = {(r.band_idx, r.band_key) for r in wb if r.doc_id == 7}
+    assert not (eval_bands & train_bands), (
+        "fixture invalid: whole-doc bands collide, buried regime not exercised"
+    )
+
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["q158_fuzzy_decontamination"].fn(spark, str(tmp_path)).collect()
+    }
+    assert 7 in got, "buried eval item not flagged"
+    assert got[7].max_containment == 1.0
+    assert 8 not in got
+
+
 def test_split_leakage_flags_straddling_near_dup(spark, tmp_path):
     """q159 recall injection: two near-identical documents whose ids
     hash into DIFFERENT splits (one train, one holdout) must be flagged
