@@ -105,6 +105,7 @@ HEADLINE = [
     "q73_stream_stream_join",
     "q80_exact_dedup",
     "q81_minhash_lsh",
+    "q161_incremental_dedup",
     "q149_unigram_logprob",
     "q145_corpus_curation",
     "q83_simhash",
@@ -202,13 +203,13 @@ def _corpus_queries(spark):
 # q68 ran earlier its fit number is the incremental residual-PQ fit.
 def _index_fits():
     from mapreduce_mit_spark.plans.similarity import (
-        codebook_for,
+        ivf_index_for,
         ivfadc_index_for,
         pq_index_for,
     )
 
     return {
-        "q68_ivf_ann": (("ivf",), codebook_for),
+        "q68_ivf_ann": (("ivf", "ivf_lists"), ivf_index_for),
         "q157_pq_ann": (("pq",), pq_index_for),
         "q160_ivfadc": (("ivfadc",), ivfadc_index_for),
     }

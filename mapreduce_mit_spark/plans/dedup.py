@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import minhash_cols, minhash_sql_exprs, norm_text_col, norm_text_sql
 from ..functions.textfns import tokens_col, tokens_sql
@@ -1348,4 +1349,170 @@ def jaccard_verified_pairs_scored(
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q161: incremental dedup — an incoming BATCH against an existing corpus.
+# Production dedup is rarely the q148 full re-cluster: a crawl lands in
+# increments, and each increment is checked against the standing corpus
+# (exact hash first, then near-dup) without re-touching the corpus.
+# ---------------------------------------------------------------------------
+
+INCR_BATCH_MOD = 10   # batch membership protocol (q158's EVAL_MOD style):
+INCR_BATCH_REM = 7    # doc_id % 10 == 7 -> the incoming batch (~10%)
+
+
+@register(
+    "q161_incremental_dedup",
+    oracle=f"""
+    WITH {_lsh_bands_sql()},
+    bh AS (
+      SELECT doc_id, md5({norm_text_sql('text')}) AS h FROM documents
+      WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+    ),
+    ch AS (
+      SELECT doc_id, md5({norm_text_sql('text')}) AS h FROM documents
+      WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}
+    ),
+    exact AS (
+      SELECT b.doc_id, min(c.doc_id) AS exact_match
+      FROM bh b JOIN ch c ON c.h = b.h
+      GROUP BY 1
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM bands b JOIN bands c
+        ON b.band_idx = c.band_idx AND b.band_key = c.band_key
+      WHERE b.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+        AND c.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}
+    ),
+    cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+    ctoks AS (
+      SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS token
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM cdocs)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ctoks GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+      FROM cand c
+        JOIN ctoks a ON a.doc_id = c.doc_a
+        JOIN ctoks b ON b.doc_id = c.doc_b AND b.token = a.token
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT s.doc_a, s.doc_b,
+             round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) AS jaccard
+      FROM shared s
+        JOIN sizes sa ON sa.doc_id = s.doc_a
+        JOIN sizes sb ON sb.doc_id = s.doc_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.8
+    ),
+    best AS (
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_a
+                                     ORDER BY jaccard DESC, doc_b) AS rn
+        FROM scored)
+      WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                WHEN n.doc_a IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status,
+           CASE WHEN e.doc_id IS NOT NULL THEN e.exact_match
+                ELSE n.doc_b END AS match_doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN CAST(NULL AS DOUBLE)
+                ELSE n.jaccard END AS jaccard
+    FROM documents d
+      LEFT JOIN exact e ON e.doc_id = d.doc_id
+      LEFT JOIN best n ON n.doc_a = d.doc_id
+    WHERE d.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "incremental", "minhash-lsh", "training-pipeline"),
+)
+def q161_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup: classify each document of an incoming batch
+    against the STANDING corpus — 'exact' (normalized-content hash
+    already present; match = lowest holding corpus doc), 'near_dup'
+    (LSH candidate verified at token-Jaccard >= 0.8; match = the
+    best-scoring corpus doc), or 'new'. This is the production shape
+    q148 deliberately is not: a crawl lands in increments, and each
+    increment is admitted or dropped WITHOUT re-clustering the corpus
+    (q148 re-clusters; this one never touches corpus-corpus pairs).
+    Batch membership uses the id protocol (doc_id % INCR_BATCH_MOD ==
+    INCR_BATCH_REM, ~10%), mirroring q158's eval protocol.
+
+    Scale shape (the asymmetry carries the design): the batch is
+    increment-sized at any corpus scale, so its content hashes AND its
+    band keys BROADCAST; the corpus is hashed and banded in narrow
+    passes and never shuffles — in production both corpus tables are
+    precomputed index artifacts maintained alongside the corpus (the
+    codebook_for discipline applied to dedup), so an increment costs
+    one broadcast hash probe + one broadcast band probe + a verify
+    join over candidate documents only. Batch-internal duplicates are
+    q148's job applied to the increment before admission; exact status
+    wins over near_dup (its jaccard is NULL — the hash is the
+    evidence). Reference analog: the golden pipeline's check-then-add
+    merge discipline (master_splitmerge.go:14-51)."""
+    from ..sources.io import fan_out
+
+    d = t(spark, sf_dir, "documents")
+    base = fan_out(d)
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM
+    bh = d.where(is_batch).select(
+        F.col("doc_id").alias("b_id"), F.md5(norm_text_col("text")).alias("h")
+    )
+    ch = base.where(~is_batch).select(
+        "doc_id", F.md5(norm_text_col("text")).alias("h")
+    )
+    exact = (
+        ch.join(F.broadcast(bh), "h")
+        .groupBy("b_id")
+        .agg(F.min("doc_id").alias("exact_match"))
+        .select(F.col("b_id").alias("doc_id"), "exact_match")
+    )
+    bb = _lsh_bands_df(base.where(is_batch))
+    cb = _lsh_bands_df(base.where(~is_batch))
+    cand = (
+        cb.alias("c")
+        .join(
+            F.broadcast(bb.alias("b")),
+            (F.col("c.band_idx") == F.col("b.band_idx"))
+            & (F.col("c.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("b.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+        # eager: consumed by the verify's cand_docs explode AND the
+        # shared-token join — candidates are batch-collision-bounded
+        .localCheckpoint(eager=True)
+    )
+    scored = jaccard_verified_pairs_scored(d, cand)
+    w = Window.partitionBy("doc_a").orderBy(F.col("jaccard").desc(), "doc_b")
+    best = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("near_match"),
+                "jaccard")
+    )
+    has_exact = F.col("exact_match").isNotNull()
+    return (
+        d.where(is_batch)
+        .select("doc_id")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(best), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(has_exact, F.lit("exact"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.when(has_exact, F.col("exact_match"))
+            .otherwise(F.col("near_match"))
+            .alias("match_doc_id"),
+            F.when(has_exact, F.lit(None).cast("double"))
+            .otherwise(F.col("jaccard"))
+            .alias("jaccard"),
+        )
+        .orderBy("doc_id")
     )

@@ -724,6 +724,50 @@ def codebook_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The FULL IVF index as a memoized serving artifact: (cent,
+    assign) with assign = (vec_id, label, cluster, embedding) — the
+    INVERTED LISTS, i.e. the corpus materialized with its cell id.
+    The codebook alone is not the index: without the lists every query
+    re-assigns the whole corpus to cells (one broadcast-argmax pass —
+    measured 5.1× serve wall at the 10× fixture, linear in the corpus),
+    which is the index build billed to every lookup, q157's original
+    sin. With the lists cached, serve cost is the probed cells' rows
+    only. At 100 TB the lists are a maintained table partitioned by
+    cell (vectors stored in cell order — exactly what FAISS's IVF
+    layout is); here they are one eager localCheckpoint per (session,
+    source fingerprint), built from the same codebook q68/q155 share
+    through the cache."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    cache = _session_cache(spark)
+    key = ("ivf_lists", os.path.abspath(src), st.st_size, st.st_mtime_ns)
+    pair = cache.get(key)
+    if pair is None:
+        cent = codebook_for(spark, sf_dir)
+        e = tw(spark, sf_dir, "embeddings")
+        sims = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "label",
+            "embedding",
+            "cid",
+            cosine_col(F.col("embedding"), F.col("cv")).alias("sim"),
+        )
+        assign = (
+            sims.groupBy("vec_id", "label")
+            .agg(
+                F.max_by(
+                    "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
+                ).alias("cluster"),
+                F.any_value("embedding").alias("embedding"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        pair = (cent, assign)
+        cache[key] = pair
+    return pair
+
+
 def _ivf_codebook_sql(k: int = N_IVF_CENTROIDS, iters: int = N_KMEANS_ITERS) -> str:
     """DuckDB CTE text replaying :func:`ivf_codebook` exactly; the final
     codebook CTE is named ``cent``."""
@@ -827,25 +871,16 @@ def q68_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed lists only — the IVF trade the LSH variant (q87/q89) makes
     with hyperplanes instead of centroids."""
     e = t(spark, sf_dir, "embeddings")
-    cent = codebook_for(spark, sf_dir)
-    sims = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "label",
-        "embedding",
-        "cid",
-        cosine_col(F.col("embedding"), F.col("cv")).alias("sim"),
-    )
-    # argmax over 8 centroid rows per vector: map-side-combinable, and
-    # ties break toward the LOWEST cid ((sim, -cid) max = the oracle's
-    # ORDER BY sim DESC, cid row_number()=1)
-    assign = sims.groupBy("vec_id", "label").agg(
-        F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias(
-            "cluster"
-        ),
-        F.any_value("embedding").alias("embedding"),  # constant within group
-    )
+    # serve from the memoized index: codebook + INVERTED LISTS (the
+    # per-vector cell assignment with its argmax — ties break toward
+    # the LOWEST cid, (sim, -cid) max = the oracle's ORDER BY sim
+    # DESC, cid row_number()=1 — is computed once per source
+    # fingerprint inside ivf_index_for, not per query)
+    cent, assign = ivf_index_for(spark, sf_dir)
     probe = (
-        sims.where(F.col("vec_id") == QUERY_VEC_ID)
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .crossJoin(F.broadcast(cent))
+        .select("cid", cosine_col(F.col("embedding"), F.col("cv")).alias("sim"))
         .orderBy(F.col("sim").desc(), "cid")
         .limit(N_PROBE)
         .select("cid")
@@ -958,19 +993,12 @@ def q155_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline): max_frac and a balanced_ok bit asserting no cell
     exceeds Q155_BALANCE_BOUND (0.5) of the corpus.
 
-    Scale shape: assignment is the same broadcast-codebook argmax as
-    q68 (embeddings never shuffle); the stats are two 1-row broadcast
-    aggregates over the 8-row cell table — no driver count."""
-    e = t(spark, sf_dir, "embeddings")
-    cent = codebook_for(spark, sf_dir)
-    sims = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", cosine_col(F.col("embedding"), F.col("cv")).alias("sim")
-    )
-    assign = sims.groupBy("vec_id").agg(
-        F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias(
-            "cluster"
-        )
-    )
+    Scale shape: the cell assignment comes from the memoized inverted
+    lists (ivf_index_for — one broadcast-codebook argmax per source
+    fingerprint, embeddings never shuffle); the stats are two 1-row
+    broadcast aggregates over the 8-row cell table — no driver
+    count."""
+    _cent, assign = ivf_index_for(spark, sf_dir)
     cells = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
     tot = cells.agg(F.sum("n_vectors").alias("n"))
     mx = cells.agg(F.max("n_vectors").alias("mx"))
@@ -1523,20 +1551,10 @@ def ivfadc_index_for(
     key = ("ivfadc", os.path.abspath(src), st.st_size, st.st_mtime_ns)
     trip = cache.get(key)
     if trip is None:
-        cent = codebook_for(spark, sf_dir)
-        e = tw(spark, sf_dir, "embeddings")
-        sims = e.crossJoin(F.broadcast(cent)).select(
-            "vec_id",
-            "embedding",
-            "cid",
-            cosine_col(F.col("embedding"), F.col("cv")).alias("sim"),
-        )
-        assign = sims.groupBy("vec_id").agg(
-            F.max_by(
-                "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
-            ).alias("cluster"),
-            F.any_value("embedding").alias("embedding"),
-        )
+        # the coarse half IS q68's index — codebook AND inverted lists
+        # come from the shared memo (one assignment pass serves q68,
+        # q155, and this composition)
+        cent, assign = ivf_index_for(spark, sf_dir)
         resid = (
             assign.join(F.broadcast(cent), assign.cluster == cent.cid)
             .select(

@@ -889,6 +889,51 @@ def test_learned_ivf_codebook_quality(spark):
     assert mean >= 0.45, f"learned codebook mean recall {mean:.3f}"
 
 
+def test_incremental_dedup_classifies_batch(spark, tmp_path):
+    """q161 on an injected increment: a batch doc whose NORMALIZED text
+    matches a corpus doc is 'exact' (match = lowest holder, jaccard
+    NULL even though it would also verify as a near-dup — the hash is
+    the evidence); a one-word edit is 'near_dup' with the best corpus
+    match and its verified jaccard; an unrelated doc is 'new'. Corpus
+    docs never appear in the output."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    near = BASE.replace("quiet", "noisy")
+    rows = [
+        (0, BASE),                               # corpus
+        (1, "completely different content about spark query planning and "
+            "shuffle partitioning strategies for large scale data systems"),
+        (2, BASE),                               # second holder of BASE
+        (7, BASE.upper().replace("  ", " ")),    # batch: exact after norm
+        (17, near),                              # batch: near-dup of 0/2
+        (27, "yet another unrelated document mentioning streaming "
+             "watermarks and stateful aggregation semantics in engines"),
+    ]
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .select(
+            "doc_id", "text",
+            F.lit("en").alias("lang"), F.lit("t").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    )
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["q161_incremental_dedup"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {7, 17, 27}
+    assert got[7].status == "exact"
+    assert got[7].match_doc_id == 0          # lowest holder of the hash
+    assert got[7].jaccard is None
+    assert got[17].status == "near_dup"
+    assert got[17].match_doc_id in (0, 2)    # best match, tie to lowest
+    assert got[17].jaccard is not None and got[17].jaccard >= 0.9
+    assert got[27].status == "new"
+    assert got[27].match_doc_id is None and got[27].jaccard is None
+
+
 def test_pq_probe_hits_multi_query_audit(spark):
     """pq_probe_hits (the PQ serving path over a query SET) audited
     with L2 ground truth — the multi-query twin of q157's in-band
