@@ -143,8 +143,18 @@ def connected_components(
     # decimal(38,0): the sum of n node ids can overflow long at
     # cluster scale (1e9 rows × 1e12 ids); decimal keeps it exact,
     # and the cast costs one narrow pass over an already-tiny table.
+    # Lineage bound: each round references `labels` TWICE (the union
+    # and the neighbor join), so the un-truncated logical plan DOUBLES
+    # per round — a high-diameter graph (a 20+-round chain) OOMs the
+    # JVM merely stringifying the plan, long before any data pressure.
+    # Near-dup graphs converge in 2-3 rounds and never hit this; the
+    # periodic eager localCheckpoint bounds plan size to 2^K nodes for
+    # ANY diameter at the cost of one checkpoint action per K rounds
+    # (pinned by test_connected_components_random_vs_union_find's
+    # long-chain case).
+    checkpoint_every = 6
     prev_sum = None
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         neighbor_labels = (
             sym.join(labels, sym.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
@@ -163,6 +173,10 @@ def connected_components(
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+        if (i + 1) % checkpoint_every == 0:
+            ck = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = ck
 
     # truncate lineage: the result otherwise re-runs every round (on
     # now-unpersisted inputs) when the caller executes it

@@ -422,6 +422,55 @@ def test_connected_components(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
 
 
+def test_connected_components_random_vs_union_find(spark):
+    """Differential test of the sum-based convergence detection (equal
+    label sums between rounds == converged, valid because min-label
+    propagation is monotone): random graphs vs a Python union-find
+    ground truth. Seeds cover long chains (many rounds — the regime
+    where a premature stop would surface), dense cliques (1 round),
+    and sparse scatter (mostly singletons). All graphs share one Spark
+    round-trip per seed; ids are non-contiguous to catch any reliance
+    on dense numbering."""
+    import random
+
+    from mapreduce_mit_spark.operators.graph import connected_components
+
+    def uf_components(ids, pairs):
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min node id per component
+        comp = {}
+        for i in ids:
+            comp.setdefault(find(i), []).append(i)
+        return {i: min(members) for r, members in comp.items() for i in members}
+
+    for seed, n, m, chain in ((11, 40, 25, False), (12, 30, 60, False),
+                              (13, 16, 0, True), (14, 50, 10, False)):
+        rng = random.Random(seed)
+        ids = sorted(rng.sample(range(10_000), n))
+        pairs = [tuple(rng.sample(ids, 2)) for _ in range(m)]
+        if chain:  # one long path: max rounds for min-label propagation
+            pairs = list(zip(ids, ids[1:]))
+        expect = uf_components(ids, pairs)
+        nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+        edges = spark.createDataFrame(pairs or [(ids[0], ids[0])], "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components(nodes, edges).collect()
+        }
+        assert got == expect, f"seed {seed}"
+
+
 def test_pagerank_matches_python_reference(spark):
     """Weighted fixed-iteration PageRank vs a dict-based reference
     implementation of the same recurrence — asymmetric graph with a
@@ -887,6 +936,48 @@ def test_learned_ivf_codebook_quality(spark):
     audit = recall_audit(e, queries, hits, ANN_K)
     mean = audit.agg(F.avg("recall_at_k")).first()[0]
     assert mean >= 0.45, f"learned codebook mean recall {mean:.3f}"
+
+
+def test_ivfadc_probe_hits_multi_query_audit(spark):
+    """ivfadc_probe_hits (the composed serving path over a query SET)
+    audited with L2 ground truth. Pins: (a) one audit row per sampled
+    query with recall in [0,1]; (b) mean recall >= 0.35 — the
+    composition may not fall below the coarse-probe trade it inherits
+    (a broken residual/code join collapses it to ~0); (c) the
+    single-query path reproduces q160's in-band recall_at_k exactly."""
+    from mapreduce_mit_spark.plans.similarity import (
+        ANN_K,
+        QUERY_VEC_ID,
+        ivfadc_index_for,
+        ivfadc_probe_hits,
+        recall_audit,
+        sample_queries,
+    )
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+    from mapreduce_mit_spark.sources.io import load_table
+
+    load_all_plans()
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    cent, pcent, codes = ivfadc_index_for(spark, SF_SMALL)
+    queries = sample_queries(e, sample_frac=0.05)
+    qids = sorted(r.query_id for r in queries.select("query_id").collect())
+    assert len(qids) > 1
+
+    hits = ivfadc_probe_hits(cent, pcent, codes, e, queries, ANN_K)
+    audit = recall_audit(e, queries, hits, ANN_K, metric="l2").collect()
+    assert sorted(r.query_id for r in audit) == qids
+    for r in audit:
+        assert 0.0 <= r.recall_at_k <= 1.0
+    mean = sum(r.recall_at_k for r in audit) / len(audit)
+    assert mean >= 0.35, f"IVFADC mean recall {mean:.3f}"
+
+    q160 = REGISTRY["q160_ivfadc"].fn(spark, SF_SMALL).collect()
+    q0 = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    hits0 = ivfadc_probe_hits(cent, pcent, codes, e, q0, ANN_K)
+    audit0 = recall_audit(e, q0, hits0, ANN_K, metric="l2").collect()[0]
+    assert abs(audit0.recall_at_k - q160[0].recall_at_k) < 1e-12
 
 
 def test_incremental_dedup_classifies_batch(spark, tmp_path):

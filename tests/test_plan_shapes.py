@@ -642,3 +642,29 @@ def test_cdc_upsert_no_nested_loop(plan):
     p = plan("q133_cdc_upsert")
     assert "FullOuter" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_ivfadc_serves_from_broadcast_luts(plan):
+    """q160's serve posture: every per-query structure (probe set, LUT,
+    the query vector) reaches the codes/embeddings side as a BROADCAST
+    — a shuffle there would mean the corpus moves for a single query.
+    The plan must also contain no cartesian product over the corpus
+    (the only crossJoins are against 1-row/broadcast query structures)."""
+    p = plan("q160_ivfadc")
+    assert "BroadcastHashJoin" in p
+    # no shuffle-based join may carry the codes table: every join with
+    # the corpus-sized side is broadcast on its other input
+    assert "SortMergeJoin" not in p, "corpus-sized side entered a shuffle join"
+
+
+def test_incremental_dedup_broadcasts_batch_not_corpus(plan):
+    """q161's asymmetry, pinned: the batch side (hashes and band keys)
+    BROADCASTS; the corpus side must never be the broadcast build
+    (an O(corpus) driver build at scale). The exact-hash probe and the
+    band probe must both be broadcast hash joins."""
+    p = plan("q161_incremental_dedup")
+    assert p.count("BroadcastHashJoin") >= 2  # hash probe + band probe
+    # the batch predicate must be pushed into the scans feeding the
+    # broadcast builds (the build side is filtered to ~10% before it
+    # ever reaches the driver)
+    assert "PushedFilters" in p
