@@ -1835,3 +1835,43 @@ def q160_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("dist").asc(), "vec_id")
     )
+
+
+def ivfadc_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Persist the IVFADC index to PARQUET — the disk tier of the
+    index-artifact pattern: the session memo (ivfadc_index_for) makes
+    "fit once, serve many" true within a session; this makes it true
+    ACROSS sessions/jobs, which is what a production serving index is
+    (built by an offline job, read by query jobs).
+
+    Layout: three tables under ``out_dir`` — ``coarse`` (cid, cv),
+    ``pq`` (sub, cid, cv), and ``codes`` (vec_id, cluster, sub, code)
+    written PARTITIONED BY cluster: a query that probes nprobe cells
+    reads only those cells' files (partition pruning does the inverted
+    -list seek), which is exactly FAISS's IVF layout expressed as a
+    parquet table. The fit is deterministic, so save → load is
+    result-identical to the in-memory artifact (pinned by
+    tests/test_operators.py::test_ivfadc_index_save_load_roundtrip)."""
+    cent, pcent, codes = ivfadc_index_for(spark, sf_dir)
+    cent.write.mode("overwrite").parquet(os.path.join(out_dir, "coarse"))
+    pcent.write.mode("overwrite").parquet(os.path.join(out_dir, "pq"))
+    (
+        codes.write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(out_dir, "codes"))
+    )
+
+
+def ivfadc_index_load(
+    spark: SparkSession, out_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load a persisted IVFADC index (see :func:`ivfadc_index_save`).
+    The codebooks are broadcast-sized; the codes scan is partitioned by
+    cluster, so a probed-cell filter prunes to the probed partitions —
+    serve cost is file-pruned before a single row is read."""
+    cent = spark.read.parquet(os.path.join(out_dir, "coarse"))
+    pcent = spark.read.parquet(os.path.join(out_dir, "pq"))
+    codes = spark.read.parquet(os.path.join(out_dir, "codes")).select(
+        "vec_id", "cluster", "sub", "code"
+    )
+    return cent, pcent, codes

@@ -938,6 +938,43 @@ def test_learned_ivf_codebook_quality(spark):
     assert mean >= 0.45, f"learned codebook mean recall {mean:.3f}"
 
 
+def test_ivfadc_index_save_load_roundtrip(spark, tmp_path):
+    """The disk tier of the index-artifact pattern: a saved+reloaded
+    IVFADC index must serve BIT-IDENTICAL results to the in-session
+    artifact (the fit is deterministic), and the codes table must be
+    laid out partitioned by cluster so probed-cell reads prune files."""
+    import os
+
+    from mapreduce_mit_spark.plans.similarity import (
+        ANN_K,
+        ivfadc_index_for,
+        ivfadc_index_load,
+        ivfadc_index_save,
+        ivfadc_probe_hits,
+        sample_queries,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    out = str(tmp_path / "ivfadc_index")
+    ivfadc_index_save(spark, SF_SMALL, out)
+    assert any(
+        d.startswith("cluster=") for d in os.listdir(os.path.join(out, "codes"))
+    ), "codes not partitioned by cluster"
+
+    cent_m, pcent_m, codes_m = ivfadc_index_for(spark, SF_SMALL)
+    cent_d, pcent_d, codes_d = ivfadc_index_load(spark, out)
+    qs = sample_queries(e, 0.05)
+
+    mem = sorted(
+        map(tuple, ivfadc_probe_hits(cent_m, pcent_m, codes_m, e, qs, ANN_K).collect())
+    )
+    disk = sorted(
+        map(tuple, ivfadc_probe_hits(cent_d, pcent_d, codes_d, e, qs, ANN_K).collect())
+    )
+    assert mem == disk
+
+
 def test_ivfadc_probe_hits_multi_query_audit(spark):
     """ivfadc_probe_hits (the composed serving path over a query SET)
     audited with L2 ground truth. Pins: (a) one audit row per sampled
