@@ -208,10 +208,14 @@ def _index_fits():
         pq_index_for,
     )
 
+    from mapreduce_mit_spark.plans.dedup import lsh_bands_for
+
     return {
         "q68_ivf_ann": (("ivf", "ivf_lists"), ivf_index_for),
         "q157_pq_ann": (("pq",), pq_index_for),
         "q160_ivfadc": (("ivfadc",), ivfadc_index_for),
+        # the dedup side's index artifact: the corpus band table
+        "q81_minhash_lsh": (("lsh_bands",), lsh_bands_for),
     }
 
 

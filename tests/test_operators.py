@@ -1218,6 +1218,42 @@ def test_codebook_cache_invalidates_on_source_change(spark, tmp_path):
     assert rows1 != rows2, "refit served stale centroids"
 
 
+def test_lsh_bands_memo_fingerprint(spark, tmp_path):
+    """The dedup band-table memo follows the same source-fingerprint
+    contract as the ANN indexes: unchanged documents.parquet -> cache
+    hit (same DataFrame back); regenerated in place -> rebuild whose
+    bands reflect the NEW corpus, never the old one's."""
+    import time as _time
+
+    from mapreduce_mit_spark.plans.dedup import lsh_bands_for
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, "doc_id long, text string")
+            .select(
+                "doc_id", "text",
+                F.lit("en").alias("lang"), F.lit("t").alias("source"),
+                F.length("text").cast("long").alias("n_chars"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / "documents.parquet"))
+        )
+
+    write([(0, BASE), (1, BASE.replace("quiet", "noisy"))])
+    b1 = lsh_bands_for(spark, str(tmp_path))
+    ids1 = {r.doc_id for r in b1.select("doc_id").distinct().collect()}
+    assert ids1 == {0, 1}
+    assert lsh_bands_for(spark, str(tmp_path)) is b1  # unchanged: hit
+
+    _time.sleep(0.05)
+    write([(5, BASE), (6, BASE), (7, BASE)])
+    b2 = lsh_bands_for(spark, str(tmp_path))
+    assert b2 is not b1
+    ids2 = {r.doc_id for r in b2.select("doc_id").distinct().collect()}
+    assert ids2 == {5, 6, 7}, "memo served bands of the old corpus"
+
+
 def test_pq_codebooks_and_adc_match_numpy(spark):
     """q157's PQ machinery against a THIRD implementation: refit the
     same deterministic Lloyd rounds in numpy (same hash-ranked seed set,
