@@ -297,9 +297,13 @@ def main() -> None:
         # measure the engine's steady state, which is what the
         # per-query numbers are for.
         registry.REGISTRY["q80_exact_dedup"].fn(spark, sf_dir).collect()
-        registry.REGISTRY["q148_dedup_pipeline"].fn(
-            spark, "/root/testdata/sf0.01"
-        ).collect()
+        # the warm-up fixture is the sf0.01 SIBLING of the measured
+        # dir (not a hardcoded path): portable to any testdata root,
+        # and skipped when it IS the measured dir (warming on the
+        # measured fixture would silently make the cold number warm)
+        warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+        if os.path.isdir(warm_sf) and os.path.realpath(warm_sf) != os.path.realpath(sf_dir):
+            registry.REGISTRY["q148_dedup_pipeline"].fn(spark, warm_sf).collect()
         _run_set(spark, FLAGSHIP, sf_dir, reps, timings, cold)
         print(json.dumps({"queries": timings, "queries_cold": cold}))
         return

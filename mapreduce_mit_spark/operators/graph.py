@@ -170,7 +170,10 @@ def connected_components(
         ).first()["s"]
         labels.unpersist()
         labels = new_labels
-        if prev_sum is not None and cur_sum == prev_sum:
+        # cur_sum is None iff the node set is EMPTY (sum over zero rows
+        # is NULL) — trivially converged; without this an empty input
+        # would run all max_iterations rounds of empty-data jobs
+        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
             break
         prev_sum = cur_sum
         if (i + 1) % checkpoint_every == 0:

@@ -41,7 +41,11 @@ N_BANDS = N_HASHES // BAND_SIZE
 # below this fraction of the corpus (i.e. exact-dup mass > 2%): below
 # breakeven the pre-pass machinery costs more than the LSH/verify work
 # it saves (measured: 2× at sf0.1 on an all-distinct corpus). The
-# probe is an HLL estimate at rsd 0.01, well inside the 2% margin.
+# probe is an HLL estimate over the raw text at rsd 0.02 — the
+# estimate's σ equals the 2% margin, which is fine because the regimes
+# the probe separates sit many σ from the threshold and a borderline
+# corpus mis-routes into a near-breakeven path (see the probe comment
+# in _dedup_pipeline).
 DEDUP_PREPASS_DISTINCT_RATIO = 0.98
 
 
@@ -178,12 +182,6 @@ def q81_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_bands"))
         .orderBy("doc_a", "doc_b")
     )
-
-
-def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band_idx, band_key) — the LSH banding of the minhash
-    signatures, shared by q81 (counted pairs) and q148 (the pipeline)."""
-    return _lsh_bands_df(tw(spark, sf_dir, "documents"))
 
 
 def lsh_bands_for(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1013,19 +1011,17 @@ def _decon_train_bands_df(d: DataFrame) -> DataFrame:
         f"(greatest(size(tk) - {DECON_WINDOW}, 0) + {DECON_STRIDE - 1})"
         f" div {DECON_STRIDE}"
     )
-    wins = toks.select(
-        "doc_id",
-        "tk",
-        F.expr(
-            f"explode(sequence(CAST(0 AS BIGINT), CAST({n_chunks_minus1} AS BIGINT)))"
-        ).alias("_cid"),
-    ).select(
-        "doc_id",
-        F.expr(
-            f"slice(tk, CAST(_cid * {DECON_STRIDE} + 1 AS INT), {DECON_WINDOW})"
-        ).alias("tk"),
+    # ONE generate per doc — the whole-document token array is element
+    # 0 of the per-doc chunk list, the sliding windows follow. A
+    # union of two branches would plan two independent scan+tokenize
+    # passes over the train corpus (tokenize is the heaviest per-row
+    # compute in the catalog); the fused explode tokenizes once.
+    chunk_list = F.expr(
+        f"concat(array(tk), transform("
+        f"sequence(CAST(0 AS BIGINT), CAST({n_chunks_minus1} AS BIGINT)), "
+        f"cid -> slice(tk, CAST(cid * {DECON_STRIDE} + 1 AS INT), {DECON_WINDOW})))"
     )
-    both = toks.select("doc_id", "tk").unionByName(wins)
+    both = toks.select("doc_id", F.explode(chunk_list).alias("tk"))
     sigs = both.select(
         "doc_id", shingles_col(F.col("tk")).alias("shingles")
     ).select("doc_id", *minhash_cols(F.col("shingles"), N_HASHES))
@@ -1318,8 +1314,6 @@ def q159_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     PASSING (the driver corpus happens to contain a handful of real
     cross-split near-dups, so it also exercises the non-empty path);
     tests/test_quality.py injects a straddling pair to prove recall."""
-    from ..sources.io import fan_out
-
     d = t(spark, sf_dir, "documents")
     tagged = lsh_bands_for(spark, sf_dir).withColumn("split", _split_col())
     a, b = tagged.alias("a"), tagged.alias("b")

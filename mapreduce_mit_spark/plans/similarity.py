@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -683,22 +682,23 @@ def ivf_codebook(
     return cent.localCheckpoint(eager=True)
 
 
-# Per-session index cache: SparkSession -> {fingerprint key: artifact}.
-# WeakKey so a dropped/stopped session's entries (and the localCheckpoint
-# blocks their DataFrames pin in the block manager) become collectable
-# with the session object instead of living for the process lifetime —
-# id(spark) keys could never be evicted (and a recycled id could even
-# alias a new session onto a dead session's DataFrames).
-_CODEBOOK_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
-
-
 def _session_cache(spark: SparkSession) -> dict:
-    d = _CODEBOOK_CACHE.get(spark)
+    """Per-session index cache: {fingerprint key: artifact}, stored AS
+    AN ATTRIBUTE of the session object itself. Lifetime therefore
+    equals the session's: when the session is dropped, the dict — and
+    the localCheckpoint blocks its DataFrames pin — goes with it. No
+    module-global registry: a global map keyed by session (even a
+    WeakKeyDictionary) can never evict, because each cached DataFrame
+    holds a strong reference back to its session, keeping the key
+    reachable through the map's own values; attached to the session,
+    that same reference is just an internal cycle the garbage
+    collector handles. (id(spark) keys were worse still: never
+    evictable AND a recycled id could alias a new session onto a dead
+    session's DataFrames.)"""
+    d = getattr(spark, "_mms_index_cache", None)
     if d is None:
         d = {}
-        _CODEBOOK_CACHE[spark] = d
+        spark._mms_index_cache = d
     return d
 
 

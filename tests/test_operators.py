@@ -421,6 +421,13 @@ def test_connected_components(spark):
     got = {r["node"]: r["label"] for r in connected_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
 
+    # degenerate input: an empty node set must return empty and
+    # converge immediately (the sum-based check reads NULL — without
+    # the None guard the loop would run all max_iterations rounds)
+    empty_n = spark.createDataFrame([], "id long")
+    empty_e = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty_n, empty_e).collect() == []
+
 
 def test_connected_components_random_vs_union_find(spark):
     """Differential test of the sum-based convergence detection (equal
