@@ -21,14 +21,24 @@ from pyspark.sql import functions as F
 
 def norm_text_col(text: Column | str) -> Column:
     """Normalized text for exact-dup hashing: lowercase, collapse
-    whitespace, trim (Spark side)."""
+    whitespace, trim (Spark side).
+
+    U+0130 (İ, capital I with dot above) is pre-folded to plain 'i'
+    BEFORE lowercasing: it is the only codepoint whose lowercase
+    EXPANDS under Unicode full case mapping (İ → U+0069 U+0307 in the
+    JVM/ICU), while DuckDB's lower() applies the simple mapping
+    (İ → i) — the one divergence an adversarial-Unicode sweep found
+    between the two engines' lower(). Folding it identically on both
+    sides keeps the exact-dedup key engine-independent (and matches
+    the case-insensitivity intent: İstanbul ≡ istanbul)."""
     c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, "İ", "i")
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
 def norm_text_sql(expr: str) -> str:
     """DuckDB twin of :func:`norm_text_col`."""
-    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+    return f"trim(regexp_replace(lower(replace({expr}, 'İ', 'i')), '\\s+', ' ', 'g'))"
 
 
 def seeded_md5_col(value: Column, seed: int) -> Column:

@@ -262,3 +262,65 @@ def test_split_leakage_flags_straddling_near_dup(spark, tmp_path):
     assert (train_ids[0], train_ids[2]) not in {
         (r.holdout_doc_id, r.train_doc_id) for r in got
     }
+
+
+def test_unicode_cross_engine_parity(spark, tmp_path):
+    """Adversarial-Unicode sweep: the text operators' Spark plans and
+    their DuckDB oracles must agree on non-ASCII input — Turkish
+    dotted/dotless I (U+0130 is the ONLY codepoint whose lowercase
+    expands under full case mapping, and the one real divergence this
+    sweep originally caught in norm_text), German ß/case-variant
+    umlauts, Greek with a final-sigma context, CJK (no spaces —
+    tokenizer must still split on the non-letter runs present),
+    combining marks, and Cyrillic. Compares collected Spark rows to
+    the registered oracle run directly in DuckDB on the same parquet."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    docs = [
+        (0, "Grüße aus Straße STRASSE straße"),
+        (1, "İstanbul istanbul ISTANBUL ı I i"),
+        (2, "Ωμέγα ωμέγα ΩΜΈΓΑ σίγμα Σίγμας"),
+        (3, "日本語のテキスト 中文文本 한국어"),
+        (4, "naïve naive café café"),
+        (5, "АБВГД абвгд Ёлка ёлка"),
+        (7, "Grüße aus Straße STRASSE straße"),   # exact dup of 0
+    ]
+    (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .select(
+            "doc_id", "text",
+            F.lit("xx").alias("lang"), F.lit("t").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .coalesce(1)
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for q in (
+        "q60_wordcount",
+        "q80_exact_dedup",
+        "q81_minhash_lsh",
+        "q62_token_stats",
+    ):
+        got = sorted(map(tuple, REGISTRY[q].fn(spark, str(tmp_path)).collect()))
+        want = sorted(map(tuple, con.sql(REGISTRY[q].oracle).fetchall()))
+        assert got == want, f"{q} diverges cross-engine on unicode input"
+    # the İ fold specifically: doc 1's normalized hash must be the
+    # same in both engines AND treat İstanbul/istanbul as one content
+    from mapreduce_mit_spark.functions.hashing import norm_text_col
+
+    n = (
+        spark.createDataFrame([("İstanbul",), ("istanbul",)], "text string")
+        .select(norm_text_col("text").alias("n"))
+        .collect()
+    )
+    assert n[0].n == n[1].n == "istanbul"
