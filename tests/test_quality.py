@@ -289,6 +289,12 @@ def test_unicode_cross_engine_parity(spark, tmp_path):
         (4, "naïve naive café café"),
         (5, "АБВГД абвгд Ёлка ёлка"),
         (7, "Grüße aus Straße STRASSE straße"),   # exact dup of 0
+        (8, "مرحبا بالعالم العربية نص"),            # RTL Arabic
+        (9, "नमस्ते दुनिया हिन्दी पाठ"),               # Devanagari
+        (10, "emoji 😀 mixed 🎉 text 🚀 here"),     # non-letters split
+        (11, "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕊𝕥𝕪𝕝𝕖𝕕 math letters"),     # astral-plane letters
+        (12, "ʼn ǅungle ǈjubljana mixed ǋew"),      # titlecase digraphs
+        (13, "ẛ ẞ ſ long-s and sharp"),
     ]
     (
         spark.createDataFrame(docs, "doc_id long, text string")
