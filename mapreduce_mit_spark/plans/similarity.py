@@ -52,13 +52,22 @@ _NORM_SQL = (
 )
 
 
+# Cosine similarity is NULL for a zero-norm vector, identically in both
+# engines (nullif on the denominator). Without the guard, ONE zero
+# embedding — a failed-embedding row, routine at corpus scale — kills
+# every cosine-based query under Spark's ANSI mode (DIVIDE_BY_ZERO is a
+# task-fatal error in Spark 4 defaults) instead of just ranking last.
+# NULL similarities fall out of every top-k (both engines sort NULLs
+# after real values in the orders used here).
 def cosine_sql(a: str, b: str) -> str:
     dot = _DOT_SQL.format(a=a, b=b, dim=DIM)
-    return f"({dot} / ({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)}))"
+    return (
+        f"({dot} / nullif({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)}, 0.0))"
+    )
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
 @register(

@@ -1334,3 +1334,43 @@ def test_pq_codebooks_and_adc_match_numpy(spark):
             )
             err += float(np.sum((sv - got[(s, best)]) ** 2))
         assert err >= 0.0  # sanity: decomposition is well-formed
+
+
+def test_cosine_queries_survive_zero_norm_vector(spark, tmp_path):
+    """A zero-norm embedding (a failed-embedding row — routine at
+    corpus scale) must not kill cosine-based queries: under Spark 4
+    ANSI defaults the unguarded norm product divides by zero and the
+    whole job dies. cosine is NULL for such vectors in BOTH engines
+    (nullif denominator), so they rank after every real similarity and
+    fall out of top-k. This runs four cosine consumers — including the
+    full learned-codebook replay with the zero vector in the fit set —
+    against their registered DuckDB oracles on the injected corpus."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(40):
+        v = rng.randn(64).astype(float)
+        v /= np.linalg.norm(v)
+        rows.append((i, int(i % 4), [float(x) for x in v]))
+    rows.append((42, 2, [0.0] * 64))
+    (
+        spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+        .coalesce(1)
+        .write.parquet(os.path.join(str(tmp_path), "embeddings.parquet"))
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    for q in ("q85_cosine_topk", "q68_ivf_ann", "q87_lsh_buckets", "q155_ivf_cells"):
+        got = sorted(map(tuple, REGISTRY[q].fn(spark, str(tmp_path)).collect()))
+        want = sorted(map(tuple, con.sql(REGISTRY[q].oracle).fetchall()))
+        assert got == want, f"{q} diverges with a zero-norm vector present"
