@@ -219,24 +219,32 @@ def _index_fits():
     }
 
 
-def _run_set(spark, names, sf_dir, reps, timings, cold) -> None:
-    """Cold + warm-median timing for each named catalog query."""
+def _run_set(spark, names, sf_dir, reps, timings, cold, fits) -> None:
+    """Cold + warm-median timing for each named catalog query.
+
+    Index fits go into the separate ``fits`` dict, NOT ``timings``:
+    the headline total is sum(timings) and must stay round-over-round
+    comparable with pre-round-8 numbers, which never included fit wall
+    time (fit is paid once per session+source, not per query).
+    """
     index_fits = _index_fits()
     for name in names:
         fn = registry.REGISTRY[name].fn
 
         if name in index_fits:
-            from mapreduce_mit_spark.plans.similarity import _session_cache
+            from mapreduce_mit_spark.plans.similarity import (
+                _cache_evict,
+                _session_cache,
+            )
 
             kinds, builder = index_fits[name]
             cache = _session_cache(spark)
             for k in [k for k in cache if k[0] in kinds]:
-                cache.pop(k)
+                _cache_evict(cache.pop(k))
             t0 = time.perf_counter()
             builder(spark, sf_dir)
             fit = round(time.perf_counter() - t0, 3)
-            timings[f"{name}_fit"] = fit
-            cold[f"{name}_fit"] = fit
+            fits[f"{name}_fit"] = fit
             print(f"# {name}_fit: {fit:.3f}s", file=sys.stderr)
 
         if name == "q152_stream_file_sink":
@@ -279,6 +287,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    fits: dict[str, float] = {}
 
     if os.environ.get("SPARK_GRAFT_BENCH_ROLE") == "flagships":
         # child process: flagships only, own JVM/session; one JSON line.
@@ -304,11 +313,30 @@ def main() -> None:
         warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
         if os.path.isdir(warm_sf) and os.path.realpath(warm_sf) != os.path.realpath(sf_dir):
             registry.REGISTRY["q148_dedup_pipeline"].fn(spark, warm_sf).collect()
-        _run_set(spark, FLAGSHIP, sf_dir, reps, timings, cold)
-        print(json.dumps({"queries": timings, "queries_cold": cold}))
+        _run_set(spark, FLAGSHIP, sf_dir, reps, timings, cold, fits)
+        print(json.dumps({"queries": timings, "queries_cold": cold, "fits": fits}))
         return
 
-    _run_set(spark, HEADLINE, sf_dir, reps, timings, cold)
+    # Box calibration: a fixed CPU-bound in-memory job whose wall time
+    # depends only on the machine (no I/O, no data files, no Python
+    # row path). Recorded as calibration_s so cross-round totals can be
+    # box-normalized — the r4→r5 headline drift cost three rounds of
+    # investigation because this number didn't exist (SCALING.md,
+    # round-8 comparability note). min of 3: interference is additive.
+    def _calibrate() -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "sum(id * 3 + (id % 7)) AS s"
+            ).collect()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
+
+    calibration_s = _calibrate()
+    print(f"# calibration: {calibration_s:.3f}s", file=sys.stderr)
+
+    _run_set(spark, HEADLINE, sf_dir, reps, timings, cold, fits)
 
     import glob as _glob
 
@@ -363,6 +391,7 @@ def main() -> None:
     fl = json.loads(child.stdout.strip().splitlines()[-1])
     timings.update(fl["queries"])
     cold.update(fl["queries_cold"])
+    fits.update(fl.get("fits", {}))
 
     total = round(sum(timings.values()), 3)
     # The driver's wrapper captures only the TAIL of stdout (last ~2000
@@ -380,8 +409,10 @@ def main() -> None:
         "value_cold": round(sum(cold.values()), 3),
         "reps": reps,
         "sf": float(sf),
+        "calibration_s": calibration_s,
+        "fits_total": round(sum(fits.values()), 3),
     }
-    detail = dict(slim, queries_cold=cold, queries_median=corpus_median)
+    detail = dict(slim, queries_cold=cold, queries_median=corpus_median, fits=fits)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)

@@ -127,8 +127,23 @@ def connected_components(
     # materializes labels (and the symmetrized edges) in the same job,
     # so a separate warm-up count is one whole scheduled job of pure
     # overhead per call (measured ~0.3 s at sf0.1 in q148's chain)
+    #
+    # Seed the label table from nodes UNION edge endpoints. The
+    # equal-sums convergence test below is only valid when the label
+    # multiset's SUPPORT is fixed: if edges referenced endpoints absent
+    # from ``nodes``, the per-round union/groupBy would add those dst
+    # nodes to the label table over the first rounds, sums would not be
+    # monotone, and two equal consecutive sums would no longer imply a
+    # fixed point. Fixing the support up front (one distinct over a
+    # persisted edge table + the node list) restores the invariant for
+    # ANY input; all in-repo callers pass the full node set, so the
+    # extra endpoints are a no-op there.
     labels = _sized(
-        nodes.select(F.col(node_col).alias("node")).withColumn("label", F.col("node"))
+        nodes.select(F.col(node_col).alias("node"))
+        .union(edges_p.select(F.col("src").alias("node")))
+        .union(edges_p.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
     )
     labels.persist()
 

@@ -196,7 +196,7 @@ def lsh_bands_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint keying makes in-place testdata regeneration invalidate
     it. ~4 narrow rows per document (band_idx + 32-char key),
     localCheckpointed eagerly."""
-    from .similarity import _session_cache
+    from .similarity import _cache_put, _session_cache
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
@@ -207,7 +207,7 @@ def lsh_bands_for(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = _lsh_bands_df(tw(spark, sf_dir, "documents")).localCheckpoint(
             eager=True
         )
-        cache[key] = df
+        _cache_put(cache, key, df)
     return df
 
 

@@ -711,6 +711,32 @@ def _session_cache(spark: SparkSession) -> dict:
     return d
 
 
+def _cache_evict(value) -> None:
+    """Best-effort release of an evicted cache entry's checkpoint
+    blocks. Entries are DataFrames or tuples of DataFrames, each the
+    result of an eager ``localCheckpoint``; unpersisting tells the
+    block manager now instead of waiting for the session to die."""
+    dfs = value if isinstance(value, tuple) else (value,)
+    for df in dfs:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def _cache_put(cache: dict, key: tuple, value) -> None:
+    """Insert an index artifact, dropping any entry it supersedes.
+
+    Keys are (kind, abspath, size, mtime_ns): when a source file is
+    regenerated IN PLACE, the fingerprint changes but (kind, abspath)
+    stays — without this sweep the old entry (and the eagerly
+    localCheckpointed blocks its DataFrames pin) leaks until the
+    session dies. Distinct paths (other sf dirs) are untouched."""
+    for k in [k for k in cache if k[:2] == key[:2] and k != key]:
+        _cache_evict(cache.pop(k))
+    cache[key] = value
+
+
 def codebook_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fitted codebook AS AN INDEX ARTIFACT: fit once per
     (session, source fingerprint) and reused across queries — a
@@ -729,7 +755,7 @@ def codebook_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = cache.get(key)
     if df is None:
         df = ivf_codebook(t(spark, sf_dir, "embeddings"))
-        cache[key] = df
+        _cache_put(cache, key, df)
     return df
 
 
@@ -773,7 +799,7 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
             .localCheckpoint(eager=True)
         )
         pair = (cent, assign)
-        cache[key] = pair
+        _cache_put(cache, key, pair)
     return pair
 
 
@@ -1234,7 +1260,7 @@ def pq_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
             .localCheckpoint(eager=True)
         )
         pair = (cent, codes)
-        cache[key] = pair
+        _cache_put(cache, key, pair)
     return pair
 
 
@@ -1592,7 +1618,7 @@ def ivfadc_index_for(
             .localCheckpoint(eager=True)
         )
         trip = (cent, pcent, codes)
-        cache[key] = trip
+        _cache_put(cache, key, trip)
     return trip
 
 
