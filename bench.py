@@ -252,12 +252,12 @@ def _run_set(spark, names, sf_dir, reps, timings, cold, fits) -> None:
             # without a reset the "cold" run is a zero-batch no-op that
             # just reads back the old parquet. Warm reps then measure
             # exactly that no-op — which is the query's own idempotence
-            # contract, so they stay as-is.
-            import shutil
+            # contract, so they stay as-is. q152_reset deletes under
+            # the inter-process tree lock, so a concurrent session's
+            # live run can't have its checkpoint ripped out mid-stream.
+            from mapreduce_mit_spark.streaming.stream_queries import q152_reset
 
-            from mapreduce_mit_spark.streaming.stream_queries import q152_sink_base
-
-            shutil.rmtree(q152_sink_base(sf_dir), ignore_errors=True)
+            q152_reset(sf_dir)
 
         def run() -> tuple[float, int]:
             t0 = time.perf_counter()

@@ -27,7 +27,9 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 from collections.abc import Iterator
+from contextlib import contextmanager
 from typing import Any
 
 import pandas as pd
@@ -84,12 +86,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     # lexists: a stale symlink (testdata dir recreated) makes exists()
     # False but symlink() still raise; re-point whenever the target moved.
-    if os.path.lexists(link):
-        if os.path.realpath(link) != os.path.realpath(path):
+    # The stage dir is SHARED across processes, so both the remove and
+    # the symlink can race a concurrent session doing the same repair —
+    # each step tolerates the other process having won (the end state
+    # both want is identical), then the final realpath check confirms it.
+    if not os.path.lexists(link) or os.path.realpath(link) != os.path.realpath(path):
+        try:
             os.remove(link)
+        except FileNotFoundError:
+            pass
+        try:
             os.symlink(path, link)
-    else:
-        os.symlink(path, link)
+        except FileExistsError:
+            pass
+        if os.path.realpath(link) != os.path.realpath(path):
+            raise RuntimeError(f"stream stage link points elsewhere: {link}")
     schema = spark.read.parquet(path).schema  # ts arrives as long (nanos)
     return normalize_ns_timestamps(spark.readStream.schema(schema).parquet(stage))
 
@@ -987,11 +998,24 @@ def q152_sink_base(sf_dir: str) -> str:
 
         cutoff = time.time() - _SINK_PRUNE_AGE_S
         for stale in os.listdir(sf_root):
-            if stale == fp:
+            if stale == fp or stale.endswith(".lock"):
                 continue
             p = os.path.join(sf_root, stale)
             if _tree_newest_mtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
+                # delete only while HOLDING the sibling's lock: the
+                # idle-age gate protects against a LIVE stream (recent
+                # mtimes), the lock protects against a process that
+                # acquired the tree but hasn't written yet — the gap
+                # the age gate alone cannot see. Non-blocking: if the
+                # lock is held, the tree is live and is skipped.
+                # the 0-byte .lock sibling is deliberately left behind:
+                # unlinking a held lock file lets a waiter flock the
+                # orphaned inode while a newcomer creates (and locks) a
+                # fresh one — two holders. Orphan lock files are inert
+                # and bounded by the number of source regenerations.
+                with tree_lock(p, blocking=False) as held:
+                    if held:
+                        shutil.rmtree(p, ignore_errors=True)
     return os.path.join(sf_root, fp)
 
 
@@ -1000,6 +1024,80 @@ def q152_sink_base(sf_dir: str) -> str:
 # live stream (micro-batches commit every few seconds) can never look
 # idle, short enough that /tmp doesn't accumulate regeneration orphans.
 _SINK_PRUNE_AGE_S = 3600
+
+
+# Default blocking-acquire timeout. A module constant (not a default
+# argument baked at def time) so tests can shrink it to prove the
+# lock-respecting paths raise instead of hanging.
+TREE_LOCK_TIMEOUT_S = 600.0
+
+
+@contextmanager
+def tree_lock(tree_path: str, blocking: bool = True, timeout_s: float | None = None):
+    """Inter-PROCESS advisory lock on a shared checkpoint/sink tree.
+
+    Structured Streaming's local-FS checkpoint has no cross-process
+    mutual exclusion: two processes driving a query off the same
+    checkpointLocation interleave offset/commit writes and corrupt the
+    exactly-once contract (observed: a concurrent verify session on the
+    box broke the crash-kill suite, VERIFY_JUDGE_r08). The lock is an
+    ``fcntl.flock`` on a 0-byte ``<tree>.lock`` SIBLING of the tree
+    (inside the tree it would die with every reset), so holding it
+    survives the tree being recreated, and the kernel releases it on
+    process death — a crash-killed runner never wedges the tree, which
+    the crash-kill tests rely on.
+
+    Yields True when the lock is held. ``blocking=True`` polls up to
+    ``timeout_s`` then raises TimeoutError (a deadlock surfaced beats a
+    silent corruption); ``blocking=False`` yields False immediately
+    when another process holds it (the prune path's probe).
+
+    Production analog: the single-writer-per-checkpoint rule every
+    managed streaming runtime enforces via job-level leases; on a
+    shared POSIX FS, flock is that lease.
+    """
+    import fcntl
+
+    if timeout_s is None:
+        timeout_s = TREE_LOCK_TIMEOUT_S
+    lock_path = tree_path.rstrip("/") + ".lock"
+    os.makedirs(os.path.dirname(lock_path), exist_ok=True)
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    held = False
+    try:
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                held = True
+                break
+            except OSError:
+                if not blocking:
+                    break
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"could not lock {lock_path} within {timeout_s}s — "
+                        "another process is driving this checkpoint tree"
+                    )
+                time.sleep(0.2)
+        yield held
+    finally:
+        try:
+            if held:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+
+
+def q152_reset(sf_dir: str) -> None:
+    """Delete q152's checkpoint+sink tree (bench.py's cold-run reset),
+    under the tree lock so a reset can never rip a live run's
+    checkpoint out from under another process."""
+    import shutil
+
+    base = q152_sink_base(sf_dir)
+    with tree_lock(base):
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _tree_newest_mtime(path: str) -> float:
@@ -1079,16 +1177,23 @@ def q152_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ck)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        LAST_QUERY["q152_file_sink"] = q
+        # tree_lock: the checkpoint tree is shared ACROSS PROCESSES
+        # (that is the point — restart/recovery finds prior state), so
+        # concurrent runs against the same fingerprint serialize here
+        # instead of interleaving checkpoint writes. The second runner
+        # proceeds after the first finishes and its availableNow pass
+        # is the exactly-once no-op (checkpoint: nothing new).
+        with tree_lock(base):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            LAST_QUERY["q152_file_sink"] = q
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out).orderBy("window_start")

@@ -63,13 +63,11 @@ def run_scale(spark, sf_dir: str, queries: list[str], reps: int) -> dict:
             if name == "q152_stream_file_sink":
                 # reset the persistent checkpoint so every rep measures
                 # the stream, not a zero-batch read-back (see bench.py)
-                import shutil
-
                 from mapreduce_mit_spark.streaming.stream_queries import (
-                    q152_sink_base,
+                    q152_reset,
                 )
 
-                shutil.rmtree(q152_sink_base(sf_dir), ignore_errors=True)
+                q152_reset(sf_dir)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
