@@ -218,6 +218,30 @@ def _lsh_bands_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def lsh_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Persist the corpus LSH band table — same one-directory-of-named-
+    parquet-subtables layout as the ANN indexes (similarity.py's
+    ``*_index_save`` family): ``bands`` (doc_id, band_idx, band_key)
+    partitioned by band_idx. Banding consumers touch every band, so the
+    partitioning buys locality (one band's rows are co-filed for the
+    per-band self-join), not pruning; the win of persistence is the
+    fit itself — a new session/job serves candidates without ever
+    re-tokenizing or re-minhashing the corpus."""
+    bands = lsh_bands_for(spark, sf_dir)
+    (
+        bands.write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(os.path.join(out_dir, "bands"))
+    )
+
+
+def lsh_index_load(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Load a persisted LSH band table (see :func:`lsh_index_save`)."""
+    return spark.read.parquet(os.path.join(out_dir, "bands")).select(
+        "doc_id", "band_idx", "band_key"
+    )
+
+
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs over the full documents table (see the _df core)."""
     return lsh_candidate_pairs_df(tw(spark, sf_dir, "documents"))

@@ -1910,3 +1910,62 @@ def ivfadc_index_load(
         "vec_id", "cluster", "sub", "code"
     )
     return cent, pcent, codes
+
+
+# ---------------------------------------------------------------------------
+# Index persistence — one layout for every fitted structure.
+#
+# Every *_index_save writes a directory of named parquet sub-tables
+# (the index's components), with the corpus-sized table partitioned by
+# its probe predicate when one exists (FAISS's IVF layout as parquet);
+# *_index_load reads them back with the exact in-memory column sets.
+# All fits are deterministic, so save → load is result-identical to the
+# session artifact — pinned per family by the roundtrip tests in
+# tests/test_operators.py. Reference analog: the spill-file contract
+# (common.go:36-43) — intermediate artifacts durable on the shared FS,
+# re-readable by later jobs without refitting.
+# ---------------------------------------------------------------------------
+
+
+def ivf_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Persist the IVF index: ``coarse`` (cid, cv) + ``lists`` (vec_id,
+    label, cluster, embedding) partitioned by cluster — the inverted
+    lists as a parquet table whose partition column IS the probe
+    predicate, so an nprobe-cell query reads only those cells' files."""
+    cent, assign = ivf_index_for(spark, sf_dir)
+    cent.write.mode("overwrite").parquet(os.path.join(out_dir, "coarse"))
+    (
+        assign.write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(os.path.join(out_dir, "lists"))
+    )
+
+
+def ivf_index_load(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF index (see :func:`ivf_index_save`)."""
+    cent = spark.read.parquet(os.path.join(out_dir, "coarse"))
+    assign = spark.read.parquet(os.path.join(out_dir, "lists")).select(
+        "vec_id", "label", "cluster", "embedding"
+    )
+    return cent, assign
+
+
+def pq_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Persist the PQ index: ``pq`` (sub, cid, cv) + ``codes`` (vec_id,
+    sub, cluster). The codes are deliberately NOT partitioned: plain PQ
+    has no coarse cells — ADC scans every vector's codes, so there is
+    no probe predicate to prune on (that is IVFADC's trade; see
+    :func:`ivfadc_index_save`), and partitioning by vec_id would just
+    shatter the table into tiny files."""
+    cent, codes = pq_index_for(spark, sf_dir)
+    cent.write.mode("overwrite").parquet(os.path.join(out_dir, "pq"))
+    codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))
+
+
+def pq_index_load(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted PQ index (see :func:`pq_index_save`)."""
+    cent = spark.read.parquet(os.path.join(out_dir, "pq"))
+    codes = spark.read.parquet(os.path.join(out_dir, "codes")).select(
+        "vec_id", "sub", "cluster"
+    )
+    return cent, codes

@@ -1374,3 +1374,105 @@ def test_cosine_queries_survive_zero_norm_vector(spark, tmp_path):
         got = sorted(map(tuple, REGISTRY[q].fn(spark, str(tmp_path)).collect()))
         want = sorted(map(tuple, con.sql(REGISTRY[q].oracle).fetchall()))
         assert got == want, f"{q} diverges with a zero-norm vector present"
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """IVF gets the same disk tier IVFADC already had: saved+reloaded
+    (codebook, inverted lists) must be row-identical to the session
+    artifact (deterministic fit), the lists laid out partitioned by
+    cluster so probed-cell reads prune files, and a probed-cell serve
+    from the loaded lists must reproduce the in-memory serve."""
+    import os
+
+    from mapreduce_mit_spark.plans.similarity import (
+        ivf_index_for,
+        ivf_index_load,
+        ivf_index_save,
+    )
+
+    out = str(tmp_path / "ivf_index")
+    ivf_index_save(spark, SF_SMALL, out)
+    assert any(
+        d.startswith("cluster=") for d in os.listdir(os.path.join(out, "lists"))
+    ), "inverted lists not partitioned by cluster"
+
+    cent_m, assign_m = ivf_index_for(spark, SF_SMALL)
+    cent_d, assign_d = ivf_index_load(spark, out)
+    assert sorted(map(tuple, cent_m.collect())) == sorted(map(tuple, cent_d.collect()))
+    assert sorted(map(tuple, assign_m.collect())) == sorted(
+        map(tuple, assign_d.collect())
+    )
+
+    # serve equivalence through a probed-cell read (q68's serving step)
+    probed = [r.cid for r in cent_d.limit(2).collect()]
+    mem = sorted(
+        map(tuple, assign_m.where(F.col("cluster").isin(probed)).collect())
+    )
+    disk = sorted(
+        map(tuple, assign_d.where(F.col("cluster").isin(probed)).collect())
+    )
+    assert mem == disk and mem
+
+
+def test_pq_index_save_load_roundtrip(spark, tmp_path):
+    """PQ's (codebooks, codes) roundtrip: row-identical after reload,
+    and the multi-query ADC serve from disk matches the in-memory one
+    bit-for-bit."""
+    from mapreduce_mit_spark.plans.similarity import (
+        ANN_K,
+        pq_index_for,
+        pq_index_load,
+        pq_index_save,
+        pq_probe_hits,
+        sample_queries,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    out = str(tmp_path / "pq_index")
+    pq_index_save(spark, SF_SMALL, out)
+
+    cent_m, codes_m = pq_index_for(spark, SF_SMALL)
+    cent_d, codes_d = pq_index_load(spark, out)
+    assert sorted(map(tuple, cent_m.collect())) == sorted(map(tuple, cent_d.collect()))
+    assert sorted(map(tuple, codes_m.collect())) == sorted(
+        map(tuple, codes_d.collect())
+    )
+
+    e = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    qs = sample_queries(e, 0.05)
+    mem = sorted(map(tuple, pq_probe_hits(e, cent_m, codes_m, qs, ANN_K).collect()))
+    disk = sorted(map(tuple, pq_probe_hits(e, cent_d, codes_d, qs, ANN_K).collect()))
+    assert mem == disk and mem
+
+
+def test_lsh_index_save_load_roundtrip(spark, tmp_path):
+    """The dedup side's band table roundtrip: reloaded bands are
+    row-identical to the memoized fit, laid out partitioned by
+    band_idx, and candidate-pair generation served from the loaded
+    table matches pairs served from the session memo."""
+    import os
+
+    from mapreduce_mit_spark.plans.dedup import (
+        lsh_bands_for,
+        lsh_candidate_pairs_df,
+        lsh_index_load,
+        lsh_index_save,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    out = str(tmp_path / "lsh_index")
+    lsh_index_save(spark, SF_SMALL, out)
+    assert any(
+        d.startswith("band_idx=") for d in os.listdir(os.path.join(out, "bands"))
+    ), "band table not partitioned by band_idx"
+
+    bands_m = lsh_bands_for(spark, SF_SMALL)
+    bands_d = lsh_index_load(spark, out)
+    assert sorted(map(tuple, bands_m.collect())) == sorted(
+        map(tuple, bands_d.collect())
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    mem = sorted(map(tuple, lsh_candidate_pairs_df(docs, bands=bands_m).collect()))
+    disk = sorted(map(tuple, lsh_candidate_pairs_df(docs, bands=bands_d).collect()))
+    assert mem == disk and mem
