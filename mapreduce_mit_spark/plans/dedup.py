@@ -1028,22 +1028,38 @@ def _decon_train_bands_df(d: DataFrame) -> DataFrame:
     bands. One narrow generate per doc — tokenize once, slice windows
     from the token array, shingle+minhash each window; nothing
     shuffles. Band volume is ~(1 + n_tokens/DECON_STRIDE) x plain
-    banding — linear in corpus tokens, the same asymptotic cost as the
-    banding pass itself."""
+    banding for LONG docs and exactly 1x for short ones — linear in
+    corpus tokens, the same asymptotic cost as the banding pass itself.
+
+    PER-DOC LENGTH GATE: a doc with <= DECON_WINDOW tokens would emit
+    one window that is BYTE-IDENTICAL to its whole-doc chunk (the slice
+    covers the full token array), i.e. duplicate shingles → duplicate
+    minhash → duplicate band rows that the candidate DISTINCT throws
+    away — pure wasted minhash compute and band volume. The gate is an
+    expression on size(tk), not a corpus-level max-length probe: it
+    needs no driver action, is provably result-invisible per doc (only
+    exact duplicates are skipped — the no-window equivalence the round-8
+    SCALING.md addendum measured as a 3.7x band-row premium on
+    short-doc corpora), and keeps windows for exactly the docs where
+    containment recall needs them (pinned by
+    tests/test_quality.py::test_fuzzy_decon_flags_buried_eval and the
+    short-doc band-count test beside it)."""
     toks = d.select("doc_id", tokens_col("text").alias("tk"))
     n_chunks_minus1 = (
         f"(greatest(size(tk) - {DECON_WINDOW}, 0) + {DECON_STRIDE - 1})"
         f" div {DECON_STRIDE}"
     )
     # ONE generate per doc — the whole-document token array is element
-    # 0 of the per-doc chunk list, the sliding windows follow. A
+    # 0 of the per-doc chunk list, the sliding windows follow (only
+    # for docs the length gate says can differ from element 0). A
     # union of two branches would plan two independent scan+tokenize
     # passes over the train corpus (tokenize is the heaviest per-row
     # compute in the catalog); the fused explode tokenizes once.
     chunk_list = F.expr(
-        f"concat(array(tk), transform("
+        f"concat(array(tk), CASE WHEN size(tk) > {DECON_WINDOW} THEN transform("
         f"sequence(CAST(0 AS BIGINT), CAST({n_chunks_minus1} AS BIGINT)), "
-        f"cid -> slice(tk, CAST(cid * {DECON_STRIDE} + 1 AS INT), {DECON_WINDOW})))"
+        f"cid -> slice(tk, CAST(cid * {DECON_STRIDE} + 1 AS INT), {DECON_WINDOW})) "
+        f"ELSE array() END)"
     )
     both = toks.select("doc_id", F.explode(chunk_list).alias("tk"))
     sigs = both.select(

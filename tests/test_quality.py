@@ -330,3 +330,42 @@ def test_unicode_cross_engine_parity(spark, tmp_path):
         .collect()
     )
     assert n[0].n == n[1].n == "istanbul"
+
+
+def test_decon_window_banding_gated_by_doc_length(spark):
+    """The per-doc length gate on q158's windowed banding: docs with
+    <= DECON_WINDOW tokens must emit NO window bands (their one window
+    would be byte-identical to the whole-doc chunk — the 3.7x band-row
+    premium SCALING.md measured on short-doc corpora), while longer
+    docs keep the full window union. Result-invisibility is free: only
+    exact-duplicate band rows are skipped."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.dedup import (
+        DECON_WINDOW,
+        _decon_train_bands_df,
+        _lsh_bands_df,
+    )
+
+    # pure-letter tokens: the tokenizer splits on non-letter runs, so a
+    # digit inside a token would silently double the count
+    import itertools
+
+    letters = ["".join(p) for p in itertools.product("ghijkm", repeat=3)]
+    short_tokens = " ".join(letters[:DECON_WINDOW])
+    long_tokens = " ".join(letters[100 : 100 + DECON_WINDOW * 4])
+    df = spark.createDataFrame(
+        [(1, short_tokens), (2, long_tokens)], "doc_id long, text string"
+    ).select("doc_id", "text")
+
+    decon = _decon_train_bands_df(df).collect()
+    plain = _lsh_bands_df(df).collect()
+    d_short = [r for r in decon if r.doc_id == 1]
+    p_short = [r for r in plain if r.doc_id == 1]
+    # short doc: EXACTLY the plain banding — same rows, no premium
+    assert sorted(map(tuple, d_short)) == sorted(map(tuple, p_short))
+    # long doc: windows add band rows beyond plain banding, and every
+    # plain band survives in the union (recall monotonicity)
+    d_long = {tuple(r) for r in decon if r.doc_id == 2}
+    p_long = {tuple(r) for r in plain if r.doc_id == 2}
+    assert p_long <= d_long and len(d_long) > len(p_long)
