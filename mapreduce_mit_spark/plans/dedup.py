@@ -1527,12 +1527,34 @@ def q161_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q148's job applied to the increment before admission; exact status
     wins over near_dup (its jaccard is NULL — the hash is the
     evidence). Reference analog: the golden pipeline's check-then-add
-    merge discipline (master_splitmerge.go:14-51)."""
+    merge discipline (master_splitmerge.go:14-51).
+
+    The body is :func:`incremental_dedup_df` with the id-protocol
+    batch predicate and the memoized band table; the chained
+    corpus-lifecycle equivalence (q148 build → q161 batches ==
+    from-scratch q148 over the union) is pinned through that core by
+    tests/test_operators.py::test_incremental_dedup_chained_equals_full_rebuild."""
+    d = t(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM
+    # both band sides from the memoized whole-corpus band table
+    # (per-row banding: filtering the table == banding the filtered
+    # docs). In production the corpus side is exactly this maintained
+    # table; the batch side would be banded fresh (it is new data) —
+    # here both live in the same documents table under the id protocol.
+    return incremental_dedup_df(d, is_batch, bands=lsh_bands_for(spark, sf_dir))
+
+
+def incremental_dedup_df(
+    d: DataFrame, is_batch: Column, bands: DataFrame | None = None
+) -> DataFrame:
+    """q161's core over an arbitrary documents DataFrame: classify the
+    rows matching ``is_batch`` against the rest (the standing corpus).
+    ``bands``: a precomputed (doc_id, band_idx, band_key) table for ALL
+    of ``d`` (the maintained index artifact); None bands ``d`` fresh.
+    Returns (doc_id, status, match_doc_id, jaccard) for batch rows."""
     from ..sources.io import fan_out
 
-    d = t(spark, sf_dir, "documents")
     base = fan_out(d)
-    is_batch = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM
     bh = d.where(is_batch).select(
         F.col("doc_id").alias("b_id"), F.md5(norm_text_col("text")).alias("h")
     )
@@ -1545,12 +1567,8 @@ def q161_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("exact_match"))
         .select(F.col("b_id").alias("doc_id"), "exact_match")
     )
-    # both sides from the memoized whole-corpus band table (per-row
-    # banding: filtering the table == banding the filtered docs). In
-    # production the corpus side is exactly this maintained table; the
-    # batch side would be banded fresh (it is new data) — here both
-    # live in the same documents table under the id protocol.
-    bands = lsh_bands_for(spark, sf_dir)
+    if bands is None:
+        bands = _lsh_bands_df(base)
     bb = bands.where(is_batch)
     cb = bands.where(~is_batch)
     cand = (

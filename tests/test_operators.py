@@ -1476,3 +1476,89 @@ def test_lsh_index_save_load_roundtrip(spark, tmp_path):
     mem = sorted(map(tuple, lsh_candidate_pairs_df(docs, bands=bands_m).collect()))
     disk = sorted(map(tuple, lsh_candidate_pairs_df(docs, bands=bands_d).collect()))
     assert mem == disk and mem
+
+
+def test_incremental_dedup_chained_equals_full_rebuild(spark, tmp_path):
+    """The production dedup loop a 100 TB pipeline actually runs,
+    chained end-to-end: initial q148 build -> two q161 increments
+    (each batch internally deduped by q148 first, then classified
+    against the standing corpus, 'new' docs admitted) must land on
+    EXACTLY the survivor set a from-scratch q148 over the full union
+    produces. Holds because near-dup groups are cliques here and ids
+    grow batch-over-batch (the corpus member is always the cluster
+    min), which is the real lifecycle's shape: new crawl increments
+    get fresh, larger ids."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.dedup import (
+        _dedup_pipeline,
+        incremental_dedup_df,
+    )
+
+    vocab = {}
+    for g, ch in enumerate("ABCDE"):
+        words = ["".join(p) for p in itertools.product("nopqrst"[g:g+5], repeat=3)]
+        vocab[ch] = " ".join(words[:40])
+    uniq = {}
+    for i, ch in enumerate("XYZ"):
+        words = ["".join(p) for p in itertools.product("abcdefghij"[i:i+6], repeat=3)]
+        uniq[ch] = " ".join(words[40:80])
+
+    near = lambda base, tag: base + " " + " ".join(f"extra{tag}{w}" for w in ("one", "two"))
+    docs = {
+        # group A: corpus original, B1 exact dup, B2 near variant
+        1: vocab["A"], 11: vocab["A"], 21: near(vocab["A"], "a"),
+        # group B: corpus original, B1 near variant, B2 exact dup
+        2: vocab["B"], 12: near(vocab["B"], "b"), 22: vocab["B"],
+        # group C: first appears in B1 (13 + exact dup 14), B2 near variant
+        13: vocab["C"], 14: vocab["C"], 23: near(vocab["C"], "c"),
+        # uniques per stage
+        3: uniq["X"], 15: uniq["Y"], 24: uniq["Z"],
+        # group E: batch-internal exact dup pair inside B2 only
+        25: vocab["E"], 26: vocab["E"],
+    }
+    stages = {"c0": [1, 2, 3], "b1": [11, 12, 13, 14, 15],
+              "b2": [21, 22, 23, 24, 25, 26]}
+
+    def write_docs(name, ids):
+        rows = [(i, docs[i], "en", "t", len(docs[i])) for i in ids]
+        d = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(d + "/documents.parquet")
+        return d
+
+    full_dir = write_docs("full", sorted(docs))
+    full_survivors = {
+        r.doc_id for r in _dedup_pipeline(spark, full_dir).collect()
+    }
+
+    # incremental lifecycle
+    corpus_ids = {
+        r.doc_id for r in _dedup_pipeline(spark, write_docs("c0", stages["c0"])).collect()
+    }
+    for stage in ("b1", "b2"):
+        batch_ids = stages[stage]
+        # 1. batch-internal dedup: q148 applied to the increment
+        batch_kept = {
+            r.doc_id
+            for r in _dedup_pipeline(spark, write_docs(stage, batch_ids)).collect()
+        }
+        # 2. classify survivors against the standing corpus
+        union_ids = sorted(corpus_ids | batch_kept)
+        d = spark.createDataFrame(
+            [(i, docs[i], "en", "t", len(docs[i])) for i in union_ids],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        cls = incremental_dedup_df(
+            d, F.col("doc_id").isin([int(i) for i in batch_kept])
+        ).collect()
+        assert {r.doc_id for r in cls} == batch_kept
+        # 3. admit the genuinely-new docs
+        corpus_ids |= {r.doc_id for r in cls if r.status == "new"}
+
+    assert corpus_ids == full_survivors, (
+        f"chained corpus {sorted(corpus_ids)} != full rebuild {sorted(full_survivors)}"
+    )
