@@ -73,14 +73,23 @@ def extract_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str =
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [fake_decode_meta(b) for b in pdf[payload_col]]
+            # NULL payload (a failed fetch/decode upstream) yields a row
+            # of NULL meta, never a task death — at 100 TB one bad object
+            # per billion is a certainty, and the row must stay auditable
+            metas = [
+                fake_decode_meta(b) if b is not None else (None, None, None)
+                for b in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": [len(b) for b in pdf[payload_col]],
+                    "n_bytes": pd.array(
+                        [len(b) if b is not None else None for b in pdf[payload_col]],
+                        dtype="Int64",
+                    ),
                     "content_md5": [m[0] for m in metas],
-                    "width": [m[1] for m in metas],
-                    "height": [m[2] for m in metas],
+                    "width": pd.array([m[1] for m in metas], dtype="Int64"),
+                    "height": pd.array([m[2] for m in metas], dtype="Int64"),
                 }
             )
 
@@ -165,6 +174,11 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, sizes, digests = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    # flatMap semantics: an undecodable payload simply
+                    # contributes zero frames (matches the oracle's
+                    # range() over NULL producing no rows)
+                    continue
                 n_frames = (len(payload) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n_frames, stride):
                     frame = payload[i * frame_bytes : (i + 1) * frame_bytes]
@@ -237,10 +251,16 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", payload_col: str = "
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {id_col: pdf[id_col].astype("int64")}
-            digs = [hashlib.md5(b).hexdigest() for b in pdf[payload_col]]
+            digs = [
+                hashlib.md5(b).hexdigest() if b is not None else None
+                for b in pdf[payload_col]
+            ]
             for i in range(N_FEATURES):
                 out[f"f{i}"] = [
-                    int(d[i * 4 : i * 4 + 4], 16) / 65536.0 * 2.0 - 1.0 for d in digs
+                    int(d[i * 4 : i * 4 + 4], 16) / 65536.0 * 2.0 - 1.0
+                    if d is not None
+                    else None
+                    for d in digs
                 ]
             yield pd.DataFrame(out)
 

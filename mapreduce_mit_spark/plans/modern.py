@@ -21,6 +21,7 @@ data — the canonical warehouse rollup pattern).
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -219,18 +220,43 @@ def q141_arrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def normalize(batches):
         import numpy as np
+        import pyarrow.compute as pc
 
         for batch in batches:
             emb = batch.column("embedding")
-            # flatten() yields the values buffer; zero-copy to numpy,
-            # then one upcast to float64 for the squared sum
-            flat = emb.flatten().to_numpy(zero_copy_only=False)
-            mat = flat.astype("float64").reshape(-1, dim)
-            norms = np.sqrt((mat * mat).sum(axis=1)).round(6)
+            lens = pc.list_value_length(emb)
+            regular = emb.null_count == 0 and (
+                len(batch) == 0 or pc.min(lens).as_py() == pc.max(lens).as_py() == dim
+            )
+            if regular:
+                # fast path (every clean batch): flatten() yields the
+                # values buffer; zero-copy to numpy, then one upcast to
+                # float64 for the squared sum
+                flat = emb.flatten().to_numpy(zero_copy_only=False)
+                mat = flat.astype("float64").reshape(-1, dim)
+                norms = np.sqrt((mat * mat).sum(axis=1)).round(6)
+                dims = pa.array([dim] * len(batch), type=pa.int64())
+            else:
+                # robustness path, taken only when the batch carries a
+                # malformed row (NULL or wrong-length vector): per-row
+                # loop, NULL/empty vectors yield NULL norm (the oracle's
+                # list_sum-of-empty semantics), dim reports the actual
+                # length so the bad rows stay auditable downstream
+                vals = emb.to_pylist()
+                dims = pa.array(
+                    [len(v) if v is not None else None for v in vals],
+                    type=pa.int64(),
+                )
+                norms = [
+                    round(math.sqrt(sum(float(x) * float(x) for x in v)), 6)
+                    if v
+                    else None
+                    for v in vals
+                ]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("vec_id"),
-                    pa.array([dim] * len(batch), type=pa.int64()),
+                    dims,
                     pa.array(norms, type=pa.float64()),
                 ],
                 names=["vec_id", "dim", "l2_norm"],
@@ -297,12 +323,18 @@ def q150_pandas_udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame
     # inference for pandas UDFs
     @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def trimmed_mean(value, event_id):
+        # nullable Int64: a NULL value must not kill the task. NULLs
+        # sort last (pandas NaN-last == DuckDB's NULLS LAST under ORDER
+        # BY c), count toward the trim boundaries exactly as the
+        # oracle's row_number does, and are skipped by the mean exactly
+        # as the oracle's avg FILTER skips NULL cents.
         df = pd.DataFrame(
-            {"c": (value * 100).round().astype("int64"), "e": event_id}
+            {"c": (value * 100).round().astype("Int64"), "e": event_id}
         ).sort_values(["c", "e"])
         n = len(df)
         k = n // 10
-        return float(df["c"].iloc[k : n - k].mean()) / 100.0
+        m = df["c"].iloc[k : n - k].mean()
+        return None if pd.isna(m) else float(m) / 100.0
 
     # Catalyst refuses to mix a GROUPED_AGG pandas UDF with JVM
     # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
@@ -368,14 +400,26 @@ def q151_grouped_map_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
 
     def drawdown(pdf: pd.DataFrame) -> pd.DataFrame:
+        # dirty-row contract, matching the oracle exactly: NULL ts
+        # sorts last (pandas NaT-last == DuckDB NULLS LAST), a NULL
+        # value contributes no drawdown sample (rm - NULL is NULL in
+        # both engines) but still counts in n_events, and the NULL
+        # user_id group survives as its own row instead of killing the
+        # task on int(NaN).
         pdf = pdf.sort_values(["ts", "event_id"])
-        c = (pdf["value"] * 100).round().astype("int64")
+        c = (pdf["value"] * 100).round().astype("Int64")
         rm = c.cummax()
+        dd = (rm - c).max()
+        uid = pdf["user_id"].iloc[0]
         return pd.DataFrame(
             {
-                "user_id": [int(pdf["user_id"].iloc[0])],
+                "user_id": pd.array(
+                    [None if pd.isna(uid) else int(uid)], dtype="Int64"
+                ),
                 "n_events": [len(pdf)],
-                "dd_cents": [int((rm - c).max())],
+                "dd_cents": pd.array(
+                    [None if pd.isna(dd) else int(dd)], dtype="Int64"
+                ),
             }
         )
 

@@ -30,6 +30,30 @@ DIM = 64
 QUERY_VEC_ID = 0
 N_PLANES = 8
 
+# ---- malformed-vector ingestion contract ---------------------------------
+# An ANN INDEX ingests only well-formed vectors: NULL or wrong-length
+# embeddings (failed embedding jobs, truncated writes — routine at
+# corpus scale) are EXCLUDED from fit and codes, so they can never be
+# hits and can never poison a centroid. The brute-force scan paths
+# don't need the filter — their arithmetic NULLs malformed rows out of
+# every top-k identically in both engines (see the cosine note below)
+# — but fit arithmetic (element_at into sliced subvectors, Lloyd
+# means) is task-fatal or engine-divergent on them, so the index
+# builders go through this gate and their oracles carry the same
+# predicate. Zero-norm vectors are VALID here (a legitimate L2 point);
+# the cosine guard handles them at scoring time.
+EMB_VALID_SQL = (
+    f"(SELECT * FROM embeddings "
+    f"WHERE embedding IS NOT NULL AND len(embedding) = {DIM})"
+)
+
+
+def valid_embeddings(e: DataFrame) -> DataFrame:
+    """The Spark half of the ingestion gate (see EMB_VALID_SQL)."""
+    return e.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == DIM)
+    )
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential-order dot product of two array<float> columns, double
@@ -458,9 +482,13 @@ def exact_topk_per_query(
     by query_id ranks each query's scored rows (|queries| partitions of
     n rows each). This is the audit tool for a SAMPLED query set, not a
     per-query production path: cost is O(n × |queries|)."""
+    # NULLS LAST explicitly on both metrics: a malformed vector scores
+    # NULL, and Spark's bare .asc() is NULLS FIRST while DuckDB's ASC
+    # is NULLS LAST — without the suffix the dirty rows occupy the
+    # exact top-k in one engine only and every recall audit diverges
     if metric == "cosine":
         score = cosine_col(F.col("embedding"), F.col("qv"))
-        order = F.col("_es").desc()
+        order = F.col("_es").desc_nulls_last()
     elif metric == "l2":
         ev = F.transform("embedding", lambda x: x.cast("double"))
         qd = F.transform("qv", lambda x: x.cast("double"))
@@ -469,7 +497,7 @@ def exact_topk_per_query(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        order = F.col("_es").asc()
+        order = F.col("_es").asc_nulls_last()
     else:
         raise ValueError(f"unknown metric: {metric!r}")
     scored = (
@@ -1104,7 +1132,14 @@ def q147_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("vec_id")
         .agg(
             F.round(F.max("cs"), 4).alias("max_eval_sim"),
-            F.sum((F.col("cs") >= 0.30).cast("long")).alias("n_close_eval"),
+            # when/otherwise, not a bare boolean cast: a NULL cosine (a
+            # malformed vector on either side) must count as "not
+            # close" — the oracle's CASE ... ELSE 0 — rather than
+            # poison the whole sum to NULL when a train vector has no
+            # measurable similarity to ANY eval item
+            F.sum(
+                F.when(F.col("cs") >= 0.30, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            ).alias("n_close_eval"),
         )
         .withColumn("contaminated", F.col("n_close_eval") > 0)
         .orderBy("vec_id")
@@ -1246,9 +1281,12 @@ def pq_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     key = ("pq", os.path.abspath(src), st.st_size, st.st_mtime_ns)
     pair = cache.get(key)
     if pair is None:
-        e = t(spark, sf_dir, "embeddings")
+        # ingestion gate: the fit sample and the codes pass see only
+        # well-formed vectors (element_at into an empty subvector slice
+        # is task-fatal under ANSI; the oracle filters identically)
+        e = valid_embeddings(t(spark, sf_dir, "embeddings"))
         cent = pq_codebooks(e)
-        sv = _subvectors(tw(spark, sf_dir, "embeddings"))
+        sv = _subvectors(valid_embeddings(tw(spark, sf_dir, "embeddings")))
         dist = _l2_col(F.col("sv"), F.col("cv"))
         codes = (
             sv.join(F.broadcast(cent), "sub")
@@ -1329,11 +1367,15 @@ def pq_probe_hits(
     )
 
 
-def _pq_codebook_sql(iters: int = PQ_ITERS, src: str = "embeddings") -> str:
+def _pq_codebook_sql(iters: int = PQ_ITERS, src: str | None = None) -> str:
     """DuckDB CTE text replaying :func:`pq_codebooks` over relation
     ``src`` (any CTE/table with (vec_id, embedding) — q157 fits raw
-    embeddings, q160 fits coarse-cell RESIDUALS); final CTEs:
-    ``pcent`` (sub, cid, cv) and ``subv`` (vec_id, sub, sv)."""
+    embeddings, q160 fits coarse-cell RESIDUALS; None = the
+    valid-embeddings gate over the raw table, mirroring
+    :func:`pq_index_for`); final CTEs: ``pcent`` (sub, cid, cv) and
+    ``subv`` (vec_id, sub, sv)."""
+    if src is None:
+        src = EMB_VALID_SQL
     sv_expr = (
         f"list_transform(range(1, {SUB_DIM} + 1), "
         f"i -> CAST(embedding[sub * {SUB_DIM} + i] AS DOUBLE))"
@@ -1519,7 +1561,9 @@ def q157_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(qfull))
         .select("vec_id", ed.alias("_ed"))
-        .orderBy(F.col("_ed").asc(), "vec_id")
+        # asc_nulls_last: malformed vectors have NULL _ed and must not
+        # occupy exact-top-k slots (DuckDB ASC is NULLS LAST)
+        .orderBy(F.col("_ed").asc_nulls_last(), "vec_id")
         .limit(ANN_K)
         .select("vec_id", F.lit(True).alias("in_exact_topk"))
     )
@@ -1590,8 +1634,15 @@ def ivfadc_index_for(
         # come from the shared memo (one assignment pass serves q68,
         # q155, and this composition)
         cent, assign = ivf_index_for(spark, sf_dir)
+        # ingestion gate: the shared inverted lists may carry malformed
+        # vectors (q68's scoring NULLs them out, so they are inert
+        # there), but the residual subtraction and PQ fit would turn
+        # them into NULL-element arrays that poison Lloyd means — and
+        # diverge from the oracle's NULL ordering. Residuals and codes
+        # are built over well-formed vectors only (EMB_VALID_SQL twin).
         resid = (
-            assign.join(F.broadcast(cent), assign.cluster == cent.cid)
+            valid_embeddings(assign)
+            .join(F.broadcast(cent), assign.cluster == cent.cid)
             .select(
                 "vec_id",
                 "cluster",
@@ -1723,7 +1774,7 @@ def _ivfadc_oracle_sql() -> str:
     csims AS (
       SELECT e.vec_id, e.embedding, c.cid,
              {cosine_sql('e.embedding', 'c.cv')} AS sim
-      FROM embeddings e, cent c
+      FROM {EMB_VALID_SQL} e, cent c
     ),
     cassign AS (
       SELECT vec_id, embedding, cid AS cluster
