@@ -165,13 +165,19 @@ def q102_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
-        F.count("*").alias("n_days"),
+        # count(day), not count(*): a NULL event time makes a NULL day
+        # bucket whose sketch still merges into the union, but the
+        # day COUNT must skip it exactly as the oracle's
+        # count(DISTINCT CAST(ts AS DATE)) skips NULL
+        F.count("day").alias("n_days"),
     )
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
     return (
-        merged.join(exact, "event_type")
+        # eqNullSafe: the NULL event_type group is data, not a join miss
+        merged.withColumnRenamed("event_type", "_et")
+        .join(exact, F.col("_et").eqNullSafe(F.col("event_type")))
         .select(
             "event_type",
             "exact_users",

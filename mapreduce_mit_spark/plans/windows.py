@@ -30,6 +30,7 @@ from ._util import t
            count(*) AS n_events,
            sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     ORDER BY window_start, event_type
     """,
@@ -64,6 +65,7 @@ def q70_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL 15 MINUTE) AS window_start,
              value
       FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+      WHERE ts IS NOT NULL
     )
     SELECT window_start,
            window_start + INTERVAL 1 HOUR AS window_end,
@@ -103,6 +105,7 @@ def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                        <= INTERVAL 10 MINUTE
                   THEN 0 ELSE 1 END AS is_new
       FROM events
+      WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id

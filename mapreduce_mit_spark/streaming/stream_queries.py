@@ -159,6 +159,7 @@ def _run_to_table(result: DataFrame, name: str, mode: str) -> None:
            count(*) AS n_events,
            sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     ORDER BY window_start
     """,
@@ -322,6 +323,7 @@ def q73_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                        <= INTERVAL 10 MINUTE
                   THEN 0 ELSE 1 END AS is_new
       FROM events
+      WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -388,7 +390,10 @@ def _user_totals(
     (n, cents) = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # nullable Int64 + skipna sum: a NULL value counts in n_events
+        # but contributes no cents (the oracle's count(*)/sum split) —
+        # and a single dirty row must never kill the state store task
+        cents += int((pdf["value"] * 100).round().astype("Int64").sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {
@@ -442,6 +447,7 @@ def q93_stream_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL 15 MINUTE) AS window_start,
              value
       FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+      WHERE ts IS NOT NULL
     )
     SELECT window_start,
            window_start + INTERVAL 1 HOUR AS window_end,
@@ -746,17 +752,22 @@ class _UserStatsProcessor:
         )
         for pdf in rows:
             n += len(pdf)
-            c = (pdf["value"] * 100).round().astype("int64")
+            # nullable Int64: NULL values count in n, add no cents, and
+            # set no max (the oracle's count(*) / sum / max NULL-skips)
+            c = (pdf["value"] * 100).round().astype("Int64")
             cents += int(c.sum())
-            batch_max = int(c.max())
-            max_cents = batch_max if max_cents is None else max(max_cents, batch_max)
+            bm = c.max()
+            if not pd.isna(bm):
+                max_cents = int(bm) if max_cents is None else max(max_cents, int(bm))
         self._state.update((n, cents, max_cents))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [cents / 100.0],
-                "max_value": [max_cents / 100.0],
+                # max_cents is None iff the group has no non-NULL value
+                # yet — where the oracle's sum/max are NULL, not 0
+                "total_value": [cents / 100.0 if max_cents is not None else None],
+                "max_value": [max_cents / 100.0 if max_cents is not None else None],
             }
         )
 
@@ -847,17 +858,20 @@ def _user_stats_group_state(
     n, cents, max_cents = state.get if state.exists else (0, 0, None)
     for pdf in pdfs:
         n += len(pdf)
-        c = (pdf["value"] * 100).round().astype("int64")
+        # same dirty-row contract as _UserStatsProcessor (they must stay
+        # twins): NULLs count in n, add no cents, set no max
+        c = (pdf["value"] * 100).round().astype("Int64")
         cents += int(c.sum())
-        batch_max = int(c.max())
-        max_cents = batch_max if max_cents is None else max(max_cents, batch_max)
+        bm = c.max()
+        if not pd.isna(bm):
+            max_cents = int(bm) if max_cents is None else max(max_cents, int(bm))
     state.update((n, cents, max_cents))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [cents / 100.0],
-            "max_value": [max_cents / 100.0],
+            "total_value": [cents / 100.0 if max_cents is not None else None],
+            "max_value": [max_cents / 100.0 if max_cents is not None else None],
         }
     )
 
