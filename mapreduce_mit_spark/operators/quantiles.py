@@ -53,7 +53,10 @@ def exact_quantiles(
     midpoints (e.g. the mean of two cent-values is an exact half-cent)
     whose float rounding is engine-dependent, while 'disc' returns a
     value that exists in the data, bit-identical everywhere."""
-    w = Window.partitionBy(*keys).orderBy(col)
+    # asc_nulls_last: DuckDB/SQL-standard NULL placement (Spark's bare
+    # asc is NULLS FIRST) — a group mixing NULL and real values must
+    # rank them identically in both engines
+    w = Window.partitionBy(*keys).orderBy(F.col(col).asc_nulls_last())
     wn = Window.partitionBy(*keys)
     d = (
         df.select(*keys, col)
@@ -171,7 +174,7 @@ def exact_quantiles_ranged(
         .repartitionByRange(P, *[F.col(k) for k in keys], F.col(col))
         .withColumn("_pid", F.spark_partition_id())
     )
-    wl = Window.partitionBy("_pid", *keys).orderBy(col)
+    wl = Window.partitionBy("_pid", *keys).orderBy(F.col(col).asc_nulls_last())
     local = d.withColumn("_lrn", F.row_number().over(wl))
     cnt = local.groupBy("_pid", *keys).agg(F.count(F.lit(1)).alias("_c"))
     wp = (
@@ -181,9 +184,31 @@ def exact_quantiles_ranged(
     )
     pre = cnt.withColumn("_prefix", F.coalesce(F.sum("_c").over(wp), F.lit(0)))
     tot = cnt.groupBy(*keys).agg(F.sum("_c").alias("_n"))
+    # eqNullSafe joins: a NULL group key is a real group (the window
+    # path's partitionBy keeps it), and a plain equi-join back to the
+    # broadcast prefix/total tables would silently drop it — the one
+    # place the two rank strategies could disagree
+    pre_b = F.broadcast(
+        pre.select(
+            F.col("_pid").alias("_jpid"),
+            *[F.col(k).alias(f"_jk{i}") for i, k in enumerate(keys)],
+            "_prefix",
+        )
+    )
+    pre_cond = F.col("_pid") == F.col("_jpid")
+    for i, k in enumerate(keys):
+        pre_cond = pre_cond & F.col(k).eqNullSafe(F.col(f"_jk{i}"))
+    tot_b = F.broadcast(
+        tot.select(
+            *[F.col(k).alias(f"_tk{i}") for i, k in enumerate(keys)], "_n"
+        )
+    )
+    tot_cond = F.lit(True)
+    for i, k in enumerate(keys):
+        tot_cond = tot_cond & F.col(k).eqNullSafe(F.col(f"_tk{i}"))
     ranked = (
-        local.join(F.broadcast(pre.select("_pid", *keys, "_prefix")), ["_pid", *keys])
-        .join(F.broadcast(tot), list(keys))
+        local.join(pre_b, pre_cond)
+        .join(tot_b, tot_cond)
         .withColumn("_rn", F.col("_lrn") + F.col("_prefix"))
     )
     return _rank_select(ranked, keys, col, qs, nd, mode)

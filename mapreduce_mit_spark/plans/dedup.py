@@ -84,15 +84,26 @@ def shingles_col(toks: Column | None = None) -> Column:
     re-tokenize per shingle — O(n_tokens²) per document (measured 10×
     on q81). minhash_signatures stages tokens in a projection first."""
     toks = tokens_col("text") if toks is None else toks
-    return F.when(
-        F.size(toks) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+    # Token-less docs (NULL/empty/punct-only text) emit NO shingles —
+    # not the [''] singleton the short-doc branch would produce: a
+    # single empty-string shingle would band every empty document in
+    # the corpus into one bucket (candidate-pair garbage and a
+    # one-reducer skew bomb), and its NULL/'' handling diverges across
+    # engines. Token-less docs are NEVER near-dup candidates; exact
+    # dedup (q80) is the operator that de-duplicates them.
+    return (
+        F.when(
+            F.size(toks) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+                ),
             ),
-        ),
-    ).otherwise(F.array(F.array_join(toks, " ")))
+        )
+        .when(F.size(toks) >= 1, F.array(F.array_join(toks, " ")))
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def shingles_sql() -> str:
@@ -106,7 +117,8 @@ def shingles_over_sql(tk: str) -> str:
     return f"""CASE WHEN len({tk}) >= 3
         THEN list_transform(range(1, len({tk}) - 1),
                             i -> concat({tk}[i], ' ', {tk}[i+1], ' ', {tk}[i+2]))
-        ELSE [array_to_string({tk}, ' ')] END"""
+        WHEN len({tk}) >= 1 THEN [array_to_string({tk}, ' ')]
+        ELSE [] END"""
 
 
 def _band_key_cols() -> list[Column]:
@@ -148,7 +160,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bands AS (
       {" UNION ALL ".join(
-          f"SELECT doc_id, {b} AS band_idx, md5(concat(mh{b * BAND_SIZE}, mh{b * BAND_SIZE + 1}, mh{b * BAND_SIZE + 2})) AS band_key FROM sig"
+          f"SELECT doc_id, {b} AS band_idx, md5(concat(mh{b * BAND_SIZE}, mh{b * BAND_SIZE + 1}, mh{b * BAND_SIZE + 2})) AS band_key FROM sig WHERE mh{b * BAND_SIZE} IS NOT NULL"
           for b in range(N_BANDS)
       )}
     )
@@ -212,9 +224,20 @@ def lsh_bands_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_bands_df(docs: DataFrame) -> DataFrame:
-    return minhash_signatures_df(docs).select(
-        "doc_id",
-        F.posexplode(F.array(*_band_key_cols())).alias("band_idx", "band_key"),
+    # Shingle-less docs (NULL/empty/too-short text) have NULL minhashes
+    # and therefore NO bands: an empty document is not a near-dup
+    # CANDIDATE of every other empty document (at corpus scale that is
+    # both wrong and a one-bucket skew bomb). The oracle twin filters
+    # identically (_lsh_bands_sql) — without this, DuckDB's NULL-
+    # skipping concat() quietly hashes empty signatures to a shared
+    # md5('') bucket while Spark's NULL-strict concat drops them.
+    return (
+        minhash_signatures_df(docs)
+        .select(
+            "doc_id",
+            F.posexplode(F.array(*_band_key_cols())).alias("band_idx", "band_key"),
+        )
+        .where(F.col("band_key").isNotNull())
     )
 
 
@@ -679,10 +702,13 @@ def q77_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_bands_sql() -> str:
     """q81's LSH banding as CTE text (sh/sig/bands) over the full corpus."""
+    # WHERE mh0 IS NOT NULL: shingle-less docs emit no bands (see
+    # _lsh_bands_df — DuckDB concat() would otherwise hash their
+    # all-NULL signatures to a shared md5('') bucket)
     bands_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
         f"md5(concat(mh{b * BAND_SIZE}, mh{b * BAND_SIZE + 1}, mh{b * BAND_SIZE + 2})) AS band_key "
-        f"FROM sig"
+        f"FROM sig WHERE mh{b * BAND_SIZE} IS NOT NULL"
         for b in range(N_BANDS)
     )
     return f"""
@@ -937,9 +963,20 @@ def _dedup_pipeline(
         # and rep_map AFTER the closure loop — materializing the tiny
         # tables once beats re-running the groupBy per consumer, and
         # lets ck unpersist without a re-tokenize.
+        # Token-less docs get a UNIQUE collapse key (their own id): the
+        # pre-pass-invisibility proof rests on identical token
+        # sequences verifying as jaccard-1 pairs of each other, which
+        # fails for EMPTY sequences (0/0 — the fuzzy chain never links
+        # them), so collapsing them would remove docs the no-pre-pass
+        # oracle keeps. Token-less docs are singletons on every route;
+        # q80 is the exact-dedup operator for them.
+        toks = tokens_col("text")
         ck = base.select(
             "doc_id",
-            F.md5(F.concat_ws("\x1f", tokens_col("text"))).alias("_ck"),
+            F.when(
+                F.size(toks) >= 1, F.md5(F.concat_ws("\x1f", toks))
+            ).otherwise(F.concat(F.lit("tokenless:"), F.col("doc_id").cast("string")))
+            .alias("_ck"),
         ).persist()
         reps = (
             ck.groupBy("_ck")
@@ -1068,7 +1105,7 @@ def _decon_train_bands_df(d: DataFrame) -> DataFrame:
     return sigs.select(
         "doc_id",
         F.posexplode(F.array(*_band_key_cols())).alias("band_idx", "band_key"),
-    )
+    ).where(F.col("band_key").isNotNull())  # shingle-less chunks: no bands
 
 
 def _decon_train_bands_sql() -> str:
@@ -1077,7 +1114,7 @@ def _decon_train_bands_sql() -> str:
     bands_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
         f"md5(concat(mh{b * BAND_SIZE}, mh{b * BAND_SIZE + 1}, mh{b * BAND_SIZE + 2})) AS band_key "
-        f"FROM tsig"
+        f"FROM tsig WHERE mh{b * BAND_SIZE} IS NOT NULL"
         for b in range(N_BANDS)
     )
     return f"""ttk AS (

@@ -303,7 +303,13 @@ def q132_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic history. The user_id<30 filter bounds catalog output;
     remove it and nothing in the shape changes."""
     e = t(spark, sf_dir, "events").where(F.col("user_id") < 30)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last on ts: a NULL event time must land at the END of
+    # the user's history in both engines (Spark's bare asc is NULLS
+    # FIRST, DuckDB's is NULLS LAST) — otherwise the change chain
+    # shifts and the whole SCD2 history diverges on one dirty row
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     changes = (
         e.select(
             "user_id",
@@ -314,7 +320,9 @@ def q132_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("rn") == 1) | (F.col("event_type") != F.col("prev_type")))
     )
-    w2 = Window.partitionBy("user_id").orderBy("effective_from")
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("effective_from").asc_nulls_last()
+    )
     eff_to = F.lead("effective_from").over(w2)
     return (
         changes.select(

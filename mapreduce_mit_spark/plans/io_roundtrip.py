@@ -324,6 +324,7 @@ def q114_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            CAST(sum(length(text)) + count(*) AS BIGINT) AS n_chars
     FROM documents
+    WHERE text IS NOT NULL AND lang IS NOT NULL
     GROUP BY lang
     ORDER BY lang
     """,
@@ -354,30 +355,22 @@ def q138_wholefile_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     loc = os.path.join(_scratch("wholefile"), "docs_by_lang")
-    # newline-free contract, enforced at write time (see docstring).
-    # NULL text gets its own branch FIRST: instr(NULL) is NULL, so the
-    # newline test is never true for it and it would otherwise fall into
-    # the newline error — with a message that is itself NULL when doc_id
-    # is NULL (concat propagates). A null document violates the
-    # one-doc-per-line contract just as a newline does, but the error
-    # must say which.
-    guarded = (
-        F.when(
-            F.col("text").isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit("q138: NULL document text, doc_id="),
-                    F.coalesce(F.col("doc_id").cast("string"), F.lit("NULL")),
-                )
-            ),
-        )
-        .when(F.instr("text", "\n") == 0, F.col("text"))
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("q138: newline inside document text, doc_id="),
-                    F.coalesce(F.col("doc_id").cast("string"), F.lit("NULL")),
-                )
+    # Export eligibility: a NULL text has no bytes to land and a NULL
+    # lang has no partition to land IN — both are skipped with a
+    # VISIBLE filter the oracle mirrors (the production dead-letter
+    # split), not an error: unlike the newline case below, nothing
+    # about the line-count arithmetic is silently corrupted by their
+    # absence. (partitionBy would otherwise route NULL lang into a
+    # __HIVE_DEFAULT_PARTITION__ directory the oracle can't name.)
+    d = d.where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+    # newline-free contract, enforced at write time (see docstring):
+    # a newline INSIDE a document would silently inflate n_docs, so it
+    # fails the write loudly instead.
+    guarded = F.when(F.instr("text", "\n") == 0, F.col("text")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q138: newline inside document text, doc_id="),
+                F.coalesce(F.col("doc_id").cast("string"), F.lit("NULL")),
             )
         )
     )

@@ -288,7 +288,9 @@ MAX_SESSION_EVENTS = 256  # hard cap per emitted session (flood guard)
     SELECT user_id,
            CAST(session_id AS BIGINT) AS session_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
+           -- coalesce: an all-NULL-type session is '' in Spark's
+           -- array_join (it skips NULL elements) and NULL in string_agg
+           coalesce(string_agg(event_type, '>' ORDER BY ts, event_id), '') AS seq,
            min(ts) AS started_at,
            CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
              AS dur_secs
@@ -325,19 +327,24 @@ def q154_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     MICROseconds on both engines, so sub-second timestamps cannot
     diverge under double epoch rounding."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last throughout: a NULL event time sorts to the END of
+    # the user's stream in both engines (Spark's bare asc is NULLS
+    # FIRST) — it then opens its own final session (NULL gap), instead
+    # of displacing the session structure from the front
+    _ts_order = (F.col("ts").asc_nulls_last(), F.col("event_id"))
+    w = Window.partitionBy("user_id").orderBy(*_ts_order)
     us = F.unix_micros(F.col("ts"))
     gap = us - F.lag(us).over(w)
     is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
     sess = F.sum(is_new).over(
-        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Window.partitionBy("user_id").orderBy(*_ts_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     s = e.select("user_id", "ts", "event_id", "event_type", sess.alias("sess"))
     chunk = F.floor(
         (
             F.row_number().over(
-                Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+                Window.partitionBy("user_id", "sess").orderBy(*_ts_order)
             )
             - 1
         )

@@ -222,10 +222,14 @@ RE_PHONE = r"\+[0-9][0-9\-]{5,}[0-9]"
 # Deterministic PII suffix derived from doc_id — identical construction
 # in both engines, so the redaction operator has real matches to find
 # without synthesizing input data.
+# || not concat(): DuckDB's concat() IGNORES NULL arguments while
+# Spark's is NULL-strict — with a NULL text the two engines would
+# disagree on whether the synthetic PII suffix exists at all. || is
+# NULL-strict in both, so a NULL document stays NULL end-to-end.
 _PII_SQL = (
-    "concat(text, ' contact user', doc_id, '@mail.example.com or +1-555-',"
-    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),"
-    " ' from 10.0.', doc_id % 256, '.7')"
+    "(text || ' contact user' || doc_id || '@mail.example.com or +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || (doc_id % 256) || '.7')"
 )
 _PII_SPARK = (
     "concat(text, ' contact user', doc_id, '@mail.example.com or +1-555-',"

@@ -1356,6 +1356,10 @@ def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(3, 'min_price', min_price, 'max_price', max_price, "
             "'sum_price', sum_price) AS (metric, value)",
         )
+        # EXCLUDE NULLS — the SQL-standard UNPIVOT default (and
+        # DuckDB's): a group whose prices are all NULL melts to zero
+        # rows; stack() alone would keep the NULL cells
+        .where(F.col("value").isNotNull())
         .orderBy("o_orderstatus", "metric")
     )
 

@@ -223,7 +223,8 @@ def q54_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM typed GROUP BY event_type
     )
     SELECT s.event_type, n_events, total_keys, sum_k, key_list
-    FROM stats s JOIN keys k ON s.event_type = k.event_type
+    FROM stats s LEFT JOIN keys k
+      ON s.event_type IS NOT DISTINCT FROM k.event_type
     ORDER BY s.event_type
     """,
     tags=("scalar", "map"),
@@ -252,4 +253,15 @@ def q58_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.array_join(F.array_sort(F.collect_set("key")), ",").alias("key_list"))
     )
-    return stats.join(keys, "event_type").orderBy("event_type")
+    # null-safe LEFT join: the NULL event_type group is real data, and
+    # a group whose props are all NULL/empty has no key rows at all —
+    # it must still surface (key_list NULL), not vanish on the join
+    return (
+        stats.join(
+            keys.withColumnRenamed("event_type", "_ket"),
+            F.col("event_type").eqNullSafe(F.col("_ket")),
+            "left",
+        )
+        .select("event_type", "n_events", "total_keys", "sum_k", "key_list")
+        .orderBy("event_type")
+    )

@@ -148,8 +148,12 @@ def q61_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            len({tokens_sql('text')})                          AS n_tokens,
            len(list_distinct({tokens_sql('text')}))           AS n_distinct,
            CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
-           round(list_aggregate(list_transform({tokens_sql('text')}, x -> CAST(length(x) AS DOUBLE)), 'sum')
-                 / greatest(len({tokens_sql('text')}), 1), 4) AS avg_token_len
+           -- empty/punct-only doc -> avg 0.0 (Spark's fold starts at
+           -- 0.0; DuckDB's sum over an empty list is NULL, hence the
+           -- coalesce); NULL text -> NULL stats in both engines
+           CASE WHEN text IS NULL THEN NULL ELSE
+             round(coalesce(list_aggregate(list_transform({tokens_sql('text')}, x -> CAST(length(x) AS DOUBLE)), 'sum'), 0.0)
+                   / greatest(len({tokens_sql('text')}), 1), 4) END AS avg_token_len
     FROM documents
     ORDER BY doc_id
     """,
@@ -333,7 +337,11 @@ def q64_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            md5({norm_text_sql('text')}) AS content_hash,
-           md5(array_to_string(list_sort(list_distinct({tokens_sql('text')})), ',')) AS bow_hash,
+           -- coalesce: DuckDB's array_to_string over an EMPTY list is
+           -- NULL, Spark's array_join is '' — a token-less doc hashes
+           -- the empty bag in both engines; NULL text stays NULL
+           CASE WHEN text IS NULL THEN NULL
+                ELSE md5(coalesce(array_to_string(list_sort(list_distinct({tokens_sql('text')})), ','), '')) END AS bow_hash,
            substr(md5({norm_text_sql('text')}), 1, 8) AS shard_key
     FROM documents
     ORDER BY doc_id
