@@ -1562,3 +1562,29 @@ def test_incremental_dedup_chained_equals_full_rebuild(spark, tmp_path):
     assert corpus_ids == full_survivors, (
         f"chained corpus {sorted(corpus_ids)} != full rebuild {sorted(full_survivors)}"
     )
+
+
+def test_recall_report_all_families(spark):
+    """The unified ANN recall artifact (tools/recall_report.py): every
+    approximate family audited against exact ground truth over the SAME
+    sampled query set, in its own metric. Floors are the per-family
+    calibrated contracts from the individual query docstrings; the
+    report shape itself (one row per family, same n_queries everywhere)
+    is what lets one table replace four code paths."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "tools"))
+    from recall_report import build_report
+
+    report = build_report(spark, SF_SMALL, 0.05)
+    assert set(report) == {"lsh_multiprobe", "ivf", "pq_adc_rerank", "ivfadc"}
+    nq = {r["n_queries"] for r in report.values()}
+    assert len(nq) == 1 and nq.pop() > 1, "families must share one query set"
+    floors = {"lsh_multiprobe": 0.3, "ivf": 0.45, "pq_adc_rerank": 0.6, "ivfadc": 0.35}
+    for fam, floor in floors.items():
+        assert report[fam]["mean_recall"] >= floor, (
+            f"{fam} mean recall {report[fam]['mean_recall']} < {floor}"
+        )
+        assert 0.0 <= report[fam]["min_recall"] <= 1.0

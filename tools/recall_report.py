@@ -1,0 +1,118 @@
+"""One-table recall report over EVERY ANN family — the catalog's
+approximate paths audited against exact ground truth on the SAME
+sampled query set.
+
+q68/q89/q157/q160 each carry an in-band recall audit with its own
+knobs; this script is the single artifact that replaces reading four
+code paths: for one hash-sampled query set it serves every family
+through its multi-query path (lsh_probe_hits / ivf_probe_hits /
+pq_probe_hits / ivfadc_probe_hits), audits each with recall_audit
+against the exact scan in that family's OWN metric (cosine for the
+bucket/cell families, L2 for the quantized ones — PQ approximates L2,
+so grading it on cosine would be the wrong contract), and emits one
+table plus RECALL_REPORT.json.
+
+Usage:
+    python tools/recall_report.py [sf_dir] [sample_frac]
+
+Defaults: /root/testdata/sf0.01, 0.05. The floors asserted by
+tests/test_operators.py::test_recall_report_all_families are the
+per-family contracts (IVF >= 0.45, IVFADC >= 0.35, PQ >= 0.6 — the
+calibrated constants documented in each query's docstring).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_report(spark: SparkSession, sf_dir: str, sample_frac: float = 0.05) -> dict:
+    """{family: {metric, k, n_queries, mean_recall, min_recall,
+    zero_hit_queries}} — every family over the SAME query set."""
+    from mapreduce_mit_spark.plans.similarity import (
+        ANN_K,
+        _PROBE_XORS,
+        _bucket_col,
+        ivf_index_for,
+        ivfadc_index_for,
+        ivfadc_probe_hits,
+        lsh_probe_hits,
+        pq_index_for,
+        pq_probe_hits,
+        recall_audit,
+        sample_queries,
+        valid_embeddings,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    e = valid_embeddings(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    )
+    queries = sample_queries(e, sample_frac)
+
+    b = e.select(
+        "vec_id", "embedding", _bucket_col(F.col("embedding"), 4).alias("bucket")
+    )
+    qb = queries.withColumn("qbucket", _bucket_col(F.col("qv"), 4))
+    cent_ivf, _lists = ivf_index_for(spark, sf_dir)
+    cent_pq, codes_pq = pq_index_for(spark, sf_dir)
+    cent_c, pcent, codes_adc = ivfadc_index_for(spark, sf_dir)
+
+    from mapreduce_mit_spark.plans.similarity import ivf_probe_hits
+
+    families = {
+        "lsh_multiprobe": ("cosine", lsh_probe_hits(b, qb, ANN_K, _PROBE_XORS)),
+        "ivf": ("cosine", ivf_probe_hits(e, cent_ivf, queries, ANN_K)),
+        "pq_adc_rerank": ("l2", pq_probe_hits(e, cent_pq, codes_pq, queries, ANN_K)),
+        "ivfadc": ("l2", ivfadc_probe_hits(cent_c, pcent, codes_adc, e, queries, ANN_K)),
+    }
+    report: dict = {}
+    for fam, (metric, hits) in families.items():
+        audit = recall_audit(e, queries, hits, ANN_K, metric=metric).collect()
+        recalls = [r.recall_at_k for r in audit]
+        report[fam] = {
+            "metric": metric,
+            "k": ANN_K,
+            "n_queries": len(recalls),
+            "mean_recall": round(sum(recalls) / len(recalls), 4),
+            "min_recall": round(min(recalls), 4),
+            "zero_hit_queries": sum(1 for r in recalls if r == 0.0),
+        }
+    return report
+
+
+def main() -> None:
+    from mapreduce_mit_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.05
+    spark = get_spark("recall-report", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    report = build_report(spark, sf_dir, frac)
+
+    hdr = f"{'family':<16} {'metric':<7} {'k':>2} {'nq':>4} {'mean':>7} {'min':>7} {'zero':>5}"
+    print(hdr)
+    print("-" * len(hdr))
+    for fam, r in report.items():
+        print(
+            f"{fam:<16} {r['metric']:<7} {r['k']:>2} {r['n_queries']:>4} "
+            f"{r['mean_recall']:>7.4f} {r['min_recall']:>7.4f} {r['zero_hit_queries']:>5}"
+        )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "RECALL_REPORT.json",
+    )
+    with open(out, "w") as f:
+        json.dump({"sf_dir": sf_dir, "sample_frac": frac, "families": report}, f, indent=1)
+    print(f"\nwritten: {out}")
+
+
+if __name__ == "__main__":
+    main()
