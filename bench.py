@@ -336,6 +336,27 @@ def main() -> None:
     calibration_s = _calibrate()
     print(f"# calibration: {calibration_s:.3f}s", file=sys.stderr)
 
+    # Fit-path warm-up (the q148 discipline applied to the index fits):
+    # the first Lloyd fit of a session pays ~10+ s of pure codegen/AQE
+    # compile for the unrolled k-means subtrees (SCALING.md round 8:
+    # q160 first-touch 17.6 s at 1× vs 12.7 s at 10× — compile, not
+    # data). Building every index once on the sf0.01 SIBLING fixture
+    # compiles those stages uncounted, so the timed "<name>_fit"
+    # entries measure the fit's DATA cost at the bench SF. sf0.01, not
+    # sf0.001: AQE picks size-dependent strategies and the tiniest
+    # fixture compiles differently-shaped stages (see the flagship
+    # child's q148 note). Skipped when the sibling IS the measured dir.
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if os.path.isdir(warm_sf) and os.path.realpath(warm_sf) != os.path.realpath(sf_dir):
+        t0 = time.perf_counter()
+        for _kinds, builder in _index_fits().values():
+            builder(spark, warm_sf)
+        print(
+            f"# fit warm-up on {warm_sf}: {time.perf_counter() - t0:.3f}s "
+            "(uncounted)",
+            file=sys.stderr,
+        )
+
     _run_set(spark, HEADLINE, sf_dir, reps, timings, cold, fits)
 
     import glob as _glob
