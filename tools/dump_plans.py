@@ -56,6 +56,46 @@ FLAGSHIPS = {
 }
 
 
+# Fixed prose epilogue — survives regeneration (this tool rewrites
+# PLANS.md wholesale).
+EPILOGUE = """
+## The standing-corpus dedup lifecycle (q148 → q161 → re-closure)
+
+The production loop a 100 TB pipeline actually runs, stitched from
+the two operators above:
+
+1. **Initial build**: `q148_dedup_pipeline` over the raw corpus —
+   exact pre-pass (when the dup-mass probe fires) → LSH candidates →
+   Jaccard verify → connected components → one survivor per cluster.
+   The survivors plus the maintained band table (`lsh_bands_for`,
+   persistable via `lsh_index_save`) ARE the standing corpus.
+2. **Each crawl increment**: dedup the batch internally with q148
+   (batch-sized — cheap), then classify its survivors against the
+   standing corpus with `q161` / `incremental_dedup_df`: batch hashes
+   and bands broadcast, the corpus never shuffles and no corpus-corpus
+   pair is ever formed. Admit the `status='new'` docs; append their
+   band rows to the band table.
+3. **When to re-run the full closure**: incremental admission is
+   greedy — it never merges two ALREADY-ADMITTED corpus docs, so the
+   only drift source is near-dup clusters that grow links *between*
+   existing corpus members via later evidence (possible only if the
+   original build's candidate generation missed the pair). Bound it
+   with the cluster-growth signal: track the fraction of increments
+   classified `near_dup` whose match scores fall near the 0.8
+   threshold; re-run q148 over the full corpus when cumulative
+   admissions since the last closure exceed ~the original corpus size
+   (cheap, amortized: one full build per corpus doubling), or when an
+   audit sample of corpus-corpus candidate pairs (band table
+   self-join on a hash-sample) surfaces verified pairs.
+
+Equivalence contract: with clique-shaped near-dup groups and ids
+growing batch-over-batch (fresh crawl ids are larger), the chained
+loop lands on EXACTLY the survivor set of a from-scratch q148 over
+the union — pinned by
+`tests/test_operators.py::test_incremental_dedup_chained_equals_full_rebuild`.
+"""
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     registry.load_all_plans()
@@ -74,6 +114,7 @@ def main() -> None:
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         out.append(f"\n## {name}\n\n*{why}*\n\n```\n{buf.getvalue().strip()}\n```\n")
+    out.append(EPILOGUE)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("".join(out))
     print("PLANS.md written")
