@@ -106,6 +106,7 @@ HEADLINE = [
     "q80_exact_dedup",
     "q81_minhash_lsh",
     "q161_incremental_dedup",
+    "q162_stream_incremental_dedup",
     "q149_unigram_logprob",
     "q145_corpus_curation",
     "q83_simhash",

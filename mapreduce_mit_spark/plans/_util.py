@@ -45,3 +45,45 @@ def rsum(col: Column | str, alias: str, nd: int = 2) -> Column:
 def ravg(col: Column | str, alias: str, nd: int = 4) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.round(F.avg(c), nd).alias(alias)
+
+
+def write_index_meta(out_dir: str, src_path: str) -> None:
+    """Stamp a persisted index with its source file's fingerprint
+    (abspath + size + mtime_ns — the same triple the session cache
+    keys on), so a later attach can detect staleness instead of
+    silently serving an index fitted on superseded data."""
+    import json
+    import os
+
+    st = os.stat(src_path)
+    meta = {
+        "source": os.path.abspath(src_path),
+        "size": st.st_size,
+        "mtime_ns": st.st_mtime_ns,
+    }
+    with open(os.path.join(out_dir, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def check_index_meta(out_dir: str, src_path: str) -> tuple:
+    """Validate a persisted index against the CURRENT source file.
+    Returns the session-cache key fingerprint tail (abspath, size,
+    mtime_ns) on success; raises ValueError when the index predates a
+    source regeneration (same staleness discipline as the in-session
+    fingerprint keys — a stale index must refuse to serve, not
+    quietly return results fitted on other data)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_meta.json")) as f:
+        meta = json.load(f)
+    st = os.stat(src_path)
+    cur = (os.path.abspath(src_path), st.st_size, st.st_mtime_ns)
+    if cur != (meta["source"], meta["size"], meta["mtime_ns"]):
+        raise ValueError(
+            f"persisted index at {out_dir} is stale: fitted on "
+            f"{(meta['source'], meta['size'], meta['mtime_ns'])}, "
+            f"current source is {cur} — refit (…_index_save) or point "
+            "at the matching data"
+        )
+    return cur

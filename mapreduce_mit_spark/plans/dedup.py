@@ -31,7 +31,7 @@ from pyspark.sql.window import Window
 from ..functions.hashing import minhash_cols, minhash_sql_exprs, norm_text_col, norm_text_sql
 from ..functions.textfns import tokens_col, tokens_sql
 from ..registry import register
-from ._util import t, tw
+from ._util import t, tw, write_index_meta
 
 N_HASHES = 12
 BAND_SIZE = 3
@@ -256,6 +256,7 @@ def lsh_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         .partitionBy("band_idx")
         .parquet(os.path.join(out_dir, "bands"))
     )
+    write_index_meta(out_dir, os.path.join(sf_dir, "documents.parquet"))
 
 
 def lsh_index_load(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -263,6 +264,22 @@ def lsh_index_load(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "bands")).select(
         "doc_id", "band_idx", "band_key"
     )
+
+
+def lsh_index_attach(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """Prime this session's band-table consumers (q81/q148/q158/q159/
+    q161/q162) from a saved band table — the dedup side of the
+    similarity ``*_index_attach`` family: fingerprint-checked against
+    the current documents file (stale → ValueError), then inserted
+    under :func:`lsh_bands_for`'s cache key so a fresh session serves
+    candidates without re-tokenizing or re-minhashing the corpus."""
+    from ._util import check_index_meta
+    from .similarity import _cache_put, _session_cache
+
+    fp = check_index_meta(out_dir, os.path.join(sf_dir, "documents.parquet"))
+    bands = lsh_index_load(spark, out_dir)
+    _cache_put(_session_cache(spark), ("lsh_bands",) + fp, bands)
+    return bands
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1472,10 +1489,12 @@ def jaccard_verified_pairs_scored(
 INCR_BATCH_MOD = 10   # batch membership protocol (q158's EVAL_MOD style):
 INCR_BATCH_REM = 7    # doc_id % 10 == 7 -> the incoming batch (~10%)
 
-
-@register(
-    "q161_incremental_dedup",
-    oracle=f"""
+# Shared by q161 (batch) and q162 (streaming, stream_queries.py): the
+# classification is per-doc and the corpus is static, so the streamed
+# result is batch-boundary-independent and both check against the SAME
+# SQL — the strongest correctness statement the streaming variant can
+# make (stream == batch == oracle).
+INCR_DEDUP_ORACLE = f"""
     WITH {_lsh_bands_sql()},
     bh AS (
       SELECT doc_id, md5({norm_text_sql('text')}) AS h FROM documents
@@ -1538,7 +1557,12 @@ INCR_BATCH_REM = 7    # doc_id % 10 == 7 -> the incoming batch (~10%)
       LEFT JOIN best n ON n.doc_a = d.doc_id
     WHERE d.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
     ORDER BY d.doc_id
-    """,
+    """
+
+
+@register(
+    "q161_incremental_dedup",
+    oracle=INCR_DEDUP_ORACLE,
     tags=("dedup", "incremental", "minhash-lsh", "training-pipeline"),
 )
 def q161_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1592,11 +1616,52 @@ def incremental_dedup_df(
     from ..sources.io import fan_out
 
     base = fan_out(d)
-    bh = d.where(is_batch).select(
+    if bands is None:
+        bands = _lsh_bands_df(base)
+    return classify_increment(
+        d.where(is_batch),
+        base.where(~is_batch),
+        batch_bands=bands.where(is_batch),
+        corpus_bands=bands.where(~is_batch),
+        verify_docs=d,
+    )
+
+
+def classify_increment(
+    batch: DataFrame,
+    corpus: DataFrame,
+    *,
+    batch_bands: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
+    verify_docs: DataFrame | None = None,
+    corpus_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Classify an increment against a standing corpus given as two
+    SEPARATE DataFrames — the shape a streaming consumer has (the
+    micro-batch arrives on its own; the corpus and its band table are
+    static index artifacts). :func:`incremental_dedup_df` (and so
+    q161) delegates here with both sides carved out of one table by
+    the id protocol; q162 calls it per micro-batch.
+
+    ``batch_bands`` / ``corpus_bands``: precomputed (doc_id, band_idx,
+    band_key) tables for each side (None bands that side fresh —
+    banding is per-row, so a fresh banding of the same rows is
+    identical to a filtered slice of a whole-table band table).
+    ``verify_docs``: (doc_id, text) source for the Jaccard verify,
+    defaulting to batch ∪ corpus; the verify semi-joins it down to
+    candidate docs only. ``corpus_hashes``: a precomputed (doc_id, h)
+    normalized-content-hash table for the corpus (the second
+    maintained index artifact; None hashes the corpus fresh — a
+    repeat caller like q162's micro-batch loop should NOT re-hash the
+    corpus per call). Returns (doc_id, status, match_doc_id, jaccard)
+    for batch rows."""
+    bh = batch.select(
         F.col("doc_id").alias("b_id"), F.md5(norm_text_col("text")).alias("h")
     )
-    ch = base.where(~is_batch).select(
-        "doc_id", F.md5(norm_text_col("text")).alias("h")
+    ch = (
+        corpus_hashes
+        if corpus_hashes is not None
+        else corpus.select("doc_id", F.md5(norm_text_col("text")).alias("h"))
     )
     exact = (
         ch.join(F.broadcast(bh), "h")
@@ -1604,10 +1669,12 @@ def incremental_dedup_df(
         .agg(F.min("doc_id").alias("exact_match"))
         .select(F.col("b_id").alias("doc_id"), "exact_match")
     )
-    if bands is None:
-        bands = _lsh_bands_df(base)
-    bb = bands.where(is_batch)
-    cb = bands.where(~is_batch)
+    bb = batch_bands if batch_bands is not None else _lsh_bands_df(batch)
+    cb = corpus_bands if corpus_bands is not None else _lsh_bands_df(corpus)
+    if verify_docs is None:
+        verify_docs = batch.select("doc_id", "text").unionByName(
+            corpus.select("doc_id", "text")
+        )
     cand = (
         cb.alias("c")
         .join(
@@ -1621,7 +1688,7 @@ def incremental_dedup_df(
         # shared-token join — candidates are batch-collision-bounded
         .localCheckpoint(eager=True)
     )
-    scored = jaccard_verified_pairs_scored(d, cand)
+    scored = jaccard_verified_pairs_scored(verify_docs, cand)
     w = Window.partitionBy("doc_a").orderBy(F.col("jaccard").desc(), "doc_b")
     best = (
         scored.withColumn("_rk", F.row_number().over(w))
@@ -1631,8 +1698,7 @@ def incremental_dedup_df(
     )
     has_exact = F.col("exact_match").isNotNull()
     return (
-        d.where(is_batch)
-        .select("doc_id")
+        batch.select("doc_id")
         .join(F.broadcast(exact), "doc_id", "left")
         .join(F.broadcast(best), "doc_id", "left")
         .select(

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ._util import t, tw
+from ._util import check_index_meta, t, tw, write_index_meta
 
 DIM = 64
 QUERY_VEC_ID = 0
@@ -1946,6 +1946,7 @@ def ivfadc_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         .partitionBy("cluster")
         .parquet(os.path.join(out_dir, "codes"))
     )
+    write_index_meta(out_dir, os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def ivfadc_index_load(
@@ -1990,6 +1991,7 @@ def ivf_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         .partitionBy("cluster")
         .parquet(os.path.join(out_dir, "lists"))
     )
+    write_index_meta(out_dir, os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def ivf_index_load(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -2011,6 +2013,7 @@ def pq_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     cent, codes = pq_index_for(spark, sf_dir)
     cent.write.mode("overwrite").parquet(os.path.join(out_dir, "pq"))
     codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))
+    write_index_meta(out_dir, os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def pq_index_load(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -2020,3 +2023,53 @@ def pq_index_load(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFra
         "vec_id", "sub", "cluster"
     )
     return cent, codes
+
+
+# --- attach: serve a NEW session from a persisted index, no refit ----------
+#
+# The production split: an offline job fits and `*_index_save`s; query
+# jobs `*_index_attach` at startup and serve. Attach validates the
+# saved fingerprint against the CURRENT source file (stale index →
+# ValueError, the same refuse-don't-mislead posture as the in-session
+# fingerprint keys), then primes the session cache with the loaded
+# parquet scans under exactly the keys `*_index_for` computes — so
+# every downstream consumer (q68/q155/q157/q160, the recall audits)
+# transparently serves from disk instead of refitting. The loaded
+# DataFrames are plain parquet scans (already durable, partition-
+# pruned) — no localCheckpoint needed or wanted.
+
+
+def _index_attach(spark: SparkSession, sf_dir: str, out_dir: str,
+                  kind: str, value) -> None:
+    fp = check_index_meta(out_dir, os.path.join(sf_dir, "embeddings.parquet"))
+    _cache_put(_session_cache(spark), (kind,) + fp, value)
+
+
+def ivfadc_index_attach(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Prime this session's IVFADC serving path from a saved index."""
+    trip = ivfadc_index_load(spark, out_dir)
+    _index_attach(spark, sf_dir, out_dir, "ivfadc", trip)
+    return trip
+
+
+def ivf_index_attach(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Prime this session's IVF serving path from a saved index — both
+    cache entries: the inverted lists (ivf_index_for) and the coarse
+    codebook (codebook_for), which q87/q89/q147's probes read alone."""
+    pair = ivf_index_load(spark, out_dir)
+    _index_attach(spark, sf_dir, out_dir, "ivf_lists", pair)
+    _index_attach(spark, sf_dir, out_dir, "ivf", pair[0])
+    return pair
+
+
+def pq_index_attach(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Prime this session's PQ serving path from a saved index."""
+    pair = pq_index_load(spark, out_dir)
+    _index_attach(spark, sf_dir, out_dir, "pq", pair)
+    return pair

@@ -1211,3 +1211,135 @@ def q152_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out).orderBy("window_start")
+
+
+# --- streaming incremental dedup -------------------------------------------
+
+def _incr_dedup_oracle() -> str:
+    from ..plans.dedup import INCR_DEDUP_ORACLE
+
+    return INCR_DEDUP_ORACLE
+
+
+@register(
+    "q162_stream_incremental_dedup",
+    oracle=_incr_dedup_oracle(),
+    tags=("streaming", "dedup", "incremental", "foreachbatch",
+          "training-pipeline"),
+)
+def q162_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental dedup — the crawl-ingest shape of q161:
+    the incoming documents arrive as a file STREAM in several
+    micro-batches, and ``foreachBatch`` classifies each one against
+    the standing corpus ('exact' / 'near_dup' / 'new') using
+    :func:`~..plans.dedup.classify_increment` with the corpus's
+    maintained index artifacts (content-hash table + LSH band table,
+    built ONCE before the stream and reused by every micro-batch).
+
+    Why foreachBatch and not a stream-static join: the asymmetry that
+    makes q161 scale is "broadcast the increment, never shuffle the
+    corpus". A declarative stream-static join would put the corpus on
+    the probe side of each micro-batch's join; foreachBatch lets each
+    micro-batch run the exact batch plan q161 runs — batch hashes and
+    band keys broadcast, corpus-side tables partition-pruned static
+    artifacts — which is the production ingest loop (classify, admit
+    the 'new' docs, append their bands to the band table; PLANS.md
+    "standing-corpus dedup lifecycle" step 2).
+
+    Exactly-once: each micro-batch OVERWRITES its own
+    ``batch_id=<id>`` output partition, so a foreachBatch redelivery
+    after a crash rewrites the same rows instead of appending
+    duplicates — the q115 idempotent-sink discipline with directory
+    granularity standing in for the pointer file. The whole tree is
+    process-leased (:func:`tree_lock`), closing the shared-/tmp
+    hazard the crash-kill suite guards.
+
+    Correctness: classification is per-document and the corpus is
+    static across the stream, so the result is independent of
+    micro-batch boundaries and the streamed union equals batch q161 —
+    both check against the SAME SQL oracle (stream == batch ==
+    oracle). Reference analog: the golden pipeline's check-then-add
+    merge discipline (master_splitmerge.go:14-51), run incrementally.
+    """
+    import shutil
+
+    from ..plans.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        classify_increment,
+        lsh_bands_for,
+        norm_text_col,
+    )
+    from ..sources.io import ensure_reader_confs, load_table
+
+    ensure_reader_confs(spark)
+    root = os.path.join(tempfile.gettempdir(), "mms_incr_stream")
+    src_dir = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    out_dir = os.path.join(root, "out")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM
+    corpus = docs.where(~is_batch)
+
+    # The corpus-side index artifacts, built once for the whole stream:
+    # the memoized whole-corpus band table sliced to corpus rows
+    # (per-row banding makes the slice identical to banding the corpus
+    # alone), and the content-hash table as one narrow pass. Both are
+    # what a production pipeline maintains ALONGSIDE the corpus; the
+    # hash table is checkpointed so micro-batches don't re-hash.
+    corpus_bands = lsh_bands_for(spark, sf_dir).where(~is_batch)
+    corpus_hashes = (
+        corpus.select("doc_id", F.md5(norm_text_col("text")).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS * 2))
+    try:
+        with tree_lock(root):
+            # Fresh tree per invocation (q115 discipline): the query's
+            # contract is "stream the whole increment from scratch".
+            for sub in (src_dir, ckpt, out_dir):
+                shutil.rmtree(sub, ignore_errors=True)
+            # Re-shard the increment so the file source yields several
+            # micro-batches (one file would collapse to a single batch
+            # and never exercise the incremental loop).
+            docs.where(is_batch).repartition(4, "doc_id").write.mode(
+                "overwrite"
+            ).parquet(src_dir)
+
+            def classify(batch: DataFrame, batch_id: int) -> None:
+                out = classify_increment(
+                    batch,
+                    corpus,
+                    corpus_bands=corpus_bands,
+                    verify_docs=docs,
+                    corpus_hashes=corpus_hashes,
+                )
+                out.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"batch_id={batch_id}")
+                )
+
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            q = (
+                stream.writeStream.foreachBatch(classify)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            LAST_QUERY["q162_sink"] = q
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        corpus_hashes.unpersist()
+
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "status", "match_doc_id", "jaccard")
+        .orderBy("doc_id")
+    )

@@ -1588,3 +1588,84 @@ def test_recall_report_all_families(spark):
             f"{fam} mean recall {report[fam]['mean_recall']} < {floor}"
         )
         assert 0.0 <= report[fam]["min_recall"] <= 1.0
+
+
+def test_index_attach_serves_without_refit(spark, tmp_path):
+    """The attach tier: after ``*_index_attach``, a cache-cold session
+    serves every family's ``*_index_for`` from the persisted parquet —
+    asserted by identity (the returned artifact IS the attached one,
+    so no refit ran) — and the served results equal the in-memory
+    fit's. Covers all four families (IVF, PQ, IVFADC, LSH bands)."""
+    from mapreduce_mit_spark.plans.dedup import (
+        lsh_bands_for,
+        lsh_index_attach,
+        lsh_index_save,
+    )
+    from mapreduce_mit_spark.plans.similarity import (
+        _cache_evict,
+        _session_cache,
+        ivf_index_attach,
+        ivf_index_for,
+        ivf_index_save,
+        ivfadc_index_attach,
+        ivfadc_index_for,
+        ivfadc_index_save,
+        pq_index_attach,
+        pq_index_for,
+        pq_index_save,
+    )
+
+    dirs = {f: str(tmp_path / f) for f in ("ivf", "pq", "ivfadc", "lsh")}
+    ivf_index_save(spark, SF_SMALL, dirs["ivf"])
+    pq_index_save(spark, SF_SMALL, dirs["pq"])
+    ivfadc_index_save(spark, SF_SMALL, dirs["ivfadc"])
+    lsh_index_save(spark, SF_SMALL, dirs["lsh"])
+    baseline_bands = sorted(map(tuple, lsh_bands_for(spark, SF_SMALL).collect()))
+
+    # simulate a fresh session: drop every cached index artifact
+    cache = _session_cache(spark)
+    for k in list(cache):
+        _cache_evict(cache.pop(k))
+
+    att_ivf = ivf_index_attach(spark, SF_SMALL, dirs["ivf"])
+    att_pq = pq_index_attach(spark, SF_SMALL, dirs["pq"])
+    att_adc = ivfadc_index_attach(spark, SF_SMALL, dirs["ivfadc"])
+    att_lsh = lsh_index_attach(spark, SF_SMALL, dirs["lsh"])
+
+    assert ivf_index_for(spark, SF_SMALL) is att_ivf
+    assert pq_index_for(spark, SF_SMALL) is att_pq
+    assert ivfadc_index_for(spark, SF_SMALL) is att_adc
+    assert lsh_bands_for(spark, SF_SMALL) is att_lsh
+    assert (
+        sorted(map(tuple, att_lsh.collect())) == baseline_bands
+    ), "attached band table diverges from the fit"
+
+
+def test_index_attach_refuses_stale_index(spark, tmp_path):
+    """A persisted index whose source file changed since the fit must
+    refuse to attach (ValueError), not silently serve stale results —
+    the cross-session half of the fingerprint-staleness discipline."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from mapreduce_mit_spark.plans.similarity import (
+        pq_index_attach,
+        pq_index_save,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copyfile(
+        os.path.join(SF_SMALL, "embeddings.parquet"),
+        os.path.join(sf, "embeddings.parquet"),
+    )
+    out = str(tmp_path / "pq_index")
+    pq_index_save(spark, sf, out)
+    os.utime(
+        os.path.join(sf, "embeddings.parquet"),
+        ns=(1_000_000_000_000_000_000, 1_000_000_000_000_000_000),
+    )
+    with _pytest.raises(ValueError, match="stale"):
+        pq_index_attach(spark, sf, out)

@@ -953,3 +953,51 @@ def test_stream_stream_join_exactly_once_across_crash_kill(spark, tmp_path):
         .collect()
     )
     assert got == expected, f"sink != oracle after crash+restart\n{got[:5]}\n{expected[:5]}"
+
+
+def test_stream_incremental_dedup_equals_batch(spark, tmp_path):
+    """q162 == q161 on the same fixture: streaming the increment in
+    micro-batches against the static corpus must land on exactly the
+    batch classification (per-doc classification + static corpus ⇒
+    batch-boundary independence), including the 'exact' NULL-jaccard
+    and best-near-match tie rules. Also asserts the stream really ran
+    through the foreachBatch sink (progress recorded)."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+    from mapreduce_mit_spark.streaming.stream_queries import last_progress
+
+    from .test_operators import BASE
+
+    load_all_plans()
+    near = BASE.replace("quiet", "noisy")
+    rows = [
+        (0, BASE),
+        (1, "completely different content about spark query planning and "
+            "shuffle partitioning strategies for large scale data systems"),
+        (2, BASE),
+        (7, BASE.upper().replace("  ", " ")),    # batch: exact after norm
+        (17, near),                              # batch: near-dup of 0/2
+        (27, "yet another unrelated document mentioning streaming "
+             "watermarks and stateful aggregation semantics in engines"),
+    ]
+    (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .select(
+            "doc_id", "text",
+            F.lit("en").alias("lang"), F.lit("t").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    )
+    sf = str(tmp_path)
+    streamed = REGISTRY["q162_stream_incremental_dedup"].fn(spark, sf).collect()
+    batch = REGISTRY["q161_incremental_dedup"].fn(spark, sf).collect()
+    as_tuples = lambda rs: sorted(  # noqa: E731
+        (r.doc_id, r.status, r.match_doc_id, r.jaccard) for r in rs
+    )
+    assert as_tuples(streamed) == as_tuples(batch)
+    got = {r.doc_id: r for r in streamed}
+    assert set(got) == {7, 17, 27}
+    assert got[7].status == "exact" and got[7].match_doc_id == 0
+    assert got[17].status == "near_dup" and got[17].jaccard >= 0.9
+    assert got[27].status == "new"
+    assert len(last_progress("q162_sink")) >= 1
