@@ -629,21 +629,12 @@ def q115_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_reader_confs(spark)
     root = os.path.join(tempfile.gettempdir(), "mms_upsert")
-    # Fresh state per invocation: this query's contract is "stream the
-    # whole table from scratch", so stale state from a previous call
-    # must not leak in (deterministic dir, removed up front — no tmpdir
-    # accumulation across runs).
-    shutil.rmtree(root, ignore_errors=True)
     src_dir = os.path.join(root, "src")
     ckpt = os.path.join(root, "ckpt")
     state_dirs = [os.path.join(root, "state_a"), os.path.join(root, "state_b")]
     meta_path = os.path.join(root, "meta.json")
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    # Re-shard so the file stream source yields several micro-batches
-    # (one parquet file would collapse to a single batch and the merge
-    # loop would never exercise its incremental path).
-    ev.repartition(6).write.mode("overwrite").parquet(src_dir)
 
     def _state() -> tuple[int, str] | None:
         if not os.path.exists(meta_path):
@@ -676,36 +667,55 @@ def q115_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(json.dumps({"batch_id": batch_id, "dir": nxt}))
         os.replace(tmp, meta_path)  # the atomic commit
 
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(src_dir)
-    )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
-        q = (
-            stream.writeStream.foreachBatch(upsert)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        LAST_QUERY["q115_sink"] = q
+        # Process lease on the shared tree (the q152/q162 discipline):
+        # the rmtree reset, the whole drain, AND the final state read
+        # happen under the lock, so a concurrent q115 in another
+        # process can neither rip the tree out mid-stream nor have its
+        # tree ripped out by this reset. The result is eagerly
+        # checkpointed BEFORE the lock releases — the returned
+        # DataFrame is detached from the tree, so the next process's
+        # reset can't invalidate it under the caller.
+        with tree_lock(root):
+            # Fresh state per invocation: this query's contract is
+            # "stream the whole table from scratch", so stale state
+            # from a previous call must not leak in (deterministic
+            # dir, removed up front — no tmpdir accumulation).
+            shutil.rmtree(root, ignore_errors=True)
+            # Re-shard so the file stream source yields several
+            # micro-batches (one parquet file would collapse to a
+            # single batch and the merge loop would never exercise
+            # its incremental path).
+            ev.repartition(6).write.mode("overwrite").parquet(src_dir)
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src_dir)
+            )
+            q = (
+                stream.writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            LAST_QUERY["q115_sink"] = q
+            final = _state()
+            assert final is not None, "stream produced no batches"
+            out = (
+                spark.read.parquet(final[1])
+                .select(
+                    "user_id",
+                    "n_events",
+                    (F.col("cents") / 100.0).alias("total_value"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            return out.orderBy("user_id")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-
-    final = _state()
-    assert final is not None, "stream produced no batches"
-    return (
-        spark.read.parquet(final[1])
-        .select(
-            "user_id",
-            "n_events",
-            (F.col("cents") / 100.0).alias("total_value"),
-        )
-        .orderBy("user_id")
-    )
 
 
 # --- transformWithState (Spark 4 arbitrary-stateful API) -------------------
@@ -1334,12 +1344,18 @@ def q162_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
             )
             q.awaitTermination()
             LAST_QUERY["q162_sink"] = q
+            # Detach the result from the shared tree BEFORE the lock
+            # releases (increment-sized, so the checkpoint is cheap):
+            # a concurrent q162 in another process resets the tree the
+            # moment it acquires the lock, and a lazily-read result
+            # would break under the caller.
+            res = (
+                spark.read.parquet(out_dir)
+                .select("doc_id", "status", "match_doc_id", "jaccard")
+                .localCheckpoint(eager=True)
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         corpus_hashes.unpersist()
 
-    return (
-        spark.read.parquet(out_dir)
-        .select("doc_id", "status", "match_doc_id", "jaccard")
-        .orderBy("doc_id")
-    )
+    return res.orderBy("doc_id")
