@@ -717,8 +717,14 @@ def q77_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_bands_sql() -> str:
-    """q81's LSH banding as CTE text (sh/sig/bands) over the full corpus."""
+def _lsh_bands_sql(materialized: bool = False) -> str:
+    """q81's LSH banding as CTE text (sh/sig/bands) over the full corpus.
+
+    ``materialized=True`` pins each CTE with DuckDB's AS MATERIALIZED
+    hint — required by oracles that reference ``bands`` from several
+    consumers (the incremental stages), where default CTE inlining
+    re-evaluates the whole shingle→minhash pipeline per reference
+    (q163's chained oracle: 101 s → 1.3 s at sf0.001)."""
     # WHERE mh0 IS NOT NULL: shingle-less docs emit no bands (see
     # _lsh_bands_df — DuckDB concat() would otherwise hash their
     # all-NULL signatures to a shared md5('') bucket)
@@ -728,14 +734,15 @@ def _lsh_bands_sql() -> str:
         f"FROM sig WHERE mh{b * BAND_SIZE} IS NOT NULL"
         for b in range(N_BANDS)
     )
+    mat = "MATERIALIZED " if materialized else ""
     return f"""
-    sh AS (
+    sh AS {mat}(
       SELECT doc_id, {shingles_sql()} AS shingles FROM documents
     ),
-    sig AS (
+    sig AS {mat}(
       SELECT doc_id, {", ".join(minhash_sql_exprs("shingles", N_HASHES))} FROM sh
     ),
-    bands AS (
+    bands AS {mat}(
       {bands_union}
     )"""
 
@@ -1494,69 +1501,91 @@ INCR_BATCH_REM = 7    # doc_id % 10 == 7 -> the incoming batch (~10%)
 # result is batch-boundary-independent and both check against the SAME
 # SQL — the strongest correctness statement the streaming variant can
 # make (stream == batch == oracle).
-INCR_DEDUP_ORACLE = f"""
-    WITH {_lsh_bands_sql()},
-    bh AS (
+def _incr_stage_sql(p: str, batch_ids: str, corpus_ids: str) -> str:
+    """One incremental-classification STAGE as DuckDB CTE text: classify
+    the docs in id-set CTE ``batch_ids`` against those in ``corpus_ids``
+    (exact hash first, then LSH-candidate + Jaccard-verified near-dup,
+    else new). Emits CTEs prefixed ``p``, ending in ``{p}cls`` =
+    (doc_id, status, match_doc_id, jaccard). Requires the global
+    ``bands`` CTE (:func:`_lsh_bands_sql`) in scope. q161's oracle is
+    ONE stage; q163's (stream_queries.py) is two CHAINED stages — the
+    second stage's corpus set includes the first stage's admitted
+    ('new') docs, which is how SQL replays corpus evolution without
+    recursion when the number of increments is fixed."""
+    return f"""{p}bh AS MATERIALIZED (
       SELECT doc_id, md5({norm_text_sql('text')}) AS h FROM documents
-      WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+      WHERE doc_id IN (SELECT doc_id FROM {batch_ids})
     ),
-    ch AS (
+    {p}ch AS MATERIALIZED (
       SELECT doc_id, md5({norm_text_sql('text')}) AS h FROM documents
-      WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}
+      WHERE doc_id IN (SELECT doc_id FROM {corpus_ids})
     ),
-    exact AS (
+    {p}exact AS MATERIALIZED (
       SELECT b.doc_id, min(c.doc_id) AS exact_match
-      FROM bh b JOIN ch c ON c.h = b.h
+      FROM {p}bh b JOIN {p}ch c ON c.h = b.h
       GROUP BY 1
     ),
-    cand AS (
+    {p}cand AS MATERIALIZED (
       SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
       FROM bands b JOIN bands c
         ON b.band_idx = c.band_idx AND b.band_key = c.band_key
-      WHERE b.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
-        AND c.doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}
+      WHERE b.doc_id IN (SELECT doc_id FROM {batch_ids})
+        AND c.doc_id IN (SELECT doc_id FROM {corpus_ids})
     ),
-    cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
-    ctoks AS (
+    {p}cdocs AS MATERIALIZED (SELECT doc_a AS doc_id FROM {p}cand
+                 UNION SELECT doc_b FROM {p}cand),
+    {p}ctoks AS MATERIALIZED (
       SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS token
-      FROM documents WHERE doc_id IN (SELECT doc_id FROM cdocs)
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM {p}cdocs)
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM ctoks GROUP BY doc_id),
-    shared AS (
+    {p}sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM {p}ctoks GROUP BY doc_id),
+    {p}shared AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b, count(*) AS n_shared
-      FROM cand c
-        JOIN ctoks a ON a.doc_id = c.doc_a
-        JOIN ctoks b ON b.doc_id = c.doc_b AND b.token = a.token
+      FROM {p}cand c
+        JOIN {p}ctoks a ON a.doc_id = c.doc_a
+        JOIN {p}ctoks b ON b.doc_id = c.doc_b AND b.token = a.token
       GROUP BY 1, 2
     ),
-    scored AS (
+    {p}scored AS MATERIALIZED (
       SELECT s.doc_a, s.doc_b,
              round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) AS jaccard
-      FROM shared s
-        JOIN sizes sa ON sa.doc_id = s.doc_a
-        JOIN sizes sb ON sb.doc_id = s.doc_b
+      FROM {p}shared s
+        JOIN {p}sizes sa ON sa.doc_id = s.doc_a
+        JOIN {p}sizes sb ON sb.doc_id = s.doc_b
       WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.8
     ),
-    best AS (
+    {p}best AS MATERIALIZED (
       SELECT doc_a, doc_b, jaccard FROM (
         SELECT *, row_number() OVER (PARTITION BY doc_a
                                      ORDER BY jaccard DESC, doc_b) AS rn
-        FROM scored)
+        FROM {p}scored)
       WHERE rn = 1
-    )
-    SELECT d.doc_id,
-           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
-                WHEN n.doc_a IS NOT NULL THEN 'near_dup'
-                ELSE 'new' END AS status,
-           CASE WHEN e.doc_id IS NOT NULL THEN e.exact_match
-                ELSE n.doc_b END AS match_doc_id,
-           CASE WHEN e.doc_id IS NOT NULL THEN CAST(NULL AS DOUBLE)
-                ELSE n.jaccard END AS jaccard
-    FROM documents d
-      LEFT JOIN exact e ON e.doc_id = d.doc_id
-      LEFT JOIN best n ON n.doc_a = d.doc_id
-    WHERE d.doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
-    ORDER BY d.doc_id
+    ),
+    {p}cls AS MATERIALIZED (
+      SELECT d.doc_id,
+             CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                  WHEN n.doc_a IS NOT NULL THEN 'near_dup'
+                  ELSE 'new' END AS status,
+             CASE WHEN e.doc_id IS NOT NULL THEN e.exact_match
+                  ELSE n.doc_b END AS match_doc_id,
+             CASE WHEN e.doc_id IS NOT NULL THEN CAST(NULL AS DOUBLE)
+                  ELSE n.jaccard END AS jaccard
+      FROM documents d
+        LEFT JOIN {p}exact e ON e.doc_id = d.doc_id
+        LEFT JOIN {p}best n ON n.doc_a = d.doc_id
+      WHERE d.doc_id IN (SELECT doc_id FROM {batch_ids})
+    )"""
+
+
+INCR_DEDUP_ORACLE = f"""
+    WITH {_lsh_bands_sql(materialized=True)},
+    s0batch AS MATERIALIZED (SELECT doc_id FROM documents
+                WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_REM}),
+    s0corpus AS MATERIALIZED (SELECT doc_id FROM documents
+                 WHERE doc_id % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}),
+    {_incr_stage_sql('s0', 's0batch', 's0corpus')}
+    SELECT doc_id, status, match_doc_id, jaccard FROM s0cls
+    ORDER BY doc_id
     """
 
 

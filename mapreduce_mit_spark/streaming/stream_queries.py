@@ -1359,3 +1359,232 @@ def q162_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         corpus_hashes.unpersist()
 
     return res.orderBy("doc_id")
+
+
+# --- streaming corpus admission (the lifecycle's ingest loop) --------------
+
+def stream_admit_increments(
+    spark: SparkSession,
+    initial_corpus: DataFrame,
+    increments: list[DataFrame],
+    root: str,
+) -> DataFrame:
+    """The standing-corpus ADMISSION loop as one streaming job — the
+    lifecycle's step 2 (PLANS.md) with the corpus EVOLVING across
+    micro-batches, where q162 holds it fixed: each staged increment
+    arrives as its own micro-batch (one file each, mtime-ordered),
+    foreachBatch classifies it against the CURRENT corpus state, and
+    the 'new' docs are admitted — docs, band rows, and content hashes
+    appended — before the next increment is processed.
+
+    State layout (all under ``root``, process-leased): ``docs``,
+    ``bands``, ``hashes``, and the classification ``log``, each an
+    APPEND-ONLY parquet tree of ``batch_id=N`` partitions (seeded at
+    ``batch_id=-1`` from the initial corpus) with a driver-side
+    ``meta.json`` pointer recording the last APPLIED batch. Readers
+    filter ``batch_id <= applied`` (partition-pruned), so a crash
+    between a partition write and the pointer flip leaves a readable
+    consistent state, and a foreachBatch redelivery overwrites its own
+    partition then re-flips — the q115 exactly-once discipline with
+    admission appends instead of ping-pong rewrites. Appends are
+    increment-sized; the corpus is NEVER rewritten (at 100 TB these
+    are partition adds to the corpus/band/hash tables, exactly how the
+    maintained artifacts grow in production).
+
+    Returns the classification log: (increment, doc_id, status,
+    match_doc_id, jaccard), increment = 1-based processing order.
+    Greedy admission never merges two already-admitted docs, so with
+    clique-shaped groups and ids growing batch-over-batch the final
+    corpus equals a from-scratch rebuild (pinned in streaming form by
+    tests/test_streaming.py::test_stream_admission_equals_full_rebuild,
+    mirroring the batch chain's equivalence contract)."""
+    import json
+    import shutil
+
+    from ..plans.dedup import _lsh_bands_df, classify_increment, norm_text_col
+    from ..sources.io import ensure_reader_confs
+
+    ensure_reader_confs(spark)
+    src_dir = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    meta_path = os.path.join(root, "meta.json")
+    tables = {n: os.path.join(root, n) for n in ("docs", "bands", "hashes", "log")}
+
+    def _applied() -> int:
+        if not os.path.exists(meta_path):
+            return -1
+        return json.loads(open(meta_path).read())["batch_id"]
+
+    def _flip(batch_id: int) -> None:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"batch_id": batch_id}))
+        os.replace(tmp, meta_path)  # the atomic commit
+
+    def _part(table: str, batch_id: int) -> str:
+        return os.path.join(tables[table], f"batch_id={batch_id}")
+
+    def _hashes(d: DataFrame) -> DataFrame:
+        return d.select("doc_id", F.md5(norm_text_col("text")).alias("h"))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS * 2))
+    try:
+        with tree_lock(root):
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(src_dir)
+            # Seed the state from the initial corpus (batch_id=-1).
+            seed = initial_corpus.select("doc_id", "text")
+            seed.write.parquet(_part("docs", -1))
+            _lsh_bands_df(seed).write.parquet(_part("bands", -1))
+            _hashes(seed).write.parquet(_part("hashes", -1))
+            _flip(-1)
+            # Stage each increment as ONE file with strictly increasing
+            # mtimes — the file source processes oldest-first, so the
+            # staged order IS the micro-batch order.
+            t0 = time.time() - 60 * len(increments)
+            for i, inc in enumerate(increments):
+                tmp = os.path.join(root, f"_stage{i}")
+                inc.select("doc_id", "text").coalesce(1).write.parquet(tmp)
+                part = next(
+                    f for f in os.listdir(tmp) if f.endswith(".parquet")
+                )
+                dst = os.path.join(src_dir, f"inc_{i:04d}.parquet")
+                shutil.move(os.path.join(tmp, part), dst)
+                shutil.rmtree(tmp)
+                os.utime(dst, (t0 + 30 * i, t0 + 30 * i))
+
+            def admit(batch: DataFrame, batch_id: int) -> None:
+                applied = _applied()
+                if batch_id <= applied:
+                    return  # replayed batch: already admitted, skip
+                live = F.col("batch_id") <= F.lit(applied)
+                docs_s = spark.read.parquet(tables["docs"]).where(live)
+                corpus = docs_s.select("doc_id", "text")
+                cls = classify_increment(
+                    batch,
+                    corpus,
+                    corpus_bands=spark.read.parquet(tables["bands"])
+                    .where(live)
+                    .select("doc_id", "band_idx", "band_key"),
+                    corpus_hashes=spark.read.parquet(tables["hashes"])
+                    .where(live)
+                    .select("doc_id", "h"),
+                    verify_docs=batch.select("doc_id", "text").unionByName(corpus),
+                ).localCheckpoint(eager=True)  # one evaluation, 2 consumers
+                cls.write.mode("overwrite").parquet(_part("log", batch_id))
+                new_docs = batch.join(
+                    cls.where(F.col("status") == "new"), "doc_id", "left_semi"
+                ).select("doc_id", "text").localCheckpoint(eager=True)
+                new_docs.write.mode("overwrite").parquet(_part("docs", batch_id))
+                _lsh_bands_df(new_docs).write.mode("overwrite").parquet(
+                    _part("bands", batch_id)
+                )
+                _hashes(new_docs).write.mode("overwrite").parquet(
+                    _part("hashes", batch_id)
+                )
+                _flip(batch_id)
+
+            schema = spark.read.parquet(src_dir).schema
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+                .writeStream.foreachBatch(admit)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            LAST_QUERY["admit_sink"] = q
+            res = (
+                spark.read.parquet(tables["log"])
+                .select(
+                    (F.col("batch_id") + 1).cast("int").alias("increment"),
+                    "doc_id",
+                    "status",
+                    "match_doc_id",
+                    "jaccard",
+                )
+                .localCheckpoint(eager=True)  # detach before lock release
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return res.orderBy("increment", "doc_id")
+
+
+ADMIT_REM_1 = 7  # first streamed increment:  doc_id % 10 == 7
+ADMIT_REM_2 = 8  # second streamed increment: doc_id % 10 == 8
+
+
+def _q163_oracle() -> str:
+    from ..plans.dedup import _incr_stage_sql, _lsh_bands_sql
+
+    return f"""
+    WITH {_lsh_bands_sql(materialized=True)},
+    s1batch AS MATERIALIZED (
+      SELECT doc_id FROM documents WHERE doc_id % 10 = {ADMIT_REM_1}),
+    s1corpus AS MATERIALIZED (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 10 NOT IN ({ADMIT_REM_1}, {ADMIT_REM_2})),
+    {_incr_stage_sql('s1', 's1batch', 's1corpus')},
+    s2batch AS MATERIALIZED (
+      SELECT doc_id FROM documents WHERE doc_id % 10 = {ADMIT_REM_2}),
+    s2corpus AS MATERIALIZED (
+      SELECT doc_id FROM s1corpus
+      UNION
+      SELECT doc_id FROM s1cls WHERE status = 'new'),
+    {_incr_stage_sql('s2', 's2batch', 's2corpus')}
+    SELECT * FROM (
+      SELECT CAST(1 AS INTEGER) AS increment, doc_id, status,
+             match_doc_id, jaccard
+      FROM s1cls
+      UNION ALL
+      SELECT CAST(2 AS INTEGER) AS increment, doc_id, status,
+             match_doc_id, jaccard
+      FROM s2cls
+    )
+    ORDER BY increment, doc_id
+    """
+
+
+@register(
+    "q163_stream_corpus_admission",
+    oracle=_q163_oracle(),
+    tags=("streaming", "dedup", "incremental", "foreachbatch", "stateful",
+          "training-pipeline"),
+)
+def q163_stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus admission with an EVOLVING corpus — the step
+    q162 deliberately freezes: two crawl increments (id protocol:
+    doc_id % 10 == 7, then == 8) stream through
+    :func:`stream_admit_increments`, and increment 2 is classified
+    against the corpus AS EXTENDED by increment 1's admitted docs —
+    a doc in increment 2 can be an exact/near dup OF AN INCREMENT-1
+    DOC. The corpus state (docs + band table + hash table) grows by
+    append-only batch partitions; nothing is rewritten or re-banded.
+
+    The oracle replays the evolution as two CHAINED classification
+    stages (dedup.py's _incr_stage_sql — stage 2's corpus id-set is
+    stage 1's corpus UNION its 'new' docs), which is exact because the
+    increment ORDER is fixed by the protocol and enforced by staged
+    file mtimes. This makes corpus evolution — genuinely stateful
+    streaming — still fully SQL-oracle-checkable.
+
+    Production shape: increments are pre-deduped internally (q148 on
+    the batch) before admission; here they stream as-is, so batch-
+    internal dups admit together — classification never compares
+    within an increment (q161's contract). Reference analog: the
+    check-then-add merge loop (master_splitmerge.go:14-51), run as a
+    stream."""
+    from ..sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rem = F.col("doc_id") % 10
+    root = os.path.join(tempfile.gettempdir(), "mms_admit")
+    return stream_admit_increments(
+        spark,
+        docs.where(~rem.isin(ADMIT_REM_1, ADMIT_REM_2)),
+        [docs.where(rem == ADMIT_REM_1), docs.where(rem == ADMIT_REM_2)],
+        root,
+    )

@@ -1001,3 +1001,93 @@ def test_stream_incremental_dedup_equals_batch(spark, tmp_path):
     assert got[17].status == "near_dup" and got[17].jaccard >= 0.9
     assert got[27].status == "new"
     assert len(last_progress("q162_sink")) >= 1
+
+def test_stream_admission_equals_full_rebuild(spark, tmp_path):
+    """The EVOLVING-corpus property q162 cannot express, pinned on
+    q163's operator: an increment-2 doc classified against a doc that
+    was only ADMITTED by increment 1 (match_doc_id from the previous
+    micro-batch), and — because groups are cliques, increments are
+    internally dup-free, and ids grow batch-over-batch — the final
+    admitted corpus equals a from-scratch q148 rebuild over the full
+    union (the streaming form of the batch chain equivalence in
+    tests/test_operators.py::test_incremental_dedup_chained_equals_full_rebuild).
+    Also checks the state layout contract: one batch_id partition per
+    applied batch and the meta pointer at the last one."""
+    import itertools
+    import json
+    import os
+
+    from mapreduce_mit_spark.plans.dedup import _dedup_pipeline
+    from mapreduce_mit_spark.streaming.stream_queries import (
+        stream_admit_increments,
+    )
+
+    from .test_operators import BASE
+
+    wordset = lambda seed, n: " ".join(  # noqa: E731
+        "".join(p) for p in itertools.islice(
+            itertools.product(seed, repeat=3), n
+        )
+    )
+    doc_c = wordset("cdefghi", 40)
+    docs = {
+        0: BASE,                                  # corpus
+        1: wordset("jklmnop", 40),                # corpus
+        10: BASE.upper().replace("  ", " "),      # inc1: exact of 0
+        11: doc_c,                                # inc1: new -> admitted
+        13: BASE.replace("quiet", "noisy"),       # inc1: near-dup of 0
+        20: doc_c.upper(),                        # inc2: exact of 11 (inc1!)
+        21: doc_c + " extraqa extraqb",           # inc2: near-dup of 11
+        22: wordset("qrstuvw", 40),               # inc2: new -> admitted
+    }
+
+    def df(ids):
+        return spark.createDataFrame(
+            [(i, docs[i]) for i in ids], "doc_id long, text string"
+        )
+
+    root = str(tmp_path / "admit")
+    log = stream_admit_increments(
+        spark, df([0, 1]), [df([10, 11, 13]), df([20, 21, 22])], root
+    ).collect()
+
+    got = {r.doc_id: r for r in log}
+    assert {(r.increment, r.doc_id) for r in log} == {
+        (1, 10), (1, 11), (1, 13), (2, 20), (2, 21), (2, 22)
+    }
+    assert got[10].status == "exact" and got[10].match_doc_id == 0
+    assert got[13].status == "near_dup" and got[13].match_doc_id == 0
+    assert got[11].status == "new"
+    # the evolving-corpus property: inc2 docs match an inc1 ADMISSION
+    assert got[20].status == "exact" and got[20].match_doc_id == 11
+    assert got[21].status == "near_dup" and got[21].match_doc_id == 11
+    assert got[22].status == "new"
+
+    # final corpus state == from-scratch q148 rebuild over the union
+    meta = json.loads(open(os.path.join(root, "meta.json")).read())
+    assert meta["batch_id"] == 1
+    final = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(root, "docs"))
+        .where(F.col("batch_id") <= meta["batch_id"])
+        .collect()
+    }
+    full_dir = str(tmp_path / "full")
+    (
+        df(sorted(docs))
+        .select(
+            "doc_id", "text",
+            F.lit("en").alias("lang"), F.lit("t").alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .write.parquet(full_dir + "/documents.parquet")
+    )
+    rebuild = {r.doc_id for r in _dedup_pipeline(spark, full_dir).collect()}
+    assert final == rebuild == {0, 1, 11, 22}
+    # append-only layout: one partition per applied batch, seed at -1
+    for t in ("docs", "bands", "hashes"):
+        parts = sorted(
+            p for p in os.listdir(os.path.join(root, t))
+            if p.startswith("batch_id=")
+        )
+        assert parts == ["batch_id=-1", "batch_id=0", "batch_id=1"], (t, parts)
