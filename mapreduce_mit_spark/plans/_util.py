@@ -47,27 +47,47 @@ def ravg(col: Column | str, alias: str, nd: int = 4) -> Column:
     return F.round(F.avg(c), nd).alias(alias)
 
 
-def write_index_meta(out_dir: str, src_path: str) -> None:
+def source_fingerprint(src_path: str) -> tuple:
+    """The one fingerprint for a source file: (realpath, size,
+    mtime_ns). realpath — not abspath — so an index saved against the
+    real path and attached via a symlinked fixture dir (the stream
+    staging dirs are symlinks) resolves to the SAME identity, and two
+    path spellings of one file can't defeat the staleness check."""
+    import os
+
+    real = os.path.realpath(src_path)
+    st = os.stat(real)
+    return (real, st.st_size, st.st_mtime_ns)
+
+
+def write_index_meta(
+    out_dir: str, src_path: str, schemas: dict[str, str] | None = None
+) -> None:
     """Stamp a persisted index with its source file's fingerprint
-    (abspath + size + mtime_ns — the same triple the session cache
+    (realpath + size + mtime_ns — the same triple the session cache
     keys on), so a later attach can detect staleness instead of
-    silently serving an index fitted on superseded data."""
+    silently serving an index fitted on superseded data.
+
+    ``schemas`` maps sub-table name -> fitted ``schema.json()``. Loads
+    use it to restore exact fitted types: parquet partition-column
+    discovery re-infers types from directory values (an int-looking
+    ``cluster=7`` reads back IntegerType even when the fitted column
+    was LongType), and without the cast an attached index poisons the
+    serving session's schema and fails the type-tagged value hash."""
     import json
     import os
 
-    st = os.stat(src_path)
-    meta = {
-        "source": os.path.abspath(src_path),
-        "size": st.st_size,
-        "mtime_ns": st.st_mtime_ns,
-    }
+    fp = source_fingerprint(src_path)
+    meta = {"source": fp[0], "size": fp[1], "mtime_ns": fp[2]}
+    if schemas:
+        meta["schemas"] = schemas
     with open(os.path.join(out_dir, "_meta.json"), "w") as f:
         json.dump(meta, f)
 
 
 def check_index_meta(out_dir: str, src_path: str) -> tuple:
     """Validate a persisted index against the CURRENT source file.
-    Returns the session-cache key fingerprint tail (abspath, size,
+    Returns the session-cache key fingerprint tail (realpath, size,
     mtime_ns) on success; raises ValueError when the index predates a
     source regeneration (same staleness discipline as the in-session
     fingerprint keys — a stale index must refuse to serve, not
@@ -77,8 +97,7 @@ def check_index_meta(out_dir: str, src_path: str) -> tuple:
 
     with open(os.path.join(out_dir, "_meta.json")) as f:
         meta = json.load(f)
-    st = os.stat(src_path)
-    cur = (os.path.abspath(src_path), st.st_size, st.st_mtime_ns)
+    cur = source_fingerprint(src_path)
     if cur != (meta["source"], meta["size"], meta["mtime_ns"]):
         raise ValueError(
             f"persisted index at {out_dir} is stale: fitted on "
@@ -87,3 +106,36 @@ def check_index_meta(out_dir: str, src_path: str) -> tuple:
             "at the matching data"
         )
     return cur
+
+
+def read_index_table(
+    spark: SparkSession, out_dir: str, name: str, cols: list[str]
+) -> DataFrame:
+    """Read one persisted index sub-table and restore its FITTED
+    schema from the ``_meta.json`` schema stamp (see
+    :func:`write_index_meta`). Every ``*_index_load`` goes through
+    this so partition-column type re-inference can never change the
+    serving schema; indexes saved before schema stamping existed fall
+    back to the raw parquet types."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    df = spark.read.parquet(os.path.join(out_dir, name))
+    try:
+        with open(os.path.join(out_dir, "_meta.json")) as f:
+            stamp = (json.load(f).get("schemas") or {}).get(name)
+    except FileNotFoundError:
+        stamp = None
+    if stamp is None:
+        return df.select(*cols)
+    fitted = {
+        f.name: f.dataType for f in StructType.fromJson(json.loads(stamp)).fields
+    }
+    return df.select(
+        *[
+            F.col(c).cast(fitted[c]).alias(c) if c in fitted else F.col(c)
+            for c in cols
+        ]
+    )

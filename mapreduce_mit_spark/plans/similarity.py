@@ -24,7 +24,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ._util import check_index_meta, t, tw, write_index_meta
+from ._util import (
+    check_index_meta,
+    read_index_table,
+    source_fingerprint,
+    t,
+    tw,
+    write_index_meta,
+)
 
 DIM = 64
 QUERY_VEC_ID = 0
@@ -755,8 +762,8 @@ def _cache_evict(value) -> None:
 def _cache_put(cache: dict, key: tuple, value) -> None:
     """Insert an index artifact, dropping any entry it supersedes.
 
-    Keys are (kind, abspath, size, mtime_ns): when a source file is
-    regenerated IN PLACE, the fingerprint changes but (kind, abspath)
+    Keys are (kind, realpath, size, mtime_ns): when a source file is
+    regenerated IN PLACE, the fingerprint changes but (kind, realpath)
     stays — without this sweep the old entry (and the eagerly
     localCheckpointed blocks its DataFrames pin) leaks until the
     session dies. Distinct paths (other sf dirs) are untouched."""
@@ -777,9 +784,8 @@ def codebook_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cache hit and a fresh fit are bit-identical, making the cache
     result-invisible. Entries are 8 localCheckpointed rows each."""
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
     cache = _session_cache(spark)
-    key = ("ivf", os.path.abspath(src), st.st_size, st.st_mtime_ns)
+    key = ("ivf",) + source_fingerprint(src)
     df = cache.get(key)
     if df is None:
         df = ivf_codebook(t(spark, sf_dir, "embeddings"))
@@ -802,9 +808,8 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     source fingerprint), built from the same codebook q68/q155 share
     through the cache."""
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
     cache = _session_cache(spark)
-    key = ("ivf_lists", os.path.abspath(src), st.st_size, st.st_mtime_ns)
+    key = ("ivf_lists",) + source_fingerprint(src)
     pair = cache.get(key)
     if pair is None:
         cent = codebook_for(spark, sf_dir)
@@ -1276,9 +1281,8 @@ def pq_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     in the raw vector bytes. The codes localCheckpoint eagerly
     (~N_SUB × corpus ids — 40 MB at 1.6M code rows, disk-backed)."""
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
     cache = _session_cache(spark)
-    key = ("pq", os.path.abspath(src), st.st_size, st.st_mtime_ns)
+    key = ("pq",) + source_fingerprint(src)
     pair = cache.get(key)
     if pair is None:
         # ingestion gate: the fit sample and the codes pass see only
@@ -1625,9 +1629,8 @@ def ivfadc_index_for(
     probe predicate — ADC cost is the probed cells' codes only,
     ~nprobe/k of the corpus."""
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
     cache = _session_cache(spark)
-    key = ("ivfadc", os.path.abspath(src), st.st_size, st.st_mtime_ns)
+    key = ("ivfadc",) + source_fingerprint(src)
     trip = cache.get(key)
     if trip is None:
         # the coarse half IS q68's index — codebook AND inverted lists
@@ -1946,7 +1949,15 @@ def ivfadc_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         .partitionBy("cluster")
         .parquet(os.path.join(out_dir, "codes"))
     )
-    write_index_meta(out_dir, os.path.join(sf_dir, "embeddings.parquet"))
+    write_index_meta(
+        out_dir,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        schemas={
+            "coarse": cent.schema.json(),
+            "pq": pcent.schema.json(),
+            "codes": codes.schema.json(),
+        },
+    )
 
 
 def ivfadc_index_load(
@@ -1955,11 +1966,15 @@ def ivfadc_index_load(
     """Load a persisted IVFADC index (see :func:`ivfadc_index_save`).
     The codebooks are broadcast-sized; the codes scan is partitioned by
     cluster, so a probed-cell filter prunes to the probed partitions —
-    serve cost is file-pruned before a single row is read."""
-    cent = spark.read.parquet(os.path.join(out_dir, "coarse"))
-    pcent = spark.read.parquet(os.path.join(out_dir, "pq"))
-    codes = spark.read.parquet(os.path.join(out_dir, "codes")).select(
-        "vec_id", "cluster", "sub", "code"
+    serve cost is file-pruned before a single row is read. All three
+    tables go through :func:`read_index_table`, which restores the
+    FITTED types (the partitioned ``cluster`` would otherwise read
+    back as the partition-discovery-inferred int, not the fitted
+    bigint, and poison every downstream consumer's schema)."""
+    cent = read_index_table(spark, out_dir, "coarse", ["cid", "cv"])
+    pcent = read_index_table(spark, out_dir, "pq", ["sub", "cid", "cv"])
+    codes = read_index_table(
+        spark, out_dir, "codes", ["vec_id", "cluster", "sub", "code"]
     )
     return cent, pcent, codes
 
