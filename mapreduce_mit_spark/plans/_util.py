@@ -98,7 +98,10 @@ def check_index_meta(out_dir: str, src_path: str) -> tuple:
     with open(os.path.join(out_dir, "_meta.json")) as f:
         meta = json.load(f)
     cur = source_fingerprint(src_path)
-    if cur != (meta["source"], meta["size"], meta["mtime_ns"]):
+    # realpath the STORED source too: indexes saved before the realpath
+    # switch stamped abspath, so an index saved via a symlinked staging
+    # dir would otherwise read as spuriously stale and force a refit.
+    if cur != (os.path.realpath(meta["source"]), meta["size"], meta["mtime_ns"]):
         raise ValueError(
             f"persisted index at {out_dir} is stale: fitted on "
             f"{(meta['source'], meta['size'], meta['mtime_ns'])}, "

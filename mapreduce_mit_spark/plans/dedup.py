@@ -76,6 +76,38 @@ def q80_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_seq_key_col() -> Column:
+    """q148's collapse key as a reusable expression: md5 of the
+    CASE-SENSITIVE token sequence (\\x1f-joined — tokens are letter
+    runs, so the separator can't occur inside one), with a per-doc
+    unique fallback for token-less docs (they must never collapse:
+    the fuzzy chain can't link empty token sets, so q148 keeps each
+    as a singleton — see the pre-pass comment in _dedup_pipeline).
+    Docs equal under this key provably behave identically through
+    shingle → minhash → band → Jaccard-verify, which is what makes
+    collapsing (q148) or exact-classifying (q163 admission) on it
+    invisible to the final survivor set. Contrast q80's norm_text
+    key, which case-folds — the right notion for user-facing exact
+    dedup, the wrong one for rebuild-equivalence."""
+    toks = tokens_col("text")
+    return (
+        F.when(F.size(toks) >= 1, F.md5(F.concat_ws("\x1f", toks)))
+        .otherwise(F.concat(F.lit("tokenless:"), F.col("doc_id").cast("string")))
+    )
+
+
+def token_seq_key_sql(expr: str = "text") -> str:
+    """DuckDB twin of :func:`token_seq_key_col` (same bytes into md5:
+    chr(31) == \\x1f; both token lists are empty-filtered and
+    NULL-free, so array_to_string == concat_ws)."""
+    toks = tokens_sql(expr)
+    return (
+        f"CASE WHEN len({toks}) >= 1"
+        f" THEN md5(array_to_string({toks}, chr(31)))"
+        f" ELSE 'tokenless:' || CAST(doc_id AS VARCHAR) END"
+    )
+
+
 def shingles_col(toks: Column | None = None) -> Column:
     """Word 3-gram shingles from the tokenized text (Spark side).
 
@@ -256,13 +288,24 @@ def lsh_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         .partitionBy("band_idx")
         .parquet(os.path.join(out_dir, "bands"))
     )
-    write_index_meta(out_dir, os.path.join(sf_dir, "documents.parquet"))
+    write_index_meta(
+        out_dir,
+        os.path.join(sf_dir, "documents.parquet"),
+        schemas={"bands": bands.schema.json()},
+    )
 
 
 def lsh_index_load(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Load a persisted LSH band table (see :func:`lsh_index_save`)."""
-    return spark.read.parquet(os.path.join(out_dir, "bands")).select(
-        "doc_id", "band_idx", "band_key"
+    """Load a persisted LSH band table (see :func:`lsh_index_save`),
+    via :func:`read_index_table` so the partitioned ``band_idx``
+    serves with its FITTED type (posexplode emits int; partition
+    discovery would re-infer the same int today, but the stamp makes
+    the serving schema a function of the fit, not of directory-name
+    inference)."""
+    from ._util import read_index_table
+
+    return read_index_table(
+        spark, out_dir, "bands", ["doc_id", "band_idx", "band_key"]
     )
 
 
@@ -994,14 +1037,7 @@ def _dedup_pipeline(
         # them), so collapsing them would remove docs the no-pre-pass
         # oracle keeps. Token-less docs are singletons on every route;
         # q80 is the exact-dedup operator for them.
-        toks = tokens_col("text")
-        ck = base.select(
-            "doc_id",
-            F.when(
-                F.size(toks) >= 1, F.md5(F.concat_ws("\x1f", toks))
-            ).otherwise(F.concat(F.lit("tokenless:"), F.col("doc_id").cast("string")))
-            .alias("_ck"),
-        ).persist()
+        ck = base.select("doc_id", token_seq_key_col().alias("_ck")).persist()
         reps = (
             ck.groupBy("_ck")
             .agg(F.min("doc_id").alias("rep_id"))
@@ -1501,7 +1537,9 @@ INCR_BATCH_REM = 7    # doc_id % 10 == 7 -> the incoming batch (~10%)
 # result is batch-boundary-independent and both check against the SAME
 # SQL — the strongest correctness statement the streaming variant can
 # make (stream == batch == oracle).
-def _incr_stage_sql(p: str, batch_ids: str, corpus_ids: str) -> str:
+def _incr_stage_sql(
+    p: str, batch_ids: str, corpus_ids: str, key_sql: str | None = None
+) -> str:
     """One incremental-classification STAGE as DuckDB CTE text: classify
     the docs in id-set CTE ``batch_ids`` against those in ``corpus_ids``
     (exact hash first, then LSH-candidate + Jaccard-verified near-dup,
@@ -1511,13 +1549,16 @@ def _incr_stage_sql(p: str, batch_ids: str, corpus_ids: str) -> str:
     ONE stage; q163's (stream_queries.py) is two CHAINED stages — the
     second stage's corpus set includes the first stage's admitted
     ('new') docs, which is how SQL replays corpus evolution without
-    recursion when the number of increments is fixed."""
+    recursion when the number of increments is fixed. ``key_sql``
+    mirrors classify_increment's ``exact_key``: default norm_text md5
+    (q161/q162); q163 passes :func:`token_seq_key_sql`."""
+    k = key_sql if key_sql is not None else f"md5({norm_text_sql('text')})"
     return f"""{p}bh AS MATERIALIZED (
-      SELECT doc_id, md5({norm_text_sql('text')}) AS h FROM documents
+      SELECT doc_id, {k} AS h FROM documents
       WHERE doc_id IN (SELECT doc_id FROM {batch_ids})
     ),
     {p}ch AS MATERIALIZED (
-      SELECT doc_id, md5({norm_text_sql('text')}) AS h FROM documents
+      SELECT doc_id, {k} AS h FROM documents
       WHERE doc_id IN (SELECT doc_id FROM {corpus_ids})
     ),
     {p}exact AS MATERIALIZED (
@@ -1664,6 +1705,7 @@ def classify_increment(
     corpus_bands: DataFrame | None = None,
     verify_docs: DataFrame | None = None,
     corpus_hashes: DataFrame | None = None,
+    exact_key: Column | None = None,
 ) -> DataFrame:
     """Classify an increment against a standing corpus given as two
     SEPARATE DataFrames — the shape a streaming consumer has (the
@@ -1682,15 +1724,20 @@ def classify_increment(
     normalized-content-hash table for the corpus (the second
     maintained index artifact; None hashes the corpus fresh — a
     repeat caller like q162's micro-batch loop should NOT re-hash the
-    corpus per call). Returns (doc_id, status, match_doc_id, jaccard)
-    for batch rows."""
-    bh = batch.select(
-        F.col("doc_id").alias("b_id"), F.md5(norm_text_col("text")).alias("h")
-    )
+    corpus per call). ``exact_key``: the exact-tier key EXPRESSION
+    (over doc_id, text), defaulting to the case-folding norm_text md5
+    — q161/q162's classification contract, aligned with q80. The
+    admission loop (q163) passes :func:`token_seq_key_col` instead so
+    its exact tier collapses exactly what a from-scratch q148 rebuild
+    would collapse; a precomputed ``corpus_hashes`` must be keyed the
+    SAME way as ``exact_key``. Returns (doc_id, status, match_doc_id,
+    jaccard) for batch rows."""
+    key = exact_key if exact_key is not None else F.md5(norm_text_col("text"))
+    bh = batch.select(F.col("doc_id").alias("b_id"), key.alias("h"))
     ch = (
         corpus_hashes
         if corpus_hashes is not None
-        else corpus.select("doc_id", F.md5(norm_text_col("text")).alias("h"))
+        else corpus.select("doc_id", key.alias("h"))
     )
     exact = (
         ch.join(F.broadcast(bh), "h")

@@ -2006,14 +2006,25 @@ def ivf_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
         .partitionBy("cluster")
         .parquet(os.path.join(out_dir, "lists"))
     )
-    write_index_meta(out_dir, os.path.join(sf_dir, "embeddings.parquet"))
+    write_index_meta(
+        out_dir,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        schemas={
+            "coarse": cent.schema.json(),
+            "lists": assign.schema.json(),
+        },
+    )
 
 
 def ivf_index_load(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Load a persisted IVF index (see :func:`ivf_index_save`)."""
-    cent = spark.read.parquet(os.path.join(out_dir, "coarse"))
-    assign = spark.read.parquet(os.path.join(out_dir, "lists")).select(
-        "vec_id", "label", "cluster", "embedding"
+    """Load a persisted IVF index (see :func:`ivf_index_save`). Both
+    sub-tables go through :func:`read_index_table` so the partitioned
+    ``cluster`` column serves with its FITTED bigint type instead of
+    the partition-discovery-inferred int — ``cluster`` reaches q68's
+    output, so a raw read would fail the type-tagged value hash."""
+    cent = read_index_table(spark, out_dir, "coarse", ["cid", "cv"])
+    assign = read_index_table(
+        spark, out_dir, "lists", ["vec_id", "label", "cluster", "embedding"]
     )
     return cent, assign
 
@@ -2028,15 +2039,24 @@ def pq_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     cent, codes = pq_index_for(spark, sf_dir)
     cent.write.mode("overwrite").parquet(os.path.join(out_dir, "pq"))
     codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))
-    write_index_meta(out_dir, os.path.join(sf_dir, "embeddings.parquet"))
+    write_index_meta(
+        out_dir,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        schemas={
+            "pq": cent.schema.json(),
+            "codes": codes.schema.json(),
+        },
+    )
 
 
 def pq_index_load(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Load a persisted PQ index (see :func:`pq_index_save`)."""
-    cent = spark.read.parquet(os.path.join(out_dir, "pq"))
-    codes = spark.read.parquet(os.path.join(out_dir, "codes")).select(
-        "vec_id", "sub", "cluster"
-    )
+    """Load a persisted PQ index (see :func:`pq_index_save`). Neither
+    sub-table is partitioned, so today's parquet types already match
+    the fitted ones — but the loads still go through
+    :func:`read_index_table` so a future layout change (or a type the
+    writer narrows) can never silently alter the serving schema."""
+    cent = read_index_table(spark, out_dir, "pq", ["sub", "cid", "cv"])
+    codes = read_index_table(spark, out_dir, "codes", ["vec_id", "sub", "cluster"])
     return cent, codes
 
 

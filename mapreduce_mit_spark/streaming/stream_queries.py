@@ -1393,15 +1393,22 @@ def stream_admit_increments(
 
     Returns the classification log: (increment, doc_id, status,
     match_doc_id, jaccard), increment = 1-based processing order.
-    Greedy admission never merges two already-admitted docs, so with
-    clique-shaped groups and ids growing batch-over-batch the final
-    corpus equals a from-scratch rebuild (pinned in streaming form by
+
+    The exact tier keys on q148's TOKEN-SEQUENCE collapse key
+    (dedup.token_seq_key_col), NOT q161/q162's case-folding norm_text
+    key: admission's contract is rebuild-equivalence — the admitted
+    corpus must equal a from-scratch q148 rebuild over the union — and
+    q148 keeps case-variant docs (tokenization is case-sensitive), so
+    a case-folding exact tier here would drop docs the rebuild keeps.
+    With that key, greedy admission never merges two already-admitted
+    docs, so with clique-shaped groups and ids growing batch-over-batch
+    the final corpus EQUALS the rebuild (pinned by
     tests/test_streaming.py::test_stream_admission_equals_full_rebuild,
     mirroring the batch chain's equivalence contract)."""
     import json
     import shutil
 
-    from ..plans.dedup import _lsh_bands_df, classify_increment, norm_text_col
+    from ..plans.dedup import _lsh_bands_df, classify_increment, token_seq_key_col
     from ..sources.io import ensure_reader_confs
 
     ensure_reader_confs(spark)
@@ -1425,7 +1432,7 @@ def stream_admit_increments(
         return os.path.join(tables[table], f"batch_id={batch_id}")
 
     def _hashes(d: DataFrame) -> DataFrame:
-        return d.select("doc_id", F.md5(norm_text_col("text")).alias("h"))
+        return d.select("doc_id", token_seq_key_col().alias("h"))
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS * 2))
@@ -1471,6 +1478,7 @@ def stream_admit_increments(
                     .where(live)
                     .select("doc_id", "h"),
                     verify_docs=batch.select("doc_id", "text").unionByName(corpus),
+                    exact_key=token_seq_key_col(),
                 ).localCheckpoint(eager=True)  # one evaluation, 2 consumers
                 cls.write.mode("overwrite").parquet(_part("log", batch_id))
                 new_docs = batch.join(
@@ -1518,8 +1526,9 @@ ADMIT_REM_2 = 8  # second streamed increment: doc_id % 10 == 8
 
 
 def _q163_oracle() -> str:
-    from ..plans.dedup import _incr_stage_sql, _lsh_bands_sql
+    from ..plans.dedup import _incr_stage_sql, _lsh_bands_sql, token_seq_key_sql
 
+    k = token_seq_key_sql("text")
     return f"""
     WITH {_lsh_bands_sql(materialized=True)},
     s1batch AS MATERIALIZED (
@@ -1527,14 +1536,14 @@ def _q163_oracle() -> str:
     s1corpus AS MATERIALIZED (
       SELECT doc_id FROM documents
       WHERE doc_id % 10 NOT IN ({ADMIT_REM_1}, {ADMIT_REM_2})),
-    {_incr_stage_sql('s1', 's1batch', 's1corpus')},
+    {_incr_stage_sql('s1', 's1batch', 's1corpus', key_sql=k)},
     s2batch AS MATERIALIZED (
       SELECT doc_id FROM documents WHERE doc_id % 10 = {ADMIT_REM_2}),
     s2corpus AS MATERIALIZED (
       SELECT doc_id FROM s1corpus
       UNION
       SELECT doc_id FROM s1cls WHERE status = 'new'),
-    {_incr_stage_sql('s2', 's2batch', 's2corpus')}
+    {_incr_stage_sql('s2', 's2batch', 's2corpus', key_sql=k)}
     SELECT * FROM (
       SELECT CAST(1 AS INTEGER) AS increment, doc_id, status,
              match_doc_id, jaccard
@@ -1574,9 +1583,12 @@ def q163_stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     Production shape: increments are pre-deduped internally (q148 on
     the batch) before admission; here they stream as-is, so batch-
     internal dups admit together — classification never compares
-    within an increment (q161's contract). Reference analog: the
-    check-then-add merge loop (master_splitmerge.go:14-51), run as a
-    stream."""
+    within an increment (q161's contract). The exact tier (Spark AND
+    oracle) keys on q148's token-sequence collapse key, not q161's
+    case-folding norm_text key — admission's contract is rebuild-
+    equivalence, and q148 keeps case-variant docs (see
+    stream_admit_increments). Reference analog: the check-then-add
+    merge loop (master_splitmerge.go:14-51), run as a stream."""
     from ..sources.io import load_table
 
     docs = load_table(spark, sf_dir, "documents")

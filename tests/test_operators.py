@@ -1615,12 +1615,21 @@ def test_index_attach_serves_without_refit(spark, tmp_path):
         pq_index_save,
     )
 
+    def _dtypes(art):
+        return [df.dtypes for df in (art if isinstance(art, tuple) else (art,))]
+
     dirs = {f: str(tmp_path / f) for f in ("ivf", "pq", "ivfadc", "lsh")}
     ivf_index_save(spark, SF_SMALL, dirs["ivf"])
     pq_index_save(spark, SF_SMALL, dirs["pq"])
     ivfadc_index_save(spark, SF_SMALL, dirs["ivfadc"])
     lsh_index_save(spark, SF_SMALL, dirs["lsh"])
     baseline_bands = sorted(map(tuple, lsh_bands_for(spark, SF_SMALL).collect()))
+    fitted_types = {
+        "ivf": _dtypes(ivf_index_for(spark, SF_SMALL)),
+        "pq": _dtypes(pq_index_for(spark, SF_SMALL)),
+        "ivfadc": _dtypes(ivfadc_index_for(spark, SF_SMALL)),
+        "lsh": _dtypes(lsh_bands_for(spark, SF_SMALL)),
+    }
 
     # simulate a fresh session: drop every cached index artifact
     cache = _session_cache(spark)
@@ -1639,6 +1648,16 @@ def test_index_attach_serves_without_refit(spark, tmp_path):
     assert (
         sorted(map(tuple, att_lsh.collect())) == baseline_bands
     ), "attached band table diverges from the fit"
+    # attached schema must equal the FITTED schema, dtype for dtype —
+    # parquet partition-column discovery re-infers types from directory
+    # names (cluster=7 → int even when the fit produced bigint), and a
+    # dtype drift here poisons every downstream consumer's schema
+    for fam, att in (
+        ("ivf", att_ivf), ("pq", att_pq), ("ivfadc", att_adc), ("lsh", att_lsh)
+    ):
+        assert _dtypes(att) == fitted_types[fam], (
+            f"{fam}: attached dtypes {_dtypes(att)} != fitted {fitted_types[fam]}"
+        )
 
 
 def test_index_attach_refuses_stale_index(spark, tmp_path):

@@ -1030,15 +1030,27 @@ def test_stream_admission_equals_full_rebuild(spark, tmp_path):
         )
     )
     doc_c = wordset("cdefghi", 40)
+    # CASE-VARIANT exacts (10, 20) are the contract's sharpest edge:
+    # tokenization is case-sensitive, so a from-scratch q148 rebuild
+    # KEEPS them (disjoint token sets — not even near-dups of their
+    # lowercase originals), and rebuild-equivalent admission must too.
+    # An admission gate keyed on the case-folding norm_text hash
+    # (q161/q162's classification key) would drop them — the exact
+    # divergence this fixture exists to catch.
+    # Byte-identical exacts (7xx-free here) are covered by the q148
+    # pre-pass tests; 23 is a token-identical (whitespace-variant)
+    # exact, which BOTH the rebuild's collapse and admission's exact
+    # tier must drop.
     docs = {
         0: BASE,                                  # corpus
         1: wordset("jklmnop", 40),                # corpus
-        10: BASE.upper().replace("  ", " "),      # inc1: exact of 0
+        10: BASE.upper().replace("  ", " "),      # inc1: case variant of 0 -> KEPT
         11: doc_c,                                # inc1: new -> admitted
         13: BASE.replace("quiet", "noisy"),       # inc1: near-dup of 0
-        20: doc_c.upper(),                        # inc2: exact of 11 (inc1!)
+        20: doc_c.upper(),                        # inc2: case variant of 11 -> KEPT
         21: doc_c + " extraqa extraqb",           # inc2: near-dup of 11
         22: wordset("qrstuvw", 40),               # inc2: new -> admitted
+        23: doc_c.replace(" ", "  "),             # inc2: token-exact of 11 (inc1!)
     }
 
     def df(ids):
@@ -1048,20 +1060,23 @@ def test_stream_admission_equals_full_rebuild(spark, tmp_path):
 
     root = str(tmp_path / "admit")
     log = stream_admit_increments(
-        spark, df([0, 1]), [df([10, 11, 13]), df([20, 21, 22])], root
+        spark, df([0, 1]), [df([10, 11, 13]), df([20, 21, 22, 23])], root
     ).collect()
 
     got = {r.doc_id: r for r in log}
     assert {(r.increment, r.doc_id) for r in log} == {
-        (1, 10), (1, 11), (1, 13), (2, 20), (2, 21), (2, 22)
+        (1, 10), (1, 11), (1, 13), (2, 20), (2, 21), (2, 22), (2, 23)
     }
-    assert got[10].status == "exact" and got[10].match_doc_id == 0
+    assert got[10].status == "new", "case variant must be KEPT (rebuild keeps it)"
     assert got[13].status == "near_dup" and got[13].match_doc_id == 0
     assert got[11].status == "new"
     # the evolving-corpus property: inc2 docs match an inc1 ADMISSION
-    assert got[20].status == "exact" and got[20].match_doc_id == 11
+    assert got[20].status == "new", "case variant must be KEPT (rebuild keeps it)"
     assert got[21].status == "near_dup" and got[21].match_doc_id == 11
     assert got[22].status == "new"
+    assert got[23].status == "exact" and got[23].match_doc_id == 11, (
+        "token-identical doc must hit the exact tier against an inc1 admission"
+    )
 
     # final corpus state == from-scratch q148 rebuild over the union
     meta = json.loads(open(os.path.join(root, "meta.json")).read())
@@ -1083,7 +1098,7 @@ def test_stream_admission_equals_full_rebuild(spark, tmp_path):
         .write.parquet(full_dir + "/documents.parquet")
     )
     rebuild = {r.doc_id for r in _dedup_pipeline(spark, full_dir).collect()}
-    assert final == rebuild == {0, 1, 11, 22}
+    assert final == rebuild == {0, 1, 10, 11, 20, 22}
     # append-only layout: one partition per applied batch, seed at -1
     for t in ("docs", "bands", "hashes"):
         parts = sorted(
