@@ -95,10 +95,14 @@ def connected_components(
     max_iterations: int = 25,
     shuffle_partitions: int | None = None,
 ) -> DataFrame:
-    """Return (``node_col``, cluster) — cluster = min node id reachable.
+    """Return (``node_col``, cluster) — one row per CALLER node,
+    cluster = min reachable id among the caller's nodes.
 
     ``edges`` may be directed pairs; they are symmetrized here. Isolated
-    nodes keep their own id as cluster.
+    nodes keep their own id as cluster. Edges may reference endpoints
+    absent from ``nodes``: those ids RELAY connectivity (two caller
+    nodes joined through a foreign endpoint land in one cluster) but
+    never appear in the result and never become cluster labels.
 
     ``shuffle_partitions``: sizes the per-round label shuffles to the
     LABEL table (n_nodes), not to whatever the session's batch workload
@@ -123,38 +127,40 @@ def connected_components(
             return df.repartition(shuffle_partitions, "node")
         return df
 
-    # persist only — no eager count: the first round's `changed` action
-    # materializes labels (and the symmetrized edges) in the same job,
-    # so a separate warm-up count is one whole scheduled job of pure
-    # overhead per call (measured ~0.3 s at sf0.1 in q148's chain)
+    # persist only — no eager count: the first round's convergence
+    # action materializes labels (and the symmetrized edges) in the
+    # same job, so a separate warm-up count is one whole scheduled job
+    # of pure overhead per call (measured ~0.3 s at sf0.1 in q148's
+    # chain)
     #
-    # Seed the label table from nodes UNION edge endpoints. The
-    # equal-sums convergence test below is only valid when the label
-    # multiset's SUPPORT is fixed: if edges referenced endpoints absent
-    # from ``nodes``, the per-round union/groupBy would add those dst
-    # nodes to the label table over the first rounds, sums would not be
-    # monotone, and two equal consecutive sums would no longer imply a
-    # fixed point. Fixing the support up front (one distinct over a
-    # persisted edge table + the node list) restores the invariant for
-    # ANY input; all in-repo callers pass the full node set, so the
-    # extra endpoints are a no-op there.
-    labels = _sized(
-        nodes.select(F.col(node_col).alias("node"))
-        .union(edges_p.select(F.col("src").alias("node")))
-        .union(edges_p.select(F.col("dst").alias("node")))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
+    # Seed the label table from ``nodes`` ALONE — no union with edge
+    # endpoints, no distinct: that union-support seed was a shuffle
+    # over nodes + 2·edges paid on EVERY call (q148 4.5→7.3 s at
+    # sf0.1 across rounds 9-10) to guard a hazard no in-repo caller
+    # triggers. The hazard (edges referencing endpoints absent from
+    # ``nodes`` grow the label table's support over the first rounds,
+    # so equal consecutive SUMS no longer imply a fixed point) is
+    # closed by the convergence test instead: track (count, sum) —
+    # support only grows, so equal counts pin the support and equal
+    # sums then pin the labels. Foreign endpoints enter the table via
+    # neighbor rows (never with their own id, so they can't become
+    # cluster labels) and still RELAY labels between caller nodes; the
+    # final semi-join below trims them from the result.
+    nodes_p = nodes.select(F.col(node_col).alias("node")).persist()
+    labels = _sized(nodes_p.withColumn("label", F.col("node")))
     labels.persist()
 
     # Convergence detection WITHOUT a join: min-label propagation is
-    # MONOTONE — a node's label can only decrease round over round, so
-    # the rounds converge exactly when the label SUM stops decreasing
-    # (elementwise ≤ plus equal sums ⇒ elementwise equal). One narrow
-    # aggregate per round both materializes the persisted label table
-    # and yields the convergence signal; the old new-vs-old join+count
-    # paid a whole extra join (3 more stages) per round for the same
-    # bit (measured ~2.1 s/round vs ~0.9 at sf0.1 in q148's chain).
+    # MONOTONE — the support only grows (every labeled node re-enters
+    # via the union) and, for a FIXED support, a node's label can only
+    # decrease round over round. So (count, sum) repeating between two
+    # consecutive rounds ⇒ same support (counts equal) AND elementwise
+    # equal labels (elementwise ≤ plus equal sums) ⇒ fixed point. One
+    # narrow aggregate per round both materializes the persisted label
+    # table and yields the convergence signal; the old new-vs-old
+    # join+count paid a whole extra join (3 more stages) per round for
+    # the same bit (measured ~2.1 s/round vs ~0.9 at sf0.1 in q148's
+    # chain).
     # decimal(38,0): the sum of n node ids can overflow long at
     # cluster scale (1e9 rows × 1e12 ids); decimal keeps it exact,
     # and the cast costs one narrow pass over an already-tiny table.
@@ -168,7 +174,8 @@ def connected_components(
     # (pinned by test_connected_components_random_vs_union_find's
     # long-chain case).
     checkpoint_every = 6
-    prev_sum = None
+    prev = None
+    grew = False
     for i in range(max_iterations):
         neighbor_labels = (
             sym.join(labels, sym.src == labels.node)
@@ -180,26 +187,43 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         new_labels.persist()
-        cur_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
+        row = new_labels.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        cur = (row["n"], row["s"])
         labels.unpersist()
         labels = new_labels
-        # cur_sum is None iff the node set is EMPTY (sum over zero rows
-        # is NULL) — trivially converged; without this an empty input
-        # would run all max_iterations rounds of empty-data jobs
-        if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
+        if prev is not None and cur[0] != prev[0]:
+            grew = True  # support grew past round 1: foreign endpoints
+        # n == 0 iff the node set is EMPTY — trivially converged;
+        # without this an empty input would run all max_iterations
+        # rounds of empty-data jobs
+        if cur[0] == 0 or cur == prev:
             break
-        prev_sum = cur_sum
+        prev = cur
         if (i + 1) % checkpoint_every == 0:
             ck = labels.localCheckpoint(eager=True)
             labels.unpersist()
             labels = ck
 
+    out = labels.select("node", "label")
+    # Contract: one row per CALLER node, exactly. Foreign endpoints
+    # (edges naming ids absent from ``nodes``) relay labels during the
+    # rounds but must not appear in the result; the semi-join runs
+    # only when the support actually grew, so the common complete-node
+    # case (every in-repo caller) never pays it. Round-1 growth is
+    # invisible to the count comparison, so catch it with one extra
+    # narrow count only when edges exist and we never saw growth.
+    if not grew and prev is not None and prev[0] != nodes_p.count():
+        grew = True
+    if grew:
+        out = out.join(nodes_p, "node", "left_semi")
     # truncate lineage: the result otherwise re-runs every round (on
     # now-unpersisted inputs) when the caller executes it
-    out = labels.select("node", "label").localCheckpoint(eager=True)
+    out = out.localCheckpoint(eager=True)
     sym.unpersist()
     edges_p.unpersist()
+    nodes_p.unpersist()
     labels.unpersist()
     return out

@@ -429,6 +429,27 @@ def test_connected_components(spark):
     assert connected_components(empty_n, empty_e).collect() == []
 
 
+def test_connected_components_foreign_endpoints(spark):
+    """Edges may name ids absent from ``nodes``: they RELAY
+    connectivity between caller nodes but (a) never appear in the
+    result — one row per caller node, exactly — and (b) never become
+    cluster labels, even when the foreign id is the component minimum.
+    Also covers support growth AFTER round 1 (0-100-101-3 needs two
+    rounds to bridge), the regime where a sum-only convergence check
+    would misread growth as progress."""
+    from mapreduce_mit_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in (3, 5, 6, 9)], "id long")
+    # 3-100, 100-101, 101-5: 3 and 5 joined through a 2-foreign-hop
+    # relay; 6-1: foreign id 1 < 6 is the component min but must NOT
+    # label 6's cluster; 9 isolated.
+    edges = spark.createDataFrame(
+        [(3, 100), (100, 101), (101, 5), (6, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["label"] for r in connected_components(nodes, edges).collect()}
+    assert got == {3: 3, 5: 3, 6: 6, 9: 9}
+
+
 def test_connected_components_random_vs_union_find(spark):
     """Differential test of the sum-based convergence detection (equal
     label sums between rounds == converged, valid because min-label
