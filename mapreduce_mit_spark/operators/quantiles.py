@@ -169,9 +169,17 @@ def exact_quantiles_ranged(
     # that table explode and would only fail late at the broadcast limit.
     # exact_quantiles (window path) or exact_quantiles_auto is the right
     # tool there — bound documented here, enforced in _auto.
+    # asc_nulls_last on the RANGE key too: the local rank below orders
+    # asc_nulls_last, and Spark's bare-column range ordering is
+    # NULLS FIRST — with both defaults, a multi-partition group's NULL
+    # rows land in its first range partition yet rank last within it,
+    # shifting every later partition's global ranks (wrong quantiles
+    # exactly in this operator's few-giant-groups target regime).
     d = (
         df.select(*keys, col)
-        .repartitionByRange(P, *[F.col(k) for k in keys], F.col(col))
+        .repartitionByRange(
+            P, *[F.col(k) for k in keys], F.col(col).asc_nulls_last()
+        )
         .withColumn("_pid", F.spark_partition_id())
     )
     wl = Window.partitionBy("_pid", *keys).orderBy(F.col(col).asc_nulls_last())

@@ -738,6 +738,49 @@ def test_ranged_quantiles_single_giant_group(spark):
         assert abs(got_lin[alias] - expect) < 1e-9, (alias, got_lin[alias], expect)
 
 
+def test_ranged_quantiles_nulls_in_spanning_group(spark):
+    """NULL values inside a group that SPANS range partitions — the
+    ranged path's target regime. Bare-column range partitioning is
+    NULLS FIRST while the local rank is asc_nulls_last; unless the
+    range ordering also says asc_nulls_last, the group's NULL rows
+    land in its first partition but rank last within it, shifting
+    every later partition's global ranks. Pin: ranged == window path
+    (the reference formulation) on both modes, for a NULL-bearing
+    giant group plus a small all-NULL group and a clean group."""
+    import random
+
+    from mapreduce_mit_spark.operators.quantiles import (
+        exact_quantiles,
+        exact_quantiles_ranged,
+    )
+
+    rng = random.Random(5)
+    rows = [("giant", float(v)) for v in range(3_000)]
+    rows += [("giant", None)] * 200          # NULLs in the spanning group
+    rows += [("allnull", None)] * 5
+    rows += [("clean", float(v) / 3.0) for v in range(50)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k string, v double")
+    qs = {"p25": 0.25, "p50": 0.50, "p95": 0.95}
+    for mode in ("disc", "linear"):
+        want = {
+            r["k"]: r
+            for r in exact_quantiles(df, ["k"], "v", qs, mode=mode).collect()
+        }
+        got = {
+            r["k"]: r
+            for r in exact_quantiles_ranged(
+                df, ["k"], "v", qs, mode=mode, partitions=8
+            ).collect()
+        }
+        assert set(got) == set(want) == {"giant", "allnull", "clean"}
+        for k in want:
+            for alias in qs:
+                assert got[k][alias] == want[k][alias], (
+                    mode, k, alias, got[k][alias], want[k][alias]
+                )
+
+
 def test_ranged_quantiles_arg_validation(spark):
     """partitions=0 / negative must fail fast, not silently fall back to
     the session conf (ADVICE r4); a garbage conf value must raise a
