@@ -121,6 +121,12 @@ HEADLINE = [
 
 CORPUS_GLOB = "/root/reference/src/main/pg-*.txt"
 
+# Calibration of the box BENCH_r10 ran on — the pinned reference for
+# value_normalized (see the slim summary). All rounds normalize to this
+# one ruler; update it only if the normalization baseline is ever
+# deliberately re-anchored (and say so in SCALING.md).
+REF_CALIBRATION_S = 0.161
+
 
 def _corpus_queries(spark):
     """The reference's own two applications on its own 16 MB corpus —
@@ -432,6 +438,15 @@ def main() -> None:
         "reps": reps,
         "sf": float(sf),
         "calibration_s": calibration_s,
+        # Box-normalized total: value × (REF_CALIBRATION_S /
+        # calibration_s) — "what this total would read on the
+        # reference box". The reference is PINNED (round 10's box, the
+        # round the normalization question was raised about), not the
+        # previous round's, so every round normalizes to the same
+        # ruler and round-over-round deltas in value_normalized are
+        # code, not hardware. The calibration job is CPU-bound like
+        # the query mix, so linear scaling is a fair first-order model.
+        "value_normalized": round(total * (REF_CALIBRATION_S / calibration_s), 3),
         "fits_total": round(sum(fits.values()), 3),
     }
     detail = dict(slim, queries_cold=cold, queries_median=corpus_median, fits=fits)

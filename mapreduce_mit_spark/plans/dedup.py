@@ -240,12 +240,15 @@ def lsh_bands_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint keying makes in-place testdata regeneration invalidate
     it. ~4 narrow rows per document (band_idx + 32-char key),
     localCheckpointed eagerly."""
+    from ._util import source_fingerprint
     from .similarity import _cache_put, _session_cache
 
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
     cache = _session_cache(spark)
-    key = ("lsh_bands", os.path.abspath(src), st.st_size, st.st_mtime_ns)
+    # source_fingerprint (realpath), NOT abspath: lsh_index_attach
+    # primes this cache under the realpath key, so an abspath key here
+    # would silently re-band when sf_dir is reached via a symlink
+    key = ("lsh_bands",) + source_fingerprint(src)
     df = cache.get(key)
     if df is None:
         df = _lsh_bands_df(tw(spark, sf_dir, "documents")).localCheckpoint(

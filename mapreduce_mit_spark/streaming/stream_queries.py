@@ -628,7 +628,9 @@ def q115_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import ensure_reader_confs, load_table
 
     ensure_reader_confs(spark)
-    root = os.path.join(tempfile.gettempdir(), "mms_upsert")
+    # fingerprint-keyed like q152/q162/q163 (fp_stream_root): disjoint
+    # state trees for logically independent runs
+    root = fp_stream_root("mms_upsert", sf_dir, "events.parquet")
     src_dir = os.path.join(root, "src")
     ckpt = os.path.join(root, "ckpt")
     state_dirs = [os.path.join(root, "state_a"), os.path.join(root, "state_b")]
@@ -980,38 +982,55 @@ def q143_stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q152_sink_base(sf_dir: str) -> str:
     """Sink/checkpoint root for q152, shared with bench.py (which resets
     it before a cold run so the cold number measures the stream, not a
-    checkpoint no-op read-back).
+    checkpoint no-op read-back). See :func:`fp_stream_root` for the
+    fingerprint/pruning discipline."""
+    return fp_stream_root(
+        "mms_stream_sink", sf_dir, "events.parquet",
+        missing_hint="the streaming file sink reads the events table "
+        "of the given sf_dir",
+    )
+
+
+def fp_stream_root(
+    label: str, sf_dir: str, src_name: str, missing_hint: str | None = None
+) -> str:
+    """Per-(query-family, fixture-fingerprint) stream state root under
+    /tmp — shared by q152's sink, q162's incremental-dedup tree, and
+    q163's admission tree, so logically independent runs (different
+    fixtures, or the same fixture regenerated) never contend for one
+    fixed directory; same-fingerprint runs still serialize on the
+    tree lock, which is the correct remaining exclusion.
 
     The path embeds a fingerprint (size+mtime) of the source file: if
-    the testdata is regenerated in place, the old checkpoint would still
-    consider 'events.parquet' consumed and return STALE sink contents
-    computed from the previous data. A new fingerprint gives a fresh
-    checkpoint+sink, mirroring _events_stream's stale-symlink re-point;
-    SIBLING fingerprints of the same sf_dir (checkpoints of a
-    since-regenerated source) are pruned here once IDLE for
-    _SINK_PRUNE_AGE_S, so regenerating testdata cannot accumulate
-    orphaned checkpoint+sink trees under /tmp forever. The age gate is
-    the concurrency guard: a sibling fingerprint can belong to another
-    LIVE process that stat'ed the source just before a regeneration —
-    its stream is actively writing (recent mtimes throughout its
-    checkpoint tree), so an unconditional prune would delete a running
-    query's checkpoint+sink out from under it. Idle-for-an-hour trees
-    are orphans by definition (a micro-batch commits every few
-    seconds while a stream lives). Production analog: checkpoint
-    identity is tied to the source prefix's manifest generation, and
-    retired generations are garbage-collected after a grace period,
-    never synchronously with the cutover."""
-    src = os.path.join(sf_dir, "events.parquet")
+    the testdata is regenerated in place, an old checkpoint would still
+    consider the source consumed and return STALE contents computed
+    from the previous data. A new fingerprint gives a fresh tree,
+    mirroring _events_stream's stale-symlink re-point; SIBLING
+    fingerprints of the same sf_dir (state of a since-regenerated
+    source) are pruned here once IDLE for _SINK_PRUNE_AGE_S, so
+    regenerating testdata cannot accumulate orphaned trees under /tmp
+    forever. The age gate is the concurrency guard: a sibling
+    fingerprint can belong to another LIVE process that stat'ed the
+    source just before a regeneration — its stream is actively writing
+    (recent mtimes throughout its checkpoint tree), so an
+    unconditional prune would delete a running query's state out from
+    under it. Idle-for-an-hour trees are orphans by definition (a
+    micro-batch commits every few seconds while a stream lives).
+    Production analog: checkpoint identity is tied to the source
+    prefix's manifest generation, and retired generations are
+    garbage-collected after a grace period, never synchronously with
+    the cutover."""
+    src = os.path.join(sf_dir, src_name)
     try:
         st = os.stat(src)
     except FileNotFoundError as e:
+        hint = f" — {missing_hint}" if missing_hint else ""
         raise FileNotFoundError(
-            f"q152 source file missing: {src} — the streaming file sink "
-            "reads the events table of the given sf_dir"
+            f"{label} source file missing: {src}{hint}"
         ) from e
     sf_root = os.path.join(
         tempfile.gettempdir(),
-        "mms_stream_sink",
+        label,
         "v1",
         sf_dir.strip("/").replace("/", "_"),
     )
@@ -1283,7 +1302,10 @@ def q162_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..sources.io import ensure_reader_confs, load_table
 
     ensure_reader_confs(spark)
-    root = os.path.join(tempfile.gettempdir(), "mms_incr_stream")
+    # fingerprint-keyed root (fp_stream_root): two sessions running
+    # q162 against DIFFERENT fixtures (or a regenerated one) get
+    # disjoint trees and never serialize on the lock below
+    root = fp_stream_root("mms_incr_stream", sf_dir, "documents.parquet")
     src_dir = os.path.join(root, "src")
     ckpt = os.path.join(root, "ckpt")
     out_dir = os.path.join(root, "out")
@@ -1593,7 +1615,9 @@ def q163_stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     rem = F.col("doc_id") % 10
-    root = os.path.join(tempfile.gettempdir(), "mms_admit")
+    # fingerprint-keyed like q152/q162: logically independent runs
+    # (different or regenerated fixtures) get disjoint state trees
+    root = fp_stream_root("mms_admit", sf_dir, "documents.parquet")
     return stream_admit_increments(
         spark,
         docs.where(~rem.isin(ADMIT_REM_1, ADMIT_REM_2)),

@@ -182,3 +182,39 @@ def test_q152_two_processes_concurrently(spark):
     # no-op returning identical rows
     again = REGISTRY["q152_stream_file_sink"].fn(spark, SF_SMALL).collect()
     assert sorted(map(tuple, mine)) == sorted(map(tuple, again))
+
+
+def test_fp_stream_roots_disjoint_per_fixture(tmp_path):
+    """fp_stream_root keys every stream-state tree by (family, fixture
+    fingerprint): two different fixtures — or the same fixture after a
+    regeneration — must map to DISJOINT roots, so logically independent
+    runs never serialize on one lock (round-9 directive 8: the fixed
+    /tmp/mms_admit and /tmp/mms_incr_stream roots made any two
+    sessions' q162/q163 runs contend even across unrelated fixtures)."""
+    import shutil
+
+    a = tmp_path / "sfa"
+    b = tmp_path / "sfb"
+    for d in (a, b):
+        os.makedirs(d)
+        shutil.copyfile(
+            os.path.join(SF_SMALL, "documents.parquet"),
+            os.path.join(d, "documents.parquet"),
+        )
+    # different content sizes -> different fingerprints even if mtimes tie
+    with open(os.path.join(b, "documents.parquet"), "ab") as f:
+        f.write(b"\x00")
+
+    ra = sq.fp_stream_root("mms_admit", str(a), "documents.parquet")
+    rb = sq.fp_stream_root("mms_admit", str(b), "documents.parquet")
+    assert ra != rb
+    # regeneration of the SAME fixture (new mtime) re-keys the tree
+    os.utime(os.path.join(a, "documents.parquet"),
+             ns=(1_000_000_000_000_000_000, 1_000_000_000_000_000_000))
+    assert sq.fp_stream_root("mms_admit", str(a), "documents.parquet") != ra
+    # family keeps trees apart even for one fixture
+    assert sq.fp_stream_root("mms_incr_stream", str(a), "documents.parquet") != \
+        sq.fp_stream_root("mms_admit", str(a), "documents.parquet")
+    # a missing source is a readable error, not a KeyError deep in Spark
+    with pytest.raises(FileNotFoundError, match="mms_admit source file missing"):
+        sq.fp_stream_root("mms_admit", str(tmp_path / "nope"), "documents.parquet")

@@ -1724,6 +1724,57 @@ def test_index_attach_serves_without_refit(spark, tmp_path):
         )
 
 
+def test_dedup_consumers_serve_from_attached_bands(spark, tmp_path, monkeypatch):
+    """The dedup side of the attach story, per CONSUMER: after
+    lsh_index_attach in a cache-cold session, q148's direct route,
+    q158's eval side, and q161 must serve from the persisted band
+    table WITHOUT re-banding the corpus — enforced by poisoning
+    _lsh_bands_df (the fresh-banding core) for the corpus-sized calls
+    and comparing results against the pre-attach baseline. q158's
+    train side uses the length-gated window banding (not the plain
+    band table), and q161 bands nothing once given a band table, so
+    the only permitted _lsh_bands_df calls are none at all."""
+    from mapreduce_mit_spark.plans import dedup as dd
+    from mapreduce_mit_spark.plans.similarity import _cache_evict, _session_cache
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    sf = SF_SMALL
+    out = str(tmp_path / "lsh")
+    dd.lsh_index_save(spark, sf, out)
+    base_148 = sorted(
+        map(tuple, dd._dedup_pipeline(spark, sf, force_route="direct").collect())
+    )
+    base_158 = sorted(map(tuple, REGISTRY["q158_fuzzy_decontamination"].fn(
+        spark, sf).collect()))
+    base_161 = sorted(map(tuple, REGISTRY["q161_incremental_dedup"].fn(
+        spark, sf).collect()))
+
+    # fresh session: drop every cached artifact, then attach
+    cache = _session_cache(spark)
+    for k in list(cache):
+        _cache_evict(cache.pop(k))
+    dd.lsh_index_attach(spark, sf, out)
+
+    def _no_rebanding(docs):
+        raise AssertionError(
+            "consumer re-banded the corpus instead of serving the "
+            "attached band table"
+        )
+
+    monkeypatch.setattr(dd, "_lsh_bands_df", _no_rebanding)
+    got_148 = sorted(
+        map(tuple, dd._dedup_pipeline(spark, sf, force_route="direct").collect())
+    )
+    got_158 = sorted(map(tuple, REGISTRY["q158_fuzzy_decontamination"].fn(
+        spark, sf).collect()))
+    got_161 = sorted(map(tuple, REGISTRY["q161_incremental_dedup"].fn(
+        spark, sf).collect()))
+    assert got_148 == base_148
+    assert got_158 == base_158
+    assert got_161 == base_161
+
+
 def test_index_attach_refuses_stale_index(spark, tmp_path):
     """A persisted index whose source file changed since the fit must
     refuse to attach (ValueError), not silently serve stale results —
