@@ -93,6 +93,45 @@ growing batch-over-batch (fresh crawl ids are larger), the chained
 loop lands on EXACTLY the survivor set of a from-scratch q148 over
 the union — pinned by
 `tests/test_operators.py::test_incremental_dedup_chained_equals_full_rebuild`.
+
+### The streaming forms (q162 → q163)
+
+The same lifecycle as it actually runs in production — continuously,
+not as cron-batch jobs:
+
+- **`q162_stream_incremental_dedup`** is step 2 as a stream with the
+  corpus FROZEN for the stream's lifetime: the increment arrives as
+  micro-batches (`maxFilesPerTrigger`), `foreachBatch` runs
+  `classify_increment` against corpus artifacts built ONCE before the
+  stream starts (band table sliced from the `lsh_bands_for` memo —
+  attachable from `lsh_index_save` output — and a checkpointed
+  content-hash table). Classification is per-document and the corpus
+  is static, so the streamed union is batch-boundary-independent and
+  equals batch q161 — stream == batch == the same SQL oracle. Exact
+  tier: the case-folding `norm_text` hash, q161's classification
+  contract (aligned with q80's user-facing exact dedup).
+- **`q163_stream_corpus_admission`** is the step the frozen-corpus
+  form cannot express: ADMISSION, with the corpus EVOLVING across
+  micro-batches. Each increment is classified against the corpus as
+  extended by all previous admissions; `status='new'` docs are
+  admitted by APPENDING `batch_id=N` partitions to the docs/bands/
+  hashes trees (never rewriting), with a driver-side atomic meta
+  pointer — crash between partition write and pointer flip leaves a
+  readable consistent state, and a foreachBatch redelivery overwrites
+  its own partition (the q115 exactly-once discipline). Exact tier:
+  q148's TOKEN-SEQUENCE collapse key, NOT the case-folding hash —
+  admission's contract is rebuild-equivalence, and q148 keeps
+  case-variant docs, so a case-folding gate would drop docs the
+  rebuild keeps. State roots are fingerprint-keyed per fixture
+  (`fp_stream_root`) and process-leased (`tree_lock`).
+
+Streaming equivalence contract: the final admitted corpus equals a
+from-scratch q148 rebuild over initial ∪ all increments — pinned by
+`tests/test_streaming.py::test_stream_admission_equals_full_rebuild`
+(case-variant and token-identical fixtures included). At 100 TB the
+partition appends become Delta/Iceberg transactional appends and the
+meta pointer a table-version commit; the per-batch plan shapes carry
+over unchanged.
 """
 
 
