@@ -210,14 +210,28 @@ def connected_components(
     out = labels.select("node", "label")
     # Contract: one row per CALLER node, exactly. Foreign endpoints
     # (edges naming ids absent from ``nodes``) relay labels during the
-    # rounds but must not appear in the result; the semi-join runs
-    # only when the support actually grew, so the common complete-node
-    # case (every in-repo caller) never pays it. Round-1 growth is
-    # invisible to the count comparison, so catch it with one extra
-    # narrow count only when edges exist and we never saw growth.
-    if not grew and prev is not None and prev[0] != nodes_p.count():
-        grew = True
+    # rounds but must not appear in the result; the semi-join below
+    # runs only when the support actually grew, so the common
+    # complete-node case (every in-repo caller) never pays it.
+    # Round-1 growth is invisible to the loop's round-over-round count
+    # comparison (prev starts at round 1, AFTER neighbors joined), so
+    # close it here by comparing the final support against the DISTINCT
+    # caller-node count — distinct, because the seed is no longer
+    # de-duplicated and raw row multiplicity would both mask real
+    # growth (2 dup rows + 1 foreign endpoint looks like no growth) and
+    # fake it (dup rows with no foreign endpoints). One aggregate-only
+    # job over the cached node table per call — a partial-agg scan of
+    # already-materialized partitions, not the whole-table warm-up
+    # count priced at ~0.3 s in the loop comment above.
+    if not grew and prev is not None:
+        n_nodes = nodes_p.agg(
+            F.count_distinct(F.col("node")).alias("n")
+        ).first()["n"]
+        if prev[0] != n_nodes:
+            grew = True
     if grew:
+        # left_semi keeps `out`'s rows (already one per node from the
+        # groupBy) — duplicate caller rows cannot re-expand the result
         out = out.join(nodes_p, "node", "left_semi")
     # truncate lineage: the result otherwise re-runs every round (on
     # now-unpersisted inputs) when the caller executes it

@@ -1059,6 +1059,40 @@ def fp_stream_root(
                 with tree_lock(p, blocking=False) as held:
                     if held:
                         shutil.rmtree(p, ignore_errors=True)
+    # Legacy sweep: pre-v1 revisions of q115/q162/q163 kept their state
+    # DIRECTLY under <tmp>/<label>/ (src/ckpt/out/...), leased by the
+    # sibling <label>.lock. Those trees are invisible to the
+    # fingerprint-level sweep above (it only scans inside v1/<sfdir>),
+    # so a box that ran the old code accumulates them forever. Same
+    # discipline as the main sweep: delete only entries that are idle
+    # past the age gate AND only while holding the legacy root's own
+    # lock (a live old-revision process holds it; non-blocking probe
+    # skips). "v1" and lock files are the new layout — never touched.
+    label_root = os.path.join(tempfile.gettempdir(), label)
+    if os.path.isdir(label_root):
+        import shutil
+        import time
+
+        cutoff = time.time() - _SINK_PRUNE_AGE_S
+        legacy = [
+            e for e in os.listdir(label_root)
+            if e != "v1" and not e.endswith(".lock")
+        ]
+        if legacy and all(
+            _tree_newest_mtime(os.path.join(label_root, e)) < cutoff
+            for e in legacy
+        ):
+            with tree_lock(label_root, blocking=False) as held:
+                if held:
+                    for e in legacy:
+                        p = os.path.join(label_root, e)
+                        if os.path.isdir(p):
+                            shutil.rmtree(p, ignore_errors=True)
+                        else:
+                            try:
+                                os.unlink(p)
+                            except OSError:
+                                pass
     return os.path.join(sf_root, fp)
 
 

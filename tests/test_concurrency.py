@@ -218,3 +218,36 @@ def test_fp_stream_roots_disjoint_per_fixture(tmp_path):
     # a missing source is a readable error, not a KeyError deep in Spark
     with pytest.raises(FileNotFoundError, match="mms_admit source file missing"):
         sq.fp_stream_root("mms_admit", str(tmp_path / "nope"), "documents.parquet")
+
+
+def test_legacy_flat_layout_pruned(monkeypatch):
+    """Pre-v1 revisions of q115/q162/q163 kept state DIRECTLY under
+    /tmp/<label>/ with the lease at <label>.lock; fp_stream_root's
+    legacy sweep must remove those trees once idle — but never while a
+    live old-revision process holds the legacy lease, and never the
+    new v1/ layout itself."""
+    import shutil
+    import tempfile
+
+    label = "mms_test_legacy"
+    label_root = os.path.join(tempfile.gettempdir(), label)
+    shutil.rmtree(label_root, ignore_errors=True)
+    try:
+        os.makedirs(os.path.join(label_root, "src"))
+        with open(os.path.join(label_root, "meta.json"), "w") as f:
+            f.write("{}")
+        monkeypatch.setattr(sq, "_SINK_PRUNE_AGE_S", -60)  # all idle
+        child = _hold_lock_child(label_root)  # legacy <label>.lock held
+        try:
+            sq.fp_stream_root(label, SF_SMALL, "documents.parquet")
+            assert os.path.isdir(os.path.join(label_root, "src")), (
+                "sweep deleted legacy state while its lease was held"
+            )
+        finally:
+            _release(child)
+        root = sq.fp_stream_root(label, SF_SMALL, "documents.parquet")
+        assert not os.path.exists(os.path.join(label_root, "src"))
+        assert not os.path.exists(os.path.join(label_root, "meta.json"))
+        assert root.startswith(os.path.join(label_root, "v1"))
+    finally:
+        shutil.rmtree(label_root, ignore_errors=True)

@@ -449,6 +449,17 @@ def test_connected_components_foreign_endpoints(spark):
     got = {r["node"]: r["label"] for r in connected_components(nodes, edges).collect()}
     assert got == {3: 3, 5: 3, 6: 6, 9: 9}
 
+    # duplicate caller rows must not MASK foreign-endpoint growth: with
+    # nodes [5, 5] and edge 5-1, the final support {5, 1} has the same
+    # RAW row count as the input — a raw-count growth guard would skip
+    # the trim and leak foreign id 1 into the result (the distinct
+    # count catches it)
+    dup_nodes = spark.createDataFrame([(5,), (5,)], "id long")
+    dup_edges = spark.createDataFrame([(5, 1)], "src long, dst long")
+    rows = connected_components(dup_nodes, dup_edges).collect()
+    assert {(r["node"], r["label"]) for r in rows} == {(5, 5)}
+    assert len(rows) == 1
+
 
 def test_connected_components_random_vs_union_find(spark):
     """Differential test of the sum-based convergence detection (equal
