@@ -461,6 +461,27 @@ def test_connected_components_foreign_endpoints(spark):
     assert len(rows) == 1
 
 
+def test_connected_components_deep_chain(spark):
+    """Pointer jumping's reason to exist: a 300-link chain (diameter
+    300) must converge inside the default 25-round budget — pure
+    min-label propagation would need ~300 rounds and return a
+    non-converged labeling (interior nodes still carrying intermediate
+    ids). Two chains + an isolated node keep the check honest across
+    components."""
+    from mapreduce_mit_spark.operators.graph import connected_components
+
+    n = 300
+    ids = list(range(n)) + list(range(1000, 1000 + n)) + [5000]
+    nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+    pairs = list(zip(range(n - 1), range(1, n)))
+    pairs += list(zip(range(1000, 1000 + n - 1), range(1001, 1000 + n)))
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["node"]: r["label"] for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(n)} | {
+        i: 1000 for i in range(1000, 1000 + n)
+    } | {5000: 5000}
+
+
 def test_connected_components_random_vs_union_find(spark):
     """Differential test of the sum-based convergence detection (equal
     label sums between rounds == converged, valid because min-label
