@@ -116,6 +116,7 @@ HEADLINE = [
     "q89_ann_probe",
     "q90_stream_tumbling",
     "q98_frame_sample",
+    "q164_semantic_dedup",
 ]
 
 

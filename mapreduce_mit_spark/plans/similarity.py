@@ -2108,3 +2108,125 @@ def pq_index_attach(
     pair = pq_index_load(spark, out_dir)
     _index_attach(spark, sf_dir, out_dir, "pq", pair)
     return pair
+
+
+# --- semantic dedup (SemDeDup-style: cluster, then dedup inside cells) ------
+
+# Within-cell cosine threshold. The driver corpus has no planted dups
+# (q88's note), so 0.35 — the same bar q88 uses — keeps the operator's
+# removal path exercised (a few percent of vectors) without degenerating
+# to keep-everything or drop-everything.
+SEMDEDUP_TAU = 0.35
+
+
+def semantic_dedup_df(assign: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """q164's core over an (vec_id, cluster, embedding) assignment
+    table: GREEDY-BY-ID semantic dedup inside each cluster — a vector
+    is ``dup`` iff an EARLIER (lower-id) vector of the same cluster
+    sits within cosine ``tau``; else ``kept``. For dups, the strongest
+    earlier match is reported (ties → lowest id).
+
+    Greedy ε-ball pruning, not transitive closure: SemDeDup's rule
+    (keep one representative per ε-ball, chosen by a fixed order), the
+    standard curation semantics for embedding-space dedup — q148 is
+    the closure-based pipeline for text. Greedy is one self-join + one
+    aggregate; closure would add the iterative CC on top for little
+    curation benefit at ε this tight.
+    """
+    a = assign.select("vec_id", "cluster", "embedding").alias("a")
+    b = assign.select("vec_id", "cluster", "embedding").alias("b")
+    sim = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("m_id"),
+            sim.alias("cs"),
+        )
+        .where(F.col("cs") >= tau)
+    )
+    best = pairs.groupBy("vec_id").agg(
+        F.max_by(
+            "m_id", F.struct(F.col("cs"), (-F.col("m_id")).alias("nm"))
+        ).alias("match_vec_id"),
+        F.max("cs").alias("cs"),
+    )
+    return (
+        assign.select("vec_id", "cluster")
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("match_vec_id").isNotNull(), F.lit("dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            "match_vec_id",
+            F.round("cs", 4).alias("cos_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "q164_semantic_dedup",
+    oracle=f"""
+    WITH {_ivf_codebook_sql()},
+    sims AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {cosine_sql('e.embedding', 'c.cv')} AS sim
+      FROM embeddings e, cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cluster
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM sims)
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT b.vec_id AS vec_id, a.vec_id AS m_id,
+             {cosine_sql('a.embedding', 'b.embedding')} AS cs
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
+    ),
+    best AS (
+      SELECT vec_id, m_id AS match_vec_id, cs FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cs DESC, m_id) AS rn
+        FROM pairs)
+      WHERE rn = 1
+    )
+    SELECT s.vec_id, s.cluster,
+           CASE WHEN b.vec_id IS NOT NULL THEN 'dup' ELSE 'kept' END AS status,
+           b.match_vec_id, round(b.cs, 4) AS cos_sim
+    FROM assign s LEFT JOIN best b ON b.vec_id = s.vec_id
+    ORDER BY s.vec_id
+    """,
+    tags=("dedup", "embedding", "clustering", "training-pipeline"),
+)
+def q164_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, public): embed
+    → cluster → dedup inside each cluster only. The fitted IVF
+    assignment (:func:`ivf_index_for` — memoized, attachable) IS the
+    clustering, so the expensive step is shared with q68/q155 and
+    costs nothing extra here; the within-cell pass marks each vector
+    ``dup``/``kept`` by the greedy ε-ball rule (see
+    :func:`semantic_dedup_df`).
+
+    Scale shape: the only quadratic is WITHIN a cell — Σ|cell|²,
+    bounded by the codebook's cell balance (q155's in-band contract;
+    at 100 TB raise k so cells cap at ~10⁴-10⁵ vectors, and sub-bucket
+    any straggler cell with q86's sign-LSH split, which preserves
+    near-dups with high probability since cos ≈ 1 pairs share
+    hyperplane signs). Assignment is one broadcast-codebook pass; the
+    greedy rule is embarrassingly parallel per cell; no global
+    structure is ever shuffled. The oracle replays codebook, cells,
+    and the greedy rule CTE-for-CTE, so the whole chain — fit included
+    — is value-checked cross-engine."""
+    cent, assign = ivf_index_for(spark, sf_dir)
+    return semantic_dedup_df(assign)

@@ -1835,3 +1835,44 @@ def test_index_attach_refuses_stale_index(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="stale"):
         pq_index_attach(spark, sf, out)
+
+
+def test_semantic_dedup_greedy_semantics(spark):
+    """semantic_dedup_df's contract on planted fixtures: a vector is
+    'dup' iff an EARLIER same-cluster vector sits within cosine tau;
+    the reported match is the strongest earlier one (ties -> lowest
+    id); identical vectors in DIFFERENT clusters never dedup (the
+    cell scoping is the point of SemDeDup); greedy, not closure — a
+    chain a~b~c where cos(a,c) < tau keeps c only if its direct
+    earlier matches all miss tau."""
+    from mapreduce_mit_spark.plans.similarity import semantic_dedup_df
+
+    def v(x, y):
+        return [float(x), float(y)] + [0.0] * 6
+
+    rows = [
+        # cluster 0: 1 and 2 near-identical; 3 orthogonal
+        (1, 0, v(1.0, 0.0)),
+        (2, 0, v(0.999, 0.04)),
+        (3, 0, v(0.0, 1.0)),
+        # cluster 1: identical to vec 1 but in another cell -> kept
+        (4, 1, v(1.0, 0.0)),
+        # cluster 2: 5 and 6 are EQUALLY similar to 7 -> match = min id
+        (5, 2, v(1.0, 0.02)),
+        (6, 2, v(1.0, -0.02)),
+        (7, 2, v(1.0, 0.0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["status"], r["match_vec_id"])
+        for r in semantic_dedup_df(df, tau=0.9).collect()
+    }
+    assert got[1] == ("kept", None)
+    assert got[2] == ("dup", 1)
+    assert got[3] == ("kept", None)
+    assert got[4] == ("kept", None), "identical vector in another cell must survive"
+    assert got[5] == ("kept", None)
+    assert got[6] == ("dup", 5)
+    assert got[7] == ("dup", 5), "equal-similarity tie must break to the lowest id"
