@@ -117,6 +117,8 @@ HEADLINE = [
     "q90_stream_tumbling",
     "q98_frame_sample",
     "q164_semantic_dedup",
+    "q165_sketch_overlap_triage",
+    "q166_classifier_filter",
 ]
 
 

@@ -600,3 +600,226 @@ def q149_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# q165: lgConfigK for the per-source n-gram sketches. 14 → ~0.4%
+# standard error per estimate; the triage bound below allows 3% of the
+# pair's union, ~4× the worst inclusion-exclusion error observed at
+# sf0.001/0.01/0.1 (HLL relative error is scale-invariant, so the
+# slack holds at 100 TB).
+OVERLAP_LG_K = 14
+
+
+@register(
+    "q165_sketch_overlap_triage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, {tokens_sql('text')} AS t FROM documents
+    ),
+    ng AS (
+      SELECT DISTINCT source, unnest({_ngrams_sql('t', NGRAM)}) AS ng
+      FROM tok
+    ),
+    per AS (SELECT source, count(*) AS n FROM ng GROUP BY source),
+    ov AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS o
+      FROM ng a JOIN ng b ON a.ng = b.ng AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, a.n AS na, b.n AS nb
+      FROM per a JOIN per b ON a.source < b.source
+    )
+    SELECT p.src_a, p.src_b,
+           coalesce(o.o, 0) AS exact_overlap,
+           p.na + p.nb - coalesce(o.o, 0) AS exact_union,
+           (coalesce(o.o, 0) * 50 >= p.na + p.nb - coalesce(o.o, 0))
+             AS material,
+           true AS sketch_within_bound
+    FROM pairs p LEFT JOIN ov o
+      ON p.src_a = o.src_a AND p.src_b = o.src_b
+    ORDER BY p.src_a, p.src_b
+    """,
+    tags=("sketch", "approx", "decontamination", "triage", "training-pipeline"),
+)
+def q165_sketch_overlap_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap TRIAGE via mergeable sketches: estimate the
+    distinct-5-gram overlap of every source pair from per-source HLL
+    sketches (inclusion-exclusion: est_a + est_b − est_union) and flag
+    the ``material`` pairs (≥2% of the union) that justify q06's exact
+    decontamination join. The estimate is audited in-band against the
+    exact pairwise overlap (``sketch_within_bound`` — the q16/q102
+    falsifiable-sketch discipline; the bound is 3% of the pair's union,
+    ~4× the worst observed inclusion-exclusion error at lgConfigK=14).
+
+    Scale shape: the per-source sketch table is the materialized
+    artifact — ~16 KB per source at lgConfigK=14, built in ONE
+    map-side-combinable pass over (source, n-gram), mergeable across
+    shards and ingest days without rescanning (q102's rollup story).
+    Pairwise triage is then O(S²) over KILOBYTE sketches — for 10⁴
+    sources that is 5·10⁷ sketch unions on a broadcast table, never a
+    data shuffle; only pairs the triage marks material pay q06's exact
+    n-gram join. The exact sibling computed here (one collect_set pass
+    keyed on the short n-gram hash, ≤S sources per gram) is the audit
+    tier a production run drops — the surfaced decision column is
+    exact-derived, so the oracle replays it verbatim while the bound
+    boolean falsifies the sketch path itself."""
+    d = tw(spark, sf_dir, "documents")
+    ngs = d.select(
+        "source", F.explode(_ngrams_col(tokens_col("text"), NGRAM)).alias("ng")
+    ).distinct()
+
+    per = ngs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.hll_sketch_agg("ng", OVERLAP_LG_K).alias("sk"),
+    )
+    a = per.select(
+        F.col("source").alias("src_a"),
+        F.col("n").alias("na"),
+        F.col("sk").alias("sk_a"),
+    )
+    b = per.select(
+        F.col("source").alias("src_b"),
+        F.col("n").alias("nb"),
+        F.col("sk").alias("sk_b"),
+    )
+    est = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b")).select(
+        "src_a",
+        "src_b",
+        "na",
+        "nb",
+        (
+            F.hll_sketch_estimate("sk_a")
+            + F.hll_sketch_estimate("sk_b")
+            - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+        ).alias("est_overlap"),
+    )
+
+    # Exact audit tier: sources per gram via ONE shuffle on the n-gram,
+    # then ordered pairs map-side (≤ S sources per gram, never a
+    # gram-keyed self-join materializing both sides).
+    grp = ngs.groupBy("ng").agg(F.collect_set("source").alias("srcs"))
+    ex = (
+        grp.select(F.explode("srcs").alias("src_a"), "srcs")
+        .select("src_a", F.explode("srcs").alias("src_b"))
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+
+    u = F.col("na") + F.col("nb") - F.col("exact_overlap")
+    return (
+        est.join(ex, ["src_a", "src_b"], "left")
+        .withColumn("exact_overlap", F.coalesce("exact_overlap", F.lit(0)))
+        .select(
+            "src_a",
+            "src_b",
+            "exact_overlap",
+            u.alias("exact_union"),
+            (F.col("exact_overlap") * 50 >= u).alias("material"),
+            (F.abs(F.col("est_overlap") - F.col("exact_overlap")) <= 0.03 * u).alias(
+                "sketch_within_bound"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# q166: hashed-feature space (the "hashing trick" — Weinberger et al.
+# 2009) and a deterministic stand-in weight vector. Real pipelines load
+# trained fastText/logreg weights; the synthetic corpus has none, so the
+# weight for bucket d is a fixed integer-arithmetic function of d —
+# derivable in BOTH engines (q08's no-synthesized-inputs discipline),
+# while the plan (hash → broadcast weight lookup → per-doc mean) is
+# exactly the production classifier's.
+CLS_BUCKETS = 256
+CLS_KEEP_TAU = 0.0
+
+
+@register(
+    "q166_classifier_filter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+    ),
+    occ AS (SELECT doc_id, unnest(t) AS token FROM tok),
+    b AS (
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1)
+               AS bucket
+      FROM occ
+    ),
+    w AS (
+      SELECT d AS bucket, (d * 2654435761) % 2001 - 1000 AS w_milli
+      FROM generate_series(0, {CLS_BUCKETS - 1}) g(d)
+    ),
+    per AS (
+      SELECT doc_id, count(*) AS n_tokens, CAST(sum(w_milli) AS BIGINT) AS s
+      FROM b JOIN w USING (bucket) GROUP BY doc_id
+    ),
+    sc AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(s * 10.0 / n_tokens + 0.5) AS BIGINT) AS score4
+      FROM per
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           p.score4 / 10000.0 AS score,
+           coalesce(p.score4 >= {int(CLS_KEEP_TAU * 10000)}, false) AS keep
+    FROM documents d LEFT JOIN sc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("quality", "classifier", "training-pipeline"),
+)
+def q166_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering via the hashing trick: each token
+    hashes to one of CLS_BUCKETS feature buckets (md5 nibbles —
+    cross-engine identical), the document's score is the mean bucket
+    weight over its token occurrences, and ``keep`` gates on the
+    ROUNDED score (q149's cross-engine boolean discipline). This is
+    the fastText/logistic-regression filtering stage of modern corpus
+    curation (CCNet, FineWeb-Edu) with the trained weight vector
+    replaced by a deterministic integer stand-in — the PLAN is the
+    production one, the weights are the fixture.
+
+    Scale shape: the weight vector is a CLS_BUCKETS-row DataFrame —
+    kilobytes at any real dimensionality (fastText uses 2M buckets ≈
+    MBs) — so scoring is explode → BROADCAST weight join → ONE doc_id
+    aggregate; no vocabulary-sized shuffle exists anywhere (contrast
+    q149, whose model is corpus-derived and joins on raw token). At
+    100 TB this is a pure map-side pipeline plus the per-doc combine;
+    AQE has nothing to fix. Integer milli-weights keep the sum exact;
+    the score is fixed to 4 decimals via TIE-PROOF integer rounding —
+    ``floor(s*10/n + 0.5)`` over exact integers — because ``round()``
+    diverges cross-engine on exact decimal ties (Spark rounds half-up,
+    DuckDB half-even: s=-4879, n=28 → -0.17425 → -0.1743 vs -0.1742,
+    caught by the sf0.01 oracle)."""
+    d = tw(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokens_col("text")).alias("token")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 2), 16, 10).cast("int").alias("bucket"),
+    )
+    weights = spark.range(CLS_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).alias("w_milli"),
+    )
+    per = (
+        occ.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w_milli").alias("s"))
+    )
+    score4 = F.floor(F.col("s") * 10.0 / F.col("n_tokens") + 0.5)
+    return (
+        d.select("doc_id")
+        .join(per.withColumn("score4", score4), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (F.col("score4") / 10000.0).alias("score"),
+            F.coalesce(
+                F.col("score4") >= int(CLS_KEEP_TAU * 10000), F.lit(False)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -701,3 +701,19 @@ def test_incremental_dedup_broadcasts_batch_not_corpus(plan):
     # broadcast builds (the build side is filtered to ~10% before it
     # ever reaches the driver)
     assert "PushedFilters" in p
+
+
+def test_sketch_overlap_pairs_expand_over_sketches_only(plan):
+    """q165's scale posture, pinned: the O(S²) pair expansion runs over
+    the per-source SKETCH table (S rows of kilobyte sketches), joined
+    by broadcast — never a data-sized shuffle join keyed on the n-gram
+    for the estimate path. The exact audit tier contributes the
+    catalog's collect_set aggregate, not a gram-keyed self-join that
+    would materialize both corpus sides."""
+    p = plan("q165_sketch_overlap_triage")
+    # pair expansion: broadcast nested-loop over the tiny sketch table
+    # (inequality join condition -> BNLJ is the right physical shape)
+    assert "BroadcastNestedLoopJoin" in p
+    # no sort-merge anywhere: nothing in this plan should shuffle-sort
+    # two corpus-sized sides against each other
+    assert "SortMergeJoin" not in p

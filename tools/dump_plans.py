@@ -53,6 +53,9 @@ FLAGSHIPS = {
     "q159_split_leakage": "split leakage: cross-split predicate inside the band self-join",
     "q160_ivfadc": "IVFADC: probed-cell ADC via broadcast LUT equi-join, codes replace vectors",
     "q161_incremental_dedup": "incremental dedup: broadcast batch probes, corpus never shuffles",
+    "q164_semantic_dedup": "SemDeDup: fitted IVF cells bound the quadratic; greedy rule per cell",
+    "q165_sketch_overlap_triage": "overlap triage: O(S^2) over kilobyte HLL sketches, broadcast pair expansion",
+    "q166_classifier_filter": "hashing-trick classifier: broadcast weight vector, one doc_id combine",
 }
 
 
