@@ -610,6 +610,88 @@ def q149_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 OVERLAP_LG_K = 14
 
 
+def _overlap_sketches_df(docs: DataFrame) -> DataFrame:
+    """(source, n, sk) per source: exact distinct-5-gram count + HLL
+    sketch over the distinct (source, n-gram) pairs — q165's fit."""
+    ngs = docs.select(
+        "source", F.explode(_ngrams_col(tokens_col("text"), NGRAM)).alias("ng")
+    ).distinct()
+    return ngs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.hll_sketch_agg("ng", OVERLAP_LG_K).alias("sk"),
+    )
+
+
+def overlap_sketches_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source overlap-sketch table as a memoized index artifact
+    (the ``lsh_bands_for`` discipline): a production triage service
+    maintains these sketches ALONGSIDE the corpus — built once per
+    ingest day per source, merged with ``hll_union_agg`` as shards
+    arrive, and re-read by every pairwise audit — so the table is
+    built once per (session, source fingerprint) and persistable via
+    :func:`overlap_index_save`. S rows of kilobyte sketches."""
+    import os
+
+    from ._util import source_fingerprint
+    from .similarity import _cache_put, _session_cache
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    cache = _session_cache(spark)
+    key = ("overlap_sketches",) + source_fingerprint(src)
+    df = cache.get(key)
+    if df is None:
+        df = _overlap_sketches_df(tw(spark, sf_dir, "documents")).localCheckpoint(
+            eager=True
+        )
+        _cache_put(cache, key, df)
+    return df
+
+
+def overlap_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Persist the per-source overlap sketches — the same
+    one-directory-of-named-parquet-subtables layout as the ANN and LSH
+    indexes: ``sketches`` (source, n, sk). The HLL sketch column is the
+    DataSketches wire format (a binary column), so a saved table keeps
+    merging with future ``hll_union_agg`` calls — the artifact is the
+    rollup, not a cache."""
+    import os
+
+    from ._util import write_index_meta
+
+    sk = overlap_sketches_for(spark, sf_dir)
+    sk.write.mode("overwrite").parquet(os.path.join(out_dir, "sketches"))
+    write_index_meta(
+        out_dir,
+        os.path.join(sf_dir, "documents.parquet"),
+        schemas={"sketches": sk.schema.json()},
+    )
+
+
+def overlap_index_load(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Load persisted overlap sketches (see :func:`overlap_index_save`)
+    via ``read_index_table`` so the serving schema is the fitted one."""
+    from ._util import read_index_table
+
+    return read_index_table(spark, out_dir, "sketches", ["source", "n", "sk"])
+
+
+def overlap_index_attach(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """Prime this session's q165 estimate path from saved sketches:
+    fingerprint-checked against the current documents file (stale →
+    ValueError), then inserted under :func:`overlap_sketches_for`'s
+    cache key — a fresh session triages source pairs without
+    re-tokenizing or re-sketching the corpus."""
+    from ._util import check_index_meta
+    from .similarity import _cache_put, _session_cache
+
+    import os
+
+    fp = check_index_meta(out_dir, os.path.join(sf_dir, "documents.parquet"))
+    sk = overlap_index_load(spark, out_dir)
+    _cache_put(_session_cache(spark), ("overlap_sketches",) + fp, sk)
+    return sk
+
+
 @register(
     "q165_sketch_overlap_triage",
     oracle=f"""
@@ -663,16 +745,16 @@ def q165_sketch_overlap_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on the short n-gram hash, ≤S sources per gram) is the audit
     tier a production run drops — the surfaced decision column is
     exact-derived, so the oracle replays it verbatim while the bound
-    boolean falsifies the sketch path itself."""
+    boolean falsifies the sketch path itself. The sketch table is the
+    memoized/persistable :func:`overlap_sketches_for` artifact
+    (attachable via :func:`overlap_index_attach`), so a serving
+    session never re-sketches the corpus."""
     d = tw(spark, sf_dir, "documents")
     ngs = d.select(
         "source", F.explode(_ngrams_col(tokens_col("text"), NGRAM)).alias("ng")
     ).distinct()
 
-    per = ngs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.hll_sketch_agg("ng", OVERLAP_LG_K).alias("sk"),
-    )
+    per = overlap_sketches_for(spark, sf_dir)
     a = per.select(
         F.col("source").alias("src_a"),
         F.col("n").alias("na"),

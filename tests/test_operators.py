@@ -1876,3 +1876,40 @@ def test_semantic_dedup_greedy_semantics(spark):
     assert got[5] == ("kept", None)
     assert got[6] == ("dup", 5)
     assert got[7] == ("dup", 5), "equal-similarity tie must break to the lowest id"
+
+
+def test_overlap_sketches_attach_serves_without_resketch(spark, tmp_path, monkeypatch):
+    """q165's attach tier: after overlap_index_save + a cache-cold
+    attach, the estimate path serves from the persisted sketch table
+    — identity-asserted, dtype-for-dtype equal to the fit — and q165's
+    full result (including the in-band bound boolean) matches the
+    pre-attach baseline without re-sketching (enforced by poisoning
+    the fit core)."""
+    from mapreduce_mit_spark.plans import quality as ql
+    from mapreduce_mit_spark.plans.similarity import _cache_evict, _session_cache
+
+    sf = SF_SMALL
+    out = str(tmp_path / "overlap")
+    ql.overlap_index_save(spark, sf, out)
+    fitted = ql.overlap_sketches_for(spark, sf)
+    fitted_dtypes = fitted.dtypes
+    base = sorted(map(tuple, ql.q165_sketch_overlap_triage(spark, sf).collect()))
+
+    cache = _session_cache(spark)
+    for k in list(cache):
+        _cache_evict(cache.pop(k))
+
+    att = ql.overlap_index_attach(spark, sf, out)
+    assert ql.overlap_sketches_for(spark, sf) is att
+    assert att.dtypes == fitted_dtypes, (
+        f"attached dtypes {att.dtypes} != fitted {fitted_dtypes}"
+    )
+
+    def _poisoned(docs):
+        raise AssertionError("q165 re-sketched the corpus after attach")
+
+    monkeypatch.setattr(ql, "_overlap_sketches_df", _poisoned)
+    served = sorted(
+        map(tuple, ql.q165_sketch_overlap_triage(spark, sf).collect())
+    )
+    assert served == base, "attached sketches diverge from the fit"
