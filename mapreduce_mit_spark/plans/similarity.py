@@ -2132,21 +2132,46 @@ def semantic_dedup_df(assign: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame
     the closure-based pipeline for text. Greedy is one self-join + one
     aggregate; closure would add the iterative CC on top for little
     curation benefit at ε this tight.
+
+    Pair-expansion shape: vector NORMS are computed once per VECTOR
+    before the join (sqrt(Σx²) — the identical expression a per-pair
+    cosine would evaluate, so the quotient is bit-equal to the
+    oracle's per-pair form while the higher-order-function work per
+    pair drops 3× to the dot product alone), and the lower-id side is
+    BROADCAST: a few cells (k bounded) would otherwise cap the
+    cluster-keyed shuffle join's parallelism at k tasks, serializing
+    the within-cell quadratic. The broadcast build is the assignment
+    table itself — bounded by Σ|cell| of the PROBED population, the
+    same budget every broadcast ANN stage here already carries; at
+    100 TB, where the corpus outgrows one broadcast, k grows with it
+    (cells stay capped) and the cluster-keyed equi-join regains its
+    parallelism — flip the build side off at that point.
     """
-    a = assign.select("vec_id", "cluster", "embedding").alias("a")
-    b = assign.select("vec_id", "cluster", "embedding").alias("b")
-    sim = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    from ..sources.io import fan_out
+
+    # fan_out BEFORE the per-pair math: the checkpointed assignment is
+    # a handful of partitions, and the broadcast join inherits the
+    # stream side's parallelism — without the spread the pair loop
+    # runs on as many cores as the checkpoint has splits.
+    base = fan_out(assign).select(
+        "vec_id",
+        "cluster",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("m_id"),
+        F.col("cluster").alias("a_cluster"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    sim = _dot(F.col("a_emb"), F.col("embedding")) / F.nullif(
+        F.col("a_nrm") * F.col("nrm"), F.lit(0.0)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("b.vec_id").alias("vec_id"),
-            F.col("a.vec_id").alias("m_id"),
-            sim.alias("cs"),
-        )
+        base.join(F.broadcast(a), F.col("a_cluster") == F.col("cluster"))
+        .where(F.col("m_id") < F.col("vec_id"))
+        .select("vec_id", "m_id", sim.alias("cs"))
         .where(F.col("cs") >= tau)
     )
     best = pairs.groupBy("vec_id").agg(

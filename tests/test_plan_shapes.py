@@ -717,3 +717,28 @@ def test_sketch_overlap_pairs_expand_over_sketches_only(plan):
     # no sort-merge anywhere: nothing in this plan should shuffle-sort
     # two corpus-sized sides against each other
     assert "SortMergeJoin" not in p
+
+
+def test_semantic_dedup_pairs_expand_by_broadcast(plan):
+    """q164's pair loop, pinned: the within-cell self-join must be a
+    BROADCAST hash join (k cells would cap a cluster-keyed shuffle
+    join's parallelism at k tasks, serializing the quadratic), and
+    vector norms are computed per VECTOR before the join — the plan
+    must not evaluate sqrt per pair."""
+    p = plan("q164_semantic_dedup")
+    # the pair join is the one whose condition evaluates the dot
+    # product (zip_with): it must be the broadcast join, never a
+    # sort-merge on the k-valued cluster key
+    cond = next(
+        l for l in p.splitlines() if "Join condition" in l and "zip_with" in l
+    )
+    # norm-once-per-vector: the per-pair similarity divides by the two
+    # precomputed norm columns — no SQRT re-evaluated per pair
+    assert "sqrt" not in cond.lower()
+    # the condition must belong to the broadcast join's detail block
+    # (the formatted dump lists each operator's keys/condition right
+    # under its id), not to a shuffle join's
+    bhj_detail = p.split(") BroadcastHashJoin", 1)[1].split("\n\n")[0]
+    assert "zip_with" in bhj_detail
+    smj_blocks = p.split(") SortMergeJoin")[1:]
+    assert all("zip_with" not in b.split("\n\n")[0] for b in smj_blocks)
