@@ -649,3 +649,151 @@ def q140_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _q167_oracle() -> str:
+    """q167's oracle: q148's closure chain (same CTE text as the q148
+    oracle, via the same shared SQL helpers) + cluster-keyed split."""
+    from ..functions.textfns import tokens_sql
+    from .dedup import _lsh_bands_sql
+
+    arm = (
+        "CASE WHEN substr(md5(CAST({k} AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' "
+        "WHEN substr(md5(CAST({k} AS VARCHAR)), 1, 4) < 'e666' THEN 'val' "
+        "ELSE 'test' END"
+    )
+    return f"""
+    WITH RECURSIVE {_lsh_bands_sql()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+    ctoks AS (
+      SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS token
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM cdocs)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ctoks GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+      FROM cand c
+        JOIN ctoks a ON a.doc_id = c.doc_a
+        JOIN ctoks b ON b.doc_id = c.doc_b AND b.token = a.token
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT s.doc_a, s.doc_b
+      FROM shared s
+        JOIN sizes sa ON sa.doc_id = s.doc_a
+        JOIN sizes sb ON sb.doc_id = s.doc_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node),
+    tagged AS (
+      SELECT doc_id, cluster,
+             {arm.format(k='cluster')} AS split,
+             {arm.format(k='doc_id')} AS naive
+      FROM comp
+    ),
+    agg AS (
+      SELECT cluster,
+             count(DISTINCT split) AS ns,
+             count(DISTINCT naive) AS nn
+      FROM tagged GROUP BY cluster
+    )
+    SELECT t.doc_id, t.cluster, t.split,
+           (a.ns = 1) AS split_intact,
+           (a.nn > 1) AS naive_leaks
+    FROM tagged t JOIN agg a USING (cluster)
+    ORDER BY t.doc_id
+    """
+
+
+@register(
+    "q167_cluster_safe_split",
+    oracle=_q167_oracle(),
+    tags=("features", "split", "dedup", "leakage", "training-pipeline"),
+)
+def q167_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-PROOF train/val/test split: assignment is keyed on the
+    NEAR-DUP CLUSTER id (q148's LSH→verify→connected-components
+    closure over the full corpus), not the document id, so a whole
+    cluster of near-duplicates always lands in ONE split arm — the
+    standard fix for eval contamination via near-dups straddling
+    train/test (the failure q159 audits after the fact; this operator
+    prevents it at split time). Keying on md5 of the cluster id keeps
+    q130's reproducibility properties: membership is a pure function
+    of the data, recomputable by any stage without a membership table.
+
+    Surfaced per doc: the cluster, the split arm, ``split_intact``
+    (count of distinct arms in the doc's cluster == 1 — the in-band
+    falsifiable contract; breaks if assignment ever keys on the doc),
+    and ``naive_leaks`` (whether q130's doc-keyed split WOULD have
+    torn this cluster across arms — measured on the driver corpus it
+    tears 5 of 21 multi-doc clusters at sf0.001, 8 of 23 at sf0.01).
+
+    Scale shape: identical to q148 up through the closure (memoized
+    band table, merge-pinned band self-join, salted verify on
+    candidate pairs only, pointer-jumped CC) — no new corpus-sized
+    stage; the split tag is a pure map over the (doc_id, cluster) map
+    and the two contract bits are one cluster-keyed aggregate joined
+    back (q09's agg+join-back discipline, never a window over the
+    cluster key)."""
+    from ..operators.graph import connected_components
+    from .dedup import (
+        jaccard_verified_pairs,
+        lsh_bands_for,
+        lsh_candidate_pairs_df,
+    )
+    from ._util import tw
+
+    d = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs_df(docs, bands=lsh_bands_for(spark, sf_dir))
+    ver = jaccard_verified_pairs(docs, cand)
+    comp = connected_components(
+        d.select("doc_id"), ver, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    cmap = comp.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster")
+    )
+
+    def _arm(key: F.Column) -> F.Column:
+        h = F.substring(F.md5(key.cast("string")), 1, 4)
+        return (
+            F.when(h < "cccc", "train").when(h < "e666", "val").otherwise("test")
+        )
+
+    tagged = cmap.select(
+        "doc_id",
+        "cluster",
+        _arm(F.col("cluster")).alias("split"),
+        _arm(F.col("doc_id")).alias("naive"),
+    )
+    per_cluster = tagged.groupBy("cluster").agg(
+        F.countDistinct("split").alias("ns"),
+        F.countDistinct("naive").alias("nn"),
+    )
+    return (
+        tagged.join(per_cluster, "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            "split",
+            (F.col("ns") == 1).alias("split_intact"),
+            (F.col("nn") > 1).alias("naive_leaks"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1913,3 +1913,28 @@ def test_overlap_sketches_attach_serves_without_resketch(spark, tmp_path, monkey
         map(tuple, ql.q165_sketch_overlap_triage(spark, sf).collect())
     )
     assert served == base, "attached sketches diverge from the fit"
+
+
+def test_cluster_safe_split_prevents_naive_leakage(spark):
+    """q167's point, asserted end-to-end on the driver corpus: every
+    near-dup cluster lands whole in one split arm (split_intact true
+    for ALL docs), while the doc-keyed q130 assignment WOULD tear some
+    of those clusters across arms (naive_leaks true for at least one
+    multi-doc cluster at sf0.001 — measured: 5 of 21). Also pins the
+    arm proportions: all three arms must be populated."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    rows = REGISTRY["q167_cluster_safe_split"].fn(spark, SF_SMALL).collect()
+    assert all(r.split_intact for r in rows), "a cluster straddles split arms"
+    assert any(r.naive_leaks for r in rows), (
+        "fixture lost its leak-demonstrating clusters — q167's contrast "
+        "column is vacuous"
+    )
+    arms = {r.split for r in rows}
+    assert arms == {"train", "val", "test"}
+    # cluster-keyed arms stay a pure function of the cluster id
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
