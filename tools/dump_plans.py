@@ -56,6 +56,7 @@ FLAGSHIPS = {
     "q164_semantic_dedup": "SemDeDup: fitted IVF cells bound the quadratic; greedy rule per cell",
     "q165_sketch_overlap_triage": "overlap triage: O(S^2) over kilobyte HLL sketches, broadcast pair expansion",
     "q166_classifier_filter": "hashing-trick classifier: broadcast weight vector, one doc_id combine",
+    "q167_cluster_safe_split": "cluster-safe split: q148's closure reused, split tag a pure map over it",
 }
 
 
