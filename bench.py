@@ -119,6 +119,7 @@ HEADLINE = [
     "q164_semantic_dedup",
     "q165_sketch_overlap_triage",
     "q166_classifier_filter",
+    "q168_stream_ann_serve",
 ]
 
 

@@ -1002,6 +1002,23 @@ def ivf_probe_hits(
         ),
         F.any_value("embedding").alias("embedding"),
     )
+    return ivf_serve_hits(assign, cent, queries, k, nprobe)
+
+
+def ivf_serve_hits(
+    assign: DataFrame,
+    cent: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """The SERVE half of :func:`ivf_probe_hits`, over a PRECOMPUTED
+    (vec_id, cluster, embedding) assignment — the fitted inverted
+    lists from :func:`ivf_index_for` / a saved index attach. This is
+    the plan a query job runs per request batch: rank each query's
+    nprobe nearest cells against the broadcast codebook, join the
+    broadcast probe set to the lists, top-k per query. The corpus-side
+    assignment is never recomputed and never shuffles."""
     qs = queries.crossJoin(F.broadcast(cent)).select(
         "query_id", "qv", "cid", cosine_col(F.col("qv"), F.col("cv")).alias("qsim")
     )

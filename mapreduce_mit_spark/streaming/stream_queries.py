@@ -1658,3 +1658,179 @@ def q163_stream_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         [docs.where(rem == ADMIT_REM_1), docs.where(rem == ADMIT_REM_2)],
         root,
     )
+
+
+# --- streaming ANN serving (the online half of the index lifecycle) --------
+
+ANN_SERVE_FRAC = 0.05  # deterministic hash-sample of query vectors
+ANN_SERVE_THR = int(ANN_SERVE_FRAC * 65536)
+
+
+def _hex4_int_sql(s: str) -> str:
+    """DuckDB value of the first 4 hex chars of md5(s) — the twin of
+    Spark's ``conv(substring(md5(s), 1, 4), 16, 10)`` (q83's per-nibble
+    construction, 4 nibbles wide)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({s}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+def _ann_serve_oracle() -> str:
+    from ..plans.similarity import (
+        ANN_K,
+        N_PROBE,
+        _ivf_codebook_sql,
+        cosine_sql,
+    )
+
+    sample = _hex4_int_sql("'serve1:' || CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH {_ivf_codebook_sql()},
+    sims AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {cosine_sql('e.embedding', 'c.cv')} AS sim
+      FROM embeddings e, cent c
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid AS cluster
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM sims)
+      WHERE rn = 1
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE {sample} < {ANN_SERVE_THR}
+    ),
+    qcell AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cosine_sql('q.qv', 'c.cv')} DESC,
+                                           c.cid) AS rk
+        FROM queries q, cent c)
+      WHERE rk <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             {cosine_sql('a.embedding', 'p.qv')} AS cs
+      FROM assign a JOIN qcell p ON a.cluster = p.cid
+      WHERE a.vec_id != p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cs,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cs DESC, vec_id) AS INTEGER)
+               AS rnk
+      FROM scored
+    )
+    SELECT query_id, rnk, vec_id, round(cs, 4) AS cos_sim
+    FROM ranked WHERE rnk <= {ANN_K}
+    ORDER BY query_id, rnk
+    """
+
+
+@register(
+    "q168_stream_ann_serve",
+    oracle=_ann_serve_oracle(),
+    tags=("streaming", "similarity", "ivf", "ann", "serving"),
+)
+def q168_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN serving — the ONLINE half of the index lifecycle
+    the batch ANN queries freeze: query vectors arrive as a file
+    stream in several micro-batches, and ``foreachBatch`` answers each
+    batch from the FITTED IVF index (:func:`~..plans.similarity.
+    ivf_index_for` — memoized, attachable from a saved index, never
+    refit on the serve path) via :func:`~..plans.similarity.
+    ivf_serve_hits`: rank the batch's queries against the broadcast
+    codebook, probe only their nearest cells' lists, top-k per query.
+
+    Why foreachBatch and not a stream-static join: same asymmetry as
+    q162 — the corpus-side artifacts (codebook + inverted lists) are
+    static and must stay on the build/partition-pruned side; each
+    micro-batch broadcasts only its own probe set, which is the
+    production request-serving loop (attach once, serve forever).
+
+    Exactly-once: each micro-batch OVERWRITES its own ``batch_id=<id>``
+    output partition (q162's idempotent-redelivery discipline); the
+    whole tree is process-leased and fingerprint-keyed.
+
+    Correctness: serving is per-query and the index is static across
+    the stream, so the streamed union equals the one-shot batch serve
+    over the same query set — stream == batch == the SQL oracle, which
+    replays codebook, lists, cell probe, and per-query top-k."""
+    import shutil
+
+    from ..plans.similarity import (
+        ANN_K,
+        ivf_index_for,
+        ivf_serve_hits,
+        sample_queries,
+    )
+    from ..sources.io import ensure_reader_confs, load_table
+
+    ensure_reader_confs(spark)
+    root = fp_stream_root("mms_ann_serve", sf_dir, "embeddings.parquet")
+    src_dir = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    out_dir = os.path.join(root, "out")
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent, assign = ivf_index_for(spark, sf_dir)
+    queries = sample_queries(e, ANN_SERVE_FRAC, tag="serve1")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS * 2))
+    try:
+        with tree_lock(root):
+            for sub in (src_dir, ckpt, out_dir):
+                shutil.rmtree(sub, ignore_errors=True)
+            # several micro-batches: one file per shard, one shard per
+            # trigger — the request-batch arrival shape
+            queries.repartition(4, "query_id").write.mode("overwrite").parquet(
+                src_dir
+            )
+
+            def serve(batch: DataFrame, batch_id: int) -> None:
+                hits = ivf_serve_hits(assign, cent, batch, ANN_K)
+                w = Window.partitionBy("query_id").orderBy(
+                    F.col("_sim").desc(), "vec_id"
+                )
+                out = hits.withColumn("rnk", F.row_number().over(w)).select(
+                    "query_id",
+                    "rnk",
+                    "vec_id",
+                    F.round("_sim", 4).alias("cos_sim"),
+                )
+                out.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"batch_id={batch_id}")
+                )
+
+            stream = (
+                spark.readStream.schema(queries.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            q = (
+                stream.writeStream.foreachBatch(serve)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            LAST_QUERY["q168_sink"] = q
+            res = (
+                spark.read.parquet(out_dir)
+                .select("query_id", "rnk", "vec_id", "cos_sim")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return res.orderBy("query_id", "rnk")

@@ -1106,3 +1106,35 @@ def test_stream_admission_equals_full_rebuild(spark, tmp_path):
             if p.startswith("batch_id=")
         )
         assert parts == ["batch_id=-1", "batch_id=0", "batch_id=1"], (t, parts)
+
+
+def test_stream_ann_serve_from_attached_index(spark, tmp_path, monkeypatch):
+    """q168 composes the two lifecycles: a saved IVF index attached in
+    a cache-cold session must serve the whole query stream without
+    refitting (fit core poisoned), and the streamed result equals the
+    pre-attach run — the online half of "offline jobs fit and save,
+    query jobs attach and serve"."""
+    from mapreduce_mit_spark.plans import similarity as sim
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    sf = SF_SMALL
+    out = str(tmp_path / "ivf")
+    sim.ivf_index_save(spark, sf, out)
+    base = sorted(
+        map(tuple, REGISTRY["q168_stream_ann_serve"].fn(spark, sf).collect())
+    )
+
+    cache = sim._session_cache(spark)
+    for k in list(cache):
+        sim._cache_evict(cache.pop(k))
+    sim.ivf_index_attach(spark, sf, out)
+
+    def _poisoned(*a, **kw):
+        raise AssertionError("q168 refit the IVF codebook after attach")
+
+    monkeypatch.setattr(sim, "ivf_codebook", _poisoned)
+    served = sorted(
+        map(tuple, REGISTRY["q168_stream_ann_serve"].fn(spark, sf).collect())
+    )
+    assert served == base, "attached-index serving diverges from the fit"

@@ -57,6 +57,7 @@ FLAGSHIPS = {
     "q165_sketch_overlap_triage": "overlap triage: O(S^2) over kilobyte HLL sketches, broadcast pair expansion",
     "q166_classifier_filter": "hashing-trick classifier: broadcast weight vector, one doc_id combine",
     "q167_cluster_safe_split": "cluster-safe split: q148's closure reused, split tag a pure map over it",
+    "q168_stream_ann_serve": "streaming ANN serve: attach once, each micro-batch probes broadcast cells",
 }
 
 
