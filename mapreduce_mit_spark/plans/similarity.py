@@ -1018,7 +1018,14 @@ def ivf_serve_hits(
     the plan a query job runs per request batch: rank each query's
     nprobe nearest cells against the broadcast codebook, join the
     broadcast probe set to the lists, top-k per query. The corpus-side
-    assignment is never recomputed and never shuffles."""
+    assignment is never recomputed and never shuffles.
+
+    Norms are computed once per LIST VECTOR and once per QUERY before
+    the probed-cell join (q164's discipline — the identical sqrt
+    expression a per-pair cosine would evaluate, so the quotient stays
+    bit-equal to the oracle's per-pair form), leaving only the dot
+    product per (query, candidate) pair — the work that actually
+    scales with probed-list volume."""
     qs = queries.crossJoin(F.broadcast(cent)).select(
         "query_id", "qv", "cid", cosine_col(F.col("qv"), F.col("cv")).alias("qsim")
     )
@@ -1026,12 +1033,17 @@ def ivf_serve_hits(
     probe = (
         qs.withColumn("_rk", F.row_number().over(wq))
         .where(F.col("_rk") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "cid", _norm(F.col("qv")).alias("_qn"))
     )
-    sim = cosine_col(F.col("embedding"), F.col("qv"))
+    lists = assign.select(
+        "vec_id", "cluster", "embedding", _norm(F.col("embedding")).alias("_bn")
+    )
+    sim = _dot(F.col("embedding"), F.col("qv")) / F.nullif(
+        F.col("_bn") * F.col("_qn"), F.lit(0.0)
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), "vec_id")
     return (
-        assign.join(F.broadcast(probe), assign.cluster == F.col("cid"))
+        lists.join(F.broadcast(probe), lists.cluster == F.col("cid"))
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", sim.alias("_sim"))
         .withColumn("_rk", F.row_number().over(w))
