@@ -403,3 +403,110 @@ def q138_wholefile_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _hex8_int_sql(md5_expr: str) -> str:
+    """DuckDB value of the first 8 hex chars of an md5 expression —
+    the twin of Spark's ``conv(substring(md5(x), 1, 8), 16, 10)``."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({md5_expr}, {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+_Q169_KEY_SQL = (
+    "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(text IS NULL AS VARCHAR)"
+    " || ':' || coalesce(text, ''))"
+)
+
+
+@register(
+    "q169_pydatasource_sink",
+    oracle=f"""
+    SELECT doc_id % 4 AS shard,
+           count(*) AS n_docs,
+           CAST(sum({_hex8_int_sql(_Q169_KEY_SQL)}) AS BIGINT) AS checksum
+    FROM documents
+    GROUP BY doc_id % 4
+    ORDER BY shard
+    """,
+    tags=("sink", "source", "custom-datasource", "exactly-once"),
+)
+def q169_pydatasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER roundtrip — the OUTPUT half of
+    the reference's file contract, completing q138's reader: documents
+    are encoded one-row-per-line (tab fields, text HEX-encoded so
+    embedded tabs/newlines in dirty rows can't break framing — hex,
+    not base64: Spark's base64 emits MIME-chunked output with its own
+    newlines every 76 chars; NULL text a distinct marker), written through
+    ``format("wholefile_text")`` — one file per task, two-phase
+    rename-commit (`sources/pydatasource.py` WholeFileTextWriter;
+    common_reduce.go's mr.out-N shape with the Hadoop job-commit
+    discipline) — then read BACK through the same source's reader,
+    decoded, and reduced to per-shard (count, order-independent
+    checksum). The checksum sums a 32-bit md5 prefix per ORIGINAL
+    (doc_id, text) pair, so the oracle computes it from the parquet
+    directly: equality proves no row was lost, duplicated, or
+    corrupted through the write-read cycle.
+
+    Scale posture: the encode is a pure map; the write publishes one
+    file per upstream partition with no driver funnel; the read-back
+    is partition-per-file; the only shuffle is the final 4-group
+    aggregate. On a real cluster the rename-commit becomes the object
+    store's manifest commit — the task/driver protocol is the same."""
+    from ..sources.pydatasource import register_wholefile_source
+
+    register_wholefile_source(spark)
+    d = t(spark, sf_dir, "documents")
+    line = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit("\t"),
+        F.when(F.col("text").isNull(), F.lit("\\N")).otherwise(
+            F.hex(F.encode(F.col("text"), "UTF-8"))
+        ),
+    )
+    out_dir = _scratch("pysink")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    d.select(line.alias("line")).write.format("wholefile_text").option(
+        "path", out_dir
+    ).mode("append").save()
+
+    back = (
+        spark.read.format("wholefile_text")
+        .option("path", os.path.join(out_dir, "part-*.txt"))
+        .load()
+        .select(F.explode(F.split("content", "\n")).alias("ln"))
+        .where(F.col("ln") != "")
+        .select(
+            F.split_part(F.col("ln"), F.lit("\t"), F.lit(1))
+            .cast("long")
+            .alias("doc_id"),
+            F.split_part(F.col("ln"), F.lit("\t"), F.lit(2)).alias("enc"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("enc") == "\\N", F.lit(None).cast("string"))
+            .otherwise(F.decode(F.unhex(F.col("enc")), "UTF-8"))
+            .alias("text"),
+        )
+    )
+    key = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("text").isNull().cast("string"),
+            F.lit(":"),
+            F.coalesce("text", F.lit("")),
+        )
+    )
+    h = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    return (
+        back.groupBy((F.col("doc_id") % 4).alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(h).alias("checksum"))
+        .orderBy("shard")
+    )

@@ -25,8 +25,16 @@ from __future__ import annotations
 
 import glob as _glob
 
+from dataclasses import dataclass
+
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class WholeFileTextDataSource(DataSource):
@@ -41,6 +49,14 @@ class WholeFileTextDataSource(DataSource):
 
     def reader(self, schema) -> "WholeFileTextReader":
         return WholeFileTextReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "WholeFileTextWriter":
+        if len(schema.fields) != 1 or schema.fields[0].dataType.typeName() != "string":
+            raise ValueError(
+                "wholefile_text writer expects exactly one string column "
+                f"(got {schema.simpleString()}) — encode rows into lines first"
+            )
+        return WholeFileTextWriter(self.options, overwrite)
 
 
 class WholeFileTextReader(DataSourceReader):
@@ -63,6 +79,74 @@ class WholeFileTextReader(DataSourceReader):
         path = partition.value
         with open(path, "rb") as f:
             yield (path, f.read().decode("utf-8", errors="replace"))
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    tmp_path: str
+    final_path: str
+    n_rows: int
+
+
+class WholeFileTextWriter(DataSourceWriter):
+    """The OUTPUT half of the reference's file contract: one task = one
+    output file (the reducer's mr.out-N shape, common_reduce.go), with
+    a TWO-PHASE COMMIT — tasks write uniquely-named temp files and
+    return them as commit messages; only the driver's commit() renames
+    them to their final names, and abort() removes the temps. A failed
+    or speculative task attempt therefore never publishes a partial
+    file (the job-commit discipline Hadoop/Spark FileOutputCommitter
+    implements for real filesystems; ``os.replace`` is the local-FS
+    stand-in for the object-store rename/manifest step).
+
+    Scale posture: file naming is partition-indexed so output layout
+    follows upstream parallelism exactly; empty partitions still
+    publish an (empty) file, matching the reference's empty reduce
+    outputs."""
+
+    def __init__(self, options, overwrite: bool) -> None:
+        out = options.get("path")
+        if not out:
+            raise ValueError("wholefile_text writer requires option 'path'")
+        self._dir = out
+        self._overwrite = overwrite
+
+    def write(self, rows) -> _FileCommit:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._dir, exist_ok=True)
+        # unique temp name per ATTEMPT: a speculative or retried task
+        # can never clobber another attempt's bytes; the losing
+        # attempt's temp is swept by abort()/commit-time cleanup
+        tmp = os.path.join(self._dir, f".tmp-{pid:05d}-{uuid.uuid4().hex}")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in rows:
+                f.write(row[0])
+                f.write("\n")
+                n += 1
+        return _FileCommit(tmp, os.path.join(self._dir, f"part-{pid:05d}.txt"), n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            os.replace(m.tmp_path, m.final_path)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
 
 
 def register_wholefile_source(spark: SparkSession) -> None:

@@ -1938,3 +1938,48 @@ def test_cluster_safe_split_prevents_naive_leakage(spark):
     for r in rows:
         by_cluster.setdefault(r.cluster, set()).add(r.split)
     assert all(len(s) == 1 for s in by_cluster.values())
+
+
+def test_pydatasource_writer_two_phase_commit(spark, tmp_path):
+    """The custom writer's exactly-once contract: a successful job
+    publishes exactly one part file per partition and sweeps every
+    temp; a FAILING job publishes NOTHING (temps never rename) — the
+    all-or-nothing property the two-phase commit exists for."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.sources.pydatasource import register_wholefile_source
+
+    register_wholefile_source(spark)
+    ok_dir = str(tmp_path / "ok")
+    df = spark.range(100).select(F.concat(F.lit("row-"), F.col("id")).alias("line"))
+    df = df.repartition(4)
+    df.write.format("wholefile_text").option("path", ok_dir).mode("append").save()
+    names = sorted(os.listdir(ok_dir))
+    assert [n for n in names if n.startswith("part-")] == names, f"temps leaked: {names}"
+    assert len(names) == 4
+    total = sum(
+        sum(1 for ln in open(os.path.join(ok_dir, n)) if ln.strip()) for n in names
+    )
+    assert total == 100
+
+    bad_dir = str(tmp_path / "bad")
+    # poison one row: ANSI cast failure inside the write job's plan
+    bad = spark.range(100).select(
+        F.when(F.col("id") == 37, F.lit("boom"))
+        .otherwise(F.col("id").cast("string"))
+        .cast("long")
+        .cast("string")
+        .alias("line")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bad.repartition(4).write.format("wholefile_text").option(
+            "path", bad_dir
+        ).mode("append").save()
+    published = [
+        n for n in os.listdir(bad_dir) if n.startswith("part-")
+    ] if os.path.isdir(bad_dir) else []
+    assert published == [], f"failed job published files: {published}"
