@@ -194,7 +194,12 @@ def blocked_embeddings(e: DataFrame) -> DataFrame:
     the cap are bit-identical to the uncapped query. Recursing on
     still-hot sub-blocks adds planes — same shape. The per-label count
     is a broadcast aggregate (10s–1000s of labels), never a shuffle of
-    the vectors."""
+    the vectors.
+
+    Also carries ``nrm`` — the vector's norm, computed ONCE here so the
+    pairwise consumers (q86/q88) divide precomputed norms instead of
+    re-evaluating two sqrt(Σx²) higher-order expressions per PAIR
+    (q164's discipline; bit-identical quotient)."""
     counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
     sub = (
         F.when(
@@ -203,7 +208,12 @@ def blocked_embeddings(e: DataFrame) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long")
     )
-    return e.join(F.broadcast(counts), "label").withColumn("sub", sub).drop("_n")
+    return (
+        e.join(F.broadcast(counts), "label")
+        .withColumn("sub", sub)
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .drop("_n")
+    )
 
 
 def _blocked_sql() -> str:
@@ -253,7 +263,9 @@ def q86_nn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = blocked_embeddings(e)
     a = blocked.where(F.col("vec_id") < 100).alias("a")
     b = blocked.alias("b")
-    sim = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    )
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label"))
@@ -325,7 +337,9 @@ def q88_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     blocked = blocked_embeddings(e)
     a, b = blocked.alias("a"), blocked.alias("b")
-    sim = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    sim = _dot(F.col("a.embedding"), F.col("b.embedding")) / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    )
     return (
         a.join(
             b,
@@ -592,18 +606,24 @@ def lsh_probe_hits(
     the q89 single-probe plan generalized to a query SET. ``b`` must
     carry (vec_id, embedding, bucket); ``queries`` (query_id, qv,
     qbucket). One broadcast equi-join on the bucket id — the corpus
-    never shuffles; ranking is a per-query window over probed rows."""
+    never shuffles; ranking is a per-query window over probed rows.
+    Norms precompute per corpus row and per query (q164's discipline),
+    leaving only the dot product per probed pair."""
     probes = queries.select(
         "query_id",
         "qv",
+        _norm(F.col("qv")).alias("_qn"),
         F.explode(
             F.array(*[F.col("qbucket").bitwiseXOR(F.lit(v)) for v in probe_xors])
         ).alias("pbucket"),
     )
-    sim = cosine_col(F.col("embedding"), F.col("qv"))
+    bn = b.withColumn("_bn", _norm(F.col("embedding")))
+    sim = _dot(F.col("embedding"), F.col("qv")) / F.nullif(
+        F.col("_bn") * F.col("_qn"), F.lit(0.0)
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), "vec_id")
     return (
-        b.join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
+        bn.join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", sim.alias("_sim"))
         .withColumn("_rk", F.row_number().over(w))
@@ -1156,11 +1176,19 @@ def q147_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     e = t(spark, sf_dir, "embeddings")
     is_eval = F.col("vec_id") % 25 == 0
     eval_set = e.where(is_eval).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev")
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("ev"),
+        _norm(F.col("embedding")).alias("_en"),
     )
-    cs = cosine_col(F.col("embedding"), F.col("ev"))
+    # norms once per side (q164's discipline): train-side norm per row,
+    # eval-side norm inside the broadcast — per (train, eval) pair only
+    # the dot product remains; quotient bit-equal to the per-pair form
+    cs = _dot(F.col("embedding"), F.col("ev")) / F.nullif(
+        F.col("_tn") * F.col("_en"), F.lit(0.0)
+    )
     return (
         e.where(~is_eval)
+        .withColumn("_tn", _norm(F.col("embedding")))
         .crossJoin(F.broadcast(eval_set))
         .select("vec_id", cs.alias("cs"))
         .groupBy("vec_id")
