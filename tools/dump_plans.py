@@ -58,6 +58,7 @@ FLAGSHIPS = {
     "q166_classifier_filter": "hashing-trick classifier: broadcast weight vector, one doc_id combine",
     "q167_cluster_safe_split": "cluster-safe split: q148's closure reused, split tag a pure map over it",
     "q168_stream_ann_serve": "streaming ANN serve: attach once, each micro-batch probes broadcast cells",
+    "q169_pydatasource_sink": "custom writer roundtrip: one file per task, rename-commit, checksum reduce",
 }
 
 
