@@ -742,3 +742,22 @@ def test_semantic_dedup_pairs_expand_by_broadcast(plan):
     assert "zip_with" in bhj_detail
     smj_blocks = p.split(") SortMergeJoin")[1:]
     assert all("zip_with" not in b.split("\n\n")[0] for b in smj_blocks)
+
+
+def test_classifier_filter_broadcasts_weights(plan):
+    """q166's posture: the weight vector joins by BROADCAST (kilobytes
+    at any real dimensionality) and nothing vocabulary- or
+    corpus-sized is ever the build side; the only shuffles are the
+    doc_id combine and the output sort."""
+    p = plan("q166_classifier_filter")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pydatasource_sink_single_agg_shuffle(plan):
+    """q169's read-back reduce: explode/decode are narrow; the per-shard
+    aggregate is partial+final (map-side combine before the one
+    shuffle)."""
+    p = plan("q169_pydatasource_sink")
+    assert "partial_count" in p or "HashAggregate" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
