@@ -251,3 +251,45 @@ def test_legacy_flat_layout_pruned(monkeypatch):
         assert root.startswith(os.path.join(label_root, "v1"))
     finally:
         shutil.rmtree(label_root, ignore_errors=True)
+
+
+def test_q168_two_processes_concurrently(spark):
+    """q152's two-process exactly-once property, applied to the
+    streaming ANN serve tree: two processes run q168 against the SAME
+    fingerprint tree at once. The lease serializes them (each run
+    resets and re-streams its own tree epoch), and both must produce
+    the identical per-query top-k as a fresh rerun."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    code = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {REPO!r})
+        from mapreduce_mit_spark import registry
+        from mapreduce_mit_spark.session import get_spark
+        registry.load_all_plans()
+        spark = get_spark("q168-concurrent-child", shuffle_partitions=8)
+        spark.sparkContext.setLogLevel("ERROR")
+        rows = registry.REGISTRY["q168_stream_ann_serve"].fn(
+            spark, {SF_SMALL!r}
+        ).collect()
+        print("ROWS", len(rows), flush=True)
+        spark.stop()
+        """
+    )
+    child = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    mine = REGISTRY["q168_stream_ann_serve"].fn(spark, SF_SMALL).collect()
+    out, err = child.communicate(timeout=600)
+    assert child.returncode == 0, f"child q168 failed:\n{err[-2000:]}"
+    child_rows = int(
+        [ln for ln in out.splitlines() if ln.startswith("ROWS")][0].split()[1]
+    )
+    assert child_rows == len(mine) > 0
+    again = REGISTRY["q168_stream_ann_serve"].fn(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, mine)) == sorted(map(tuple, again))
