@@ -692,12 +692,21 @@ def ivf_codebook(
         .alias("cid"),
         "cv",
     )
+    # vector norms once, OUTSIDE the Lloyd loop (q164's discipline):
+    # each round's assignment divides the precomputed norm instead of
+    # re-evaluating sqrt(Σx²) per (vector, centroid) pair × iters —
+    # the quotient is bit-equal to the oracle's per-pair cosine
+    ev = e.withColumn("_en", _norm(F.col("embedding")))
     for _ in range(iters):
-        sims = e.crossJoin(F.broadcast(cent)).select(
+        centn = cent.select("cid", "cv", _norm(F.col("cv")).alias("_cn"))
+        sims = ev.crossJoin(F.broadcast(centn)).select(
             "vec_id",
             "embedding",
             "cid",
-            cosine_col(F.col("embedding"), F.col("cv")).alias("sim"),
+            (
+                _dot(F.col("embedding"), F.col("cv"))
+                / F.nullif(F.col("_en") * F.col("_cn"), F.lit(0.0))
+            ).alias("sim"),
         )
         assign = sims.groupBy("vec_id").agg(
             F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc")))
@@ -834,12 +843,21 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     if pair is None:
         cent = codebook_for(spark, sf_dir)
         e = tw(spark, sf_dir, "embeddings")
-        sims = e.crossJoin(F.broadcast(cent)).select(
-            "vec_id",
-            "label",
-            "embedding",
-            "cid",
-            cosine_col(F.col("embedding"), F.col("cv")).alias("sim"),
+        # norms once per side (q164's discipline), bit-equal quotient
+        centn = cent.select("cid", "cv", _norm(F.col("cv")).alias("_cn"))
+        sims = (
+            e.withColumn("_en", _norm(F.col("embedding")))
+            .crossJoin(F.broadcast(centn))
+            .select(
+                "vec_id",
+                "label",
+                "embedding",
+                "cid",
+                (
+                    _dot(F.col("embedding"), F.col("cv"))
+                    / F.nullif(F.col("_en") * F.col("_cn"), F.lit(0.0))
+                ).alias("sim"),
+            )
         )
         assign = (
             sims.groupBy("vec_id", "label")
@@ -1010,11 +1028,19 @@ def ivf_probe_hits(
     Scale shape: the codebook broadcasts for BOTH the corpus assignment
     and the query-cell ranking; the probed-cell join broadcasts the
     (|queries| × nprobe)-row probe set; the corpus never shuffles."""
-    sims = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        cosine_col(F.col("embedding"), F.col("cv")).alias("sim"),
+    centn = cent.select("cid", "cv", _norm(F.col("cv")).alias("_cn"))
+    sims = (
+        e.withColumn("_en", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(centn))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            (
+                _dot(F.col("embedding"), F.col("cv"))
+                / F.nullif(F.col("_en") * F.col("_cn"), F.lit(0.0))
+            ).alias("sim"),
+        )
     )
     assign = sims.groupBy("vec_id").agg(
         F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias(
