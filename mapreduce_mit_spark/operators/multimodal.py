@@ -96,13 +96,7 @@ def extract_image_meta(df: DataFrame, id_col: str = "doc_id", payload_col: str =
     return df.mapInPandas(process, META_SCHEMA)
 
 
-def _hex2int_sql(hexpr: str, start: int, length: int) -> str:
-    """DuckDB: parse hex substring into an integer via nibble positions."""
-    acc = "0"
-    for i in range(length):
-        nib = f"(strpos('0123456789abcdef', substr({hexpr}, {start + i}, 1)) - 1)"
-        acc = f"(({acc}) * 16 + {nib})"
-    return acc
+from ..plans._util import hex_int_sql as _hex2int_sql  # shared SQL twin
 
 
 @register(

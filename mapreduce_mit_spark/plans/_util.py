@@ -142,3 +142,15 @@ def read_index_table(
             for c in cols
         ]
     )
+
+
+def hex_int_sql(hexpr: str, start: int, length: int) -> str:
+    """DuckDB: parse a hex substring into an integer via nibble
+    positions — the SQL twin of Spark's ``conv(substring(<hex>, start,
+    length), 16, 10)``. Shared by the multimodal oracles, q166's
+    bucket hash, q168's query sample, and q169's checksum."""
+    acc = "0"
+    for i in range(length):
+        nib = f"(strpos('0123456789abcdef', substr({hexpr}, {start + i}, 1)) - 1)"
+        acc = f"(({acc}) * 16 + {nib})"
+    return acc

@@ -37,7 +37,7 @@ from ..sources.io import (
     write_orc,
     write_sorted_text,
 )
-from ._util import t
+from ._util import hex_int_sql, t
 
 # One scratch dir per kind per PROCESS, removed at interpreter exit.
 # Re-invoking a round-trip query in the same session reuses the path —
@@ -405,20 +405,6 @@ def q138_wholefile_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hex8_int_sql(md5_expr: str) -> str:
-    """DuckDB value of the first 8 hex chars of an md5 expression —
-    the twin of Spark's ``conv(substring(md5(x), 1, 8), 16, 10)``."""
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr({md5_expr}, {i + 1}, 1)) - 1)"
-            f" * {16 ** (7 - i)}"
-            for i in range(8)
-        )
-        + ")"
-    )
-
-
 _Q169_KEY_SQL = (
     "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(text IS NULL AS VARCHAR)"
     " || ':' || coalesce(text, ''))"
@@ -430,7 +416,7 @@ _Q169_KEY_SQL = (
     oracle=f"""
     SELECT doc_id % 4 AS shard,
            count(*) AS n_docs,
-           CAST(sum({_hex8_int_sql(_Q169_KEY_SQL)}) AS BIGINT) AS checksum
+           CAST(sum({hex_int_sql(_Q169_KEY_SQL, 1, 8)}) AS BIGINT) AS checksum
     FROM documents
     GROUP BY doc_id % 4
     ORDER BY shard
@@ -470,6 +456,11 @@ def q169_pydatasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hex(F.encode(F.col("text"), "UTF-8"))
         ),
     )
+    # Per-PROCESS scratch (mkdtemp at first use, like every io_roundtrip
+    # sink), so concurrent SESSIONS never share this tree; within one
+    # session the reset-then-write assumes the single-threaded query
+    # execution the whole io_roundtrip family assumes. A shared
+    # multi-writer tree would need q168's tree_lock lease instead.
     out_dir = _scratch("pysink")
     shutil.rmtree(out_dir, ignore_errors=True)
     d.select(line.alias("line")).write.format("wholefile_text").option(

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import tokens_col, tokens_sql
 from ..registry import register
-from ._util import t, tw
+from ._util import hex_int_sql, t, tw
 
 # Eval-set membership: deterministic, derivable in both engines.
 BENCH_PRED = "doc_id % 25 = 0"
@@ -610,19 +610,30 @@ def q149_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 OVERLAP_LG_K = 14
 
 
-def _overlap_sketches_df(docs: DataFrame) -> DataFrame:
-    """(source, n, sk) per source: exact distinct-5-gram count + HLL
-    sketch over the distinct (source, n-gram) pairs — q165's fit."""
-    ngs = docs.select(
+def _overlap_ngs_df(docs: DataFrame) -> DataFrame:
+    """Distinct (source, 5-gram) pairs — shared by q165's exact audit
+    tier and the sketch fit, so a cold run tokenizes the corpus once."""
+    return docs.select(
         "source", F.explode(_ngrams_col(tokens_col("text"), NGRAM)).alias("ng")
     ).distinct()
+
+
+def _overlap_sketches_df(docs: DataFrame, ngs: DataFrame | None = None) -> DataFrame:
+    """(source, n, sk) per source: exact distinct-5-gram count + HLL
+    sketch over the distinct (source, n-gram) pairs — q165's fit.
+    Pass ``ngs`` (a precomputed :func:`_overlap_ngs_df`) to fit from a
+    relation the caller is already materializing."""
+    if ngs is None:
+        ngs = _overlap_ngs_df(docs)
     return ngs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
         F.hll_sketch_agg("ng", OVERLAP_LG_K).alias("sk"),
     )
 
 
-def overlap_sketches_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+def overlap_sketches_for(
+    spark: SparkSession, sf_dir: str, ngs: DataFrame | None = None
+) -> DataFrame:
     """The per-source overlap-sketch table as a memoized index artifact
     (the ``lsh_bands_for`` discipline): a production triage service
     maintains these sketches ALONGSIDE the corpus — built once per
@@ -640,9 +651,9 @@ def overlap_sketches_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("overlap_sketches",) + source_fingerprint(src)
     df = cache.get(key)
     if df is None:
-        df = _overlap_sketches_df(tw(spark, sf_dir, "documents")).localCheckpoint(
-            eager=True
-        )
+        df = _overlap_sketches_df(
+            tw(spark, sf_dir, "documents"), ngs=ngs
+        ).localCheckpoint(eager=True)
         _cache_put(cache, key, df)
     return df
 
@@ -750,11 +761,15 @@ def q165_sketch_overlap_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (attachable via :func:`overlap_index_attach`), so a serving
     session never re-sketches the corpus."""
     d = tw(spark, sf_dir, "documents")
-    ngs = d.select(
-        "source", F.explode(_ngrams_col(tokens_col("text"), NGRAM)).alias("ng")
-    ).distinct()
+    # ONE definition of the tokenize+distinct relation feeds both
+    # tiers (no drift between audit and fit). Physically, a cache-cold
+    # call still runs it twice — once for the fit's checkpoint job,
+    # once in this query — which is the production split anyway: the
+    # fit is the offline job, and every warm/attached call serves the
+    # sketches from the artifact and scans only for the audit tier.
+    ngs = _overlap_ngs_df(d)
 
-    per = overlap_sketches_for(spark, sf_dir)
+    per = overlap_sketches_for(spark, sf_dir, ngs=ngs)
     a = per.select(
         F.col("source").alias("src_a"),
         F.col("n").alias("na"),
@@ -826,10 +841,7 @@ CLS_KEEP_TAU = 0.0
     ),
     occ AS (SELECT doc_id, unnest(t) AS token FROM tok),
     b AS (
-      SELECT doc_id,
-             (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
-           + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1)
-               AS bucket
+      SELECT doc_id, {hex_int_sql("md5(token)", 1, 2)} AS bucket
       FROM occ
     ),
     w AS (

@@ -609,10 +609,12 @@ def lsh_probe_hits(
     never shuffles; ranking is a per-query window over probed rows.
     Norms precompute per corpus row and per query (q164's discipline),
     leaving only the dot product per probed pair."""
-    probes = queries.select(
+    # query norm BEFORE the multi-probe explode — once per query, not
+    # once per probed bucket
+    probes = queries.withColumn("_qn", _norm(F.col("qv"))).select(
         "query_id",
         "qv",
-        _norm(F.col("qv")).alias("_qn"),
+        "_qn",
         F.explode(
             F.array(*[F.col("qbucket").bitwiseXOR(F.lit(v)) for v in probe_xors])
         ).alias("pbucket"),
@@ -1057,6 +1059,7 @@ def ivf_serve_hits(
     queries: DataFrame,
     k: int,
     nprobe: int = N_PROBE,
+    keep_rank: bool = False,
 ) -> DataFrame:
     """The SERVE half of :func:`ivf_probe_hits`, over a PRECOMPUTED
     (vec_id, cluster, embedding) assignment — the fitted inverted
@@ -1071,15 +1074,22 @@ def ivf_serve_hits(
     expression a per-pair cosine would evaluate, so the quotient stays
     bit-equal to the oracle's per-pair form), leaving only the dot
     product per (query, candidate) pair — the work that actually
-    scales with probed-list volume."""
-    qs = queries.crossJoin(F.broadcast(cent)).select(
-        "query_id", "qv", "cid", cosine_col(F.col("qv"), F.col("cv")).alias("qsim")
+    scales with probed-list volume. ``keep_rank=True`` surfaces the
+    per-query rank (``_rk``) the top-k filter already computed, so a
+    caller that reports ranks doesn't pay a second window sort."""
+    qn = queries.withColumn("_qn", _norm(F.col("qv")))
+    qs = qn.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "_qn",
+        "cid",
+        cosine_col(F.col("qv"), F.col("cv")).alias("qsim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), "cid")
     probe = (
         qs.withColumn("_rk", F.row_number().over(wq))
         .where(F.col("_rk") <= nprobe)
-        .select("query_id", "qv", "cid", _norm(F.col("qv")).alias("_qn"))
+        .select("query_id", "qv", "cid", "_qn")
     )
     lists = assign.select(
         "vec_id", "cluster", "embedding", _norm(F.col("embedding")).alias("_bn")
@@ -1088,14 +1098,14 @@ def ivf_serve_hits(
         F.col("_bn") * F.col("_qn"), F.lit(0.0)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), "vec_id")
-    return (
+    ranked = (
         lists.join(F.broadcast(probe), lists.cluster == F.col("cid"))
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", sim.alias("_sim"))
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
-        .drop("_rk")
     )
+    return ranked if keep_rank else ranked.drop("_rk")
 
 
 Q155_BALANCE_BOUND = 0.5

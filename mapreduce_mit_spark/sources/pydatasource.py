@@ -99,17 +99,29 @@ class WholeFileTextWriter(DataSourceWriter):
     implements for real filesystems; ``os.replace`` is the local-FS
     stand-in for the object-store rename/manifest step).
 
+    Mode semantics: final names carry a per-JOB token
+    (``part-<pid>-<job>.txt``), so ``append`` jobs can never clobber a
+    prior job's files; ``overwrite`` removes every previously
+    published ``part-*`` at commit time, after this job's renames
+    succeed. commit() and abort() both sweep THIS job's leftover
+    temps (a failed first attempt whose retry succeeded still leaves
+    its temp behind otherwise) and never touch another live job's.
+
     Scale posture: file naming is partition-indexed so output layout
     follows upstream parallelism exactly; empty partitions still
     publish an (empty) file, matching the reference's empty reduce
     outputs."""
 
     def __init__(self, options, overwrite: bool) -> None:
+        import uuid
+
         out = options.get("path")
         if not out:
             raise ValueError("wholefile_text writer requires option 'path'")
         self._dir = out
         self._overwrite = overwrite
+        # driver-side, once per job; pickled to every task
+        self._job = uuid.uuid4().hex[:12]
 
     def write(self, rows) -> _FileCommit:
         import os
@@ -120,22 +132,46 @@ class WholeFileTextWriter(DataSourceWriter):
         pid = TaskContext.get().partitionId()
         os.makedirs(self._dir, exist_ok=True)
         # unique temp name per ATTEMPT: a speculative or retried task
-        # can never clobber another attempt's bytes; the losing
-        # attempt's temp is swept by abort()/commit-time cleanup
-        tmp = os.path.join(self._dir, f".tmp-{pid:05d}-{uuid.uuid4().hex}")
+        # can never clobber another attempt's bytes
+        tmp = os.path.join(
+            self._dir, f".tmp-{self._job}-{pid:05d}-{uuid.uuid4().hex}"
+        )
         n = 0
         with open(tmp, "w", encoding="utf-8") as f:
             for row in rows:
                 f.write(row[0])
                 f.write("\n")
                 n += 1
-        return _FileCommit(tmp, os.path.join(self._dir, f"part-{pid:05d}.txt"), n)
+        final = os.path.join(self._dir, f"part-{pid:05d}-{self._job}.txt")
+        return _FileCommit(tmp, final, n)
 
-    def commit(self, messages) -> None:
+    def _sweep_temps(self) -> None:
+        import glob as _g
         import os
 
+        for stale in _g.glob(os.path.join(self._dir, f".tmp-{self._job}-*")):
+            try:
+                os.remove(stale)
+            except FileNotFoundError:
+                pass
+
+    def commit(self, messages) -> None:
+        import glob as _g
+        import os
+
+        published = {m.final_path for m in messages}
         for m in messages:
             os.replace(m.tmp_path, m.final_path)
+        if self._overwrite:
+            # clear prior jobs' files only AFTER this job's renames — a
+            # crash before this point leaves the old output intact
+            for old in _g.glob(os.path.join(self._dir, "part-*")):
+                if old not in published:
+                    try:
+                        os.remove(old)
+                    except FileNotFoundError:
+                        pass
+        self._sweep_temps()
 
     def abort(self, messages) -> None:
         import os
@@ -147,6 +183,7 @@ class WholeFileTextWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
             except FileNotFoundError:
                 pass
+        self._sweep_temps()
 
 
 def register_wholefile_source(spark: SparkSession) -> None:

@@ -1666,21 +1666,6 @@ ANN_SERVE_FRAC = 0.05  # deterministic hash-sample of query vectors
 ANN_SERVE_THR = int(ANN_SERVE_FRAC * 65536)
 
 
-def _hex4_int_sql(s: str) -> str:
-    """DuckDB value of the first 4 hex chars of md5(s) — the twin of
-    Spark's ``conv(substring(md5(s), 1, 4), 16, 10)`` (q83's per-nibble
-    construction, 4 nibbles wide)."""
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr(md5({s}), {i + 1}, 1)) - 1)"
-            f" * {16 ** (3 - i)}"
-            for i in range(4)
-        )
-        + ")"
-    )
-
-
 def _ann_serve_oracle() -> str:
     from ..plans.similarity import (
         ANN_K,
@@ -1689,7 +1674,9 @@ def _ann_serve_oracle() -> str:
         cosine_sql,
     )
 
-    sample = _hex4_int_sql("'serve1:' || CAST(vec_id AS VARCHAR)")
+    from ..plans._util import hex_int_sql
+
+    sample = hex_int_sql("md5('serve1:' || CAST(vec_id AS VARCHAR))", 1, 4)
     return f"""
     WITH {_ivf_codebook_sql()},
     sims AS (
@@ -1798,13 +1785,12 @@ def q168_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
             def serve(batch: DataFrame, batch_id: int) -> None:
-                hits = ivf_serve_hits(assign, cent, batch, ANN_K)
-                w = Window.partitionBy("query_id").orderBy(
-                    F.col("_sim").desc(), "vec_id"
-                )
-                out = hits.withColumn("rnk", F.row_number().over(w)).select(
+                # keep_rank: report the rank the top-k filter already
+                # computed instead of paying a second window sort
+                hits = ivf_serve_hits(assign, cent, batch, ANN_K, keep_rank=True)
+                out = hits.select(
                     "query_id",
-                    "rnk",
+                    F.col("_rk").alias("rnk"),
                     "vec_id",
                     F.round("_sim", 4).alias("cos_sim"),
                 )

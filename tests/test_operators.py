@@ -1964,6 +1964,20 @@ def test_pydatasource_writer_two_phase_commit(spark, tmp_path):
     )
     assert total == 100
 
+    # append ACCUMULATES (job-token file names never clobber a prior
+    # job's output) ...
+    df.write.format("wholefile_text").option("path", ok_dir).mode("append").save()
+    assert len(os.listdir(ok_dir)) == 8
+    # ... and overwrite REPLACES: prior jobs' part files are cleared at
+    # commit, after the new job's renames
+    spark.range(10).selectExpr("CAST(id AS STRING) AS line").repartition(
+        2
+    ).write.format("wholefile_text").option("path", ok_dir).mode(
+        "overwrite"
+    ).save()
+    left = sorted(os.listdir(ok_dir))
+    assert len(left) == 2 and all(n.startswith("part-") for n in left)
+
     bad_dir = str(tmp_path / "bad")
     # poison one row: ANSI cast failure inside the write job's plan
     bad = spark.range(100).select(
