@@ -496,8 +496,16 @@ def q169_pydatasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     h = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    # accumulate in decimal(38,0) — the oracle sums in DuckDB HUGEINT
+    # then casts to BIGINT, so a LongType sum would hit ANSI overflow
+    # ~4e9 rows before the oracle's cast does; decimal matches the
+    # oracle's exact accumulation, and the final cast fails identically
+    # on both sides iff the total genuinely exceeds BIGINT
     return (
         back.groupBy((F.col("doc_id") % 4).alias("shard"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(h).alias("checksum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(h.cast("decimal(38,0)")).cast("long").alias("checksum"),
+        )
         .orderBy("shard")
     )

@@ -16,10 +16,15 @@ Usage::
     df = spark.read.format("wholefile_text").option("path", glob).load()
 
 Scale posture: partition-per-file is exactly the reference's
-parallelism model; a production variant would coalesce small files into
-multi-file partitions (maxPartitionBytes-style binpacking) — the
-partitions() hook is where that policy lives, driver-side, file-list
-only (no data touched at planning)."""
+parallelism model and the default here; the ``maxBytesPerPartition``
+option enables maxPartitionBytes-style BINPACKING — small files are
+greedily coalesced (in sorted-path order, so packing is deterministic)
+into multi-file partitions whose byte total stays under the cap, while
+any single file larger than the cap still gets its own partition. The
+policy runs entirely in partitions(), driver-side, file-list only (an
+``os.stat`` per file, no data touched at planning) — so a 100 TB crawl
+of millions of small files schedules thousands of packed tasks instead
+of millions of per-file ones."""
 
 from __future__ import annotations
 
@@ -65,20 +70,53 @@ class WholeFileTextReader(DataSourceReader):
         if not pattern:
             raise ValueError("wholefile_text requires option 'path' (a glob)")
         self._pattern = pattern
+        # Python DataSource options arrive with lowercased keys; accept
+        # the camelCase spelling too for direct construction in tests.
+        raw = options.get("maxbytesperpartition") or options.get(
+            "maxBytesPerPartition"
+        )
+        self._max_bytes = int(raw) if raw is not None else None
+        if self._max_bytes is not None and self._max_bytes <= 0:
+            raise ValueError(
+                f"maxBytesPerPartition must be positive, got {self._max_bytes}"
+            )
 
     def partitions(self):
         # Planning is a driver-side listing only; sorted so partition
-        # numbering is deterministic. One file = one split = one task,
-        # the reference's scheduling unit (schedule.go:11-13).
+        # numbering (and, with binpacking, pack membership) is
+        # deterministic. Default: one file = one split = one task, the
+        # reference's scheduling unit (schedule.go:11-13).
+        import os
+
         paths = sorted(_glob.glob(self._pattern, recursive=True))
         if not paths:
             raise FileNotFoundError(f"no files match {self._pattern}")
-        return [InputPartition(p) for p in paths]
+        if self._max_bytes is None:
+            return [InputPartition((p,)) for p in paths]
+        # Greedy binpack in sorted order: close the current pack when
+        # adding the next file would exceed the cap. A file larger than
+        # the cap gets its own partition (never split — the source's
+        # contract is whole files).
+        packs: list[tuple[str, ...]] = []
+        cur: list[str] = []
+        cur_bytes = 0
+        for p in paths:
+            sz = os.stat(p).st_size
+            if cur and cur_bytes + sz > self._max_bytes:
+                packs.append(tuple(cur))
+                cur, cur_bytes = [], 0
+            cur.append(p)
+            cur_bytes += sz
+        if cur:
+            packs.append(tuple(cur))
+        return [InputPartition(pk) for pk in packs]
 
     def read(self, partition):
-        path = partition.value
-        with open(path, "rb") as f:
-            yield (path, f.read().decode("utf-8", errors="replace"))
+        val = partition.value
+        paths = (val,) if isinstance(val, str) else val
+        for path in paths:
+            with open(path, "rb") as f:
+                yield (path, f.read().decode("utf-8", errors="replace"))
 
 
 @dataclass
@@ -139,6 +177,15 @@ class WholeFileTextWriter(DataSourceWriter):
         n = 0
         with open(tmp, "w", encoding="utf-8") as f:
             for row in rows:
+                if row[0] is None:
+                    # the schema check in writer() validates type, not
+                    # nullability — fail with the contract, not a
+                    # TypeError from f.write(None)
+                    raise ValueError(
+                        "wholefile_text writer: NULL in the line column at "
+                        f"partition {pid} row {n} — encode NULLs into a "
+                        "marker (e.g. coalesce) before writing"
+                    )
                 f.write(row[0])
                 f.write("\n")
                 n += 1

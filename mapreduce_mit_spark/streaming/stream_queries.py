@@ -25,6 +25,7 @@ Kafka/object-store streams — the operator graph is source-agnostic.
 
 from __future__ import annotations
 
+import glob
 import os
 import tempfile
 import time
@@ -1811,11 +1812,19 @@ def q168_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
             LAST_QUERY["q168_sink"] = q
-            res = (
-                spark.read.parquet(out_dir)
-                .select("query_id", "rnk", "vec_id", "cos_sim")
-                .localCheckpoint(eager=True)
-            )
+            if not glob.glob(os.path.join(out_dir, "batch_id=*")):
+                # empty query sample → no micro-batch ever ran and
+                # out_dir was never created; return an empty result
+                # with the serve schema instead of a read error
+                res = spark.createDataFrame(
+                    [], "query_id bigint, rnk int, vec_id bigint, cos_sim double"
+                )
+            else:
+                res = (
+                    spark.read.parquet(out_dir)
+                    .select("query_id", "rnk", "vec_id", "cos_sim")
+                    .localCheckpoint(eager=True)
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 

@@ -1997,3 +1997,62 @@ def test_pydatasource_writer_two_phase_commit(spark, tmp_path):
         n for n in os.listdir(bad_dir) if n.startswith("part-")
     ] if os.path.isdir(bad_dir) else []
     assert published == [], f"failed job published files: {published}"
+
+
+def test_wholefile_reader_binpacks_small_files(spark, tmp_path):
+    """maxBytesPerPartition coalesces small files into multi-file
+    partitions (deterministic greedy pack in sorted-path order) with
+    identical rows; a file LARGER than the cap still reads whole in
+    its own partition. Default stays one-partition-per-file — the
+    reference's scheduling contract."""
+    import os
+
+    from mapreduce_mit_spark.sources.pydatasource import register_wholefile_source
+
+    register_wholefile_source(spark)
+    src = tmp_path / "many"
+    src.mkdir()
+    for i in range(12):
+        (src / f"f{i:02d}.txt").write_text(f"content-{i:02d}\n")  # 12 bytes each
+    (src / "zbig.txt").write_text("Z" * 200 + "\n")  # exceeds the cap alone
+    pattern = str(src / "*.txt")
+
+    base = spark.read.format("wholefile_text").option("path", pattern).load()
+    assert base.rdd.getNumPartitions() == 13
+    packed = (
+        spark.read.format("wholefile_text")
+        .option("path", pattern)
+        .option("maxBytesPerPartition", "64")  # ~5 small files per pack
+        .load()
+    )
+    nparts = packed.rdd.getNumPartitions()
+    assert 3 <= nparts < 13, f"expected packed partitions, got {nparts}"
+    assert sorted(map(tuple, packed.collect())) == sorted(map(tuple, base.collect()))
+
+    with pytest.raises(Exception, match="maxBytesPerPartition must be positive"):
+        spark.read.format("wholefile_text").option("path", pattern).option(
+            "maxBytesPerPartition", "0"
+        ).load().count()
+
+
+def test_wholefile_writer_rejects_null_lines(spark, tmp_path):
+    """A NULL in the single line column fails with the writer's
+    contract error (not an opaque TypeError), and the failed job
+    publishes nothing (ADVICE r11)."""
+    import os
+
+    from mapreduce_mit_spark.sources.pydatasource import register_wholefile_source
+
+    register_wholefile_source(spark)
+    out = str(tmp_path / "nulls")
+    df = spark.createDataFrame([("ok",), (None,)], "line string")
+    with pytest.raises(Exception, match="NULL in the line column"):
+        df.coalesce(1).write.format("wholefile_text").option("path", out).mode(
+            "append"
+        ).save()
+    published = (
+        [n for n in os.listdir(out) if n.startswith("part-")]
+        if os.path.isdir(out)
+        else []
+    )
+    assert published == []

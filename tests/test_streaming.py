@@ -1138,3 +1138,19 @@ def test_stream_ann_serve_from_attached_index(spark, tmp_path, monkeypatch):
         map(tuple, REGISTRY["q168_stream_ann_serve"].fn(spark, sf).collect())
     )
     assert served == base, "attached-index serving diverges from the fit"
+
+
+def test_stream_ann_serve_empty_query_sample(spark, monkeypatch):
+    """An empty deterministic query sample must yield an EMPTY serve
+    result, not a read error: with no queries no micro-batch may ever
+    run, so out_dir is never created and the final read needs the
+    empty-schema short-circuit (ADVICE r11)."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+    from mapreduce_mit_spark.streaming import stream_queries as sq
+
+    load_all_plans()
+    # frac so small the 16-bit hash threshold is 0 -> no vector samples
+    monkeypatch.setattr(sq, "ANN_SERVE_FRAC", 1.0 / 131072)
+    res = REGISTRY["q168_stream_ann_serve"].fn(spark, SF_SMALL)
+    assert res.columns == ["query_id", "rnk", "vec_id", "cos_sim"]
+    assert res.count() == 0
