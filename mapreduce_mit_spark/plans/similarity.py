@@ -2210,13 +2210,33 @@ def pq_index_attach(
 # removal path exercised (a few percent of vectors) without degenerating
 # to keep-everything or drop-everything.
 SEMDEDUP_TAU = 0.35
+# Straggler-cell cap: a cell whose population exceeds this is refined
+# with the q86 sign-LSH sub-bucket (N_SUB_PLANES planes → 4-way split),
+# bounding the within-cell quadratic under cell skew. Cells at or below
+# the cap keep sub = 0, so their results are bit-identical to the
+# uncapped rule. Replayed verbatim by the oracle, so either mode is
+# value-checked cross-engine.
+SEMDEDUP_CELL_CAP = 256
+# Build-side row gate for the pair join: broadcast the lower-id side
+# while the whole assignment fits a comfortable broadcast (~150 MB at
+# DIM=64 doubles), else fall back to the (cluster, sub)-keyed shuffle
+# join — by the time a corpus outgrows the broadcast, k has grown with
+# it (cells stay capped), so the equi-join has the key cardinality the
+# broadcast existed to compensate for.
+SEMDEDUP_BROADCAST_MAX_ROWS = 250_000
 
 
-def semantic_dedup_df(assign: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+def semantic_dedup_df(
+    assign: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    cell_cap: int = SEMDEDUP_CELL_CAP,
+    broadcast_max_rows: int = SEMDEDUP_BROADCAST_MAX_ROWS,
+) -> DataFrame:
     """q164's core over an (vec_id, cluster, embedding) assignment
     table: GREEDY-BY-ID semantic dedup inside each cluster — a vector
     is ``dup`` iff an EARLIER (lower-id) vector of the same cluster
-    sits within cosine ``tau``; else ``kept``. For dups, the strongest
+    (and, in a straggler cell, the same sign-LSH sub-bucket) sits
+    within cosine ``tau``; else ``kept``. For dups, the strongest
     earlier match is reported (ties → lowest id).
 
     Greedy ε-ball pruning, not transitive closure: SemDeDup's rule
@@ -2226,43 +2246,76 @@ def semantic_dedup_df(assign: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame
     aggregate; closure would add the iterative CC on top for little
     curation benefit at ε this tight.
 
-    Pair-expansion shape: vector NORMS are computed once per VECTOR
-    before the join (sqrt(Σx²) — the identical expression a per-pair
-    cosine would evaluate, so the quotient is bit-equal to the
-    oracle's per-pair form while the higher-order-function work per
-    pair drops 3× to the dot product alone), and the lower-id side is
-    BROADCAST: a few cells (k bounded) would otherwise cap the
-    cluster-keyed shuffle join's parallelism at k tasks, serializing
-    the within-cell quadratic. The broadcast build is the assignment
-    table itself — bounded by Σ|cell| of the PROBED population, the
-    same budget every broadcast ANN stage here already carries; at
-    100 TB, where the corpus outgrows one broadcast, k grows with it
-    (cells stay capped) and the cluster-keyed equi-join regains its
-    parallelism — flip the build side off at that point.
+    Pair-expansion shape, both scale regimes IN CODE:
+
+    - **Skew bound.** Cells above ``cell_cap`` are sub-bucketed by the
+      q86 sign-LSH planes (the per-cell count is a broadcast k-row
+      aggregate), so the quadratic is Σ|cell∩sub|² — one skewed cell
+      can never revert the join to ~all-pairs. cos ≈ 1 pairs share
+      hyperplane signs with high probability, so near-dups survive the
+      split; sub = 0 below the cap keeps small cells exact.
+    - **Size-gated build side.** The lower-id side broadcasts while
+      the assignment's row count (one driver-side scalar probe over
+      the already-checkpointed lists) is at most
+      ``broadcast_max_rows`` — at small corpus sizes the k-valued
+      cluster key would cap a shuffle join's parallelism at k tasks,
+      serializing the quadratic, and the broadcast rescues it. Past
+      the gate the join runs (cluster, sub)-keyed with NO broadcast
+      hint: a multi-GB forced broadcast would OOM executors, and at
+      that scale k (growing with the corpus at capped cell size)
+      supplies the join parallelism instead.
+
+    Vector NORMS are computed once per VECTOR before the join
+    (sqrt(Σx²) — the identical expression a per-pair cosine would
+    evaluate, so the quotient is bit-equal to the oracle's per-pair
+    form while the higher-order-function work per pair drops 3× to the
+    dot product alone). Both modes are plan-pinned
+    (tests/test_plan_shapes.py) and oracle-green on every fixture.
     """
     from ..sources.io import fan_out
 
-    # fan_out BEFORE the per-pair math: the checkpointed assignment is
-    # a handful of partitions, and the broadcast join inherits the
-    # stream side's parallelism — without the spread the pair loop
-    # runs on as many cores as the checkpoint has splits.
-    base = fan_out(assign).select(
+    counts = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+    sub = (
+        F.when(
+            F.col("_n") > cell_cap, _bucket_col(F.col("embedding"), N_SUB_PLANES)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    # size gate: one cheap count over the checkpointed assignment (a
+    # documented driver-side scalar probe, like graph.py's convergence
+    # aggregates)
+    will_broadcast = assign.count() <= broadcast_max_rows
+    # fan_out BEFORE the per-pair math, broadcast mode only: the
+    # checkpointed assignment is a handful of partitions and the
+    # broadcast join inherits the stream side's parallelism; in shuffle
+    # mode the (cluster, sub) exchange already redistributes, so the
+    # round-robin spread would be a wasted extra shuffle.
+    spread = fan_out(assign) if will_broadcast else assign
+    base = spread.join(F.broadcast(counts), "cluster").select(
         "vec_id",
         "cluster",
         "embedding",
+        sub.alias("sub"),
         _norm(F.col("embedding")).alias("nrm"),
     )
     a = base.select(
         F.col("vec_id").alias("m_id"),
         F.col("cluster").alias("a_cluster"),
+        F.col("sub").alias("a_sub"),
         F.col("embedding").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
     )
     sim = _dot(F.col("a_emb"), F.col("embedding")) / F.nullif(
         F.col("a_nrm") * F.col("nrm"), F.lit(0.0)
     )
+    build = F.broadcast(a) if will_broadcast else a
     pairs = (
-        base.join(F.broadcast(a), F.col("a_cluster") == F.col("cluster"))
+        base.join(
+            build,
+            (F.col("a_cluster") == F.col("cluster"))
+            & (F.col("a_sub") == F.col("sub")),
+        )
         .where(F.col("m_id") < F.col("vec_id"))
         .select("vec_id", "m_id", sim.alias("cs"))
         .where(F.col("cs") >= tau)
@@ -2305,11 +2358,19 @@ def semantic_dedup_df(assign: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame
             FROM sims)
       WHERE rn = 1
     ),
+    ccounts AS (SELECT cluster, count(*) AS n FROM assign GROUP BY cluster),
+    blocked AS (
+      SELECT a.vec_id, a.embedding, a.cluster,
+             CAST(CASE WHEN c.n > {SEMDEDUP_CELL_CAP}
+                  THEN {_bucket_sql('a.embedding', N_SUB_PLANES)}
+                  ELSE 0 END AS BIGINT) AS sub
+      FROM assign a JOIN ccounts c ON a.cluster = c.cluster
+    ),
     pairs AS (
       SELECT b.vec_id AS vec_id, a.vec_id AS m_id,
              {cosine_sql('a.embedding', 'b.embedding')} AS cs
-      FROM assign a JOIN assign b
-        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      FROM blocked a JOIN blocked b
+        ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
       WHERE {cosine_sql('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
     ),
     best AS (
@@ -2336,15 +2397,20 @@ def q164_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dup``/``kept`` by the greedy ε-ball rule (see
     :func:`semantic_dedup_df`).
 
-    Scale shape: the only quadratic is WITHIN a cell — Σ|cell|²,
-    bounded by the codebook's cell balance (q155's in-band contract;
-    at 100 TB raise k so cells cap at ~10⁴-10⁵ vectors, and sub-bucket
-    any straggler cell with q86's sign-LSH split, which preserves
-    near-dups with high probability since cos ≈ 1 pairs share
-    hyperplane signs). Assignment is one broadcast-codebook pass; the
-    greedy rule is embarrassingly parallel per cell; no global
-    structure is ever shuffled. The oracle replays codebook, cells,
-    and the greedy rule CTE-for-CTE, so the whole chain — fit included
-    — is value-checked cross-engine."""
+    Scale shape: the only quadratic is WITHIN a cell — Σ|cell∩sub|²,
+    bounded by the codebook's cell balance (q155's in-band contract)
+    AND, in code, by :data:`SEMDEDUP_CELL_CAP`: straggler cells
+    sub-bucket by q86's sign-LSH split, which preserves near-dups
+    with high probability since cos ≈ 1 pairs share hyperplane signs
+    (at 100 TB also raise k so cells sit at ~10⁴-10⁵ vectors). The
+    pair join's build side is size-gated
+    (:data:`SEMDEDUP_BROADCAST_MAX_ROWS`): broadcast while the
+    assignment is comfortably small, (cluster, sub)-keyed shuffle
+    join past it — see :func:`semantic_dedup_df`. Assignment is one
+    broadcast-codebook pass; the greedy rule is embarrassingly
+    parallel per cell; no global structure is ever shuffled. The
+    oracle replays codebook, cells, sub-buckets, and the greedy rule
+    CTE-for-CTE, so the whole chain — fit included — is value-checked
+    cross-engine."""
     cent, assign = ivf_index_for(spark, sf_dir)
     return semantic_dedup_df(assign)

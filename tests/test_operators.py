@@ -1878,6 +1878,73 @@ def test_semantic_dedup_greedy_semantics(spark):
     assert got[7] == ("dup", 5), "equal-similarity tie must break to the lowest id"
 
 
+def test_semantic_dedup_straggler_cell_subbuckets(spark):
+    """The skew bound, asserted on a planted straggler cell: with one
+    cluster over ``cell_cap``, the pair expansion runs per (cluster,
+    sign-LSH sub-bucket) — so the pair count drops strictly below the
+    full within-cell quadratic — while (a) identical planted dups
+    still collide (equal vectors share every hyperplane sign) and
+    (b) clusters at or below the cap are bit-identical to the
+    uncapped rule."""
+    import numpy as np
+
+    from mapreduce_mit_spark.plans.similarity import (
+        DIM,
+        N_SUB_PLANES,
+        _bucket_col,
+        semantic_dedup_df,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # straggler cluster 0: 24 diverse unit-ish vectors
+    for i in range(24):
+        rows.append((i, 0, [float(x) for x in rng.randn(DIM)]))
+    # planted identical pair inside the straggler cell
+    twin = [float(x) for x in rng.randn(DIM)]
+    rows.append((100, 0, twin))
+    rows.append((101, 0, list(twin)))
+    # small cluster 1 (below cap): an identical pair that must dedup
+    # exactly as without any cap
+    rows.append((200, 1, [1.0] + [0.0] * (DIM - 1)))
+    rows.append((201, 1, [1.0] + [0.0] * (DIM - 1)))
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster long, embedding array<double>"
+    )
+
+    cap = 8
+    got = {
+        r["vec_id"]: (r["status"], r["match_vec_id"])
+        for r in semantic_dedup_df(df, tau=0.9, cell_cap=cap).collect()
+    }
+    assert got[101] == ("dup", 100), "identical pair lost to sub-bucketing"
+    assert got[201] == ("dup", 200)
+
+    # pair-count bound: the straggler cell's quadratic shrinks to
+    # Σ |sub|·(|sub|-1)/2 over at least two non-empty sub-buckets
+    buckets = [
+        r["b"]
+        for r in df.where(F.col("cluster") == 0)
+        .select(_bucket_col(F.col("embedding"), N_SUB_PLANES).alias("b"))
+        .collect()
+    ]
+    from collections import Counter
+
+    sizes = Counter(buckets)
+    n = len(buckets)
+    packed_pairs = sum(s * (s - 1) // 2 for s in sizes.values())
+    assert len(sizes) >= 2, "sign-LSH failed to split the straggler cell"
+    assert packed_pairs < n * (n - 1) // 2
+
+    # below the cap nothing changes: small-cluster rows identical with
+    # and without the straggler cap in play
+    uncapped = {
+        r["vec_id"]: (r["status"], r["match_vec_id"])
+        for r in semantic_dedup_df(df, tau=0.9, cell_cap=10_000).collect()
+    }
+    assert got[200] == uncapped[200] and got[201] == uncapped[201]
+
+
 def test_overlap_sketches_attach_serves_without_resketch(spark, tmp_path, monkeypatch):
     """q165's attach tier: after overlap_index_save + a cache-cold
     attach, the estimate path serves from the persisted sketch table

@@ -720,11 +720,11 @@ def test_sketch_overlap_pairs_expand_over_sketches_only(plan):
 
 
 def test_semantic_dedup_pairs_expand_by_broadcast(plan):
-    """q164's pair loop, pinned: the within-cell self-join must be a
-    BROADCAST hash join (k cells would cap a cluster-keyed shuffle
-    join's parallelism at k tasks, serializing the quadratic), and
-    vector norms are computed per VECTOR before the join — the plan
-    must not evaluate sqrt per pair."""
+    """q164's pair loop below the size gate, pinned: the within-cell
+    self-join must be a BROADCAST hash join (k cells would cap a
+    cluster-keyed shuffle join's parallelism at k tasks, serializing
+    the quadratic), and vector norms are computed per VECTOR before
+    the join — the plan must not evaluate sqrt per pair."""
     p = plan("q164_semantic_dedup")
     # the pair join is the one whose condition evaluates the dot
     # product (zip_with): it must be the broadcast join, never a
@@ -735,13 +735,50 @@ def test_semantic_dedup_pairs_expand_by_broadcast(plan):
     # norm-once-per-vector: the per-pair similarity divides by the two
     # precomputed norm columns — no SQRT re-evaluated per pair
     assert "sqrt" not in cond.lower()
-    # the condition must belong to the broadcast join's detail block
+    # the condition must belong to a broadcast join's detail block
     # (the formatted dump lists each operator's keys/condition right
-    # under its id), not to a shuffle join's
-    bhj_detail = p.split(") BroadcastHashJoin", 1)[1].split("\n\n")[0]
-    assert "zip_with" in bhj_detail
+    # under its id — the counts join is also broadcast, so scan all),
+    # not to a shuffle join's
+    bhj_details = [b.split("\n\n")[0] for b in p.split(") BroadcastHashJoin")[1:]]
+    assert any("zip_with" in b for b in bhj_details)
     smj_blocks = p.split(") SortMergeJoin")[1:]
     assert all("zip_with" not in b.split("\n\n")[0] for b in smj_blocks)
+
+
+def test_semantic_dedup_shuffle_mode_above_gate(spark):
+    """q164's pair loop ABOVE the size gate (broadcast_max_rows forced
+    to 0): the pair join must run (cluster, sub)-keyed WITHOUT a
+    forced broadcast of the corpus-sized build side — the 100× mode
+    where a multi-GB broadcast would OOM executors. Same rows as the
+    broadcast mode, pinned by value equality."""
+    import contextlib
+    import io
+
+    from mapreduce_mit_spark.plans.similarity import (
+        ivf_index_for,
+        semantic_dedup_df,
+    )
+
+    _, assign = ivf_index_for(spark, SF_SMALL)
+    shuffled = semantic_dedup_df(assign, broadcast_max_rows=0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        shuffled.explain("formatted")
+    p = buf.getvalue()
+    # the dot-product join must NOT be a broadcast join in this mode
+    bhj_details = [b.split("\n\n")[0] for b in p.split(") BroadcastHashJoin")[1:]]
+    assert all("zip_with" not in b for b in bhj_details), (
+        "corpus-sized build side still broadcast above the gate"
+    )
+    # it must be a key-partitioned shuffle join (SMJ or shuffled hash),
+    # never a nested loop / cartesian over the corpus
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
+    # both modes compute the same rows
+    base = semantic_dedup_df(assign)
+    assert sorted(map(tuple, shuffled.collect())) == sorted(
+        map(tuple, base.collect())
+    )
 
 
 def test_classifier_filter_broadcasts_weights(plan):
