@@ -595,29 +595,69 @@ def recall_audit(
     )
 
 
+def _margin_probes_col(qv, qbucket, n_planes: int = 4):
+    """MARGIN-AUGMENTED multi-probe sequence (Lv et al. 2007, public):
+    the bucket most likely to hold a query's missed neighbors beyond
+    the hamming-1 ring is across the two SMALLEST-|margin| hyperplanes
+    at once, so probe the own bucket, every hamming-1 neighbor, AND
+    the double flip of the two planes where |qv · plane| was smallest
+    — one extra bucket (6/16 at 4 planes) that removed the fixed
+    ring's zero-hit query class at both sampled SFs
+    (RECALL_REPORT.json). At higher plane counts, replace the ring
+    enumeration with the top-m margin-ranked single flips — same
+    expression shape. Pure column expression (the planes are
+    literals), deterministic per query."""
+    margins = []
+    for h, plane in enumerate(_PLANES[:n_planes]):
+        w = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(qv, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        margins.append(
+            F.struct(F.abs(dot).alias("m"), F.lit(1 << h).alias("mask"))
+        )
+    ranked = F.array_sort(F.array(*margins))  # ascending |margin|
+    probes = [qbucket] + [
+        qbucket.bitwiseXOR(F.lit(1 << h)) for h in range(n_planes)
+    ] + [qbucket.bitwiseXOR(ranked[0]["mask"]).bitwiseXOR(ranked[1]["mask"])]
+    return F.array_distinct(F.array(*probes))
+
+
 def lsh_probe_hits(
     b: DataFrame,
     queries: DataFrame,
     k: int,
-    probe_xors: tuple[int, ...] = _PROBE_XORS,
+    probe_xors: tuple[int, ...] | None = None,
 ) -> DataFrame:
-    """Multi-query LSH-probed ANN: each query probes its own bucket plus
-    the given hamming-xor neighbors; top-k by cosine per query —
-    the q89 single-probe plan generalized to a query SET. ``b`` must
-    carry (vec_id, embedding, bucket); ``queries`` (query_id, qv,
-    qbucket). One broadcast equi-join on the bucket id — the corpus
-    never shuffles; ranking is a per-query window over probed rows.
-    Norms precompute per corpus row and per query (q164's discipline),
-    leaving only the dot product per probed pair."""
+    """Multi-query LSH-probed ANN: each query probes its own bucket
+    plus neighbor buckets; top-k by cosine per query — the q89
+    single-probe plan generalized to a query SET. ``b`` must carry
+    (vec_id, embedding, bucket); ``queries`` (query_id, qv, qbucket).
+    One broadcast equi-join on the bucket id — the corpus never
+    shuffles; ranking is a per-query window over probed rows. Norms
+    precompute per corpus row and per query (q164's discipline),
+    leaving only the dot product per probed pair.
+
+    Probe choice: by default the probe set is MARGIN-ORDERED per query
+    (:func:`_margin_probes_col` — flip the least-confident planes
+    first), which at the same 5-bucket budget eliminated the fixed
+    list's zero-hit query class (RECALL_REPORT.json). Pass
+    ``probe_xors`` (e.g. ``_PROBE_XORS``) for the fixed hamming-xor
+    variant q89's oracle pins."""
     # query norm BEFORE the multi-probe explode — once per query, not
     # once per probed bucket
+    plist = (
+        F.array(*[F.col("qbucket").bitwiseXOR(F.lit(v)) for v in probe_xors])
+        if probe_xors is not None
+        else _margin_probes_col(F.col("qv"), F.col("qbucket"))
+    )
     probes = queries.withColumn("_qn", _norm(F.col("qv"))).select(
         "query_id",
         "qv",
         "_qn",
-        F.explode(
-            F.array(*[F.col("qbucket").bitwiseXOR(F.lit(v)) for v in probe_xors])
-        ).alias("pbucket"),
+        F.explode(plist).alias("pbucket"),
     )
     bn = b.withColumn("_bn", _norm(F.col("embedding")))
     sim = _dot(F.col("embedding"), F.col("qv")) / F.nullif(
@@ -635,17 +675,18 @@ def lsh_probe_hits(
 
 
 N_IVF_CENTROIDS = 8
-# 3 of 8 learned cells per query. MEASURED calibration (round 6, all
-# three SFs): the learned codebook's cells are balanced (max_frac
-# 0.13-0.15, q155), so nprobe bounds scanned fraction at ~3/8; mean
-# recall@5 over a 3% hash-sampled query set is 0.62 (nprobe=3) vs the
-# retired first-8-vectors stand-in's 0.47-0.49 (nprobe=2) — the old
-# 0.8 in-band number was single-query luck (the pinned probe vector
-# scored 1.0 while the stand-in's population mean was 0.47). The
-# pinned-query target below is set under its measured 0.6 with margin;
-# a broken codebook (wrong init hash, mis-assigned cells) collapses it
-# to ~0.1 and fails loudly.
-N_PROBE = 3
+# 4 of 8 learned cells per query. MEASURED calibration: the learned
+# codebook's cells are balanced (max_frac 0.13-0.15, q155), so nprobe
+# bounds scanned fraction at ~4/8. Raised 3→4 in round 12 because the
+# fleet audit (tools/recall_report.py) found a ZERO-HIT sampled query
+# at nprobe=3 (IVF min recall@5 = 0.0); at 4 the worst sampled query
+# reads 0.4-0.6 across SFs and zero-hit count is 0 for both IVF and
+# IVFADC — now gated by FLEET_FLOORS (assert_fleet_floors, run in
+# tests). Both engines replay nprobe, so the oracles moved together.
+# The pinned-query target below keeps margin under the measured mean
+# (0.73 at sf0.01); a broken codebook (wrong init hash, mis-assigned
+# cells) collapses it to ~0.1 and fails loudly.
+N_PROBE = 4
 Q68_RECALL_TARGET = 0.5
 N_KMEANS_ITERS = 2
 

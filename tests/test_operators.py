@@ -1674,16 +1674,27 @@ def test_recall_report_all_families(spark):
         _os.path.abspath(__file__))), "tools"))
     from recall_report import build_report
 
+    from recall_report import assert_fleet_floors
+
     report = build_report(spark, SF_SMALL, 0.05)
     assert set(report) == {"lsh_multiprobe", "ivf", "pq_adc_rerank", "ivfadc"}
     nq = {r["n_queries"] for r in report.values()}
     assert len(nq) == 1 and nq.pop() > 1, "families must share one query set"
-    floors = {"lsh_multiprobe": 0.3, "ivf": 0.45, "pq_adc_rerank": 0.6, "ivfadc": 0.35}
-    for fam, floor in floors.items():
+    mean_floors = {
+        "lsh_multiprobe": 0.3,
+        "ivf": 0.45,
+        "pq_adc_rerank": 0.6,
+        "ivfadc": 0.35,
+    }
+    for fam, floor in mean_floors.items():
         assert report[fam]["mean_recall"] >= floor, (
             f"{fam} mean recall {report[fam]['mean_recall']} < {floor}"
         )
-        assert 0.0 <= report[fam]["min_recall"] <= 1.0
+    # the fleet FLOOR gate (r11 verdict #2): the WORST sampled query
+    # per family must clear its floor and no query may return zero of
+    # the true top-k — a regression to a silent dead query class goes
+    # red here, not into a JSON nobody gates on
+    assert_fleet_floors(report)
 
 
 def test_index_attach_serves_without_refit(spark, tmp_path):

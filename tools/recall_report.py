@@ -15,10 +15,12 @@ table plus RECALL_REPORT.json.
 Usage:
     python tools/recall_report.py [sf_dir] [sample_frac]
 
-Defaults: /root/testdata/sf0.01, 0.05. The floors asserted by
-tests/test_operators.py::test_recall_report_all_families are the
-per-family contracts (IVF >= 0.45, IVFADC >= 0.35, PQ >= 0.6 — the
-calibrated constants documented in each query's docstring).
+Defaults: /root/testdata/sf0.01, 0.05. FLEET_FLOORS below are the
+per-family contracts: a MINIMUM per-query recall and a hard
+zero-hit-queries == 0 gate — a mean can hide a dead query class, so
+the floor is on the worst sampled query, and main() exits nonzero on
+a violation (assert_fleet_floors, also run as a pytest:
+tests/test_operators.py::test_recall_report_all_families).
 """
 
 from __future__ import annotations
@@ -33,12 +35,41 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+# Per-family MIN-recall floors (worst sampled query, not the mean).
+# Calibrated against measured mins at sf0.001/sf0.01 with margin:
+# lsh margin-multiprobe 0.2/0.2, ivf(nprobe=4) 0.4/0.6, pq 0.4/0.6,
+# ivfadc(nprobe=4) 0.4/0.4 — floors sit one notch under the weaker SF
+# so a genuine index-quality regression (a new zero- or near-zero-hit
+# query class) goes red while deterministic reruns stay green.
+FLEET_FLOORS = {
+    "lsh_multiprobe": 0.2,
+    "ivf": 0.4,
+    "pq_adc_rerank": 0.4,
+    "ivfadc": 0.35,
+}
+
+
+def assert_fleet_floors(report: dict) -> None:
+    """Raise AssertionError if any family's WORST sampled query sits
+    below its floor or any query returned zero true neighbors."""
+    missing = set(FLEET_FLOORS) - set(report)
+    assert not missing, f"families missing from report: {sorted(missing)}"
+    for fam, floor in FLEET_FLOORS.items():
+        r = report[fam]
+        assert r["zero_hit_queries"] == 0, (
+            f"{fam}: {r['zero_hit_queries']} zero-hit queries "
+            f"(min recall {r['min_recall']}) — a silent dead query class"
+        )
+        assert r["min_recall"] >= floor, (
+            f"{fam}: min recall {r['min_recall']} < floor {floor}"
+        )
+
+
 def build_report(spark: SparkSession, sf_dir: str, sample_frac: float = 0.05) -> dict:
     """{family: {metric, k, n_queries, mean_recall, min_recall,
     zero_hit_queries}} — every family over the SAME query set."""
     from mapreduce_mit_spark.plans.similarity import (
         ANN_K,
-        _PROBE_XORS,
         _bucket_col,
         ivf_index_for,
         ivfadc_index_for,
@@ -68,7 +99,9 @@ def build_report(spark: SparkSession, sf_dir: str, sample_frac: float = 0.05) ->
     from mapreduce_mit_spark.plans.similarity import ivf_probe_hits
 
     families = {
-        "lsh_multiprobe": ("cosine", lsh_probe_hits(b, qb, ANN_K, _PROBE_XORS)),
+        # margin-ordered multiprobe (the serving default; q89's pinned
+        # fixed-xor variant stays available via _PROBE_XORS)
+        "lsh_multiprobe": ("cosine", lsh_probe_hits(b, qb, ANN_K)),
         "ivf": ("cosine", ivf_probe_hits(e, cent_ivf, queries, ANN_K)),
         "pq_adc_rerank": ("l2", pq_probe_hits(e, cent_pq, codes_pq, queries, ANN_K)),
         "ivfadc": ("l2", ivfadc_probe_hits(cent_c, pcent, codes_adc, e, queries, ANN_K)),
@@ -112,6 +145,8 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump({"sf_dir": sf_dir, "sample_frac": frac, "families": report}, f, indent=1)
     print(f"\nwritten: {out}")
+    assert_fleet_floors(report)
+    print("fleet floors: PASS")
 
 
 if __name__ == "__main__":
