@@ -81,11 +81,60 @@ def check_summary_coverage(summary_path: str) -> str | None:
     return None
 
 
+def check_bench_scaling_drift() -> list[str]:
+    """SCALING.md's 'Round N close' paragraphs must quote the COMMITTED
+    BENCH_r{N}.json (the r11 defect: two honest runs, two different
+    normalized totals stated for the same round). For every round that
+    has both the artifact and a close paragraph with the bolded
+    'raw headline total **A s / normalized B s**' pattern, the quoted
+    numbers must match the artifact to 0.1 s. Returns error strings."""
+    import glob as _g
+    import json
+    import re
+
+    errs: list[str] = []
+    scaling = open(os.path.join(REPO, "SCALING.md")).read()
+    for path in sorted(_g.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        n = int(re.search(r"BENCH_r(\d+)\.json", path).group(1))
+        sec = re.search(
+            rf"### Round {n} close.*?(?=\n### |\Z)", scaling, re.DOTALL
+        )
+        if not sec:
+            continue
+        quoted = re.search(
+            r"raw headline total \*\*([\d.]+)\s*s / normalized ([\d.]+)\s*s\*\*",
+            sec.group(0),
+        )
+        if not quoted:
+            continue
+        with open(path) as f:
+            art = json.load(f).get("parsed") or {}
+        for label, got, want in (
+            ("raw", float(quoted.group(1)), art.get("value")),
+            ("normalized", float(quoted.group(2)), art.get("value_normalized")),
+        ):
+            if want is not None and abs(got - want) > 0.051:
+                errs.append(
+                    f"SCALING.md round-{n} close quotes {label} {got} but "
+                    f"BENCH_r{n:02d}.json records {round(want, 1)}"
+                )
+    return errs
+
+
 def main() -> int:
     full = "--full" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
 
     t0 = time.time()
+    print("== preflight 0/3: bench-record drift ==")
+    drift = check_bench_scaling_drift()
+    if drift:
+        for e in drift:
+            print(f"FAIL  {e}")
+        print("\nPREFLIGHT FAIL: SCALING.md disagrees with committed BENCH artifacts")
+        return 1
+    print("ok\n")
+
     print(f"== preflight 1/3: oracle hazard sweep ({sf_dir}) ==")
     bad = hazard_sweep(sf_dir)
     if bad:
