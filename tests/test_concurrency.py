@@ -293,3 +293,94 @@ def test_q168_two_processes_concurrently(spark):
     assert child_rows == len(mine) > 0
     again = REGISTRY["q168_stream_ann_serve"].fn(spark, SF_SMALL).collect()
     assert sorted(map(tuple, mine)) == sorted(map(tuple, again))
+
+
+def test_cold_start_attaches_all_five_index_families(spark, tmp_path):
+    """The production COLD START, end to end: one offline session saves
+    all five persisted index families (IVF, PQ, IVFADC, LSH bands,
+    overlap sketches); a FRESH PROCESS then attaches all five and
+    serves one consumer per family — q68, q157, q160, q161, q165 —
+    with every fit core poisoned (ivf_codebook, pq_codebooks,
+    _lsh_bands_df, _overlap_sketches_df raise), so any refit on any
+    serve path fails the child loudly. The served rows must equal this
+    session's fitted baselines. The per-family attach tests prove each
+    path alone; this is the one-session-attaches-everything boot."""
+    import json
+
+    from mapreduce_mit_spark.plans import dedup as dd
+    from mapreduce_mit_spark.plans import quality as ql
+    from mapreduce_mit_spark.plans import similarity as sim
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    sf = SF_SMALL
+    dirs = {f: str(tmp_path / f) for f in ("ivf", "pq", "ivfadc", "lsh", "overlap")}
+    sim.ivf_index_save(spark, sf, dirs["ivf"])
+    sim.pq_index_save(spark, sf, dirs["pq"])
+    sim.ivfadc_index_save(spark, sf, dirs["ivfadc"])
+    dd.lsh_index_save(spark, sf, dirs["lsh"])
+    ql.overlap_index_save(spark, sf, dirs["overlap"])
+
+    queries = [
+        "q68_ivf_ann",
+        "q157_pq_ann",
+        "q160_ivfadc",
+        "q161_incremental_dedup",
+        "q165_sketch_overlap_triage",
+    ]
+    baselines = {
+        q: sorted([list(r) for r in REGISTRY[q].fn(spark, sf).collect()])
+        for q in queries
+    }
+
+    code = textwrap.dedent(
+        f"""
+        import json, sys
+        sys.path.insert(0, {REPO!r})
+        from mapreduce_mit_spark.plans import dedup as dd
+        from mapreduce_mit_spark.plans import quality as ql
+        from mapreduce_mit_spark.plans import similarity as sim
+        from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+        from mapreduce_mit_spark.session import get_spark
+
+        load_all_plans()
+        spark = get_spark("cold-start-attach-child", shuffle_partitions=8)
+        spark.sparkContext.setLogLevel("ERROR")
+        dirs = {dirs!r}
+        sf = {sf!r}
+        sim.ivf_index_attach(spark, sf, dirs["ivf"])
+        sim.pq_index_attach(spark, sf, dirs["pq"])
+        sim.ivfadc_index_attach(spark, sf, dirs["ivfadc"])
+        dd.lsh_index_attach(spark, sf, dirs["lsh"])
+        ql.overlap_index_attach(spark, sf, dirs["overlap"])
+
+        def _poison(name):
+            def _fn(*a, **kw):
+                raise AssertionError(name + " refit after cold-start attach")
+            return _fn
+
+        sim.ivf_codebook = _poison("ivf_codebook")
+        sim.pq_codebooks = _poison("pq_codebooks")
+        dd._lsh_bands_df = _poison("_lsh_bands_df")
+        ql._overlap_sketches_df = _poison("_overlap_sketches_df")
+
+        out = {{}}
+        for q in {queries!r}:
+            out[q] = sorted([list(r) for r in REGISTRY[q].fn(spark, sf).collect()])
+        print("SERVED " + json.dumps(out), flush=True)
+        spark.stop()
+        """
+    )
+    child = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    out, err = child.communicate(timeout=900)
+    assert child.returncode == 0, f"cold-start child failed:\n{err[-3000:]}"
+    served = json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("SERVED ")][0][7:]
+    )
+    for q in queries:
+        assert served[q] == baselines[q], f"{q}: cold-start serve diverges from fit"
