@@ -64,6 +64,9 @@ FLAGSHIP = [
     "q148_dedup_pipeline",
     "q153_quantiles_giant_groups",
     "q152_stream_file_sink",
+    # the corpus→trainer capstone carries q148's whole closure plus the
+    # curation gates — same block-manager pressure, same isolation
+    "q170_corpus_to_trainer",
 ]
 
 HEADLINE = [

@@ -465,3 +465,299 @@ def q156_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "rate")
         .orderBy("doc_id")
     )
+
+
+# --- q170: the corpus→trainer capstone ------------------------------------
+
+def _q170_oracle() -> str:
+    """q170's chained-CTE oracle: q145's gate cores (span share +
+    quality4, the SAME CTE text via the shared helpers) → q148's
+    closure chain over the gated docs (the q167 oracle's CTE text with
+    candidates restricted to gated docs) → q167's cluster-keyed arm →
+    q39's mixture thresholds → q37's packing rule — one funnel table,
+    replayed stage for stage."""
+    from ..functions.textfns import tokens_sql
+    from .dedup import _lsh_bands_sql
+    from .quality import _QUALITY4_SQL, _SPAN_PER_DOC_SQL
+
+    arm = (
+        "CASE WHEN substr(md5(CAST({k} AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' "
+        "WHEN substr(md5(CAST({k} AS VARCHAR)), 1, 4) < 'e666' THEN 'val' "
+        "ELSE 'test' END"
+    )
+    mix_case = (
+        "CASE d.lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN '{thr}'" for lang, thr in MIX_THRESHOLDS.items()
+        )
+        + f" ELSE '{MIX_DEFAULT}' END"
+    )
+    stage = (
+        "SELECT '{name}' AS stage, lang, CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(n_tokens) AS BIGINT) AS n_tokens,"
+        " CAST(NULL AS BIGINT) AS n_bins"
+        " FROM sized JOIN {src} USING (doc_id) GROUP BY lang"
+    )
+    return f"""
+    WITH RECURSIVE {_SPAN_PER_DOC_SQL},
+    {_QUALITY4_SQL},
+    sized AS MATERIALIZED (
+      SELECT doc_id, lang, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    curated AS MATERIALIZED (
+      SELECT d.doc_id
+      FROM documents d
+        LEFT JOIN span_per_doc p ON d.doc_id = p.doc_id
+        JOIN quality ON d.doc_id = quality.doc_id
+      WHERE coalesce(p.n_shared, 0) * 10 <= coalesce(p.n_spans, 0) * 9
+        AND quality.quality4 >= 5000
+    ),
+    {_lsh_bands_sql(materialized=True)},
+    cbands AS (
+      SELECT * FROM bands WHERE doc_id IN (SELECT doc_id FROM curated)
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cbands a JOIN cbands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+    ctoks AS (
+      SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS token
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM cdocs)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ctoks GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+      FROM cand c
+        JOIN ctoks a ON a.doc_id = c.doc_a
+        JOIN ctoks b ON b.doc_id = c.doc_b AND b.token = a.token
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT s.doc_a, s.doc_b
+      FROM shared s
+        JOIN sizes sa ON sa.doc_id = s.doc_a
+        JOIN sizes sb ON sb.doc_id = s.doc_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM curated
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node),
+    survivors AS MATERIALIZED (SELECT doc_id, cluster FROM comp WHERE doc_id = cluster),
+    train AS MATERIALIZED (
+      SELECT s.doc_id FROM survivors s
+      WHERE {arm.format(k='s.cluster')} = 'train'
+    ),
+    mixed AS MATERIALIZED (
+      SELECT t.doc_id
+      FROM train t JOIN documents d ON d.doc_id = t.doc_id
+      WHERE md5('mix1:' || CAST(t.doc_id AS VARCHAR)) < {mix_case}
+    ),
+    packed AS MATERIALIZED (
+      SELECT s.lang, s.doc_id, s.n_tokens,
+             COALESCE(CAST(sum(s.n_tokens) OVER (
+               PARTITION BY s.lang ORDER BY s.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) // {PACK_BUDGET} AS bin
+      FROM sized s JOIN mixed m ON m.doc_id = s.doc_id
+    )
+    SELECT * FROM (
+      SELECT '1_raw' AS stage, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(NULL AS BIGINT) AS n_bins
+      FROM sized GROUP BY lang
+      UNION ALL {stage.format(name='2_curated', src='curated')}
+      UNION ALL {stage.format(name='3_dedup', src='survivors')}
+      UNION ALL {stage.format(name='4_train', src='train')}
+      UNION ALL {stage.format(name='5_mixture', src='mixed')}
+      UNION ALL
+      SELECT '6_packed', lang, CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT), CAST(max(bin) + 1 AS BIGINT)
+      FROM packed GROUP BY lang
+    )
+    ORDER BY stage, lang
+    """
+
+
+@register(
+    "q170_corpus_to_trainer",
+    oracle=_q170_oracle(),
+    tags=("pipeline", "capstone", "dedup", "quality", "split", "packing",
+          "mixture", "training-pipeline"),
+)
+def q170_corpus_to_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE: one oracle-checked corpus→trainer chain composing
+    the catalog's stages end to end, surfacing per-stage survivorship
+    per language:
+
+    1. **raw** — the crawl (documents as landed).
+    2. **curated** — q145's gate cores (q09's skew-safe span share,
+       q63's integer-exact quality score), with two deliberate
+       capstone adjustments: (a) no language gate — the capstone
+       targets a MULTILINGUAL trainer, so language treatment is q39's
+       per-language mixture rates (stage 5), not a hard gate; (b) the
+       span gate drops a doc only when >90% of its spans are cross-doc
+       boilerplate (q145's standalone majority rule would double-count
+       the near-dup mass stage 3's closure is about to remove — and on
+       the synthetic corpus at sf0.1, where 3-token spans collide
+       pervasively, it degenerates to drop-everything).
+    3. **dedup** — q148's closure over the curated corpus (memoized
+       band table filtered to survivors of stage 2, merge-pinned band
+       self-join, salted Jaccard verify on candidates only,
+       pointer-jumped connected components), keeping one
+       representative per near-dup cluster (the min-id doc — the
+       cluster label itself).
+    4. **train** — q167's cluster-keyed split arm (md5 of the CLUSTER,
+       never the doc, so near-dups can't straddle arms even before
+       dedup picks representatives); the funnel follows the train arm.
+    5. **mixture** — q39's per-language md5-threshold sampling
+       rebalances the multilingual mix.
+    6. **packed** — q37's budget packing (exclusive prefix sum div
+       {PACK_BUDGET} per lang): final n_bins is the number of packed
+       context windows the trainer will read.
+
+    Scale shape: no stage adds cost beyond its standalone query — the
+    span/quality gates are one tokenize + one span shuffle + a pure
+    map; the closure rides the memoized band table (filtered BEFORE
+    the self-join, so curation shrinks the quadratic); split/mixture
+    are pure maps; packing is one window per lang. Every stage's doc
+    set is a doc_id semi-join against the shared ``sized`` scan. The
+    oracle replays all six stages in one chained CTE (the q148/q167
+    discipline), so the composed per-stage counts and token totals —
+    not just the final table — are value-checked cross-engine.
+
+    Reference analog: none (SURVEY §2.3 — the training-pipeline block
+    is a capability extension; this query is its composition proof)."""
+    from ..operators.graph import connected_components
+    from ._util import tw
+    from .dedup import (
+        jaccard_verified_pairs,
+        lsh_bands_for,
+        lsh_candidate_pairs_df,
+    )
+    from .quality import _span_share, quality4_df
+
+    d = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
+    # (doc_id, lang, n_tokens) feeds all six funnel branches — lazy
+    # localCheckpoint so the corpus tokenizes ONCE, not once per stage
+    # branch of the final union (3 narrow columns, linear in docs)
+    sized = d.select(
+        "doc_id", "lang", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    ).localCheckpoint(eager=False)
+
+    # stage 2: q145's gates (span-dedup keep AND quality >= 0.5)
+    per_doc = _span_share(docs)
+    curated = (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(quality4_df(docs), "doc_id")
+        .where(
+            (F.coalesce("n_shared", F.lit(0)) * 10
+             <= F.coalesce("n_spans", F.lit(0)) * 9)
+            & (F.col("quality4") >= 5000)
+        )
+        .select("doc_id")
+        # eager: the span-share + quality subtree is the chain's most
+        # expensive gate and THREE consumers read it (stage-2 branch,
+        # the band filter feeding the closure, the CC node set) — one
+        # doc_id column, materialized once
+        .localCheckpoint(eager=True)
+    )
+
+    # stage 3: q148's closure over the CURATED corpus — filter the
+    # memoized band table before the self-join so curation shrinks the
+    # candidate quadratic instead of post-filtering pairs
+    bands = lsh_bands_for(spark, sf_dir).join(curated, "doc_id", "left_semi")
+    cand = lsh_candidate_pairs_df(docs, bands=bands)
+    ver = jaccard_verified_pairs(docs, cand)
+    comp = connected_components(
+        curated, ver, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    cmap = comp.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster")
+    )
+    survivors = cmap.where(F.col("doc_id") == F.col("cluster"))
+
+    # stage 4: q167's cluster-keyed arm
+    h = F.substring(F.md5(F.col("cluster").cast("string")), 1, 4)
+    train = (
+        survivors.where(
+            F.when(h < "cccc", "train").when(h < "e666", "val").otherwise("test")
+            == "train"
+        ).select("doc_id")
+    )
+
+    # stage 5: q39's per-language mixture thresholds
+    threshold = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in MIX_THRESHOLDS.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(MIX_DEFAULT),
+    )
+    mix_key = F.md5(F.concat(F.lit("mix1:"), F.col("doc_id").cast("string")))
+    mixed = (
+        train.join(d.select("doc_id", "lang"), "doc_id")
+        .where(mix_key < threshold)
+        .select("doc_id")
+    )
+
+    # stage 6: q37's packing over the sampled train docs
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        sized.join(mixed, "doc_id", "left_semi")
+        .withColumn("cum_excl", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin",
+            F.expr(f"coalesce(cum_excl, CAST(0 AS BIGINT)) div {PACK_BUDGET}"),
+        )
+    )
+
+    def stage(name: str, ids: DataFrame | None) -> DataFrame:
+        base = sized if ids is None else sized.join(ids, "doc_id", "left_semi")
+        return base.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        ).select(
+            F.lit(name).alias("stage"),
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.lit(None).cast("long").alias("n_bins"),
+        )
+
+    funnel = (
+        stage("1_raw", None)
+        .unionAll(stage("2_curated", curated))
+        .unionAll(stage("3_dedup", survivors.select("doc_id")))
+        .unionAll(stage("4_train", train))
+        .unionAll(stage("5_mixture", mixed))
+        .unionAll(
+            packed.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                (F.max("bin") + 1).alias("n_bins"),
+            )
+            .select(
+                F.lit("6_packed").alias("stage"),
+                "lang", "n_docs", "n_tokens", "n_bins",
+            )
+        )
+    )
+    return funnel.orderBy("stage", "lang")

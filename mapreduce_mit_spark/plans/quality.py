@@ -411,10 +411,10 @@ _SPAN_PER_DOC_SQL = f"""
 """
 
 
-@register(
-    "q145_corpus_curation",
-    oracle=f"""
-    WITH {_SPAN_PER_DOC_SQL},
+# q63's HALF_UP integer-exact quality score ×10⁴ as reusable CTE text
+# (CTEs ``q`` + ``quality``), shared by q145's funnel and q170's
+# corpus→trainer capstone so both oracles replay the identical gate.
+_QUALITY4_SQL = f"""
     q AS (
       SELECT doc_id,
              CAST(length(text) AS BIGINT)  AS nc,
@@ -436,7 +436,41 @@ _SPAN_PER_DOC_SQL = f"""
               + 10 * greatest(nc, 1) * greatest(nt, 1) * 100)
              // (2 * 10 * greatest(nc, 1) * greatest(nt, 1) * 100) AS quality4
       FROM q
-    ),
+    )"""
+
+
+def quality4_df(d: DataFrame) -> DataFrame:
+    """(doc_id, quality4) — the Spark half of :data:`_QUALITY4_SQL`:
+    q63's quality score scaled to an exact integer ×10⁴ (HALF_UP via
+    the +denominator/2 trick, no float division crosses engines).
+    Shared gate core for q145 and q170."""
+    toks = tokens_col("text")
+    sw = F.array(*[F.lit(w) for w in
+                   ("the", "and", "of", "to", "a", "el", "la", "de", "le",
+                    "der", "die", "und")])
+    return d.select(
+        "doc_id",
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("long").alias("na"),
+        F.length("text").cast("long").alias("ncr"),
+        F.size(toks).cast("long").alias("nt"),
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("long").alias("ns"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "(2 * (5 * na * greatest(nt, 1L) * 100"
+            " + 3 * ns * greatest(ncr, 1L) * 100"
+            " + 2 * least(nt, 100L) * greatest(ncr, 1L) * greatest(nt, 1L)) * 10000"
+            " + 10 * greatest(ncr, 1L) * greatest(nt, 1L) * 100)"
+            " div (2 * 10 * greatest(ncr, 1L) * greatest(nt, 1L) * 100)"
+        ).alias("quality4"),
+    )
+
+
+@register(
+    "q145_corpus_curation",
+    oracle=f"""
+    WITH {_SPAN_PER_DOC_SQL},
+    {_QUALITY4_SQL},
     class AS (
       SELECT d.source,
              CASE
@@ -481,27 +515,7 @@ def q145_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stages' own costs, which is the point of fusing them."""
     d = tw(spark, sf_dir, "documents")
     per_doc = _span_share(d)
-
-    toks = tokens_col("text")
-    sw = F.array(*[F.lit(w) for w in
-                   ("the", "and", "of", "to", "a", "el", "la", "de", "le",
-                    "der", "die", "und")])
-    quality = d.select(
-        "doc_id",
-        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("long").alias("na"),
-        F.length("text").cast("long").alias("ncr"),
-        F.size(toks).cast("long").alias("nt"),
-        F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("long").alias("ns"),
-    ).select(
-        "doc_id",
-        F.expr(
-            "(2 * (5 * na * greatest(nt, 1L) * 100"
-            " + 3 * ns * greatest(ncr, 1L) * 100"
-            " + 2 * least(nt, 100L) * greatest(ncr, 1L) * greatest(nt, 1L)) * 10000"
-            " + 10 * greatest(ncr, 1L) * greatest(nt, 1L) * 100)"
-            " div (2 * 10 * greatest(ncr, 1L) * greatest(nt, 1L) * 100)"
-        ).alias("quality4"),
-    )
+    quality = quality4_df(d)
     cls = (
         d.select("doc_id", "lang", "source")
         .join(per_doc, "doc_id", "left")

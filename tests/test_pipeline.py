@@ -214,3 +214,46 @@ def test_temperature_mix_matches_python_and_rebalances(spark, tmp_path):
     head_share_before = pops["head"] / ntot
     head_share_after = samp["head"] / max(len(got), 1)
     assert head_share_after < head_share_before
+
+
+def test_corpus_to_trainer_funnel_consistency(spark):
+    """q170's funnel contract on the driver corpus: per language the
+    doc and token counts are monotonically non-increasing through
+    raw → curated → dedup → train → mixture; the packed stage covers
+    exactly the mixture stage's docs; 'en' (threshold 'g') survives
+    mixture untouched; and every packed language has 1..n_docs bins."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    rows = REGISTRY["q170_corpus_to_trainer"].fn(spark, SF_SMALL).collect()
+    by = {(r.stage, r.lang): r for r in rows}
+    stages = sorted({s for s, _ in by})
+    assert stages == [
+        "1_raw", "2_curated", "3_dedup", "4_train", "5_mixture", "6_packed"
+    ]
+    langs = sorted({lang for s, lang in by if s == "1_raw"})
+    assert len(langs) >= 2, "funnel needs a multilingual corpus"
+
+    def g(stage, lang, field):
+        r = by.get((stage, lang))
+        return getattr(r, field) if r is not None else 0
+
+    order = ["1_raw", "2_curated", "3_dedup", "4_train", "5_mixture"]
+    for lang in langs:
+        for field in ("n_docs", "n_tokens"):
+            vals = [g(s, lang, field) for s in order]
+            assert vals == sorted(vals, reverse=True), (
+                f"{lang}/{field} not monotone through the funnel: {vals}"
+            )
+        # packed == mixture coverage
+        assert g("6_packed", lang, "n_docs") == g("5_mixture", lang, "n_docs")
+        assert g("6_packed", lang, "n_tokens") == g("5_mixture", lang, "n_tokens")
+        nb = g("6_packed", lang, "n_bins")
+        nd = g("6_packed", lang, "n_docs")
+        assert (nd == 0 and nb == 0) or 1 <= nb <= nd
+    # en keeps everything through mixture (threshold 'g')
+    assert g("5_mixture", "en", "n_docs") == g("4_train", "en", "n_docs")
+    # the funnel actually removes something somewhere (non-vacuous)
+    assert sum(g("2_curated", lang, "n_docs") for lang in langs) < sum(
+        g("1_raw", lang, "n_docs") for lang in langs
+    )

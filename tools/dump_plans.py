@@ -59,6 +59,7 @@ FLAGSHIPS = {
     "q167_cluster_safe_split": "cluster-safe split: q148's closure reused, split tag a pure map over it",
     "q168_stream_ann_serve": "streaming ANN serve: attach once, each micro-batch probes broadcast cells",
     "q169_pydatasource_sink": "custom writer roundtrip: one file per task, rename-commit, checksum reduce",
+    "q170_corpus_to_trainer": "capstone: gates -> closure -> cluster split -> mixture -> packing, one funnel",
 }
 
 
@@ -138,6 +139,40 @@ from-scratch q148 rebuild over initial ∪ all increments — pinned by
 partition appends become Delta/Iceberg transactional appends and the
 meta pointer a table-version commit; the per-batch plan shapes carry
 over unchanged.
+
+## The corpus→trainer capstone (q170)
+
+`q170_corpus_to_trainer` composes the catalog's training-pipeline
+stages into the ONE chain a pretraining data team actually ships, and
+value-checks the whole composition cross-engine (the per-stage funnel
+— counts AND token totals per language — is the query result, so the
+oracle replays every stage, not just the final table):
+
+1. **raw → curated**: q145's gate cores (q09 span share, q63
+   integer-exact quality). Capstone adjustments, both deliberate: no
+   language gate (language treatment is stage 5's mixture rates — the
+   capstone targets a multilingual trainer), and the span gate drops a
+   doc only when >90% of its spans are cross-doc boilerplate (q145's
+   standalone majority rule would double-count the near-dup mass that
+   stage 2 is about to remove).
+2. **curated → dedup survivors**: q148's closure — the memoized band
+   table is filtered to curated docs BEFORE the self-join (curation
+   shrinks the candidate quadratic), then salted Jaccard verify on
+   candidates only and pointer-jumped connected components; survivors
+   are the min-id representatives (the cluster labels themselves).
+3. **survivors → train arm**: q167's cluster-keyed md5 arm — near-dups
+   cannot straddle train/test even before representatives are picked.
+4. **train → mixture**: q39's per-language md5-threshold sampling.
+5. **mixture → packed**: q37's exclusive-prefix-sum packing; the final
+   `n_bins` is the number of context windows the trainer reads.
+
+Cost shape: no stage adds a corpus-sized structure beyond its
+standalone query; `sized` (doc_id, lang, n_tokens) is lazily
+checkpointed so the corpus tokenizes once for all six funnel branches,
+and the curated doc-id list is eagerly checkpointed so the span/quality
+subtree runs once for its three consumers (funnel branch, band filter,
+CC node set). Warm wall at sf0.1 ≈ q148 + gates (~7 s on the r12 box —
+the closure dominates, as it should).
 """
 
 
