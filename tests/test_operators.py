@@ -2134,3 +2134,48 @@ def test_wholefile_writer_rejects_null_lines(spark, tmp_path):
         else []
     )
     assert published == []
+
+
+def test_margin_probes_superset_of_ring(spark):
+    """The margin-augmented probe set (lsh_probe_hits' default): per
+    query it must contain the own bucket, ALL hamming-1 neighbors, and
+    exactly one hamming-2 bucket — the double flip of the two
+    LEAST-confident planes (verified against a numpy recomputation of
+    the plane margins) — so margin mode's probed rows are a strict
+    superset of the fixed ring's and its recall can only match or beat
+    the fixed list on any query."""
+    import numpy as np
+
+    from mapreduce_mit_spark.plans.similarity import (
+        _PLANES,
+        _bucket_col,
+        _margin_probes_col,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    e = load_table(spark, SF_SMALL, "embeddings").limit(20)
+    rows = (
+        e.select(
+            "vec_id",
+            "embedding",
+            _bucket_col(F.col("embedding"), 4).alias("qbucket"),
+            _margin_probes_col(
+                F.col("embedding"), _bucket_col(F.col("embedding"), 4)
+            ).alias("probes"),
+        )
+        .collect()
+    )
+    planes = np.array(_PLANES[:4], dtype=np.float64)
+    for r in rows:
+        probes = set(r.probes)
+        ring = {r.qbucket} | {r.qbucket ^ (1 << h) for h in range(4)}
+        assert ring <= probes, f"vec {r.vec_id}: ring bucket missing"
+        extra = probes - ring
+        assert len(extra) <= 1
+        margins = np.abs(planes @ np.array(r.embedding, dtype=np.float64))
+        a, b = np.argsort(margins, kind="stable")[:2]
+        want = r.qbucket ^ (1 << int(a)) ^ (1 << int(b))
+        if want in ring:  # double flip can collide with the ring only
+            assert extra == set()  # via array_distinct
+        else:
+            assert extra == {want}, f"vec {r.vec_id}: wrong double flip"
