@@ -650,10 +650,12 @@ def q170_corpus_to_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     docs = tw(spark, sf_dir, "documents")
-    # (doc_id, lang, n_tokens) feeds all six funnel branches — lazy
-    # localCheckpoint so the corpus tokenizes ONCE, not once per stage
-    # branch of the final union (3 narrow columns, linear in docs)
-    sized = d.select(
+    # (doc_id, lang, n_tokens) feeds all six funnel branches — built
+    # from the FANNED frame (tokenize is CPU-bound and the raw parquet
+    # scan is one split at test SF), then lazily checkpointed so the
+    # corpus tokenizes ONCE, not once per stage branch of the final
+    # union (3 narrow columns, linear in docs)
+    sized = docs.select(
         "doc_id", "lang", F.size(tokens_col("text")).cast("long").alias("n_tokens")
     ).localCheckpoint(eager=False)
 
@@ -707,8 +709,10 @@ def q170_corpus_to_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(MIX_DEFAULT),
     )
     mix_key = F.md5(F.concat(F.lit("mix1:"), F.col("doc_id").cast("string")))
+    # lang comes from the already-checkpointed sized — no second
+    # documents scan for a column pair the checkpoint carries
     mixed = (
-        train.join(d.select("doc_id", "lang"), "doc_id")
+        train.join(sized.select("doc_id", "lang"), "doc_id")
         .where(mix_key < threshold)
         .select("doc_id")
     )

@@ -182,6 +182,29 @@ BLOCK_CAP = 128  # rows per block before the quadratic is sub-bucketed
 N_SUB_PLANES = 2  # 4 sub-buckets — quarters an oversized block
 
 
+def capped_sub_col(n, emb, cap: int, n_planes: int = N_SUB_PLANES):
+    """Bounded-blocking refinement shared by q86/q88's label blocks
+    and q164's IVF cells: keys whose population ``n`` exceeds ``cap``
+    refine with an ``n_planes`` sign-LSH sub-bucket; at or below the
+    cap, sub = 0 — bit-identical to the uncapped rule. ONE definition
+    (plus its SQL twin below) so the blocking semantics can never
+    drift between consumers."""
+    return (
+        F.when(n > cap, _bucket_col(emb, n_planes))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
+def capped_sub_sql(n: str, emb: str, cap: int,
+                   n_planes: int = N_SUB_PLANES) -> str:
+    """DuckDB twin of :func:`capped_sub_col`."""
+    return (
+        f"CAST(CASE WHEN {n} > {cap} THEN {_bucket_sql(emb, n_planes)} "
+        f"ELSE 0 END AS BIGINT)"
+    )
+
+
 def blocked_embeddings(e: DataFrame) -> DataFrame:
     """Embeddings + a bounded blocking key: (label, sub).
 
@@ -201,16 +224,11 @@ def blocked_embeddings(e: DataFrame) -> DataFrame:
     re-evaluating two sqrt(Σx²) higher-order expressions per PAIR
     (q164's discipline; bit-identical quotient)."""
     counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("_n"))
-    sub = (
-        F.when(
-            F.col("_n") > BLOCK_CAP, _bucket_col(F.col("embedding"), N_SUB_PLANES)
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
     return (
         e.join(F.broadcast(counts), "label")
-        .withColumn("sub", sub)
+        .withColumn(
+            "sub", capped_sub_col(F.col("_n"), F.col("embedding"), BLOCK_CAP)
+        )
         .withColumn("nrm", _norm(F.col("embedding")))
         .drop("_n")
     )
@@ -222,9 +240,7 @@ def _blocked_sql() -> str:
     counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
     blocked AS (
       SELECT e.vec_id, e.label, e.embedding,
-             CAST(CASE WHEN c.n > {BLOCK_CAP}
-                  THEN {_bucket_sql('e.embedding', N_SUB_PLANES)}
-                  ELSE 0 END AS BIGINT) AS sub
+             {capped_sub_sql('c.n', 'e.embedding', BLOCK_CAP)} AS sub
       FROM embeddings e JOIN counts c ON e.label = c.label
     )"""
 
@@ -640,10 +656,11 @@ def lsh_probe_hits(
     precompute per corpus row and per query (q164's discipline),
     leaving only the dot product per probed pair.
 
-    Probe choice: by default the probe set is MARGIN-ORDERED per query
-    (:func:`_margin_probes_col` — flip the least-confident planes
-    first), which at the same 5-bucket budget eliminated the fixed
-    list's zero-hit query class (RECALL_REPORT.json). Pass
+    Probe choice: by default the probe set is MARGIN-AUGMENTED per
+    query (:func:`_margin_probes_col` — the full hamming-1 ring plus
+    the double flip of the two least-confident planes), which for ONE
+    extra probed bucket (6/16 vs the fixed list's 5/16) eliminated the
+    fixed list's zero-hit query class (RECALL_REPORT.json). Pass
     ``probe_xors`` (e.g. ``_PROBE_XORS``) for the fixed hamming-xor
     variant q89's oracle pins."""
     # query norm BEFORE the multi-probe explode — once per query, not
@@ -2316,13 +2333,7 @@ def semantic_dedup_df(
     from ..sources.io import fan_out
 
     counts = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
-    sub = (
-        F.when(
-            F.col("_n") > cell_cap, _bucket_col(F.col("embedding"), N_SUB_PLANES)
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
+    sub = capped_sub_col(F.col("_n"), F.col("embedding"), cell_cap)
     # size gate: one cheap count over the checkpointed assignment (a
     # documented driver-side scalar probe, like graph.py's convergence
     # aggregates)
@@ -2402,9 +2413,7 @@ def semantic_dedup_df(
     ccounts AS (SELECT cluster, count(*) AS n FROM assign GROUP BY cluster),
     blocked AS (
       SELECT a.vec_id, a.embedding, a.cluster,
-             CAST(CASE WHEN c.n > {SEMDEDUP_CELL_CAP}
-                  THEN {_bucket_sql('a.embedding', N_SUB_PLANES)}
-                  ELSE 0 END AS BIGINT) AS sub
+             {capped_sub_sql('c.n', 'a.embedding', SEMDEDUP_CELL_CAP)} AS sub
       FROM assign a JOIN ccounts c ON a.cluster = c.cluster
     ),
     pairs AS (

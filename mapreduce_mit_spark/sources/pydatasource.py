@@ -72,9 +72,11 @@ class WholeFileTextReader(DataSourceReader):
         self._pattern = pattern
         # Python DataSource options arrive with lowercased keys; accept
         # the camelCase spelling too for direct construction in tests.
-        raw = options.get("maxbytesperpartition") or options.get(
-            "maxBytesPerPartition"
-        )
+        # `is None` (not truthiness): an empty-string value must fail
+        # int() loudly, never silently disable binpacking.
+        raw = options.get("maxbytesperpartition")
+        if raw is None:
+            raw = options.get("maxBytesPerPartition")
         self._max_bytes = int(raw) if raw is not None else None
         if self._max_bytes is not None and self._max_bytes <= 0:
             raise ValueError(

@@ -3,12 +3,15 @@
 The driver samples ~50 of the catalog's queries per round, so any round's
 sample must be survivable for ALL of them. This runs, in order:
 
-1. Oracle hazard sweep — every oracle bound under DuckDB, zero
+1. Bench-record drift — every bolded raw/normalized total in
+   SCALING.md's per-round sections must match the committed
+   BENCH_r{N}.json (the r11 double-record class).
+2. Oracle hazard sweep — every oracle bound under DuckDB, zero
    HUGEINT/DECIMAL output columns (the r2 failure class), seconds.
-2. `tools/verify_local.py --bare --types` at sf0.01 — every catalog
+3. `tools/verify_local.py --bare --types` at sf0.01 — every catalog
    query on a driver-like bare session, value compare PLUS the
    cross-engine type contract (column types and Python cell types).
-3. (`--full` only) the whole pytest suite.
+4. (`--full` only) the whole pytest suite.
 
 Exit 0 ⇒ green output implies any driver sample passes. Any step
 failing stops the run with a loud FAIL and a nonzero exit.
@@ -96,28 +99,35 @@ def check_bench_scaling_drift() -> list[str]:
     scaling = open(os.path.join(REPO, "SCALING.md")).read()
     for path in sorted(_g.glob(os.path.join(REPO, "BENCH_r*.json"))):
         n = int(re.search(r"BENCH_r(\d+)\.json", path).group(1))
-        sec = re.search(
-            rf"### Round {n} close.*?(?=\n### |\Z)", scaling, re.DOTALL
+        # EVERY section whose heading names this round, and EVERY
+        # bolded total inside each — the r11 defect was precisely a
+        # second conflicting total for the same round, so first-match-
+        # only would re-admit the class this check exists to close
+        secs = re.findall(
+            rf"###[^\n]*Round {n}\b.*?(?=\n### |\Z)", scaling, re.DOTALL
         )
-        if not sec:
-            continue
-        quoted = re.search(
-            r"raw headline total \*\*([\d.]+)\s*s / normalized ([\d.]+)\s*s\*\*",
-            sec.group(0),
-        )
-        if not quoted:
+        quotes = [
+            q
+            for sec in secs
+            for q in re.finditer(
+                r"raw headline total \*\*([\d.]+)\s*s / normalized ([\d.]+)\s*s\*\*",
+                sec,
+            )
+        ]
+        if not quotes:
             continue
         with open(path) as f:
             art = json.load(f).get("parsed") or {}
-        for label, got, want in (
-            ("raw", float(quoted.group(1)), art.get("value")),
-            ("normalized", float(quoted.group(2)), art.get("value_normalized")),
-        ):
-            if want is not None and abs(got - want) > 0.051:
-                errs.append(
-                    f"SCALING.md round-{n} close quotes {label} {got} but "
-                    f"BENCH_r{n:02d}.json records {round(want, 1)}"
-                )
+        for quoted in quotes:
+            for label, got, want in (
+                ("raw", float(quoted.group(1)), art.get("value")),
+                ("normalized", float(quoted.group(2)), art.get("value_normalized")),
+            ):
+                if want is not None and abs(got - want) > 0.051:
+                    errs.append(
+                        f"SCALING.md round-{n} section quotes {label} {got} but "
+                        f"BENCH_r{n:02d}.json records {round(want, 1)}"
+                    )
     return errs
 
 
@@ -126,7 +136,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
 
     t0 = time.time()
-    print("== preflight 0/3: bench-record drift ==")
+    print("== preflight 1/4: bench-record drift ==")
     drift = check_bench_scaling_drift()
     if drift:
         for e in drift:
@@ -135,14 +145,14 @@ def main() -> int:
         return 1
     print("ok\n")
 
-    print(f"== preflight 1/3: oracle hazard sweep ({sf_dir}) ==")
+    print(f"== preflight 2/4: oracle hazard sweep ({sf_dir}) ==")
     bad = hazard_sweep(sf_dir)
     if bad:
         print(f"\nPREFLIGHT FAIL: {bad} oracles with hazard types")
         return 1
     print(f"ok ({time.time()-t0:.0f}s)\n")
 
-    print("== preflight 2/3: verify_local --bare --types (all queries) ==")
+    print("== preflight 3/4: verify_local --bare --types (all queries) ==")
     cmd = [sys.executable, os.path.join(REPO, "tools", "verify_local.py"),
            "--bare", "--types"]
     summary = os.environ.get("SPARK_GRAFT_SUMMARY")  # e.g. VERIFY_SUMMARY_r04.json
@@ -164,7 +174,7 @@ def main() -> int:
         print(f"coverage artifact {summary}: full registry recorded")
 
     if full:
-        print("\n== preflight 3/3: pytest ==")
+        print("\n== preflight 4/4: pytest ==")
         rc = subprocess.call(
             [sys.executable, "-m", "pytest", "tests/", "-x", "-q"], cwd=REPO
         )
@@ -172,7 +182,7 @@ def main() -> int:
             print("\nPREFLIGHT FAIL: pytest")
             return rc
     else:
-        print("\n(3/3 pytest skipped — pass --full to include)")
+        print("\n(4/4 pytest skipped — pass --full to include)")
 
     print(f"\nPREFLIGHT PASS ({time.time()-t0:.0f}s total)")
     return 0
