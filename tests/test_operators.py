@@ -2111,6 +2111,12 @@ def test_wholefile_reader_binpacks_small_files(spark, tmp_path):
         spark.read.format("wholefile_text").option("path", pattern).option(
             "maxBytesPerPartition", "0"
         ).load().count()
+    # an empty-string value must fail loudly, never silently disable
+    # binpacking (self-review r12)
+    with pytest.raises(Exception, match="invalid literal"):
+        spark.read.format("wholefile_text").option("path", pattern).option(
+            "maxBytesPerPartition", ""
+        ).load().count()
 
 
 def test_wholefile_writer_rejects_null_lines(spark, tmp_path):
