@@ -90,7 +90,8 @@ def check_bench_scaling_drift() -> list[str]:
     normalized totals stated for the same round). For every round that
     has both the artifact and a close paragraph with the bolded
     'raw headline total **A s / normalized B s**' pattern, the quoted
-    numbers must match the artifact to 0.1 s. Returns error strings."""
+    numbers must match the artifact to ±0.05 s (one rounding step at
+    one decimal). Returns error strings."""
     import glob as _g
     import json
     import re
