@@ -134,15 +134,16 @@ def q85_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(tag: str = "") -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1]^DIM, derived
-    from md5(plane,dim) — pure function, embedded as literals in BOTH
-    the Spark plan and the oracle SQL."""
+    from md5(tag + plane,dim) — pure function, embedded as literals in
+    BOTH the Spark plan and the oracle SQL. A non-empty ``tag`` derives
+    an INDEPENDENT plane family (the multi-table LSH tables of q172)."""
     planes = []
     for h in range(N_PLANES):
         row = []
         for d in range(DIM):
-            digest = hashlib.md5(f"plane{h}:{d}".encode()).hexdigest()
+            digest = hashlib.md5(f"{tag}plane{h}:{d}".encode()).hexdigest()
             row.append(round(int(digest[:8], 16) / float(0xFFFFFFFF) * 2.0 - 1.0, 6))
         planes.append(row)
     return planes
@@ -151,10 +152,18 @@ def _hyperplanes() -> list[list[float]]:
 _PLANES = _hyperplanes()
 
 
-def _bucket_col(emb: Column, n_planes: int = N_PLANES) -> Column:
+def _table_planes(tid: int) -> list[list[float]]:
+    """Plane family for multi-table LSH table ``tid`` — independent of
+    the default family (different md5 tag) and of every other table."""
+    return _hyperplanes(f"t{tid}:")
+
+
+def _bucket_col(
+    emb: Column, n_planes: int = N_PLANES, planes: list[list[float]] | None = None
+) -> Column:
     """Sign-LSH bucket id: bit h = (embedding · plane_h) >= 0."""
     acc = None
-    for h, plane in enumerate(_PLANES[:n_planes]):
+    for h, plane in enumerate((planes or _PLANES)[:n_planes]):
         w = F.array(*[F.lit(v) for v in plane])
         dot = F.aggregate(
             F.zip_with(emb, w, lambda x, y: x.cast("double") * y),
@@ -166,9 +175,11 @@ def _bucket_col(emb: Column, n_planes: int = N_PLANES) -> Column:
     return acc.cast("long")
 
 
-def _bucket_sql(emb: str, n_planes: int = N_PLANES) -> str:
+def _bucket_sql(
+    emb: str, n_planes: int = N_PLANES, planes: list[list[float]] | None = None
+) -> str:
     terms = []
-    for h, plane in enumerate(_PLANES[:n_planes]):
+    for h, plane in enumerate((planes or _PLANES)[:n_planes]):
         lits = ", ".join(str(v) for v in plane)
         dot = (
             f"list_aggregate(list_transform(range(1, {DIM} + 1), "
@@ -611,20 +622,38 @@ def recall_audit(
     )
 
 
-def _margin_probes_col(qv, qbucket, n_planes: int = 4):
-    """MARGIN-AUGMENTED multi-probe sequence (Lv et al. 2007, public):
-    the bucket most likely to hold a query's missed neighbors beyond
-    the hamming-1 ring is across the two SMALLEST-|margin| hyperplanes
-    at once, so probe the own bucket, every hamming-1 neighbor, AND
-    the double flip of the two planes where |qv · plane| was smallest
-    — one extra bucket (6/16 at 4 planes) that removed the fixed
-    ring's zero-hit query class at both sampled SFs
-    (RECALL_REPORT.json). At higher plane counts, replace the ring
-    enumeration with the top-m margin-ranked single flips — same
-    expression shape. Pure column expression (the planes are
-    literals), deterministic per query."""
+def _margin_probes_col(
+    qv,
+    qbucket,
+    n_planes: int = 4,
+    top_m: int | None = None,
+    planes: list[list[float]] | None = None,
+):
+    """MARGIN-RANKED multi-probe sequence (Lv et al. 2007, public):
+    probe the query's own bucket, the ``top_m`` single-plane flips
+    ranked by ascending |qv · plane| (the least-confident sign bits —
+    the planes the query sits closest to, so flipping them is where
+    missed neighbors most likely live), and the DOUBLE flip of the two
+    smallest-|margin| planes (the most likely hamming-2 bucket — one
+    extra probe that removed the fixed ring's zero-hit query class at
+    both sampled SFs, RECALL_REPORT.json).
+
+    ``top_m`` defaults to ``min(n_planes, 4)``: at 4 planes the top-4
+    margin-ranked flips ARE the full hamming-1 ring, so the default
+    reproduces the round-11 probe set exactly (same buckets, probe
+    count 6/16); at 8+ planes the ranking is what makes the scheme
+    scale — probe count stays m+2 = O(m) while the bucket space grows
+    2^planes, instead of ring enumeration's O(n_planes) probes over an
+    exponentially finer partition with no confidence ordering. Pure
+    column expression (the planes are literals), deterministic per
+    query; |margin| ties break by plane mask ascending (struct sort is
+    lexicographic), identically replayable in SQL."""
+    if top_m is None:
+        top_m = min(n_planes, 4)
+    if not 1 <= top_m <= n_planes:
+        raise ValueError(f"top_m must be in [1, {n_planes}], got {top_m}")
     margins = []
-    for h, plane in enumerate(_PLANES[:n_planes]):
+    for h, plane in enumerate((planes or _PLANES)[:n_planes]):
         w = F.array(*[F.lit(v) for v in plane])
         dot = F.aggregate(
             F.zip_with(qv, w, lambda x, y: x.cast("double") * y),
@@ -634,9 +663,9 @@ def _margin_probes_col(qv, qbucket, n_planes: int = 4):
         margins.append(
             F.struct(F.abs(dot).alias("m"), F.lit(1 << h).alias("mask"))
         )
-    ranked = F.array_sort(F.array(*margins))  # ascending |margin|
+    ranked = F.array_sort(F.array(*margins))  # ascending |margin|, ties by mask
     probes = [qbucket] + [
-        qbucket.bitwiseXOR(F.lit(1 << h)) for h in range(n_planes)
+        qbucket.bitwiseXOR(ranked[i]["mask"]) for i in range(top_m)
     ] + [qbucket.bitwiseXOR(ranked[0]["mask"]).bitwiseXOR(ranked[1]["mask"])]
     return F.array_distinct(F.array(*probes))
 
@@ -646,6 +675,8 @@ def lsh_probe_hits(
     queries: DataFrame,
     k: int,
     probe_xors: tuple[int, ...] | None = None,
+    n_planes: int = 4,
+    top_m: int | None = None,
 ) -> DataFrame:
     """Multi-query LSH-probed ANN: each query probes its own bucket
     plus neighbor buckets; top-k by cosine per query — the q89
@@ -662,13 +693,22 @@ def lsh_probe_hits(
     extra probed bucket (6/16 vs the fixed list's 5/16) eliminated the
     fixed list's zero-hit query class (RECALL_REPORT.json). Pass
     ``probe_xors`` (e.g. ``_PROBE_XORS``) for the fixed hamming-xor
-    variant q89's oracle pins."""
+    variant q89's oracle pins.
+
+    ``n_planes`` MUST match the plane count the ``bucket`` / ``qbucket``
+    columns were built with (``_bucket_col(..., n_planes)``) — a
+    mismatched count silently probes a wrong neighbor set, which is why
+    it is an explicit parameter rather than inherited from the module
+    default. ``top_m`` bounds the margin-ranked single flips at higher
+    plane counts (see :func:`_margin_probes_col`)."""
     # query norm BEFORE the multi-probe explode — once per query, not
     # once per probed bucket
     plist = (
         F.array(*[F.col("qbucket").bitwiseXOR(F.lit(v)) for v in probe_xors])
         if probe_xors is not None
-        else _margin_probes_col(F.col("qv"), F.col("qbucket"))
+        else _margin_probes_col(
+            F.col("qv"), F.col("qbucket"), n_planes=n_planes, top_m=top_m
+        )
     )
     probes = queries.withColumn("_qn", _norm(F.col("qv"))).select(
         "query_id",
@@ -689,6 +729,340 @@ def lsh_probe_hits(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+# 8-plane margin-ranked multiprobe (q171): 256 buckets, probe count
+# pinned at TOP_M + 2 = 6 of 256 (own bucket + top-4 margin-ranked
+# single flips + smallest-two double flip). The plane count is where
+# LSH earns its keep at 100 TB — 16 buckets (4 planes) cannot shard a
+# large corpus, and the margin ranking keeps probe count constant as
+# planes grow instead of ring enumeration's every-plane flip.
+Q171_TOP_M = 4
+Q171_SAMPLE_FRAC = 0.02
+
+
+def _sample_pred_sql(id_expr: str, frac: float, tag: str = "audit1") -> str:
+    """SQL twin of :func:`sample_queries`'s hash predicate: first 4 hex
+    chars of md5(tag:id) below ``frac`` of the 16-bit space. Spark
+    compares the value numerically (conv base-16); fixed-width
+    lowercase hex compares identically as a string, so the twin uses a
+    lexicographic bound — the q46 discipline."""
+    thr = int(frac * 65536)
+    return (
+        f"substr(md5('{tag}:' || CAST({id_expr} AS VARCHAR)), 1, 4) "
+        f"< '{thr:04x}'"
+    )
+
+
+def _plane_dot_sql(emb: str, plane: list[float]) -> str:
+    lits = ", ".join(str(v) for v in plane)
+    return (
+        f"list_aggregate(list_transform(range(1, {DIM} + 1), "
+        f"i -> CAST({emb}[i] AS DOUBLE) * ([{lits}])[i]), 'sum')"
+    )
+
+
+def _q171_oracle() -> str:
+    """Chained-CTE replay of the 8-plane margin-ranked multiprobe:
+    bucket every valid vector at 8 planes, hash-sample the query set,
+    rank each query's |margin| per plane (ties by mask — the struct
+    sort order Spark uses), take the top-m single flips plus the
+    smallest-two double flip plus the own bucket (UNION dedups, as
+    array_distinct does), score probed rows by cosine, top-k per
+    query."""
+    margin_rows = "\n      UNION ALL\n".join(
+        f"      SELECT query_id, {1 << h} AS mask, "
+        f"abs({_plane_dot_sql('qv', plane)}) AS m FROM q"
+        for h, plane in enumerate(_PLANES)
+    )
+    return f"""
+    WITH e AS (SELECT * FROM {EMB_VALID_SQL} AS v),
+    b AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding', 8)} AS bucket
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {_bucket_sql('embedding', 8)} AS qbucket
+      FROM e
+      WHERE {_sample_pred_sql('vec_id', Q171_SAMPLE_FRAC)}
+    ),
+    margins AS (
+{margin_rows}
+    ),
+    ranked AS (
+      SELECT query_id, mask,
+             row_number() OVER (PARTITION BY query_id ORDER BY m, mask) AS rk
+      FROM margins
+    ),
+    probes AS (
+      SELECT query_id, qbucket AS pbucket FROM q
+      UNION
+      SELECT r.query_id, xor(q.qbucket, CAST(r.mask AS BIGINT))
+      FROM ranked r JOIN q ON r.query_id = q.query_id
+      WHERE r.rk <= {Q171_TOP_M}
+      UNION
+      SELECT q.query_id,
+             xor(xor(q.qbucket, CAST(r1.mask AS BIGINT)), CAST(r2.mask AS BIGINT))
+      FROM q
+      JOIN ranked r1 ON r1.query_id = q.query_id AND r1.rk = 1
+      JOIN ranked r2 ON r2.query_id = q.query_id AND r2.rk = 2
+    ),
+    scored AS (
+      SELECT p.query_id, b.vec_id,
+             {cosine_sql('b.embedding', 'q.qv')} AS cs
+      FROM b
+      JOIN probes p ON b.bucket = p.pbucket
+      JOIN q ON q.query_id = p.query_id
+      WHERE b.vec_id != p.query_id
+    ),
+    topk AS (
+      SELECT query_id, vec_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(cs, 4) AS cos_sim
+    FROM topk
+    WHERE rk <= {ANN_K}
+    ORDER BY query_id, vec_id
+    """
+
+
+@register(
+    "q171_ann_multiprobe_8planes",
+    oracle=_q171_oracle(),
+    tags=("similarity", "ann", "lsh"),
+)
+def q171_ann_multiprobe_8planes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-plane margin-ranked multiprobe ANN over a sampled query SET —
+    the scale form of q89's 4-plane single-query probe.
+
+    256 buckets shard the corpus ~32× finer than q89's 16; each query
+    still probes exactly TOP_M + 2 = 6 buckets (own + top-4
+    least-confident single flips + smallest-two double flip), so the
+    probed fraction FALLS as planes grow instead of the hamming-1
+    ring's every-plane enumeration. One broadcast equi-join on the
+    bucket id — the corpus never shuffles; per-query top-k is a window
+    over probed rows only. Recall for this family is fleet-gated in
+    tools/recall_report.py (``lsh_multiprobe_8p`` floors: min recall +
+    zero zero-hit queries); plan shape and probe count are pinned in
+    tests/test_plan_shapes.py. Generalizes the §2.1 #4 ``ihash(key)%R``
+    routing (common_map.go:90-107) to similarity space at production
+    plane counts."""
+    e = valid_embeddings(
+        t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    )
+    b = e.select(
+        "vec_id", "embedding", _bucket_col(F.col("embedding"), 8).alias("bucket")
+    )
+    qs = sample_queries(e, Q171_SAMPLE_FRAC).withColumn(
+        "qbucket", _bucket_col(F.col("qv"), 8)
+    )
+    hits = lsh_probe_hits(b, qs, ANN_K, n_planes=8, top_m=Q171_TOP_M)
+    return (
+        hits.select(
+            "query_id", "vec_id", F.round("_sim", 4).alias("cos_sim")
+        ).orderBy("query_id", "vec_id")
+    )
+
+
+# Multi-table LSH (q172): L INDEPENDENT 8-plane tables, margin-probed
+# per table, candidates unioned then reranked exactly — the classic
+# recall fix (Indyk-Motwani / Lv et al.): a neighbor missed by one
+# table's buckets is found by another, so miss probability MULTIPLIES
+# across tables while probe count stays L × (top_m + 2). Calibrated by
+# measurement at sf0.001/sf0.01 (see FLEET_FLOORS): L=6, top_m=6 is the
+# smallest budget with min recall ≥ 0.2 and ZERO zero-hit queries at
+# BOTH fixture SFs (single-table 8-plane probing saturates at min 0.0
+# even at 37 probes — on a small corpus the tail queries' neighbors are
+# cosine-noise no single partition finds).
+N_TABLES_8P = 6
+Q172_TOP_M = 6
+
+
+def lsh_multitable_hits(
+    e: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_tables: int = N_TABLES_8P,
+    n_planes: int = 8,
+    top_m: int = Q172_TOP_M,
+) -> DataFrame:
+    """Multi-table margin-probed LSH ANN: candidates gathered by id
+    across ``n_tables`` independent plane families, deduped, then
+    reranked by exact cosine — FAISS's gather-then-refine shape.
+
+    Scale shape: the keyed index is L rows of (vec_id, tbl, bucket) per
+    vector — ids only, the 64-float embeddings never ride the union —
+    and the probe set broadcasts (queries × L × (top_m + 2) rows). The
+    one shuffle is the candidate-set distinct on (query_id, vec_id),
+    bounded by probes × bucket size; the rerank joins candidates back
+    to the vector store by id. ``e``: (vec_id, embedding) valid
+    vectors; ``queries``: (query_id, qv)."""
+    keyed = None
+    probed = None
+    for tid in range(n_tables):
+        planes = _table_planes(tid)
+        kt = e.select(
+            "vec_id",
+            F.lit(tid).alias("tbl"),
+            _bucket_col(F.col("embedding"), n_planes, planes).alias("bucket"),
+        )
+        qt = queries.select(
+            "query_id",
+            F.lit(tid).alias("tbl"),
+            F.explode(
+                _margin_probes_col(
+                    F.col("qv"),
+                    _bucket_col(F.col("qv"), n_planes, planes),
+                    n_planes=n_planes,
+                    top_m=top_m,
+                    planes=planes,
+                )
+            ).alias("pbucket"),
+        )
+        keyed = kt if keyed is None else keyed.unionByName(kt)
+        probed = qt if probed is None else probed.unionByName(qt)
+    cand = (
+        keyed.join(
+            F.broadcast(probed),
+            (keyed.tbl == probed.tbl) & (F.col("bucket") == F.col("pbucket")),
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qn = queries.withColumn("_qn", _norm(F.col("qv")))
+    sim = _dot(F.col("embedding"), F.col("qv")) / F.nullif(
+        F.col("_bn") * F.col("_qn"), F.lit(0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), "vec_id")
+    return (
+        cand.join(e.withColumn("_bn", _norm(F.col("embedding"))), "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "vec_id", sim.alias("_sim"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def _q172_oracle() -> str:
+    """Chained-CTE replay of the multi-table probe: per-table buckets
+    and margins (same plane literals), per-(query, table) probe union,
+    DISTINCT candidate gather, exact-cosine rerank, top-k."""
+    keyed_rows = []
+    qkey_rows = []
+    margin_rows = []
+    for tid in range(N_TABLES_8P):
+        planes = _table_planes(tid)
+        keyed_rows.append(
+            f"      SELECT vec_id, {tid} AS tbl, "
+            f"{_bucket_sql('embedding', 8, planes)} AS bucket FROM e"
+        )
+        qkey_rows.append(
+            f"      SELECT query_id, {tid} AS tbl, "
+            f"{_bucket_sql('qv', 8, planes)} AS qbucket FROM q"
+        )
+        for h, plane in enumerate(planes):
+            margin_rows.append(
+                f"      SELECT query_id, {tid} AS tbl, {1 << h} AS mask, "
+                f"abs({_plane_dot_sql('qv', plane)}) AS m FROM q"
+            )
+    keyed = "\n      UNION ALL\n".join(keyed_rows)
+    qkey = "\n      UNION ALL\n".join(qkey_rows)
+    margins = "\n      UNION ALL\n".join(margin_rows)
+    return f"""
+    WITH e AS (SELECT * FROM {EMB_VALID_SQL} AS v),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM e
+      WHERE {_sample_pred_sql('vec_id', Q171_SAMPLE_FRAC)}
+    ),
+    keyed AS (
+{keyed}
+    ),
+    qkey AS (
+{qkey}
+    ),
+    margins AS (
+{margins}
+    ),
+    ranked AS (
+      SELECT query_id, tbl, mask,
+             row_number() OVER (PARTITION BY query_id, tbl
+                                ORDER BY m, mask) AS rk
+      FROM margins
+    ),
+    probes AS (
+      SELECT query_id, tbl, qbucket AS pbucket FROM qkey
+      UNION
+      SELECT r.query_id, r.tbl, xor(k.qbucket, CAST(r.mask AS BIGINT))
+      FROM ranked r
+      JOIN qkey k ON r.query_id = k.query_id AND r.tbl = k.tbl
+      WHERE r.rk <= {Q172_TOP_M}
+      UNION
+      SELECT k.query_id, k.tbl,
+             xor(xor(k.qbucket, CAST(r1.mask AS BIGINT)), CAST(r2.mask AS BIGINT))
+      FROM qkey k
+      JOIN ranked r1 ON r1.query_id = k.query_id AND r1.tbl = k.tbl AND r1.rk = 1
+      JOIN ranked r2 ON r2.query_id = k.query_id AND r2.tbl = k.tbl AND r2.rk = 2
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, b.vec_id
+      FROM keyed b
+      JOIN probes p ON b.tbl = p.tbl AND b.bucket = p.pbucket
+      WHERE b.vec_id != p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             {cosine_sql('e.embedding', 'q.qv')} AS cs
+      FROM cand c
+      JOIN e ON e.vec_id = c.vec_id
+      JOIN q ON q.query_id = c.query_id
+    ),
+    topk AS (
+      SELECT query_id, vec_id, cs,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(cs, 4) AS cos_sim
+    FROM topk
+    WHERE rk <= {ANN_K}
+    ORDER BY query_id, vec_id
+    """
+
+
+@register(
+    "q172_ann_multitable_lsh",
+    oracle=_q172_oracle(),
+    tags=("similarity", "ann", "lsh"),
+)
+def q172_ann_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table 8-plane LSH ANN over a sampled query set — the
+    SERVING family at production plane counts, fleet-gated.
+
+    q171 shows one 8-plane table with margin-ranked probes; this is the
+    recall fix that makes 8 planes servable: L = 6 independent plane
+    families, each margin-probed (top-6 single flips + the
+    smallest-two double flip), candidates unioned by id and reranked
+    exactly. Miss probability multiplies across tables — the measured
+    floor (min recall 0.2, ZERO zero-hit queries at both fixture SFs,
+    FLEET_FLOORS['lsh_multiprobe_8p']) holds where every single-table
+    budget up to 37/256 probes still had dead queries. Probe count is
+    pinned: L × (top_m + 2) = 48 (table, bucket) pairs per query, a
+    3.1% scan of the 6 × 256 table-bucket space regardless of corpus
+    size."""
+    e = valid_embeddings(
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    qs = sample_queries(e, Q171_SAMPLE_FRAC)
+    hits = lsh_multitable_hits(e, qs, ANN_K)
+    return hits.select(
+        "query_id", "vec_id", F.round("_sim", 4).alias("cos_sim")
+    ).orderBy("query_id", "vec_id")
 
 
 N_IVF_CENTROIDS = 8

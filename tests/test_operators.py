@@ -1677,11 +1677,18 @@ def test_recall_report_all_families(spark):
     from recall_report import assert_fleet_floors
 
     report = build_report(spark, SF_SMALL, 0.05)
-    assert set(report) == {"lsh_multiprobe", "ivf", "pq_adc_rerank", "ivfadc"}
+    assert set(report) == {
+        "lsh_multiprobe",
+        "lsh_multiprobe_8p",
+        "ivf",
+        "pq_adc_rerank",
+        "ivfadc",
+    }
     nq = {r["n_queries"] for r in report.values()}
     assert len(nq) == 1 and nq.pop() > 1, "families must share one query set"
     mean_floors = {
         "lsh_multiprobe": 0.3,
+        "lsh_multiprobe_8p": 0.3,
         "ivf": 0.45,
         "pq_adc_rerank": 0.6,
         "ivfadc": 0.35,

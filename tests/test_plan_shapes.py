@@ -99,6 +99,87 @@ def test_lsh_probe_broadcasts_query_side(plan):
     assert "BroadcastHashJoin" in plan("q89_ann_probe")
 
 
+def test_margin_probe_count_is_pinned(spark):
+    """The 8-plane probe budget is a CONTRACT, not an emergent size:
+    q171 probes ≤ top_m + 2 buckets per query; q172 probes exactly
+    L × (top_m + 2) (table, bucket) pairs. At 4 planes the margin
+    ranking's default (top_m=4) reproduces the full hamming-1 ring +
+    double flip — the round-11 probe set — so the generalization can't
+    have silently changed the serving family recall_report gates."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.similarity import (
+        N_TABLES_8P,
+        Q171_TOP_M,
+        Q172_TOP_M,
+        _bucket_col,
+        _margin_probes_col,
+        valid_embeddings,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    e = valid_embeddings(
+        load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    ).limit(8)
+    probes8 = e.select(
+        F.size(
+            _margin_probes_col(
+                F.col("embedding"),
+                _bucket_col(F.col("embedding"), 8),
+                n_planes=8,
+                top_m=Q171_TOP_M,
+            )
+        ).alias("n")
+    ).collect()
+    assert all(r.n <= Q171_TOP_M + 2 for r in probes8)
+    assert N_TABLES_8P * (Q172_TOP_M + 2) == 48
+    # 4-plane default == ring ∪ {double flip}: every single flip present
+    ring = e.select(
+        _bucket_col(F.col("embedding"), 4).alias("b"),
+        _margin_probes_col(
+            F.col("embedding"), _bucket_col(F.col("embedding"), 4)
+        ).alias("probes"),
+    ).collect()
+    for r in ring:
+        got = set(r.probes)
+        want_ring = {r.b} | {r.b ^ (1 << h) for h in range(4)}
+        assert want_ring <= got and len(got) <= 6
+
+
+def test_margin_probe_top_m_validated():
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.similarity import _margin_probes_col
+
+    with _pytest.raises(ValueError, match="top_m"):
+        _margin_probes_col(F.col("x"), F.col("b"), n_planes=8, top_m=9)
+    with _pytest.raises(ValueError, match="top_m"):
+        _margin_probes_col(F.col("x"), F.col("b"), n_planes=4, top_m=0)
+
+
+def test_multitable_lsh_gathers_ids_then_reranks(plan):
+    """q172's scale shape: the probe side broadcasts (no corpus
+    shuffle to find candidates), and the keyed union carries vec_id +
+    bucket only — the 64-float embeddings must not ride the L-way
+    union (they rejoin by id at rerank)."""
+    p = plan("q172_ann_multitable_lsh")
+    assert "BroadcastHashJoin" in p
+    # candidate dedup is the one keyed shuffle
+    assert "HashAggregate" in p or "Exchange" in p
+
+
+def test_multitable_plane_families_are_independent():
+    from mapreduce_mit_spark.plans.similarity import _PLANES, _table_planes
+
+    fams = [_table_planes(t) for t in range(3)]
+    flat = [tuple(p[0]) for p in fams]
+    assert len(set(flat)) == 3, "table plane families must differ"
+    assert all(tuple(f[0]) != tuple(_PLANES[0]) for f in fams), (
+        "table families must be independent of the default family"
+    )
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Bucketed storage is the co-located-join primitive at scale: both
     sides bucketed by the join key into the same bucket count join with
