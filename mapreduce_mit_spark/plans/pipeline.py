@@ -765,3 +765,300 @@ def q170_corpus_to_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return funnel.orderBy("stage", "lang")
+
+
+# --- q173: the dedup-FIRST recomposition of the capstone -------------------
+
+def _q173_oracle() -> str:
+    """q173's chained-CTE oracle: q148's closure over the RAW corpus →
+    q145's gate cores evaluated on the SURVIVOR corpus only (the span
+    doc-frequency is recomputed post-dedup — the whole point of this
+    ordering) → q167's cluster-keyed arm → q39's mixture → q37's
+    packing. Same helpers as q170's oracle; only the chain order and
+    the span-gate scope differ."""
+    from ..functions.textfns import tokens_sql
+    from .dedup import _lsh_bands_sql
+    from .quality import _QUALITY4_SQL, _SPANS_SQL
+
+    arm = (
+        "CASE WHEN substr(md5(CAST({k} AS VARCHAR)), 1, 4) < 'cccc' THEN 'train' "
+        "WHEN substr(md5(CAST({k} AS VARCHAR)), 1, 4) < 'e666' THEN 'val' "
+        "ELSE 'test' END"
+    )
+    mix_case = (
+        "CASE d.lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN '{thr}'" for lang, thr in MIX_THRESHOLDS.items()
+        )
+        + f" ELSE '{MIX_DEFAULT}' END"
+    )
+    stage = (
+        "SELECT '{name}' AS stage, lang, CAST(count(*) AS BIGINT) AS n_docs,"
+        " CAST(sum(n_tokens) AS BIGINT) AS n_tokens,"
+        " CAST(NULL AS BIGINT) AS n_bins"
+        " FROM sized JOIN {src} USING (doc_id) GROUP BY lang"
+    )
+    return f"""
+    WITH RECURSIVE {_lsh_bands_sql(materialized=True)},
+    sized AS MATERIALIZED (
+      SELECT doc_id, lang, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    cdocs AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+    ctoks AS (
+      SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS token
+      FROM documents WHERE doc_id IN (SELECT doc_id FROM cdocs)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ctoks GROUP BY doc_id),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+      FROM cand c
+        JOIN ctoks a ON a.doc_id = c.doc_a
+        JOIN ctoks b ON b.doc_id = c.doc_b AND b.token = a.token
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT s.doc_a, s.doc_b
+      FROM shared s
+        JOIN sizes sa ON sa.doc_id = s.doc_a
+        JOIN sizes sb ON sb.doc_id = s.doc_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(node, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node),
+    survivors AS MATERIALIZED (
+      SELECT doc_id, cluster FROM comp WHERE doc_id = cluster
+    ),
+    stok AS MATERIALIZED (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM survivors)
+    ),
+    sspans AS (
+      SELECT doc_id, md5(unnest({_SPANS_SQL})) AS span_hash FROM stok
+    ),
+    sgc AS (
+      SELECT span_hash, count(DISTINCT doc_id) AS n_docs
+      FROM sspans GROUP BY span_hash
+    ),
+    span_per_doc AS (
+      SELECT s.doc_id,
+             count(*) AS n_spans,
+             CAST(sum(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM sspans s JOIN sgc g ON s.span_hash = g.span_hash
+      GROUP BY s.doc_id
+    ),
+    {_QUALITY4_SQL},
+    curated AS MATERIALIZED (
+      SELECT s.doc_id
+      FROM survivors s
+        LEFT JOIN span_per_doc p ON s.doc_id = p.doc_id
+        JOIN quality ON s.doc_id = quality.doc_id
+      WHERE coalesce(p.n_shared, 0) * 10 <= coalesce(p.n_spans, 0) * 9
+        AND quality.quality4 >= 5000
+    ),
+    train AS MATERIALIZED (
+      SELECT s.doc_id FROM survivors s
+      JOIN curated c ON c.doc_id = s.doc_id
+      WHERE {arm.format(k='s.cluster')} = 'train'
+    ),
+    mixed AS MATERIALIZED (
+      SELECT t.doc_id
+      FROM train t JOIN documents d ON d.doc_id = t.doc_id
+      WHERE md5('mix1:' || CAST(t.doc_id AS VARCHAR)) < {mix_case}
+    ),
+    packed AS MATERIALIZED (
+      SELECT s.lang, s.doc_id, s.n_tokens,
+             COALESCE(CAST(sum(s.n_tokens) OVER (
+               PARTITION BY s.lang ORDER BY s.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) // {PACK_BUDGET} AS bin
+      FROM sized s JOIN mixed m ON m.doc_id = s.doc_id
+    )
+    SELECT * FROM (
+      SELECT '1_raw' AS stage, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(NULL AS BIGINT) AS n_bins
+      FROM sized GROUP BY lang
+      UNION ALL {stage.format(name='2_dedup', src='survivors')}
+      UNION ALL {stage.format(name='3_curated', src='curated')}
+      UNION ALL {stage.format(name='4_train', src='train')}
+      UNION ALL {stage.format(name='5_mixture', src='mixed')}
+      UNION ALL
+      SELECT '6_packed', lang, CAST(count(*) AS BIGINT),
+             CAST(sum(n_tokens) AS BIGINT), CAST(max(bin) + 1 AS BIGINT)
+      FROM packed GROUP BY lang
+    )
+    ORDER BY stage, lang
+    """
+
+
+@register(
+    "q173_trainer_dedup_first",
+    oracle=_q173_oracle(),
+    tags=("pipeline", "capstone", "dedup", "quality", "split", "packing",
+          "mixture", "training-pipeline"),
+)
+def q173_trainer_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q170's stages recomposed DEDUP-FIRST — the ordering for a corpus
+    where replication dominates (mirror crawls, CommonCrawl re-fetches):
+
+    1. **raw** — the crawl as landed.
+    2. **dedup** — q148's closure over the RAW corpus (full memoized
+       band table, candidates-only Jaccard verify, pointer-jumped CC),
+       one representative per near-dup cluster.
+    3. **curated** — q145's gates on the SURVIVOR corpus: the span
+       doc-frequency is recomputed post-dedup, so a span shared only
+       among clones of one document is no longer "cross-doc" — exactly
+       the signal q170's gate-first ordering destroys on a replicated
+       corpus (SCALING.md round-12: 10× clone fixture → gate-first
+       curated = ∅; here survivors ≈ one per clone family). Gate
+       thresholds are IDENTICAL to q170's (>90% boilerplate span share,
+       quality4 ≥ 5000) so the two funnels differ only in ordering.
+    4. **train** — q167's cluster-keyed arm (md5 of the cluster label).
+    5. **mixture** — q39's per-language thresholds.
+    6. **packed** — q37's budget packing.
+
+    Scale shape: the closure now runs over the raw corpus (no curated
+    pre-filter shrinks the band self-join — the price of this
+    ordering, which is why q170's gate-first form is the default for
+    organic corpora, per FineWeb); the gates then tokenize only
+    survivors. Both orderings ride the same memoized band table and
+    the same per-stage semi-join funnel discipline.
+
+    Reference analog: none (SURVEY §2.3 capability extension; this is
+    the composition proof for the dedup-first ordering)."""
+    from ..operators.graph import connected_components
+    from ._util import tw
+    from .dedup import (
+        jaccard_verified_pairs,
+        lsh_bands_for,
+        lsh_candidate_pairs_df,
+    )
+    from .quality import _span_share, quality4_df
+
+    d = t(spark, sf_dir, "documents")
+    docs = tw(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    ).localCheckpoint(eager=False)
+
+    # stage 2: q148's closure over the raw corpus
+    bands = lsh_bands_for(spark, sf_dir)
+    cand = lsh_candidate_pairs_df(docs, bands=bands)
+    ver = jaccard_verified_pairs(docs, cand)
+    comp = connected_components(
+        d.select("doc_id"), ver, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    # eager: the closure subtree is the chain's most expensive stage and
+    # THREE consumers read its survivor set (stage-2 branch, the
+    # survivor-corpus gates, the train arm) — two narrow columns
+    survivors = (
+        comp.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster"))
+        .where(F.col("doc_id") == F.col("cluster"))
+        .localCheckpoint(eager=True)
+    )
+
+    # stage 3: q145's gates over the SURVIVOR corpus only
+    sdocs = docs.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    per_doc = _span_share(sdocs)
+    curated = (
+        survivors.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(quality4_df(sdocs), "doc_id")
+        .where(
+            (F.coalesce("n_shared", F.lit(0)) * 10
+             <= F.coalesce("n_spans", F.lit(0)) * 9)
+            & (F.col("quality4") >= 5000)
+        )
+        .select("doc_id")
+    )
+
+    # stage 4: q167's cluster-keyed arm over gated survivors
+    h = F.substring(F.md5(F.col("cluster").cast("string")), 1, 4)
+    train = (
+        survivors.join(curated, "doc_id", "left_semi")
+        .where(
+            F.when(h < "cccc", "train").when(h < "e666", "val").otherwise("test")
+            == "train"
+        )
+        .select("doc_id")
+    )
+
+    # stage 5: q39's per-language mixture thresholds
+    threshold = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in MIX_THRESHOLDS.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(MIX_DEFAULT),
+    )
+    mix_key = F.md5(F.concat(F.lit("mix1:"), F.col("doc_id").cast("string")))
+    mixed = (
+        train.join(sized.select("doc_id", "lang"), "doc_id")
+        .where(mix_key < threshold)
+        .select("doc_id")
+    )
+
+    # stage 6: q37's packing
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        sized.join(mixed, "doc_id", "left_semi")
+        .withColumn("cum_excl", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin",
+            F.expr(f"coalesce(cum_excl, CAST(0 AS BIGINT)) div {PACK_BUDGET}"),
+        )
+    )
+
+    def stage(name: str, ids: DataFrame | None) -> DataFrame:
+        base = sized if ids is None else sized.join(ids, "doc_id", "left_semi")
+        return base.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        ).select(
+            F.lit(name).alias("stage"),
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.lit(None).cast("long").alias("n_bins"),
+        )
+
+    funnel = (
+        stage("1_raw", None)
+        .unionAll(stage("2_dedup", survivors.select("doc_id")))
+        .unionAll(stage("3_curated", curated))
+        .unionAll(stage("4_train", train))
+        .unionAll(stage("5_mixture", mixed))
+        .unionAll(
+            packed.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                (F.max("bin") + 1).alias("n_bins"),
+            )
+            .select(
+                F.lit("6_packed").alias("stage"),
+                "lang", "n_docs", "n_tokens", "n_bins",
+            )
+        )
+    )
+    return funnel.orderBy("stage", "lang")
