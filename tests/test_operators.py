@@ -1709,11 +1709,22 @@ def test_index_attach_serves_without_refit(spark, tmp_path):
     serves every family's ``*_index_for`` from the persisted parquet —
     asserted by identity (the returned artifact IS the attached one,
     so no refit ran) — and the served results equal the in-memory
-    fit's. Covers all four families (IVF, PQ, IVFADC, LSH bands)."""
+    fit's. Covers six families (IVF, PQ, IVFADC, LSH bands, the q149
+    unigram LM, the q166 classifier weights); overlap sketches get the
+    same treatment in their own test, and the seven-family boot is
+    tests/test_concurrency.py::test_cold_start_attaches_all_seven_model_families."""
     from mapreduce_mit_spark.plans.dedup import (
         lsh_bands_for,
         lsh_index_attach,
         lsh_index_save,
+    )
+    from mapreduce_mit_spark.plans.quality import (
+        classifier_weights_attach,
+        classifier_weights_for,
+        classifier_weights_save,
+        unigram_lm_attach,
+        unigram_lm_for,
+        unigram_lm_save,
     )
     from mapreduce_mit_spark.plans.similarity import (
         _cache_evict,
@@ -1732,17 +1743,28 @@ def test_index_attach_serves_without_refit(spark, tmp_path):
     def _dtypes(art):
         return [df.dtypes for df in (art if isinstance(art, tuple) else (art,))]
 
-    dirs = {f: str(tmp_path / f) for f in ("ivf", "pq", "ivfadc", "lsh")}
+    dirs = {
+        f: str(tmp_path / f)
+        for f in ("ivf", "pq", "ivfadc", "lsh", "unigram", "cls")
+    }
     ivf_index_save(spark, SF_SMALL, dirs["ivf"])
     pq_index_save(spark, SF_SMALL, dirs["pq"])
     ivfadc_index_save(spark, SF_SMALL, dirs["ivfadc"])
     lsh_index_save(spark, SF_SMALL, dirs["lsh"])
+    unigram_lm_save(spark, SF_SMALL, dirs["unigram"])
+    classifier_weights_save(spark, SF_SMALL, dirs["cls"])
     baseline_bands = sorted(map(tuple, lsh_bands_for(spark, SF_SMALL).collect()))
+    baseline_freq = sorted(map(tuple, unigram_lm_for(spark, SF_SMALL).collect()))
+    baseline_w = sorted(
+        map(tuple, classifier_weights_for(spark, SF_SMALL).collect())
+    )
     fitted_types = {
         "ivf": _dtypes(ivf_index_for(spark, SF_SMALL)),
         "pq": _dtypes(pq_index_for(spark, SF_SMALL)),
         "ivfadc": _dtypes(ivfadc_index_for(spark, SF_SMALL)),
         "lsh": _dtypes(lsh_bands_for(spark, SF_SMALL)),
+        "unigram": _dtypes(unigram_lm_for(spark, SF_SMALL)),
+        "cls": _dtypes(classifier_weights_for(spark, SF_SMALL)),
     }
 
     # simulate a fresh session: drop every cached index artifact
@@ -1754,20 +1776,31 @@ def test_index_attach_serves_without_refit(spark, tmp_path):
     att_pq = pq_index_attach(spark, SF_SMALL, dirs["pq"])
     att_adc = ivfadc_index_attach(spark, SF_SMALL, dirs["ivfadc"])
     att_lsh = lsh_index_attach(spark, SF_SMALL, dirs["lsh"])
+    att_lm = unigram_lm_attach(spark, SF_SMALL, dirs["unigram"])
+    att_w = classifier_weights_attach(spark, SF_SMALL, dirs["cls"])
 
     assert ivf_index_for(spark, SF_SMALL) is att_ivf
     assert pq_index_for(spark, SF_SMALL) is att_pq
     assert ivfadc_index_for(spark, SF_SMALL) is att_adc
     assert lsh_bands_for(spark, SF_SMALL) is att_lsh
+    assert unigram_lm_for(spark, SF_SMALL) is att_lm
+    assert classifier_weights_for(spark, SF_SMALL) is att_w
     assert (
         sorted(map(tuple, att_lsh.collect())) == baseline_bands
     ), "attached band table diverges from the fit"
+    assert (
+        sorted(map(tuple, att_lm.collect())) == baseline_freq
+    ), "attached unigram LM diverges from the fit"
+    assert (
+        sorted(map(tuple, att_w.collect())) == baseline_w
+    ), "attached classifier weights diverge from the fit"
     # attached schema must equal the FITTED schema, dtype for dtype —
     # parquet partition-column discovery re-infers types from directory
     # names (cluster=7 → int even when the fit produced bigint), and a
     # dtype drift here poisons every downstream consumer's schema
     for fam, att in (
-        ("ivf", att_ivf), ("pq", att_pq), ("ivfadc", att_adc), ("lsh", att_lsh)
+        ("ivf", att_ivf), ("pq", att_pq), ("ivfadc", att_adc),
+        ("lsh", att_lsh), ("unigram", att_lm), ("cls", att_w),
     ):
         assert _dtypes(att) == fitted_types[fam], (
             f"{fam}: attached dtypes {_dtypes(att)} != fitted {fitted_types[fam]}"
