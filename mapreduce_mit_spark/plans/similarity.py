@@ -158,13 +158,44 @@ def _table_planes(tid: int) -> list[list[float]]:
     return _hyperplanes(f"t{tid}:")
 
 
+def _plane_dot_expr(emb_sql: str, plane: list[float]) -> str:
+    """The per-plane dot as ONE Spark-SQL string: sequential-fold sum,
+    double accumulation — textually the same lambda pipeline the
+    Column path builds, parsed JVM-side in one py4j call instead of
+    hundreds (pyspark's ``lit(list)`` lits every ELEMENT and each
+    higher-order lambda costs several gateway round-trips; measured
+    10 s → 0.05 s to construct the 6-table key projection, identical
+    values — the q172 serve wall was driver-side plan CONSTRUCTION,
+    not execution). ``{v!r}D`` literals: repr round-trips the exact
+    double, the D suffix keeps Spark from parsing DECIMAL."""
+    lits = ", ".join(f"{v!r}D" for v in plane)
+    return (
+        f"aggregate(zip_with({emb_sql}, array({lits}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (a, x) -> a + x)"
+    )
+
+
 def _bucket_col(
-    emb: Column, n_planes: int = N_PLANES, planes: list[list[float]] | None = None
+    emb: Column | str,
+    n_planes: int = N_PLANES,
+    planes: list[list[float]] | None = None,
 ) -> Column:
-    """Sign-LSH bucket id: bit h = (embedding · plane_h) >= 0."""
+    """Sign-LSH bucket id: bit h = (embedding · plane_h) >= 0.
+
+    ``emb`` may be a Column (arbitrary expression) or a COLUMN NAME
+    string — the string form builds each plane's dot as one parsed
+    expr (see :func:`_plane_dot_expr`) and is what the hot multi-table
+    paths use. Both forms are value-identical (hash-checked on the
+    full fixture)."""
+    if isinstance(emb, str):
+        terms = []
+        for h, plane in enumerate((planes or _PLANES)[:n_planes]):
+            dot = _plane_dot_expr(emb, plane)
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << h} ELSE 0 END)")
+        return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
     acc = None
     for h, plane in enumerate((planes or _PLANES)[:n_planes]):
-        w = F.array(*[F.lit(v) for v in plane])
+        w = F.lit([float(v) for v in plane])
         dot = F.aggregate(
             F.zip_with(emb, w, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -654,12 +685,15 @@ def _margin_probes_col(
         raise ValueError(f"top_m must be in [1, {n_planes}], got {top_m}")
     margins = []
     for h, plane in enumerate((planes or _PLANES)[:n_planes]):
-        w = F.array(*[F.lit(v) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(qv, w, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+        if isinstance(qv, str):
+            dot = F.expr(_plane_dot_expr(qv, plane))  # see _bucket_col
+        else:
+            w = F.lit([float(v) for v in plane])
+            dot = F.aggregate(
+                F.zip_with(qv, w, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
         margins.append(
             F.struct(F.abs(dot).alias("m"), F.lit(1 << h).alias("mask"))
         )
@@ -707,7 +741,7 @@ def lsh_probe_hits(
         F.array(*[F.col("qbucket").bitwiseXOR(F.lit(v)) for v in probe_xors])
         if probe_xors is not None
         else _margin_probes_col(
-            F.col("qv"), F.col("qbucket"), n_planes=n_planes, top_m=top_m
+            "qv", F.col("qbucket"), n_planes=n_planes, top_m=top_m
         )
     )
     probes = queries.withColumn("_qn", _norm(F.col("qv"))).select(
@@ -854,10 +888,10 @@ def q171_ann_multiprobe_8planes(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     )
     b = e.select(
-        "vec_id", "embedding", _bucket_col(F.col("embedding"), 8).alias("bucket")
+        "vec_id", "embedding", _bucket_col("embedding", 8).alias("bucket")
     )
     qs = sample_queries(e, Q171_SAMPLE_FRAC).withColumn(
-        "qbucket", _bucket_col(F.col("qv"), 8)
+        "qbucket", _bucket_col("qv", 8)
     )
     hits = lsh_probe_hits(b, qs, ANN_K, n_planes=8, top_m=Q171_TOP_M)
     return (
@@ -881,6 +915,128 @@ N_TABLES_8P = 6
 Q172_TOP_M = 6
 
 
+def lsh_multitable_keys_df(
+    e: DataFrame, n_tables: int = N_TABLES_8P, n_planes: int = 8
+) -> DataFrame:
+    """(vec_id, tbl, bucket) — the multi-table LSH key table, q172's
+    fit core: each vector's bucket id under every one of the
+    ``n_tables`` independent plane families. Ids and buckets only —
+    the 64-float embeddings never ride the L-way union. Kept as a
+    separate function so the cold-start test can poison it and prove
+    an attached session never re-keys the corpus."""
+    keyed = None
+    for tid in range(n_tables):
+        planes = _table_planes(tid)
+        kt = e.select(
+            "vec_id",
+            F.lit(tid).alias("tbl"),
+            _bucket_col("embedding", n_planes, planes).alias("bucket"),
+        )
+        keyed = kt if keyed is None else keyed.unionByName(kt)
+    return keyed
+
+
+def lsh8_index_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-table key table as a memoized index artifact (the
+    ``lsh_bands_for`` discipline): built once per (session, source
+    fingerprint), persistable via :func:`lsh8_index_save`. The payoff
+    is double at this family's plane counts: the corpus is keyed once
+    per session instead of per query, AND the L × planes × DIM
+    expression tree — whose Catalyst ANALYSIS, not execution, was the
+    measured wall on fresh plans — is walked once per fit instead of
+    once per serve call."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    cache = _session_cache(spark)
+    key = ("lsh8",) + source_fingerprint(src)
+    df = cache.get(key)
+    if df is None:
+        e = valid_embeddings(
+            t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        )
+        df = lsh_multitable_keys_df(e).localCheckpoint(eager=True)
+        _cache_put(cache, key, df)
+    return df
+
+
+def lsh8_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Persist the multi-table key table: ``keys`` (vec_id, tbl,
+    bucket) partitioned by tbl — each serving table is its own file
+    set, so a probe that needs one table's buckets prunes to it."""
+    keys = lsh8_index_for(spark, sf_dir)
+    (
+        keys.write.mode("overwrite")
+        .partitionBy("tbl")
+        .parquet(os.path.join(out_dir, "keys"))
+    )
+    write_index_meta(
+        out_dir,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        schemas={"keys": keys.schema.json()},
+    )
+
+
+def lsh8_index_load(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Load a persisted multi-table key table (see
+    :func:`lsh8_index_save`) via ``read_index_table`` so the
+    partition-discovered ``tbl`` column serves with its fitted type."""
+    from ._util import read_index_table
+
+    return read_index_table(spark, out_dir, "keys", ["vec_id", "tbl", "bucket"])
+
+
+def lsh8_index_attach(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """Prime this session's q172 serving path from a saved key table:
+    fingerprint-checked (stale → ValueError), then inserted under
+    :func:`lsh8_index_for`'s cache key."""
+    keys = lsh8_index_load(spark, out_dir)
+    _index_attach(spark, sf_dir, out_dir, "lsh8", keys)
+    return keys
+
+
+def _multitable_probes_df(
+    queries: DataFrame, n_tables: int, n_planes: int, top_m: int
+) -> DataFrame:
+    """(query_id, tbl, pbucket) — every query's margin-ranked probe set
+    under every table, built in TWO projections: one parsed expr per
+    table computes the ranked margin structs and the bucket id (a
+    let-binding via the intermediate column, so the big dot-product
+    text appears ONCE instead of once per probe), then cheap column
+    ops derive the top-m flips + double flip from the ranked array.
+    Same probe sets as :func:`_margin_probes_col` per table (equality-
+    checked on the full fixture); ~6× fewer driver-side gateway calls
+    and no duplicated subtree for Catalyst to re-analyze — the naive
+    per-table Column build made plan CONSTRUCTION, not execution, the
+    q172 serve wall."""
+    cols: list = ["query_id"]
+    for t in range(n_tables):
+        planes = _table_planes(t)[:n_planes]
+        structs = ", ".join(
+            f"named_struct('m', abs({_plane_dot_expr('qv', p)}), 'mask', {1 << h})"
+            for h, p in enumerate(planes)
+        )
+        dots = " + ".join(
+            f"(CASE WHEN {_plane_dot_expr('qv', p)} >= 0 THEN {1 << h} ELSE 0 END)"
+            for h, p in enumerate(planes)
+        )
+        cols.append(F.expr(f"array_sort(array({structs}))").alias(f"_r{t}"))
+        cols.append(F.expr(f"CAST({dots} AS BIGINT)").alias(f"_qb{t}"))
+    base = queries.select(*cols)
+    stack = (
+        f"stack({n_tables}, "
+        + ", ".join(f"{t}, _r{t}, _qb{t}" for t in range(n_tables))
+        + ") AS (tbl, ranked, qbucket)"
+    )
+    st = base.selectExpr("query_id", stack)
+    flips = ", ".join(f"qbucket ^ ranked[{i}].mask" for i in range(top_m))
+    probes = (
+        f"array_distinct(array(qbucket, {flips}, "
+        f"qbucket ^ ranked[0].mask ^ ranked[1].mask))"
+    )
+    return st.select(
+        "query_id", "tbl", F.explode(F.expr(probes)).alias("pbucket")
+    )
+
+
 def lsh_multitable_hits(
     e: DataFrame,
     queries: DataFrame,
@@ -888,6 +1044,7 @@ def lsh_multitable_hits(
     n_tables: int = N_TABLES_8P,
     n_planes: int = 8,
     top_m: int = Q172_TOP_M,
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-table margin-probed LSH ANN: candidates gathered by id
     across ``n_tables`` independent plane families, deduped, then
@@ -899,31 +1056,15 @@ def lsh_multitable_hits(
     one shuffle is the candidate-set distinct on (query_id, vec_id),
     bounded by probes × bucket size; the rerank joins candidates back
     to the vector store by id. ``e``: (vec_id, embedding) valid
-    vectors; ``queries``: (query_id, qv)."""
-    keyed = None
-    probed = None
-    for tid in range(n_tables):
-        planes = _table_planes(tid)
-        kt = e.select(
-            "vec_id",
-            F.lit(tid).alias("tbl"),
-            _bucket_col(F.col("embedding"), n_planes, planes).alias("bucket"),
-        )
-        qt = queries.select(
-            "query_id",
-            F.lit(tid).alias("tbl"),
-            F.explode(
-                _margin_probes_col(
-                    F.col("qv"),
-                    _bucket_col(F.col("qv"), n_planes, planes),
-                    n_planes=n_planes,
-                    top_m=top_m,
-                    planes=planes,
-                )
-            ).alias("pbucket"),
-        )
-        keyed = kt if keyed is None else keyed.unionByName(kt)
-        probed = qt if probed is None else probed.unionByName(qt)
+    vectors; ``queries``: (query_id, qv). Pass ``keys`` (the fitted
+    :func:`lsh8_index_for` artifact) to serve from the index instead
+    of re-keying the corpus inline."""
+    keyed = (
+        keys
+        if keys is not None
+        else lsh_multitable_keys_df(e, n_tables=n_tables, n_planes=n_planes)
+    )
+    probed = _multitable_probes_df(queries, n_tables, n_planes, top_m)
     cand = (
         keyed.join(
             F.broadcast(probed),
@@ -1054,12 +1195,14 @@ def q172_ann_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget up to 37/256 probes still had dead queries. Probe count is
     pinned: L × (top_m + 2) = 48 (table, bucket) pairs per query, a
     3.1% scan of the 6 × 256 table-bucket space regardless of corpus
-    size."""
+    size. Serves from the fitted key table (:func:`lsh8_index_for` —
+    memoized, persistable, attachable like every index family): the
+    corpus is keyed once per session+source, not once per query set."""
     e = valid_embeddings(
         t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
     qs = sample_queries(e, Q171_SAMPLE_FRAC)
-    hits = lsh_multitable_hits(e, qs, ANN_K)
+    hits = lsh_multitable_hits(e, qs, ANN_K, keys=lsh8_index_for(spark, sf_dir))
     return hits.select(
         "query_id", "vec_id", F.round("_sim", 4).alias("cos_sim")
     ).orderBy("query_id", "vec_id")
@@ -2663,6 +2806,7 @@ def semantic_dedup_df(
     tau: float = SEMDEDUP_TAU,
     cell_cap: int = SEMDEDUP_CELL_CAP,
     broadcast_max_rows: int = SEMDEDUP_BROADCAST_MAX_ROWS,
+    assign_rows: int | None = None,
 ) -> DataFrame:
     """q164's core over an (vec_id, cluster, embedding) assignment
     table: GREEDY-BY-ID semantic dedup inside each cluster — a vector
@@ -2710,8 +2854,14 @@ def semantic_dedup_df(
     sub = capped_sub_col(F.col("_n"), F.col("embedding"), cell_cap)
     # size gate: one cheap count over the checkpointed assignment (a
     # documented driver-side scalar probe, like graph.py's convergence
-    # aggregates)
-    will_broadcast = assign.count() <= broadcast_max_rows
+    # aggregates). NOTE this count runs EAGERLY at DataFrame-
+    # construction time — callers that build the plan repeatedly for
+    # one index should pass ``assign_rows`` (q164 memoizes it per
+    # source fingerprint via _assign_count_for, so explain-only /
+    # plan-shape paths pay the job once per session+source).
+    will_broadcast = (
+        assign.count() if assign_rows is None else assign_rows
+    ) <= broadcast_max_rows
     # fan_out BEFORE the per-pair math, broadcast mode only: the
     # checkpointed assignment is a handful of partitions and the
     # broadcast join inherits the stream side's parallelism; in shuffle
@@ -2837,4 +2987,22 @@ def q164_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE-for-CTE, so the whole chain — fit included — is value-checked
     cross-engine."""
     cent, assign = ivf_index_for(spark, sf_dir)
-    return semantic_dedup_df(assign)
+    return semantic_dedup_df(
+        assign, assign_rows=_assign_count_for(spark, sf_dir, assign)
+    )
+
+
+def _assign_count_for(spark: SparkSession, sf_dir: str, assign: DataFrame) -> int:
+    """Memoized row count of the fitted IVF assignment — piggybacked on
+    the index artifact's fingerprint so q164's size gate costs one job
+    per (session, source), not one per DataFrame construction (the
+    assignment is checkpointed, so the job is cheap, but explain-only
+    and plan-shape paths shouldn't pay even that repeatedly)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    cache = _session_cache(spark)
+    key = ("ivf_assign_count",) + source_fingerprint(src)
+    n = cache.get(key)
+    if n is None:
+        n = assign.count()
+        _cache_put(cache, key, n)
+    return n

@@ -136,14 +136,38 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 
 
-def read_corpus(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_corpus(
+    spark: SparkSession,
+    path_glob: str,
+    max_bytes_per_partition: int | None = None,
+) -> DataFrame:
     """Whole-file text scan: one row per file, `(doc_name, text)`.
 
     Mirrors the reference's dataset model (one input file = one split;
     map receives (filename, full contents) — common_map.go:53-61,
     master.go:63-65) with the basename as doc_name, exactly the string
     the inverted-index app joins into its output (ii.go:27).
-    """
+
+    ``max_bytes_per_partition`` routes the scan through the planner-
+    native ``wholefile_text`` DataSource with its binpack option
+    (sources/pydatasource.py): small files greedily coalesce into
+    multi-file tasks under the byte cap — the crawl-scale path, where
+    partition-per-file would schedule millions of tiny tasks. Same
+    (doc_name, text) contract either way."""
+    if max_bytes_per_partition is not None:
+        from .pydatasource import register_wholefile_source
+
+        register_wholefile_source(spark)
+        return (
+            spark.read.format("wholefile_text")
+            .option("path", path_glob)
+            .option("maxBytesPerPartition", str(max_bytes_per_partition))
+            .load()
+            .select(
+                F.element_at(F.split("path", "/"), -1).alias("doc_name"),
+                F.col("content").alias("text"),
+            )
+        )
     rdd = spark.sparkContext.wholeTextFiles(path_glob).map(
         lambda kv: (os.path.basename(kv[0]), kv[1])
     )

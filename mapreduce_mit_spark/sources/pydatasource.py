@@ -21,10 +21,12 @@ option enables maxPartitionBytes-style BINPACKING — small files are
 greedily coalesced (in sorted-path order, so packing is deterministic)
 into multi-file partitions whose byte total stays under the cap, while
 any single file larger than the cap still gets its own partition. The
-policy runs entirely in partitions(), driver-side, file-list only (an
-``os.stat`` per file, no data touched at planning) — so a 100 TB crawl
+policy runs entirely in partitions(), driver-side, file-list only (one
+``os.scandir`` pass with DirEntry sizes for flat patterns — see
+``_list_corpus``; no data touched at planning) — so a 100 TB crawl
 of millions of small files schedules thousands of packed tasks instead
-of millions of per-file ones."""
+of millions of per-file ones, and the planning listing itself stays a
+single directory sweep instead of a stat-per-file loop."""
 
 from __future__ import annotations
 
@@ -40,6 +42,62 @@ from pyspark.sql.datasource import (
     InputPartition,
     WriterCommitMessage,
 )
+
+
+def _list_corpus(pattern: str, with_sizes: bool) -> list[tuple[str, int]]:
+    """Driver-side corpus listing, built for the millions-of-small-
+    files scale the binpack option exists for: flat patterns (literal
+    directory + glob basename — the overwhelmingly common crawl-shard
+    layout) list in ONE ``os.scandir`` pass, taking sizes from each
+    DirEntry instead of a second per-path ``os.stat`` loop through the
+    full VFS path walk (measured ~3× less planning wall at 10⁵ files —
+    SCALING.md round 13). Recursive or multi-directory patterns fall
+    back to glob + stat. Returns sorted (path, size) pairs; size is 0
+    when ``with_sizes`` is False (the non-binpack path never pays a
+    stat) or when a file vanished between listing and stat — planning
+    keeps the vanished file (size 0 packs it anywhere) and the READ
+    raises, matching the non-binpack path's defer-IO-to-read contract
+    instead of aborting the whole plan."""
+    import fnmatch
+    import os
+
+    dirname, base = os.path.split(pattern)
+    flat = (
+        dirname
+        and base
+        and not _glob.has_magic(dirname)
+        and _glob.has_magic(base)
+        and "**" not in base
+    )
+    out: list[tuple[str, int]] = []
+    if flat:
+        try:
+            with os.scandir(dirname) as it:
+                for e in it:
+                    # glob's `*` hides dotfiles unless the pattern asks
+                    if e.name.startswith(".") and not base.startswith("."):
+                        continue
+                    if not fnmatch.fnmatch(e.name, base):
+                        continue
+                    sz = 0
+                    if with_sizes:
+                        try:
+                            sz = e.stat().st_size
+                        except OSError:
+                            sz = 0
+                    out.append((os.path.join(dirname, e.name), sz))
+        except FileNotFoundError:
+            return []
+        return sorted(out)
+    for p in sorted(_glob.glob(pattern, recursive=True)):
+        sz = 0
+        if with_sizes:
+            try:
+                sz = os.stat(p).st_size
+            except OSError:
+                sz = 0
+        out.append((p, sz))
+    return out
 
 
 class WholeFileTextDataSource(DataSource):
@@ -84,17 +142,16 @@ class WholeFileTextReader(DataSourceReader):
             )
 
     def partitions(self):
-        # Planning is a driver-side listing only; sorted so partition
+        # Planning is a driver-side listing only (one scandir pass for
+        # flat patterns — see _list_corpus); sorted so partition
         # numbering (and, with binpacking, pack membership) is
         # deterministic. Default: one file = one split = one task, the
         # reference's scheduling unit (schedule.go:11-13).
-        import os
-
-        paths = sorted(_glob.glob(self._pattern, recursive=True))
-        if not paths:
+        listed = _list_corpus(self._pattern, with_sizes=self._max_bytes is not None)
+        if not listed:
             raise FileNotFoundError(f"no files match {self._pattern}")
         if self._max_bytes is None:
-            return [InputPartition((p,)) for p in paths]
+            return [InputPartition((p,)) for p, _ in listed]
         # Greedy binpack in sorted order: close the current pack when
         # adding the next file would exceed the cap. A file larger than
         # the cap gets its own partition (never split — the source's
@@ -102,8 +159,7 @@ class WholeFileTextReader(DataSourceReader):
         packs: list[tuple[str, ...]] = []
         cur: list[str] = []
         cur_bytes = 0
-        for p in paths:
-            sz = os.stat(p).st_size
+        for p, sz in listed:
             if cur and cur_bytes + sz > self._max_bytes:
                 packs.append(tuple(cur))
                 cur, cur_bytes = [], 0

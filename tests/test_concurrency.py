@@ -295,14 +295,15 @@ def test_q168_two_processes_concurrently(spark):
     assert sorted(map(tuple, mine)) == sorted(map(tuple, again))
 
 
-def test_cold_start_attaches_all_seven_model_families(spark, tmp_path):
+def test_cold_start_attaches_all_eight_model_families(spark, tmp_path):
     """The production COLD START, end to end: one offline session saves
-    all seven persisted fitted artifacts (IVF, PQ, IVFADC, LSH bands,
-    overlap sketches, the q149 unigram LM, the q166 classifier
-    weights); a FRESH PROCESS then attaches all seven and serves one
-    consumer per family — q68, q157, q160, q161, q165, q149, q166 —
-    with every fit core poisoned (ivf_codebook, pq_codebooks,
-    _lsh_bands_df, _overlap_sketches_df, _unigram_freq_df,
+    all eight persisted fitted artifacts (IVF, PQ, IVFADC, LSH bands,
+    multi-table LSH keys, overlap sketches, the q149 unigram LM, the
+    q166 classifier weights); a FRESH PROCESS then attaches all eight
+    and serves one consumer per family — q68, q157, q160, q161, q165,
+    q149, q166, q172 — with every fit core poisoned (ivf_codebook,
+    pq_codebooks, _lsh_bands_df, lsh_multitable_keys_df,
+    _overlap_sketches_df, _unigram_freq_df,
     _classifier_weights_df raise), so any refit on any
     serve path fails the child loudly. The served rows must equal this
     session's fitted baselines. The per-family attach tests prove each
@@ -318,12 +319,13 @@ def test_cold_start_attaches_all_seven_model_families(spark, tmp_path):
     sf = SF_SMALL
     dirs = {
         f: str(tmp_path / f)
-        for f in ("ivf", "pq", "ivfadc", "lsh", "overlap", "unigram", "cls")
+        for f in ("ivf", "pq", "ivfadc", "lsh", "lsh8", "overlap", "unigram", "cls")
     }
     sim.ivf_index_save(spark, sf, dirs["ivf"])
     sim.pq_index_save(spark, sf, dirs["pq"])
     sim.ivfadc_index_save(spark, sf, dirs["ivfadc"])
     dd.lsh_index_save(spark, sf, dirs["lsh"])
+    sim.lsh8_index_save(spark, sf, dirs["lsh8"])
     ql.overlap_index_save(spark, sf, dirs["overlap"])
     ql.unigram_lm_save(spark, sf, dirs["unigram"])
     ql.classifier_weights_save(spark, sf, dirs["cls"])
@@ -336,6 +338,7 @@ def test_cold_start_attaches_all_seven_model_families(spark, tmp_path):
         "q165_sketch_overlap_triage",
         "q149_unigram_logprob",
         "q166_classifier_filter",
+        "q172_ann_multitable_lsh",
     ]
     baselines = {
         q: sorted([list(r) for r in REGISTRY[q].fn(spark, sf).collect()])
@@ -361,6 +364,7 @@ def test_cold_start_attaches_all_seven_model_families(spark, tmp_path):
         sim.pq_index_attach(spark, sf, dirs["pq"])
         sim.ivfadc_index_attach(spark, sf, dirs["ivfadc"])
         dd.lsh_index_attach(spark, sf, dirs["lsh"])
+        sim.lsh8_index_attach(spark, sf, dirs["lsh8"])
         ql.overlap_index_attach(spark, sf, dirs["overlap"])
         ql.unigram_lm_attach(spark, sf, dirs["unigram"])
         ql.classifier_weights_attach(spark, sf, dirs["cls"])
@@ -373,6 +377,7 @@ def test_cold_start_attaches_all_seven_model_families(spark, tmp_path):
         sim.ivf_codebook = _poison("ivf_codebook")
         sim.pq_codebooks = _poison("pq_codebooks")
         dd._lsh_bands_df = _poison("_lsh_bands_df")
+        sim.lsh_multitable_keys_df = _poison("lsh_multitable_keys_df")
         ql._overlap_sketches_df = _poison("_overlap_sketches_df")
         ql._unigram_freq_df = _poison("_unigram_freq_df")
         ql._classifier_weights_df = _poison("_classifier_weights_df")

@@ -1712,7 +1712,7 @@ def test_index_attach_serves_without_refit(spark, tmp_path):
     fit's. Covers six families (IVF, PQ, IVFADC, LSH bands, the q149
     unigram LM, the q166 classifier weights); overlap sketches get the
     same treatment in their own test, and the seven-family boot is
-    tests/test_concurrency.py::test_cold_start_attaches_all_seven_model_families."""
+    tests/test_concurrency.py::test_cold_start_attaches_all_eight_model_families."""
     from mapreduce_mit_spark.plans.dedup import (
         lsh_bands_for,
         lsh_index_attach,
@@ -2157,6 +2157,62 @@ def test_wholefile_reader_binpacks_small_files(spark, tmp_path):
         spark.read.format("wholefile_text").option("path", pattern).option(
             "maxBytesPerPartition", ""
         ).load().count()
+
+
+def test_read_corpus_binpack_passthrough(spark, tmp_path):
+    """read_corpus(max_bytes_per_partition=...) routes through the
+    planner-native binpacked DataSource with the SAME (doc_name, text)
+    contract as the default wholeTextFiles path — identical rows and
+    schema, fewer partitions than files."""
+    from mapreduce_mit_spark.sources.io import read_corpus
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    for i in range(10):
+        (src / f"s{i}.txt").write_text(f"doc {i} body\n")
+    pattern = str(src / "*.txt")
+
+    plain = read_corpus(spark, pattern)
+    packed = read_corpus(spark, pattern, max_bytes_per_partition=64)
+    assert packed.columns == plain.columns == ["doc_name", "text"]
+    assert packed.rdd.getNumPartitions() < 10
+    assert sorted(map(tuple, packed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_corpus_listing_scandir_matches_glob(tmp_path):
+    """_list_corpus's flat-pattern scandir fast path must list exactly
+    what the glob fallback lists (dotfiles hidden for `*` patterns,
+    sorted order), sizes taken from the DirEntry; a broken symlink —
+    the vanished-between-list-and-stat class — stays listed at size 0
+    instead of aborting planning (ADVICE r12)."""
+    import os
+
+    from mapreduce_mit_spark.sources.pydatasource import _list_corpus
+
+    src = tmp_path / "c"
+    src.mkdir()
+    for i in range(5):
+        (src / f"d{i}.txt").write_text("x" * (i + 1))
+    (src / ".hidden.txt").write_text("nope")
+    flat = _list_corpus(str(src / "*.txt"), with_sizes=True)
+    assert [p for p, _ in flat] == sorted(
+        str(src / f"d{i}.txt") for i in range(5)
+    )
+    assert [s for _, s in flat] == [1, 2, 3, 4, 5]
+    # recursive spelling exercises the glob fallback — same files
+    deep = _list_corpus(str(tmp_path / "**" / "*.txt"), with_sizes=True)
+    assert [os.path.basename(p) for p, _ in deep] == [f"d{i}.txt" for i in range(5)]
+    assert [s for _, s in deep] == [1, 2, 3, 4, 5]
+    # sizes are skipped (0) when the caller doesn't binpack
+    assert all(s == 0 for _, s in _list_corpus(str(src / "*.txt"), with_sizes=False))
+    # broken symlink: stat fails, file stays listed at size 0
+    os.symlink(str(src / "gone.txt"), str(src / "dangling.txt"))
+    listed = dict(_list_corpus(str(src / "d*.txt"), with_sizes=True))
+    assert listed[str(src / "dangling.txt")] == 0
+    # missing directory: empty listing, not a planner crash
+    assert _list_corpus(str(tmp_path / "nope" / "*.txt"), with_sizes=True) == []
 
 
 def test_wholefile_writer_rejects_null_lines(spark, tmp_path):

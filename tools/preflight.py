@@ -124,12 +124,76 @@ def check_bench_scaling_drift() -> list[str]:
                 ("raw", float(quoted.group(1)), art.get("value")),
                 ("normalized", float(quoted.group(2)), art.get("value_normalized")),
             ):
-                if want is not None and abs(got - want) > 0.051:
+                if want is None:
+                    # a malformed/unparsed artifact must fail the gate,
+                    # not silently pass it: SCALING.md is quoting a
+                    # number the committed artifact cannot corroborate
+                    errs.append(
+                        f"SCALING.md round-{n} section quotes {label} {got} but "
+                        f"BENCH_r{n:02d}.json has no parsed '{label}' total "
+                        "(malformed or unparsed artifact)"
+                    )
+                elif abs(got - want) > 0.051:
                     errs.append(
                         f"SCALING.md round-{n} section quotes {label} {got} but "
                         f"BENCH_r{n:02d}.json records {round(want, 1)}"
                     )
     return errs
+
+
+def check_bench_contention_trust() -> tuple[list[str], list[str]]:
+    """Contention-robustness gate over the committed BENCH_DETAIL.json
+    (r13): the flagship set is benched twice — once inside the main
+    bench run (in-run series) and twice more in fresh isolated
+    processes (isolated A/B series, min-of-medians). Returns
+    (errors, warnings):
+
+    - ERROR when the in-run flagship subtotal disagrees with the
+      isolated total by >1.5× — the measurement window was contention-
+      corrupted (the round-12 class: committed normalized total 17.9 s
+      vs ≈40 s on a calm box); rerun the bench or quote the isolated
+      series.
+    - WARNING when the box calibration sits >2× off the pinned
+      normalization ruler — the linear correction is outside its trust
+      region (fixed JVM/compile costs don't scale with contention), so
+      SCALING.md round-over-round claims must quote isolated raw
+      medians, not value_normalized.
+    """
+    import json
+
+    errs: list[str] = []
+    warns: list[str] = []
+    path = os.path.join(REPO, "BENCH_DETAIL.json")
+    if not os.path.exists(path):
+        return errs, warns
+    with open(path) as f:
+        detail = json.load(f)
+    iso = detail.get("flagships_isolated")
+    if not iso:
+        warns.append(
+            "BENCH_DETAIL.json predates the isolated flagship A/B series — "
+            "rerun bench.py before quoting flagship numbers"
+        )
+        return errs, warns
+    in_run = sum(detail["queries"][q] for q in iso if q in detail["queries"])
+    iso_total = sum(iso.values())
+    if iso_total > 0 and in_run / iso_total > 1.5:
+        errs.append(
+            f"flagship in-run subtotal {in_run:.1f}s vs isolated A/B total "
+            f"{iso_total:.1f}s (>1.5x): bench window contention-corrupted — "
+            "rerun, and quote the isolated series"
+        )
+    import bench as _bench
+
+    cal = detail.get("calibration_s")
+    if cal and cal > 2.0 * _bench.REF_CALIBRATION_S:
+        warns.append(
+            f"calibration {cal:.3f}s is >2x the pinned ruler "
+            f"({_bench.REF_CALIBRATION_S}s): value_normalized is outside the "
+            "linear model's trust region — quote isolated raw medians in "
+            "SCALING.md"
+        )
+    return errs, warns
 
 
 def main() -> int:
@@ -143,6 +207,14 @@ def main() -> int:
         for e in drift:
             print(f"FAIL  {e}")
         print("\nPREFLIGHT FAIL: SCALING.md disagrees with committed BENCH artifacts")
+        return 1
+    cerrs, cwarns = check_bench_contention_trust()
+    for w in cwarns:
+        print(f"WARN  {w}")
+    if cerrs:
+        for e in cerrs:
+            print(f"FAIL  {e}")
+        print("\nPREFLIGHT FAIL: bench series contention-corrupted")
         return 1
     print("ok\n")
 

@@ -117,7 +117,10 @@ def build_report(spark: SparkSession, sf_dir: str, sample_frac: float = 0.05) ->
 
     from mapreduce_mit_spark.plans.similarity import ivf_probe_hits
 
-    from mapreduce_mit_spark.plans.similarity import lsh_multitable_hits
+    from mapreduce_mit_spark.plans.similarity import (
+        lsh8_index_for,
+        lsh_multitable_hits,
+    )
 
     families = {
         # margin-ordered multiprobe (the serving default; q89's pinned
@@ -128,7 +131,12 @@ def build_report(spark: SparkSession, sf_dir: str, sample_frac: float = 0.05) ->
         # family that actually shards a large corpus; floors keep the
         # multi-table recall honest (single-table 8-plane saturates at
         # min 0.0 on the fixtures even at 37/256 probes)
-        "lsh_multiprobe_8p": ("cosine", lsh_multitable_hits(e, queries, ANN_K)),
+        "lsh_multiprobe_8p": (
+            "cosine",
+            lsh_multitable_hits(
+                e, queries, ANN_K, keys=lsh8_index_for(spark, sf_dir)
+            ),
+        ),
         "ivf": ("cosine", ivf_probe_hits(e, cent_ivf, queries, ANN_K)),
         "pq_adc_rerank": ("l2", pq_probe_hits(e, cent_pq, codes_pq, queries, ANN_K)),
         "ivfadc": ("l2", ivfadc_probe_hits(cent_c, pcent, codes_adc, e, queries, ANN_K)),
