@@ -509,3 +509,85 @@ def q169_pydatasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "q174_binpacked_corpus_scan",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) + count(*) AS BIGINT) AS n_chars,
+           CAST(sum(CASE WHEN text != ''
+                         THEN {hex_int_sql("md5(text)", 1, 8)}
+                         ELSE 0 END) AS BIGINT) AS content_sum
+    FROM documents
+    WHERE text IS NOT NULL AND lang IS NOT NULL
+    """,
+    tags=("source", "python-datasource", "binpack"),
+)
+def q174_binpacked_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BINPACKED whole-file scan, value-pinned: q138's layout read
+    back through ``read_corpus(max_bytes_per_partition=...)`` — the
+    crawl-scale path where small files greedily coalesce into
+    multi-file tasks (sources/pydatasource.py) — and proven
+    partitioning-INVARIANT against an oracle that never sees files at
+    all: doc count (newline count), byte count, and an order-invariant
+    per-doc content checksum (sum of md5-prefix ints) must all match
+    the documents table exactly, whatever the packing.
+
+    Layout: one text file per (lang, shard) — shard = crc-style md5
+    bucket of doc_id, so the directory holds ~40 small files and a
+    32 KiB cap genuinely packs several per task. The newline guard is
+    q138's: a newline inside a document would corrupt the line
+    arithmetic, so the write fails loudly instead. Scale shape: the
+    scan schedules O(total_bytes / cap) tasks instead of O(n_files) —
+    the difference between thousands and millions of tasks on a real
+    crawl; everything after the read is one global aggregate."""
+    from ..sources.io import read_corpus
+
+    d = t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    guarded = F.when(F.instr("text", "\n") == 0, F.col("text")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("q174: newline inside document text, doc_id="),
+                F.coalesce(F.col("doc_id").cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+    shard = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+    loc = os.path.join(_scratch("binpack_scan"), "docs_sharded")
+    (
+        d.select("lang", shard.alias("shard"), guarded.alias("value"))
+        .repartition("lang", "shard")
+        .write.mode("overwrite")
+        .partitionBy("lang", "shard")
+        .text(loc)
+    )
+    corpus = read_corpus(
+        spark,
+        os.path.join(loc, "lang=*", "shard=*", "*.txt"),
+        max_bytes_per_partition=32 * 1024,
+    )
+    # each whole-file row holds one newline-terminated line per doc;
+    # empty docs contribute a line (and a newline) but no hash mass
+    lines = corpus.select(
+        F.explode(F.split(F.col("text"), "\n")).alias("doc_text")
+    )
+    doc_hash = F.conv(F.substring(F.md5(F.col("doc_text")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    per_file = corpus.select(
+        F.length(F.regexp_replace("text", r"[^\n]", "")).cast("long").alias("nd"),
+        F.length("text").cast("long").alias("nc"),
+    )
+    counts = per_file.agg(
+        F.sum("nd").alias("n_docs"), F.sum("nc").alias("n_chars")
+    )
+    hashes = (
+        lines.where(F.col("doc_text") != "")
+        .agg(F.sum(doc_hash).alias("content_sum"))
+    )
+    return counts.crossJoin(hashes).select(
+        "n_docs", "n_chars", F.col("content_sum").cast("long").alias("content_sum")
+    )

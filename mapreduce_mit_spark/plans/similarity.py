@@ -878,12 +878,14 @@ def q171_ann_multiprobe_8planes(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed fraction FALLS as planes grow instead of the hamming-1
     ring's every-plane enumeration. One broadcast equi-join on the
     bucket id — the corpus never shuffles; per-query top-k is a window
-    over probed rows only. Recall for this family is fleet-gated in
-    tools/recall_report.py (``lsh_multiprobe_8p`` floors: min recall +
-    zero zero-hit queries); plan shape and probe count are pinned in
-    tests/test_plan_shapes.py. Generalizes the §2.1 #4 ``ihash(key)%R``
-    routing (common_map.go:90-107) to similarity space at production
-    plane counts."""
+    over probed rows only. This single-table form is the BUILDING
+    BLOCK: its recall saturates on small corpora (min 0.0 even at
+    37/256 probes — measured during q172's calibration), which is why
+    the SERVING family is q172's multi-table composition, fleet-gated
+    as ``lsh_multiprobe_8p`` in tools/recall_report.py. Plan shape and
+    probe count are pinned in tests/test_plan_shapes.py. Generalizes
+    the §2.1 #4 ``ihash(key)%R`` routing (common_map.go:90-107) to
+    similarity space at production plane counts."""
     e = valid_embeddings(
         t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     )

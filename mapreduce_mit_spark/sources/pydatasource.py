@@ -49,10 +49,13 @@ def _list_corpus(pattern: str, with_sizes: bool) -> list[tuple[str, int]]:
     files scale the binpack option exists for: flat patterns (literal
     directory + glob basename — the overwhelmingly common crawl-shard
     layout) list in ONE ``os.scandir`` pass, taking sizes from each
-    DirEntry instead of a second per-path ``os.stat`` loop through the
-    full VFS path walk (measured ~3× less planning wall at 10⁵ files —
-    SCALING.md round 13). Recursive or multi-directory patterns fall
-    back to glob + stat. Returns sorted (path, size) pairs; size is 0
+    DirEntry instead of glob's separate traversal plus a per-path
+    ``os.stat`` loop. Measured at 10⁵ files (SCALING.md round 13):
+    ~0.8 s either way on a warm local cache — planning is sub-second
+    at crawl scale — with the single-sweep shape mattering where a
+    stat is not nearly free (NFS, object-store FUSE mounts, cold
+    dentry caches). Recursive or multi-directory patterns fall back
+    to glob + stat. Returns sorted (path, size) pairs; size is 0
     when ``with_sizes`` is False (the non-binpack path never pays a
     stat) or when a file vanished between listing and stat — planning
     keeps the vanished file (size 0 packs it anywhere) and the READ

@@ -169,6 +169,45 @@ def test_multitable_lsh_gathers_ids_then_reranks(plan):
     assert "HashAggregate" in p or "Exchange" in p
 
 
+def test_expr_and_column_probe_paths_agree(spark):
+    """Two implementations of the bucket/margin math now coexist — the
+    Column path (arbitrary expressions) and the parsed-expr fast path
+    (column-name strings, the hot multi-table route). They must stay
+    BIT-identical: same bucket ids and same probe sets at 8 planes on
+    real fixture vectors, else the serving family silently diverges
+    from the oracle's replay."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.similarity import (
+        _bucket_col,
+        _margin_probes_col,
+        _table_planes,
+        valid_embeddings,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    e = valid_embeddings(
+        load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    ).limit(32).withColumn("qv", F.col("embedding"))
+    planes = _table_planes(3)
+    rows = e.select(
+        _bucket_col(F.col("embedding"), 8, planes).alias("b_col"),
+        _bucket_col("embedding", 8, planes).alias("b_expr"),
+        _margin_probes_col(
+            F.col("qv"), _bucket_col(F.col("qv"), 8, planes),
+            n_planes=8, top_m=6, planes=planes,
+        ).alias("p_col"),
+        _margin_probes_col(
+            "qv", _bucket_col("qv", 8, planes),
+            n_planes=8, top_m=6, planes=planes,
+        ).alias("p_expr"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.b_col == r.b_expr
+        assert list(r.p_col) == list(r.p_expr)
+
+
 def test_multitable_plane_families_are_independent():
     from mapreduce_mit_spark.plans.similarity import _PLANES, _table_planes
 

@@ -60,6 +60,8 @@ FLAGSHIPS = {
     "q168_stream_ann_serve": "streaming ANN serve: attach once, each micro-batch probes broadcast cells",
     "q169_pydatasource_sink": "custom writer roundtrip: one file per task, rename-commit, checksum reduce",
     "q170_corpus_to_trainer": "capstone: gates -> closure -> cluster split -> mixture -> packing, one funnel",
+    "q172_ann_multitable_lsh": "multi-table LSH: fitted key table, broadcast probes, id-gather then exact rerank",
+    "q173_trainer_dedup_first": "dedup-first capstone: closure over the raw corpus, gates on survivors only",
 }
 
 
