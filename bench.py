@@ -127,6 +127,7 @@ HEADLINE = [
     "q166_classifier_filter",
     "q168_stream_ann_serve",
     "q172_ann_multitable_lsh",
+    "q175_ivf_incremental_serve",
 ]
 
 

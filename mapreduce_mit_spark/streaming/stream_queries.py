@@ -1829,3 +1829,188 @@ def q168_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     return res.orderBy("query_id", "rnk")
+
+
+@register(
+    "q176_stream_index_ingest",
+    oracle=None,  # set below: shares q175's oracle — stream == batch == SQL
+    tags=("streaming", "similarity", "ivf", "ann", "incremental",
+          "training-pipeline"),
+)
+def q176_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING index ingest — the streaming half of q175's freshness
+    story, and the ANN twin of q163's corpus admission: increment
+    vectors arrive as a file stream in micro-batches, each batch is
+    assigned to the STANDING corpus's codebook (broadcast argmax over
+    the BATCH only — the standing lists never recompute, never
+    reshuffle) and appended to the inverted-lists tree as its own
+    ``batch_id=<id>`` parquet partition (overwrite → idempotent
+    redelivery, the q162 exactly-once discipline; the standing lists
+    seed the tree at ``batch_id=-1``). After the stream drains, the
+    pinned query is served from the COMBINED tree with q175's in-band
+    recall contract.
+
+    Because assignment is per-vector against a static codebook, the
+    streamed ingest lands EXACTLY the lists batch q175 builds in one
+    shot — stream == batch == the SQL oracle (this query registers
+    q175's oracle verbatim), the q162/q163 equivalence discipline
+    applied to the ANN index lifecycle.
+
+    Scale shape: per micro-batch cost is the batch's rows × k
+    centroids, nothing else; the tree is append-only with at-once
+    idempotent partitions (a production layout would sub-partition
+    each batch by cluster — FAISS's IVF layout — so serves prune to
+    probed cells; at fixture scale the batch partitions are single
+    files and the serve filter does the pruning)."""
+    import shutil
+
+    from ..plans.similarity import (
+        ANN_K,
+        N_PROBE,
+        QUERY_VEC_ID,
+        Q175_RECALL_TARGET,
+        Q175_STANDING_HEX,
+        _dot,
+        _mark_exact_topk,
+        _norm,
+        _with_recall,
+        cosine_col,
+        ivf_codebook,
+    )
+    from ..sources.io import ensure_reader_confs, load_table
+
+    ensure_reader_confs(spark)
+    root = fp_stream_root("mms_ivf_ingest", sf_dir, "embeddings.parquet")
+    src_dir = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    lists_dir = os.path.join(root, "lists")
+
+    e = load_table(spark, sf_dir, "embeddings")
+    key = F.substring(
+        F.md5(F.concat(F.lit("ing1:"), F.col("vec_id").cast("string"))), 1, 4
+    )
+    standing = e.where(key < Q175_STANDING_HEX)
+    incr = e.where(~(key < Q175_STANDING_HEX)).select("vec_id", "label", "embedding")
+    cent = ivf_codebook(standing)
+    centn = cent.select("cid", "cv", _norm(F.col("cv")).alias("_cn")).localCheckpoint(
+        eager=True
+    )
+
+    def _assign(part: DataFrame) -> DataFrame:
+        sims = (
+            part.withColumn("_en", _norm(F.col("embedding")))
+            .crossJoin(F.broadcast(centn))
+            .select(
+                "vec_id",
+                "label",
+                "embedding",
+                "cid",
+                (
+                    _dot(F.col("embedding"), F.col("cv"))
+                    / F.nullif(F.col("_en") * F.col("_cn"), F.lit(0.0))
+                ).alias("sim"),
+            )
+        )
+        return sims.groupBy("vec_id", "label").agg(
+            F.max_by(
+                "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
+            ).alias("cluster"),
+            F.any_value("embedding").alias("embedding"),
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS * 2))
+    try:
+        with tree_lock(root):
+            for sub in (src_dir, ckpt, lists_dir):
+                shutil.rmtree(sub, ignore_errors=True)
+            # seed: the standing lists are the maintained artifact
+            _assign(standing).write.mode("overwrite").parquet(
+                os.path.join(lists_dir, "batch_id=-1")
+            )
+            # several micro-batches: one file per shard per trigger
+            incr.repartition(4, "vec_id").write.mode("overwrite").parquet(src_dir)
+
+            def ingest(batch: DataFrame, batch_id: int) -> None:
+                _assign(batch).write.mode("overwrite").parquet(
+                    os.path.join(lists_dir, f"batch_id={batch_id}")
+                )
+
+            stream = (
+                spark.readStream.schema(incr.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            q = (
+                stream.writeStream.foreachBatch(ingest)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            LAST_QUERY["q176_sink"] = q
+            lists = spark.read.parquet(lists_dir).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # serve the pinned query from the combined tree (q175's contract)
+    probe = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .crossJoin(F.broadcast(centn))
+        .select(
+            "cid",
+            (
+                _dot(F.col("embedding"), F.col("cv"))
+                / F.nullif(_norm(F.col("embedding")) * F.col("_cn"), F.lit(0.0))
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "cid")
+        .limit(N_PROBE)
+        .select("cid")
+    )
+    qv = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    qsim = cosine_col(F.col("embedding"), F.col("qv"))
+    hits = (
+        lists.join(F.broadcast(probe), lists.cluster == F.col("cid"))
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "cluster",
+            (F.col("batch_id") >= 0).alias("is_new"),
+            qsim.alias("_sim"),
+        )
+        .orderBy(F.col("_sim").desc(), "vec_id")
+        .limit(ANN_K)
+    )
+    queries1 = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    marked = _mark_exact_topk(
+        hits.withColumn("query_id", F.lit(QUERY_VEC_ID).cast("long")),
+        e,
+        queries1,
+        ANN_K,
+    )
+    return _with_recall(marked, ANN_K, Q175_RECALL_TARGET).select(
+        "vec_id", "label", "cluster", "is_new",
+        F.round("_sim", 4).alias("cos_sim"),
+        "in_exact_topk", "recall_at_k", "recall_ok",
+    )
+
+
+# stream == batch == SQL: the streamed ingest provably lands the lists
+# q175 builds in one shot, so q176 registers q175's oracle verbatim —
+# the driver value-checks the streaming path against the same chained
+# CTE (the q162/q163 equivalence discipline).
+def _q176_bind_oracle() -> None:
+    from ..plans.similarity import _q175_oracle
+    from ..registry import REGISTRY
+
+    REGISTRY["q176_stream_index_ingest"].oracle = _q175_oracle()
+
+
+_q176_bind_oracle()

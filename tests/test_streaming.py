@@ -1154,3 +1154,25 @@ def test_stream_ann_serve_empty_query_sample(spark, monkeypatch):
     res = REGISTRY["q168_stream_ann_serve"].fn(spark, SF_SMALL)
     assert res.columns == ["query_id", "rnk", "vec_id", "cos_sim"]
     assert res.count() == 0
+
+
+def test_stream_index_ingest_equals_batch_freshness(spark):
+    """q176's streamed ingest must land EXACTLY the combined lists
+    q175 builds in one shot: same hits, same is_new flags, same
+    in-band recall — stream == batch, asserted directly (both are also
+    value-checked against the same SQL oracle by the driver). A second
+    q176 run over the same staged tree must be idempotent."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    batch = sorted(
+        map(tuple, REGISTRY["q175_ivf_incremental_serve"].fn(spark, SF_SMALL).collect())
+    )
+    streamed = sorted(
+        map(tuple, REGISTRY["q176_stream_index_ingest"].fn(spark, SF_SMALL).collect())
+    )
+    assert streamed == batch and batch, "streamed ingest diverges from batch"
+    again = sorted(
+        map(tuple, REGISTRY["q176_stream_index_ingest"].fn(spark, SF_SMALL).collect())
+    )
+    assert again == streamed, "q176 rerun not idempotent"
