@@ -62,6 +62,7 @@ FLAGSHIPS = {
     "q170_corpus_to_trainer": "capstone: gates -> closure -> cluster split -> mixture -> packing, one funnel",
     "q172_ann_multitable_lsh": "multi-table LSH: fitted key table, broadcast probes, id-gather then exact rerank",
     "q173_trainer_dedup_first": "dedup-first capstone: closure over the raw corpus, gates on survivors only",
+    "q175_ivf_incremental_serve": "index freshness: increment assigns to the standing codebook, no refit",
 }
 
 
