@@ -56,6 +56,49 @@ def test_preflight_summary_coverage_check(tmp_path):
     assert "extra" in preflight.check_summary_coverage(str(p))
 
 
+def test_preflight_contention_trust_check(tmp_path, monkeypatch):
+    """The r13 contention gate: a BENCH_DETAIL whose in-run flagship
+    subtotal disagrees with the isolated A/B series by >1.5× must FAIL
+    (the r12 measurement class); a heavily-contended calibration must
+    WARN; a healthy artifact passes clean; a pre-A/B artifact warns
+    instead of silently passing (the malformed-artifact class the
+    drift check also closes)."""
+    import json
+
+    import preflight
+
+    def write(detail):
+        (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(detail))
+
+    monkeypatch.setattr(preflight, "REPO", str(tmp_path))
+
+    healthy = {
+        "queries": {"q148_dedup_pipeline": 6.0, "q01_pricing_summary": 0.5},
+        "flagships_isolated": {"q148_dedup_pipeline": 5.8},
+        "calibration_s": 0.2,
+    }
+    write(healthy)
+    errs, warns = preflight.check_bench_contention_trust()
+    assert errs == [] and warns == []
+
+    corrupted = dict(healthy, queries={"q148_dedup_pipeline": 12.0})
+    write(corrupted)
+    errs, warns = preflight.check_bench_contention_trust()
+    assert errs and "contention-corrupted" in errs[0]
+
+    import bench
+
+    contended = dict(healthy, calibration_s=3.0 * bench.REF_CALIBRATION_S)
+    write(contended)
+    errs, warns = preflight.check_bench_contention_trust()
+    assert errs == [] and warns and "trust region" in warns[0]
+
+    legacy = {"queries": {"q148_dedup_pipeline": 6.0}, "calibration_s": 0.2}
+    write(legacy)
+    errs, warns = preflight.check_bench_contention_trust()
+    assert errs == [] and warns and "predates" in warns[0]
+
+
 def test_opmap_covers_whole_registry():
     """Every registered query appears exactly once in the map."""
     import gen_opmap
