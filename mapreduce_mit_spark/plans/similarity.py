@@ -427,11 +427,14 @@ Q89_RECALL_TARGET = 0.2
 ANN_K = 5
 
 
-def _exact_topk_sql(k: int) -> str:
-    """CTE text: the exact top-k neighbor ids (the q85 scan at k)."""
+def _exact_topk_sql(k: int, src: str = "embeddings") -> str:
+    """CTE text: the exact top-k neighbor ids (the q85 scan at k).
+    ``src`` names the relation scanned — q175/q176 grade against the
+    gated valid-embeddings CTE so the audit's ground truth matches the
+    corpus the index actually ingested."""
     return f"""
     exact AS (
-      SELECT vec_id FROM embeddings, (SELECT embedding AS xqv FROM embeddings
+      SELECT vec_id FROM {src}, (SELECT embedding AS xqv FROM {src}
                                       WHERE vec_id = {QUERY_VEC_ID})
       WHERE vec_id != {QUERY_VEC_ID}
       ORDER BY {cosine_sql('embedding', 'xqv')} DESC, vec_id
@@ -999,36 +1002,43 @@ def _multitable_probes_df(
     queries: DataFrame, n_tables: int, n_planes: int, top_m: int
 ) -> DataFrame:
     """(query_id, tbl, pbucket) — every query's margin-ranked probe set
-    under every table, built in TWO projections: one parsed expr per
-    table computes the ranked margin structs and the bucket id (a
-    let-binding via the intermediate column, so the big dot-product
-    text appears ONCE instead of once per probe), then cheap column
-    ops derive the top-m flips + double flip from the ranked array.
-    Same probe sets as :func:`_margin_probes_col` per table (equality-
-    checked on the full fixture); ~6× fewer driver-side gateway calls
-    and no duplicated subtree for Catalyst to re-analyze — the naive
-    per-table Column build made plan CONSTRUCTION, not execution, the
-    q172 serve wall."""
+    under every table, built in THREE projections: one parsed expr per
+    table computes the SIGNED per-plane dots as a (d, mask) struct
+    array — each plane's big dot-product text is emitted exactly ONCE
+    — then, after the per-table stack, the ranked margin array
+    (array_sort over (abs(d), mask)) and the bucket id (fold of the
+    sign bits) both derive from that one raw column, a true
+    let-binding rather than a lean on Catalyst CSE. Cheap column ops
+    finish with the top-m flips + double flip. Same probe sets as
+    :func:`_margin_probes_col` per table
+    (tests/test_plan_shapes.py::test_multitable_probes_df_matches_column_path);
+    ~6× fewer driver-side gateway calls and no duplicated subtree for
+    Catalyst to re-analyze — the naive per-table Column build made
+    plan CONSTRUCTION, not execution, the q172 serve wall."""
     cols: list = ["query_id"]
     for t in range(n_tables):
         planes = _table_planes(t)[:n_planes]
         structs = ", ".join(
-            f"named_struct('m', abs({_plane_dot_expr('qv', p)}), 'mask', {1 << h})"
+            f"named_struct('d', {_plane_dot_expr('qv', p)}, 'mask', {1 << h})"
             for h, p in enumerate(planes)
         )
-        dots = " + ".join(
-            f"(CASE WHEN {_plane_dot_expr('qv', p)} >= 0 THEN {1 << h} ELSE 0 END)"
-            for h, p in enumerate(planes)
-        )
-        cols.append(F.expr(f"array_sort(array({structs}))").alias(f"_r{t}"))
-        cols.append(F.expr(f"CAST({dots} AS BIGINT)").alias(f"_qb{t}"))
+        cols.append(F.expr(f"array({structs})").alias(f"_raw{t}"))
     base = queries.select(*cols)
     stack = (
         f"stack({n_tables}, "
-        + ", ".join(f"{t}, _r{t}, _qb{t}" for t in range(n_tables))
-        + ") AS (tbl, ranked, qbucket)"
+        + ", ".join(f"{t}, _raw{t}" for t in range(n_tables))
+        + ") AS (tbl, raw)"
     )
-    st = base.selectExpr("query_id", stack)
+    # ranked: same (m, mask) struct order _margin_probes_col sorts by
+    # (mask is unique per plane, so the extra field can't reorder ties)
+    st = base.selectExpr("query_id", stack).selectExpr(
+        "query_id",
+        "tbl",
+        "array_sort(transform(raw, "
+        "s -> named_struct('m', abs(s.d), 'mask', s.mask))) AS ranked",
+        "CAST(aggregate(raw, 0, "
+        "(a, s) -> a + IF(s.d >= 0, s.mask, 0)) AS BIGINT) AS qbucket",
+    )
     flips = ", ".join(f"qbucket ^ ranked[{i}].mask" for i in range(top_m))
     probes = (
         f"array_distinct(array(qbucket, {flips}, "
@@ -3039,13 +3049,14 @@ def _q175_oracle() -> str:
         f"< '{Q175_STANDING_HEX}'"
     )
     return f"""
-    WITH standing AS (SELECT * FROM embeddings WHERE {standing_pred}),
+    WITH ev AS (SELECT * FROM {EMB_VALID_SQL} AS v),
+    standing AS (SELECT * FROM ev WHERE {standing_pred}),
     {_ivf_codebook_sql(src='standing')},
     sims AS (
       SELECT e.vec_id, e.label, e.embedding, c.cid,
              (NOT ({standing_pred})) AS is_new,
              {cosine_sql('e.embedding', 'c.cv')} AS sim
-      FROM embeddings e, cent c
+      FROM ev e, cent c
     ),
     lists AS (
       SELECT vec_id, label, embedding, cid AS cluster, is_new
@@ -3058,7 +3069,7 @@ def _q175_oracle() -> str:
       SELECT cid FROM sims WHERE vec_id = {QUERY_VEC_ID}
       ORDER BY sim DESC, cid LIMIT {N_PROBE}
     ),
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    q AS (SELECT embedding AS qv FROM ev WHERE vec_id = {QUERY_VEC_ID}),
     hits AS (
       SELECT a.vec_id, a.label, a.cluster, a.is_new,
              {cosine_sql('a.embedding', 'qv')} AS cs
@@ -3067,7 +3078,7 @@ def _q175_oracle() -> str:
       ORDER BY cs DESC, a.vec_id
       LIMIT {ANN_K}
     ),
-    {_exact_topk_sql(ANN_K)},
+    {_exact_topk_sql(ANN_K, src='ev')},
     marked AS (
       SELECT h.vec_id, h.label, h.cluster, h.is_new, h.cs,
              (e.vec_id IS NOT NULL) AS in_exact_topk
@@ -3121,7 +3132,7 @@ def q175_ivf_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (SURVEY §2.3 extension — the ANN-side twin
     of q161's incremental dedup: increments broadcast, the standing
     corpus never reshuffles)."""
-    e = t(spark, sf_dir, "embeddings")
+    e = valid_embeddings(t(spark, sf_dir, "embeddings"))
     key = F.substring(
         F.md5(F.concat(F.lit("ing1:"), F.col("vec_id").cast("string"))), 1, 4
     )

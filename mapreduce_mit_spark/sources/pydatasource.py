@@ -89,7 +89,12 @@ def _list_corpus(pattern: str, with_sizes: bool) -> list[tuple[str, int]]:
                         except OSError:
                             sz = 0
                     out.append((os.path.join(dirname, e.name), sz))
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
+            # match the glob fallback's contract: a missing dirname OR
+            # a dirname that exists as a regular file both mean "no
+            # files match" (glob returns [] for either) — the caller
+            # raises its uniform FileNotFoundError('no files match')
+            # instead of this fast path leaking a different exception
             return []
         return sorted(out)
     for p in sorted(_glob.glob(pattern, recursive=True)):

@@ -1876,6 +1876,7 @@ def q176_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_recall,
         cosine_col,
         ivf_codebook,
+        valid_embeddings,
     )
     from ..sources.io import ensure_reader_confs, load_table
 
@@ -1885,7 +1886,9 @@ def q176_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "ckpt")
     lists_dir = os.path.join(root, "lists")
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # the same ingestion gate every ANN family applies (EMB_VALID_SQL
+    # twin): malformed vectors never enter fit, lists, or ground truth
+    e = valid_embeddings(load_table(spark, sf_dir, "embeddings"))
     key = F.substring(
         F.md5(F.concat(F.lit("ing1:"), F.col("vec_id").cast("string"))), 1, 4
     )

@@ -57,8 +57,8 @@ def test_preflight_summary_coverage_check(tmp_path):
 
 
 def test_preflight_contention_trust_check(tmp_path, monkeypatch):
-    """The r13 contention gate: a BENCH_DETAIL whose in-run flagship
-    subtotal disagrees with the isolated A/B series by >1.5× must FAIL
+    """The r13 contention gate: a BENCH_DETAIL whose run-A flagship
+    subtotal disagrees with the min-of-A/B series by >1.5× must FAIL
     (the r12 measurement class); a heavily-contended calibration must
     WARN; a healthy artifact passes clean; a pre-A/B artifact warns
     instead of silently passing (the malformed-artifact class the
@@ -84,7 +84,7 @@ def test_preflight_contention_trust_check(tmp_path, monkeypatch):
     corrupted = dict(healthy, queries={"q148_dedup_pipeline": 12.0})
     write(corrupted)
     errs, warns = preflight.check_bench_contention_trust()
-    assert errs and "contention-corrupted" in errs[0]
+    assert errs and "contention-inflated" in errs[0]
 
     import bench
 

@@ -2213,6 +2213,13 @@ def test_corpus_listing_scandir_matches_glob(tmp_path):
     assert listed[str(src / "dangling.txt")] == 0
     # missing directory: empty listing, not a planner crash
     assert _list_corpus(str(tmp_path / "nope" / "*.txt"), with_sizes=True) == []
+    # dirname exists as a regular FILE: scandir raises
+    # NotADirectoryError where glob returns [] — the fast path must
+    # match the glob contract (empty listing), not leak the OS error
+    (tmp_path / "plainfile").write_text("not a dir")
+    assert (
+        _list_corpus(str(tmp_path / "plainfile" / "*.txt"), with_sizes=True) == []
+    )
 
 
 def test_wholefile_writer_rejects_null_lines(spark, tmp_path):

@@ -208,6 +208,57 @@ def test_expr_and_column_probe_paths_agree(spark):
         assert list(r.p_col) == list(r.p_expr)
 
 
+def test_multitable_probes_df_matches_column_path(spark):
+    """_multitable_probes_df (the single-emission parsed-expr builder:
+    signed-dot struct array → ranked margins + sign-fold bucket) must
+    produce EXACTLY the probe set _margin_probes_col builds per table
+    — same (query_id, tbl, pbucket) rows on real fixture vectors —
+    else q172's serving path silently diverges from the oracle's
+    replay."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.similarity import (
+        _bucket_col,
+        _margin_probes_col,
+        _multitable_probes_df,
+        _table_planes,
+        valid_embeddings,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    n_tables, n_planes, top_m = 3, 8, 6
+    q = (
+        valid_embeddings(
+            load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+        )
+        .limit(16)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    fast = set(
+        map(
+            tuple,
+            _multitable_probes_df(q, n_tables, n_planes, top_m).collect(),
+        )
+    )
+    slow = set()
+    for tid in range(n_tables):
+        planes = _table_planes(tid)
+        rows = q.select(
+            "query_id",
+            F.explode(
+                _margin_probes_col(
+                    F.col("qv"),
+                    _bucket_col(F.col("qv"), n_planes, planes),
+                    n_planes=n_planes,
+                    top_m=top_m,
+                    planes=planes,
+                )
+            ).alias("pbucket"),
+        ).collect()
+        slow |= {(r.query_id, tid, r.pbucket) for r in rows}
+    assert fast == slow and fast
+
+
 def test_multitable_plane_families_are_independent():
     from mapreduce_mit_spark.plans.similarity import _PLANES, _table_planes
 

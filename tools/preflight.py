@@ -143,16 +143,16 @@ def check_bench_scaling_drift() -> list[str]:
 
 def check_bench_contention_trust() -> tuple[list[str], list[str]]:
     """Contention-robustness gate over the committed BENCH_DETAIL.json
-    (r13): the flagship set is benched twice — once inside the main
-    bench run (in-run series) and twice more in fresh isolated
-    processes (isolated A/B series, min-of-medians). Returns
+    (r13): the flagship set runs in TWO fresh isolated subprocesses —
+    run A's medians land in ``queries`` (the headline numbers), and
+    ``flagships_isolated`` records min(A, B) per query. Returns
     (errors, warnings):
 
-    - ERROR when the in-run flagship subtotal disagrees with the
-      isolated total by >1.5× — the measurement window was contention-
-      corrupted (the round-12 class: committed normalized total 17.9 s
-      vs ≈40 s on a calm box); rerun the bench or quote the isolated
-      series.
+    - ERROR when run A's flagship subtotal disagrees with the min-of-
+      A/B total by >1.5× — the two isolated windows saw wildly
+      different boxes, so the quoted medians were contention-inflated
+      (the round-12 class: committed normalized total 17.9 s vs ≈40 s
+      on a calm box); rerun the bench or quote the A/B-min series.
     - WARNING when the box calibration sits >2× off the pinned
       normalization ruler — the linear correction is outside its trust
       region (fixed JVM/compile costs don't scale with contention), so
@@ -179,9 +179,10 @@ def check_bench_contention_trust() -> tuple[list[str], list[str]]:
     iso_total = sum(iso.values())
     if iso_total > 0 and in_run / iso_total > 1.5:
         errs.append(
-            f"flagship in-run subtotal {in_run:.1f}s vs isolated A/B total "
-            f"{iso_total:.1f}s (>1.5x): bench window contention-corrupted — "
-            "rerun, and quote the isolated series"
+            f"flagship run-A subtotal {in_run:.1f}s vs min-of-A/B total "
+            f"{iso_total:.1f}s (>1.5x): the two isolated windows disagree — "
+            "run A's quoted medians were contention-inflated; rerun, and "
+            "quote the A/B-min series"
         )
     import bench as _bench
 
