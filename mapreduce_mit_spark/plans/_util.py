@@ -61,7 +61,10 @@ def source_fingerprint(src_path: str) -> tuple:
 
 
 def write_index_meta(
-    out_dir: str, src_path: str, schemas: dict[str, str] | None = None
+    out_dir: str,
+    src_path: str,
+    schemas: dict[str, str] | None = None,
+    params: dict | None = None,
 ) -> None:
     """Stamp a persisted index with its source file's fingerprint
     (realpath + size + mtime_ns — the same triple the session cache
@@ -73,7 +76,14 @@ def write_index_meta(
     discovery re-infers types from directory values (an int-looking
     ``cluster=7`` reads back IntegerType even when the fitted column
     was LongType), and without the cast an attached index poisons the
-    serving session's schema and fails the type-tagged value hash."""
+    serving session's schema and fails the type-tagged value hash.
+
+    ``params`` are the FIT parameters (plane counts, table counts,
+    split keys …) the artifact's layout depends on. Attach validates
+    them (:func:`check_index_meta` ``expect_params``) — an index whose
+    bucket columns were keyed at 8 planes silently probes a wrong
+    neighbor set if served by code expecting a different plane count,
+    so a mismatch must refuse, not mislead."""
     import json
     import os
 
@@ -81,17 +91,28 @@ def write_index_meta(
     meta = {"source": fp[0], "size": fp[1], "mtime_ns": fp[2]}
     if schemas:
         meta["schemas"] = schemas
+    if params:
+        meta["params"] = params
     with open(os.path.join(out_dir, "_meta.json"), "w") as f:
         json.dump(meta, f)
 
 
-def check_index_meta(out_dir: str, src_path: str) -> tuple:
+def check_index_meta(
+    out_dir: str, src_path: str, expect_params: dict | None = None
+) -> tuple:
     """Validate a persisted index against the CURRENT source file.
     Returns the session-cache key fingerprint tail (realpath, size,
     mtime_ns) on success; raises ValueError when the index predates a
     source regeneration (same staleness discipline as the in-session
     fingerprint keys — a stale index must refuse to serve, not
-    quietly return results fitted on other data)."""
+    quietly return results fitted on other data).
+
+    ``expect_params``: the fit parameters the SERVING code assumes.
+    A saved artifact stamped with different params (or predating the
+    param stamp entirely) refuses with ValueError — the plane-count
+    class of silent divergence (a bucket column keyed at n planes
+    probed by code expecting m planes returns a wrong neighbor set
+    with no error anywhere)."""
     import json
     import os
 
@@ -108,7 +129,162 @@ def check_index_meta(out_dir: str, src_path: str) -> tuple:
             f"current source is {cur} — refit (…_index_save) or point "
             "at the matching data"
         )
+    if expect_params:
+        got = meta.get("params")
+        if got != expect_params:
+            raise ValueError(
+                f"persisted index at {out_dir} was fitted with params "
+                f"{got}, but this serving code expects {expect_params} — "
+                "a mismatched index silently serves wrong neighbors; "
+                "refit (…_index_save) with the current code"
+            )
     return cur
+
+
+def _session_cache(spark) -> dict:
+    """Per-session index cache: {fingerprint key: artifact}, stored AS
+    AN ATTRIBUTE of the session object itself. Lifetime therefore
+    equals the session's: when the session is dropped, the dict — and
+    the localCheckpoint blocks its DataFrames pin — goes with it. No
+    module-global registry: a global map keyed by session (even a
+    WeakKeyDictionary) can never evict, because each cached DataFrame
+    holds a strong reference back to its session, keeping the key
+    reachable through the map's own values; attached to the session,
+    that same reference is just an internal cycle the garbage
+    collector handles. (id(spark) keys were worse still: never
+    evictable AND a recycled id could alias a new session onto a dead
+    session's DataFrames.)"""
+    d = getattr(spark, "_mms_index_cache", None)
+    if d is None:
+        d = {}
+        spark._mms_index_cache = d
+    return d
+
+
+def _cache_evict(value) -> None:
+    """Best-effort release of an evicted cache entry's checkpoint
+    blocks. Entries are DataFrames or tuples of DataFrames, each the
+    result of an eager ``localCheckpoint``; unpersisting tells the
+    block manager now instead of waiting for the session to die."""
+    dfs = value if isinstance(value, tuple) else (value,)
+    for df in dfs:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def _cache_put(cache: dict, key: tuple, value) -> None:
+    """Insert an index artifact, dropping any entry it supersedes.
+
+    Keys are (kind, realpath, size, mtime_ns): when a source file is
+    regenerated IN PLACE, the fingerprint changes but (kind, realpath)
+    stays — without this sweep the old entry (and the eagerly
+    localCheckpointed blocks its DataFrames pin) leaks until the
+    session dies. Distinct paths (other sf dirs) are untouched."""
+    for k in [k for k in cache if k[:2] == key[:2] and k != key]:
+        _cache_evict(cache.pop(k))
+    cache[key] = value
+
+
+def fitted_family(
+    kind: str,
+    source: str,
+    tables: list[tuple],
+    fit,
+    prime_extra=None,
+    params: dict | None = None,
+):
+    """Factory for the fit/save/load/attach quartet every persisted
+    model family shares — ONE implementation of the artifact
+    lifecycle instead of eight hand-rolled copies:
+
+    - ``<family>_for(spark, sf_dir, **fit_kwargs)``: the memoized fit
+      — once per (session, source fingerprint), served from the
+      session cache thereafter. ``fit(spark, sf_dir, **kwargs)`` must
+      return one DataFrame per entry in ``tables`` (a bare DataFrame
+      for single-table families), each already localCheckpointed if
+      the family wants eager materialization.
+    - ``<family>_save(spark, sf_dir, out_dir)``: persist every
+      sub-table to ``out_dir/<name>`` parquet (partitioned where the
+      table declares a partition column), stamped with the source
+      fingerprint, each table's fitted schema, and the fit ``params``.
+    - ``<family>_load(spark, out_dir)``: read the sub-tables back
+      through :func:`read_index_table` so partition-column type
+      re-inference can never change the serving schema.
+    - ``<family>_attach(spark, sf_dir, out_dir)``: fingerprint- AND
+      param-checked (stale or mismatched → ValueError), then primed
+      into the session cache under exactly the key ``_for`` computes,
+      so every consumer transparently serves from disk with no refit.
+      ``prime_extra(cache, fp, value)`` hooks families that maintain
+      a second cache entry (IVF's standalone codebook key).
+
+    ``kind``: the session-cache kind tag. ``source``: the fingerprint
+    base file inside ``sf_dir`` (e.g. ``embeddings.parquet``).
+    ``tables``: [(subdir, [cols...], partition_col | None), ...] in
+    the same order ``fit`` returns DataFrames. ``params`` rides the
+    meta stamp and is REQUIRED to match at attach; it is also tagged
+    onto every served DataFrame as ``_mms_fit_params`` so serving
+    helpers can validate an explicitly-passed artifact (the
+    lsh_multitable_hits plane-count check)."""
+    import os
+
+    def _tag(value):
+        if params:
+            for df in value if isinstance(value, tuple) else (value,):
+                df._mms_fit_params = dict(params)
+        return value
+
+    def for_fn(spark, sf_dir: str, **fit_kwargs):
+        src = os.path.join(sf_dir, source)
+        cache = _session_cache(spark)
+        key = (kind,) + source_fingerprint(src)
+        value = cache.get(key)
+        if value is None:
+            value = _tag(fit(spark, sf_dir, **fit_kwargs))
+            _cache_put(cache, key, value)
+        return value
+
+    def save_fn(spark, sf_dir: str, out_dir: str) -> None:
+        value = for_fn(spark, sf_dir)
+        dfs = value if isinstance(value, tuple) else (value,)
+        schemas = {}
+        for (name, _cols, part), df in zip(tables, dfs):
+            w = df.write.mode("overwrite")
+            if part:
+                w = w.partitionBy(part)
+            w.parquet(os.path.join(out_dir, name))
+            schemas[name] = df.schema.json()
+        write_index_meta(
+            out_dir, os.path.join(sf_dir, source), schemas=schemas, params=params
+        )
+
+    def load_fn(spark, out_dir: str):
+        dfs = tuple(
+            read_index_table(spark, out_dir, name, cols)
+            for name, cols, _part in tables
+        )
+        return _tag(dfs[0] if len(tables) == 1 else dfs)
+
+    def attach_fn(spark, sf_dir: str, out_dir: str):
+        fp = check_index_meta(
+            out_dir, os.path.join(sf_dir, source), expect_params=params
+        )
+        value = load_fn(spark, out_dir)
+        cache = _session_cache(spark)
+        _cache_put(cache, (kind,) + fp, value)
+        if prime_extra is not None:
+            prime_extra(cache, fp, value)
+        return value
+
+    for f, suffix in (
+        (for_fn, "for"),
+        (save_fn, "save"),
+        (load_fn, "load"),
+        (attach_fn, "attach"),
+    ):
+        f.__name__ = f.__qualname__ = f"{kind}_{suffix}"
+    return for_fn, save_fn, load_fn, attach_fn
 
 
 def read_index_table(

@@ -31,7 +31,7 @@ from pyspark.sql.window import Window
 from ..functions.hashing import minhash_cols, minhash_sql_exprs, norm_text_col, norm_text_sql
 from ..functions.textfns import tokens_col, tokens_sql
 from ..registry import register
-from ._util import t, tw, write_index_meta
+from ._util import fitted_family, t, tw
 
 N_HASHES = 12
 BAND_SIZE = 3
@@ -228,34 +228,19 @@ def q81_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_bands_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The whole-corpus LSH BAND TABLE as a memoized index artifact —
-    the similarity side's ``codebook_for`` discipline applied to dedup:
-    every real dedup service stores its minhash signatures/bands as a
-    maintained table (recomputing them is the dominant cost of every
-    banding consumer), so the band table here is built once per
-    (session, source fingerprint) and served to q81, q148's direct
-    route, q158's eval side, q159, and q161. Deterministic (md5
-    minhash over the same tokens), so the memo is result-invisible;
-    fingerprint keying makes in-place testdata regeneration invalidate
-    it. ~4 narrow rows per document (band_idx + 32-char key),
-    localCheckpointed eagerly."""
-    from ._util import source_fingerprint
-    from .similarity import _cache_put, _session_cache
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    cache = _session_cache(spark)
-    # source_fingerprint (realpath), NOT abspath: lsh_index_attach
-    # primes this cache under the realpath key, so an abspath key here
-    # would silently re-band when sf_dir is reached via a symlink
-    key = ("lsh_bands",) + source_fingerprint(src)
-    df = cache.get(key)
-    if df is None:
-        df = _lsh_bands_df(tw(spark, sf_dir, "documents")).localCheckpoint(
-            eager=True
-        )
-        _cache_put(cache, key, df)
-    return df
+def _lsh_bands_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole-corpus LSH BAND TABLE fit — the similarity side's
+    ``codebook_for`` discipline applied to dedup: every real dedup
+    service stores its minhash signatures/bands as a maintained table
+    (recomputing them is the dominant cost of every banding consumer),
+    so the band table is built once per (session, source fingerprint)
+    via the ``fitted_family`` lifecycle (:func:`lsh_bands_for`) and
+    served to q81, q148's direct route, q158's eval side, q159, and
+    q161. Deterministic (md5 minhash over the same tokens), so the
+    memo is result-invisible; fingerprint keying makes in-place
+    testdata regeneration invalidate it. ~4 narrow rows per document
+    (band_idx + 32-char key), localCheckpointed eagerly."""
+    return _lsh_bands_df(tw(spark, sf_dir, "documents")).localCheckpoint(eager=True)
 
 
 def _lsh_bands_df(docs: DataFrame) -> DataFrame:
@@ -276,56 +261,20 @@ def _lsh_bands_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Persist the corpus LSH band table — same one-directory-of-named-
-    parquet-subtables layout as the ANN indexes (similarity.py's
-    ``*_index_save`` family): ``bands`` (doc_id, band_idx, band_key)
-    partitioned by band_idx. Banding consumers touch every band, so the
-    partitioning buys locality (one band's rows are co-filed for the
-    per-band self-join), not pruning; the win of persistence is the
-    fit itself — a new session/job serves candidates without ever
-    re-tokenizing or re-minhashing the corpus."""
-    bands = lsh_bands_for(spark, sf_dir)
-    (
-        bands.write.mode("overwrite")
-        .partitionBy("band_idx")
-        .parquet(os.path.join(out_dir, "bands"))
-    )
-    write_index_meta(
-        out_dir,
-        os.path.join(sf_dir, "documents.parquet"),
-        schemas={"bands": bands.schema.json()},
-    )
-
-
-def lsh_index_load(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Load a persisted LSH band table (see :func:`lsh_index_save`),
-    via :func:`read_index_table` so the partitioned ``band_idx``
-    serves with its FITTED type (posexplode emits int; partition
-    discovery would re-infer the same int today, but the stamp makes
-    the serving schema a function of the fit, not of directory-name
-    inference)."""
-    from ._util import read_index_table
-
-    return read_index_table(
-        spark, out_dir, "bands", ["doc_id", "band_idx", "band_key"]
-    )
-
-
-def lsh_index_attach(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
-    """Prime this session's band-table consumers (q81/q148/q158/q159/
-    q161/q162) from a saved band table — the dedup side of the
-    similarity ``*_index_attach`` family: fingerprint-checked against
-    the current documents file (stale → ValueError), then inserted
-    under :func:`lsh_bands_for`'s cache key so a fresh session serves
-    candidates without re-tokenizing or re-minhashing the corpus."""
-    from ._util import check_index_meta
-    from .similarity import _cache_put, _session_cache
-
-    fp = check_index_meta(out_dir, os.path.join(sf_dir, "documents.parquet"))
-    bands = lsh_index_load(spark, out_dir)
-    _cache_put(_session_cache(spark), ("lsh_bands",) + fp, bands)
-    return bands
+# Band-table lifecycle via fitted_family (the dedup side of the
+# similarity index families): ``bands`` (doc_id, band_idx, band_key)
+# partitioned by band_idx. Banding consumers touch every band, so the
+# partitioning buys locality (one band's rows are co-filed for the
+# per-band self-join), not pruning; the win of persistence is the fit
+# itself — an attached session (q81/q148/q158/q159/q161/q162) serves
+# candidates without ever re-tokenizing or re-minhashing the corpus.
+lsh_bands_for, lsh_index_save, lsh_index_load, lsh_index_attach = fitted_family(
+    "lsh_bands",
+    "documents.parquet",
+    [("bands", ["doc_id", "band_idx", "band_key"], "band_idx")],
+    _lsh_bands_fit,
+    params={"n_hashes": N_HASHES, "band_size": BAND_SIZE},
+)
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

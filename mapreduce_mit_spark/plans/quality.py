@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import tokens_col, tokens_sql
 from ..registry import register
-from ._util import hex_int_sql, t, tw
+from ._util import fitted_family, hex_int_sql, t, tw
 
 # Eval-set membership: deterministic, derivable in both engines.
 BENCH_PRED = "doc_id % 25 = 0"
@@ -561,72 +561,28 @@ def _unigram_freq_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def unigram_lm_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The unigram frequency table as a memoized model artifact (the
-    ``overlap_sketches_for`` discipline): fit once per (session, source
-    fingerprint), persistable via :func:`unigram_lm_save`. The
+def _unigram_lm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram frequency table fit — memoized/persisted via the
+    ``fitted_family`` lifecycle (:func:`unigram_lm_for`). The
     normalizing total is NOT stored — it is one aggregate away from
     ``freq`` and storing it would create a second thing to keep
     consistent. A production fluency gate fits this table on an ingest
     schedule and every scoring job reads it — exactly the KenLM-model
     lifecycle with the model as a DataFrame."""
-    import os
-
-    from ._util import source_fingerprint
-    from .similarity import _cache_put, _session_cache
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    cache = _session_cache(spark)
-    key = ("unigram_lm",) + source_fingerprint(src)
-    df = cache.get(key)
-    if df is None:
-        df = _unigram_freq_df(tw(spark, sf_dir, "documents")).localCheckpoint(
-            eager=True
-        )
-        _cache_put(cache, key, df)
-    return df
-
-
-def unigram_lm_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Persist the unigram LM — the one-directory-of-named-parquet-
-    subtables layout shared by every fitted artifact: ``freq``
-    (token, c), fingerprint-stamped against the documents file."""
-    import os
-
-    from ._util import write_index_meta
-
-    freq = unigram_lm_for(spark, sf_dir)
-    freq.write.mode("overwrite").parquet(os.path.join(out_dir, "freq"))
-    write_index_meta(
-        out_dir,
-        os.path.join(sf_dir, "documents.parquet"),
-        schemas={"freq": freq.schema.json()},
+    return _unigram_freq_df(tw(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
     )
 
 
-def unigram_lm_load(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Load a persisted unigram LM (see :func:`unigram_lm_save`) via
-    ``read_index_table`` so the serving schema is the fitted one."""
-    from ._util import read_index_table
-
-    return read_index_table(spark, out_dir, "freq", ["token", "c"])
-
-
-def unigram_lm_attach(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
-    """Prime this session's q149 scoring path from a saved model:
-    fingerprint-checked against the current documents file (stale →
-    ValueError), then inserted under :func:`unigram_lm_for`'s cache
-    key — a fresh session scores fluency without re-tokenizing the
-    corpus or re-fitting the model."""
-    import os
-
-    from ._util import check_index_meta
-    from .similarity import _cache_put, _session_cache
-
-    fp = check_index_meta(out_dir, os.path.join(sf_dir, "documents.parquet"))
-    freq = unigram_lm_load(spark, out_dir)
-    _cache_put(_session_cache(spark), ("unigram_lm",) + fp, freq)
-    return freq
+# Unigram-LM lifecycle via fitted_family: ``freq`` (token, c),
+# fingerprint-stamped against the documents file; an attached session
+# (q149) scores fluency without re-tokenizing or re-fitting.
+unigram_lm_for, unigram_lm_save, unigram_lm_load, unigram_lm_attach = fitted_family(
+    "unigram_lm",
+    "documents.parquet",
+    [("freq", ["token", "c"], None)],
+    _unigram_lm_fit,
+)
 
 
 @register(
@@ -725,76 +681,40 @@ def _overlap_sketches_df(docs: DataFrame, ngs: DataFrame | None = None) -> DataF
     )
 
 
-def overlap_sketches_for(
+def _overlap_fit(
     spark: SparkSession, sf_dir: str, ngs: DataFrame | None = None
 ) -> DataFrame:
-    """The per-source overlap-sketch table as a memoized index artifact
-    (the ``lsh_bands_for`` discipline): a production triage service
+    """The per-source overlap-sketch fit (the ``lsh_bands_for``
+    discipline, via the ``fitted_family`` lifecycle —
+    :func:`overlap_sketches_for`): a production triage service
     maintains these sketches ALONGSIDE the corpus — built once per
     ingest day per source, merged with ``hll_union_agg`` as shards
-    arrive, and re-read by every pairwise audit — so the table is
-    built once per (session, source fingerprint) and persistable via
-    :func:`overlap_index_save`. S rows of kilobyte sketches."""
-    import os
-
-    from ._util import source_fingerprint
-    from .similarity import _cache_put, _session_cache
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    cache = _session_cache(spark)
-    key = ("overlap_sketches",) + source_fingerprint(src)
-    df = cache.get(key)
-    if df is None:
-        df = _overlap_sketches_df(
-            tw(spark, sf_dir, "documents"), ngs=ngs
-        ).localCheckpoint(eager=True)
-        _cache_put(cache, key, df)
-    return df
+    arrive, and re-read by every pairwise audit. S rows of kilobyte
+    sketches; the HLL column is the DataSketches wire format (binary),
+    so a saved table keeps merging with future ``hll_union_agg`` calls
+    — the artifact is the rollup, not a cache. ``ngs``: a precomputed
+    :func:`_overlap_ngs_df` the caller is already materializing (only
+    consulted on a cache miss)."""
+    return _overlap_sketches_df(
+        tw(spark, sf_dir, "documents"), ngs=ngs
+    ).localCheckpoint(eager=True)
 
 
-def overlap_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Persist the per-source overlap sketches — the same
-    one-directory-of-named-parquet-subtables layout as the ANN and LSH
-    indexes: ``sketches`` (source, n, sk). The HLL sketch column is the
-    DataSketches wire format (a binary column), so a saved table keeps
-    merging with future ``hll_union_agg`` calls — the artifact is the
-    rollup, not a cache."""
-    import os
-
-    from ._util import write_index_meta
-
-    sk = overlap_sketches_for(spark, sf_dir)
-    sk.write.mode("overwrite").parquet(os.path.join(out_dir, "sketches"))
-    write_index_meta(
-        out_dir,
-        os.path.join(sf_dir, "documents.parquet"),
-        schemas={"sketches": sk.schema.json()},
-    )
-
-
-def overlap_index_load(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Load persisted overlap sketches (see :func:`overlap_index_save`)
-    via ``read_index_table`` so the serving schema is the fitted one."""
-    from ._util import read_index_table
-
-    return read_index_table(spark, out_dir, "sketches", ["source", "n", "sk"])
-
-
-def overlap_index_attach(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
-    """Prime this session's q165 estimate path from saved sketches:
-    fingerprint-checked against the current documents file (stale →
-    ValueError), then inserted under :func:`overlap_sketches_for`'s
-    cache key — a fresh session triages source pairs without
-    re-tokenizing or re-sketching the corpus."""
-    from ._util import check_index_meta
-    from .similarity import _cache_put, _session_cache
-
-    import os
-
-    fp = check_index_meta(out_dir, os.path.join(sf_dir, "documents.parquet"))
-    sk = overlap_index_load(spark, out_dir)
-    _cache_put(_session_cache(spark), ("overlap_sketches",) + fp, sk)
-    return sk
+# Overlap-sketch lifecycle via fitted_family: ``sketches`` (source, n,
+# sk); an attached session (q165) triages source pairs without
+# re-tokenizing or re-sketching the corpus.
+(
+    overlap_sketches_for,
+    overlap_index_save,
+    overlap_index_load,
+    overlap_index_attach,
+) = fitted_family(
+    "overlap_sketches",
+    "documents.parquet",
+    [("sketches", ["source", "n", "sk"], None)],
+    _overlap_fit,
+    params={"lg_k": OVERLAP_LG_K},
+)
 
 
 @register(
@@ -940,68 +860,33 @@ def _classifier_weights_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def classifier_weights_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The classifier weight vector as a memoized model artifact, keyed
-    on the corpus fingerprint it gates (the model's provenance: a
-    production weight vector is trained against a corpus snapshot, and
-    serving weights fitted on superseded data is the staleness bug the
-    fingerprint exists to refuse). 256 rows — kilobytes; fastText-scale
-    (2M buckets) is still MBs and broadcasts the same way."""
-    import os
-
-    from ._util import source_fingerprint
-    from .similarity import _cache_put, _session_cache
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    cache = _session_cache(spark)
-    key = ("cls_weights",) + source_fingerprint(src)
-    df = cache.get(key)
-    if df is None:
-        df = _classifier_weights_df(spark).localCheckpoint(eager=True)
-        _cache_put(cache, key, df)
-    return df
+def _classifier_weights_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier weight vector fit, keyed on the corpus
+    fingerprint it gates (the model's provenance: a production weight
+    vector is trained against a corpus snapshot, and serving weights
+    fitted on superseded data is the staleness bug the fingerprint
+    exists to refuse — the ``fitted_family`` lifecycle,
+    :func:`classifier_weights_for`). 256 rows — kilobytes;
+    fastText-scale (2M buckets) is still MBs and broadcasts the same
+    way."""
+    return _classifier_weights_df(spark).localCheckpoint(eager=True)
 
 
-def classifier_weights_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Persist the classifier weights: ``weights`` (bucket, w_milli),
-    fingerprint-stamped against the corpus they gate."""
-    import os
-
-    from ._util import write_index_meta
-
-    w = classifier_weights_for(spark, sf_dir)
-    w.write.mode("overwrite").parquet(os.path.join(out_dir, "weights"))
-    write_index_meta(
-        out_dir,
-        os.path.join(sf_dir, "documents.parquet"),
-        schemas={"weights": w.schema.json()},
-    )
-
-
-def classifier_weights_load(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Load persisted classifier weights via ``read_index_table`` so
-    the serving schema is the fitted one."""
-    from ._util import read_index_table
-
-    return read_index_table(spark, out_dir, "weights", ["bucket", "w_milli"])
-
-
-def classifier_weights_attach(
-    spark: SparkSession, sf_dir: str, out_dir: str
-) -> DataFrame:
-    """Prime this session's q166 scoring path from saved weights:
-    fingerprint-checked (stale → ValueError), then inserted under
-    :func:`classifier_weights_for`'s cache key — a fresh serving
-    session gates documents without re-deriving the model."""
-    import os
-
-    from ._util import check_index_meta
-    from .similarity import _cache_put, _session_cache
-
-    fp = check_index_meta(out_dir, os.path.join(sf_dir, "documents.parquet"))
-    w = classifier_weights_load(spark, out_dir)
-    _cache_put(_session_cache(spark), ("cls_weights",) + fp, w)
-    return w
+# Classifier-weights lifecycle via fitted_family: ``weights`` (bucket,
+# w_milli); an attached session (q166) gates documents without
+# re-deriving the model.
+(
+    classifier_weights_for,
+    classifier_weights_save,
+    classifier_weights_load,
+    classifier_weights_attach,
+) = fitted_family(
+    "cls_weights",
+    "documents.parquet",
+    [("weights", ["bucket", "w_milli"], None)],
+    _classifier_weights_fit,
+    params={"buckets": CLS_BUCKETS},
+)
 
 
 @register(

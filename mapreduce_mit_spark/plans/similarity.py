@@ -25,12 +25,13 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ._util import (
-    check_index_meta,
-    read_index_table,
+    _cache_evict,  # noqa: F401  (re-export: tests and sibling plans import from here)
+    _cache_put,
+    _session_cache,
+    fitted_family,
     source_fingerprint,
     t,
     tw,
-    write_index_meta,
 )
 
 DIM = 64
@@ -941,61 +942,38 @@ def lsh_multitable_keys_df(
     return keyed
 
 
-def lsh8_index_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The multi-table key table as a memoized index artifact (the
-    ``lsh_bands_for`` discipline): built once per (session, source
-    fingerprint), persistable via :func:`lsh8_index_save`. The payoff
-    is double at this family's plane counts: the corpus is keyed once
-    per session instead of per query, AND the L × planes × DIM
-    expression tree — whose Catalyst ANALYSIS, not execution, was the
-    measured wall on fresh plans — is walked once per fit instead of
-    once per serve call."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    cache = _session_cache(spark)
-    key = ("lsh8",) + source_fingerprint(src)
-    df = cache.get(key)
-    if df is None:
-        e = valid_embeddings(
-            t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        )
-        df = lsh_multitable_keys_df(e).localCheckpoint(eager=True)
-        _cache_put(cache, key, df)
-    return df
-
-
-def lsh8_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Persist the multi-table key table: ``keys`` (vec_id, tbl,
-    bucket) partitioned by tbl — each serving table is its own file
-    set, so a probe that needs one table's buckets prunes to it."""
-    keys = lsh8_index_for(spark, sf_dir)
-    (
-        keys.write.mode("overwrite")
-        .partitionBy("tbl")
-        .parquet(os.path.join(out_dir, "keys"))
+def _lsh8_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-table key table fit (the ``lsh_bands_for``
+    discipline), memoized/persisted via the ``fitted_family``
+    lifecycle (:func:`lsh8_index_for`). The payoff is double at this
+    family's plane counts: the corpus is keyed once per session
+    instead of per query, AND the L × planes × DIM expression tree —
+    whose Catalyst ANALYSIS, not execution, was the measured wall on
+    fresh plans — is walked once per fit instead of once per serve
+    call."""
+    e = valid_embeddings(
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
-    write_index_meta(
-        out_dir,
-        os.path.join(sf_dir, "embeddings.parquet"),
-        schemas={"keys": keys.schema.json()},
-    )
+    return lsh_multitable_keys_df(e).localCheckpoint(eager=True)
 
 
-def lsh8_index_load(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Load a persisted multi-table key table (see
-    :func:`lsh8_index_save`) via ``read_index_table`` so the
-    partition-discovered ``tbl`` column serves with its fitted type."""
-    from ._util import read_index_table
+# The fit params every serve path must agree on: a key table built at
+# n planes probed by code expecting m planes silently returns a wrong
+# neighbor set (the lsh_probe_hits docstring's warning) — so they ride
+# the meta stamp, attach refuses a mismatch, and lsh_multitable_hits
+# validates an explicitly-passed keys artifact against them.
+LSH8_PARAMS = {"n_tables": N_TABLES_8P, "n_planes": 8}
 
-    return read_index_table(spark, out_dir, "keys", ["vec_id", "tbl", "bucket"])
-
-
-def lsh8_index_attach(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
-    """Prime this session's q172 serving path from a saved key table:
-    fingerprint-checked (stale → ValueError), then inserted under
-    :func:`lsh8_index_for`'s cache key."""
-    keys = lsh8_index_load(spark, out_dir)
-    _index_attach(spark, sf_dir, out_dir, "lsh8", keys)
-    return keys
+# Multi-table key-table lifecycle via fitted_family: ``keys`` (vec_id,
+# tbl, bucket) partitioned by tbl — each serving table is its own file
+# set, so a probe that needs one table's buckets prunes to it.
+lsh8_index_for, lsh8_index_save, lsh8_index_load, lsh8_index_attach = fitted_family(
+    "lsh8",
+    "embeddings.parquet",
+    [("keys", ["vec_id", "tbl", "bucket"], "tbl")],
+    _lsh8_fit,
+    params=LSH8_PARAMS,
+)
 
 
 def _multitable_probes_df(
@@ -1070,7 +1048,23 @@ def lsh_multitable_hits(
     to the vector store by id. ``e``: (vec_id, embedding) valid
     vectors; ``queries``: (query_id, qv). Pass ``keys`` (the fitted
     :func:`lsh8_index_for` artifact) to serve from the index instead
-    of re-keying the corpus inline."""
+    of re-keying the corpus inline — a keys artifact that carries fit
+    params (``_mms_fit_params``, stamped by the ``fitted_family``
+    load/fit paths) is VALIDATED against this call's
+    ``n_tables``/``n_planes``: a mismatch silently probes a wrong
+    neighbor set, so it refuses with ValueError instead."""
+    if keys is not None:
+        fitted = getattr(keys, "_mms_fit_params", None)
+        if fitted is not None and fitted != {
+            "n_tables": n_tables,
+            "n_planes": n_planes,
+        }:
+            raise ValueError(
+                f"multi-table LSH keys were fitted with {fitted}, but this "
+                f"serve call expects n_tables={n_tables}, n_planes={n_planes}"
+                " — a mismatched key table probes wrong buckets; refit or "
+                "pass matching parameters"
+            )
     keyed = (
         keys
         if keys is not None
@@ -1344,50 +1338,9 @@ def ivf_codebook(
     return cent.localCheckpoint(eager=True)
 
 
-def _session_cache(spark: SparkSession) -> dict:
-    """Per-session index cache: {fingerprint key: artifact}, stored AS
-    AN ATTRIBUTE of the session object itself. Lifetime therefore
-    equals the session's: when the session is dropped, the dict — and
-    the localCheckpoint blocks its DataFrames pin — goes with it. No
-    module-global registry: a global map keyed by session (even a
-    WeakKeyDictionary) can never evict, because each cached DataFrame
-    holds a strong reference back to its session, keeping the key
-    reachable through the map's own values; attached to the session,
-    that same reference is just an internal cycle the garbage
-    collector handles. (id(spark) keys were worse still: never
-    evictable AND a recycled id could alias a new session onto a dead
-    session's DataFrames.)"""
-    d = getattr(spark, "_mms_index_cache", None)
-    if d is None:
-        d = {}
-        spark._mms_index_cache = d
-    return d
-
-
-def _cache_evict(value) -> None:
-    """Best-effort release of an evicted cache entry's checkpoint
-    blocks. Entries are DataFrames or tuples of DataFrames, each the
-    result of an eager ``localCheckpoint``; unpersisting tells the
-    block manager now instead of waiting for the session to die."""
-    dfs = value if isinstance(value, tuple) else (value,)
-    for df in dfs:
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-
-
-def _cache_put(cache: dict, key: tuple, value) -> None:
-    """Insert an index artifact, dropping any entry it supersedes.
-
-    Keys are (kind, realpath, size, mtime_ns): when a source file is
-    regenerated IN PLACE, the fingerprint changes but (kind, realpath)
-    stays — without this sweep the old entry (and the eagerly
-    localCheckpointed blocks its DataFrames pin) leaks until the
-    session dies. Distinct paths (other sf dirs) are untouched."""
-    for k in [k for k in cache if k[:2] == key[:2] and k != key]:
-        _cache_evict(cache.pop(k))
-    cache[key] = value
+# _session_cache / _cache_put / _cache_evict live in plans/_util.py
+# (shared with the fitted_family factory); re-exported from this module
+# for the sibling plans and tests that historically import them here.
 
 
 def codebook_for(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1411,56 +1364,79 @@ def codebook_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def ivf_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """The FULL IVF index as a memoized serving artifact: (cent,
-    assign) with assign = (vec_id, label, cluster, embedding) — the
-    INVERTED LISTS, i.e. the corpus materialized with its cell id.
-    The codebook alone is not the index: without the lists every query
-    re-assigns the whole corpus to cells (one broadcast-argmax pass —
-    measured 5.1× serve wall at the 10× fixture, linear in the corpus),
-    which is the index build billed to every lookup, q157's original
-    sin. With the lists cached, serve cost is the probed cells' rows
-    only. At 100 TB the lists are a maintained table partitioned by
-    cell (vectors stored in cell order — exactly what FAISS's IVF
-    layout is); here they are one eager localCheckpoint per (session,
-    source fingerprint), built from the same codebook q68/q155 share
-    through the cache."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    cache = _session_cache(spark)
-    key = ("ivf_lists",) + source_fingerprint(src)
-    pair = cache.get(key)
-    if pair is None:
-        cent = codebook_for(spark, sf_dir)
-        e = tw(spark, sf_dir, "embeddings")
-        # norms once per side (q164's discipline), bit-equal quotient
-        centn = cent.select("cid", "cv", _norm(F.col("cv")).alias("_cn"))
-        sims = (
-            e.withColumn("_en", _norm(F.col("embedding")))
-            .crossJoin(F.broadcast(centn))
-            .select(
-                "vec_id",
-                "label",
-                "embedding",
-                "cid",
-                (
-                    _dot(F.col("embedding"), F.col("cv"))
-                    / F.nullif(F.col("_en") * F.col("_cn"), F.lit(0.0))
-                ).alias("sim"),
-            )
+def _assign_to_codebook(part: DataFrame, centn: DataFrame) -> DataFrame:
+    """One broadcast-argmax assignment pass: every row of ``part``
+    ((vec_id, label, embedding) — the whole corpus at fit time, an
+    increment batch at ingest time) gets its max-cosine cell from the
+    normed codebook ``centn`` (cid, cv, _cn). Ties break toward the
+    LOWEST cid — (sim, -cid) max = the oracle's ORDER BY sim DESC, cid
+    row_number()=1. Norms once per side (q164's discipline): the
+    quotient is bit-equal to the oracle's per-pair cosine. No shuffle
+    of the vectors — the codebook broadcasts, max_by is
+    partial-aggregable."""
+    sims = (
+        part.withColumn("_en", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(centn))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "cid",
+            (
+                _dot(F.col("embedding"), F.col("cv"))
+                / F.nullif(F.col("_en") * F.col("_cn"), F.lit(0.0))
+            ).alias("sim"),
         )
-        assign = (
-            sims.groupBy("vec_id", "label")
-            .agg(
-                F.max_by(
-                    "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
-                ).alias("cluster"),
-                F.any_value("embedding").alias("embedding"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        pair = (cent, assign)
-        _cache_put(cache, key, pair)
-    return pair
+    )
+    return sims.groupBy("vec_id", "label").agg(
+        F.max_by(
+            "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
+        ).alias("cluster"),
+        F.any_value("embedding").alias("embedding"),
+    )
+
+
+def _with_cnorm(cent: DataFrame) -> DataFrame:
+    return cent.select("cid", "cv", _norm(F.col("cv")).alias("_cn"))
+
+
+def _ivf_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The FULL IVF index fit: (cent, assign) with assign = (vec_id,
+    label, cluster, embedding) — the INVERTED LISTS, i.e. the corpus
+    materialized with its cell id. The codebook alone is not the
+    index: without the lists every query re-assigns the whole corpus
+    to cells (one broadcast-argmax pass — measured 5.1× serve wall at
+    the 10× fixture, linear in the corpus), which is the index build
+    billed to every lookup, q157's original sin. With the lists
+    cached (:func:`ivf_index_for`, the ``fitted_family`` lifecycle),
+    serve cost is the probed cells' rows only. At 100 TB the lists are
+    a maintained table partitioned by cell (vectors stored in cell
+    order — exactly what FAISS's IVF layout is); here they are one
+    eager localCheckpoint per (session, source fingerprint), built
+    from the same codebook q68/q155 share through the cache."""
+    cent = codebook_for(spark, sf_dir)
+    assign = _assign_to_codebook(
+        tw(spark, sf_dir, "embeddings"), _with_cnorm(cent)
+    ).localCheckpoint(eager=True)
+    return (cent, assign)
+
+
+# IVF lifecycle via fitted_family: ``lists`` partitioned by cluster —
+# the partition column IS the probe predicate, so an nprobe-cell query
+# reads only those cells' files. Attach additionally primes the
+# standalone codebook key ("ivf"), which q87/q89/q147's probes read
+# alone (codebook_for).
+ivf_index_for, ivf_index_save, ivf_index_load, ivf_index_attach = fitted_family(
+    "ivf_lists",
+    "embeddings.parquet",
+    [
+        ("coarse", ["cid", "cv"], None),
+        ("lists", ["vec_id", "label", "cluster", "embedding"], "cluster"),
+    ],
+    _ivf_fit,
+    prime_extra=lambda cache, fp, value: _cache_put(cache, ("ivf",) + fp, value[0]),
+    params={"k": N_IVF_CENTROIDS, "iters": N_KMEANS_ITERS, "nprobe": N_PROBE},
+)
 
 
 def _ivf_codebook_sql(
@@ -1952,44 +1928,50 @@ def pq_codebooks(e: DataFrame) -> DataFrame:
     return cent.localCheckpoint(eager=True)
 
 
-def pq_index_for(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """The full PQ INDEX as a memoized serving artifact: (codebooks,
-    codes) — same fingerprint-keyed cache contract as
-    :func:`codebook_for`.
+def _pq_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The full PQ INDEX fit: (codebooks, codes).
 
     The CODES table (vec_id, sub, cluster — N_SUB narrow rows per
     vector) is the one linear-cost pass of PQ: assigning every vector
     to its nearest centroid per subspace. Building it per QUERY would
     make every lookup pay the index build (measured 48×-of-base wall at
     the 100× fixture); building it once per (session, source
-    fingerprint) is what "index" means — serving cost is then the
+    fingerprint) — :func:`pq_index_for`, the ``fitted_family``
+    lifecycle — is what "index" means: serving cost is then the
     broadcast lookup table + one aggregation over the codes, sublinear
     in the raw vector bytes. The codes localCheckpoint eagerly
     (~N_SUB × corpus ids — 40 MB at 1.6M code rows, disk-backed)."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    cache = _session_cache(spark)
-    key = ("pq",) + source_fingerprint(src)
-    pair = cache.get(key)
-    if pair is None:
-        # ingestion gate: the fit sample and the codes pass see only
-        # well-formed vectors (element_at into an empty subvector slice
-        # is task-fatal under ANSI; the oracle filters identically)
-        e = valid_embeddings(t(spark, sf_dir, "embeddings"))
-        cent = pq_codebooks(e)
-        sv = _subvectors(valid_embeddings(tw(spark, sf_dir, "embeddings")))
-        dist = _l2_col(F.col("sv"), F.col("cv"))
-        codes = (
-            sv.join(F.broadcast(cent), "sub")
-            .select("vec_id", "sub", "cid", dist.alias("d"))
-            .groupBy("vec_id", "sub")
-            .agg(
-                F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("cluster")
-            )
-            .localCheckpoint(eager=True)
+    # ingestion gate: the fit sample and the codes pass see only
+    # well-formed vectors (element_at into an empty subvector slice
+    # is task-fatal under ANSI; the oracle filters identically)
+    e = valid_embeddings(t(spark, sf_dir, "embeddings"))
+    cent = pq_codebooks(e)
+    sv = _subvectors(valid_embeddings(tw(spark, sf_dir, "embeddings")))
+    dist = _l2_col(F.col("sv"), F.col("cv"))
+    codes = (
+        sv.join(F.broadcast(cent), "sub")
+        .select("vec_id", "sub", "cid", dist.alias("d"))
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("cluster")
         )
-        pair = (cent, codes)
-        _cache_put(cache, key, pair)
-    return pair
+        .localCheckpoint(eager=True)
+    )
+    return (cent, codes)
+
+
+# PQ lifecycle (fit-memo / persist / load / attach) via fitted_family.
+# The codes are deliberately NOT partitioned: plain PQ has no coarse
+# cells — ADC scans every vector's codes, so there is no probe
+# predicate to prune on (that is IVFADC's trade), and partitioning by
+# vec_id would just shatter the table into tiny files.
+pq_index_for, pq_index_save, pq_index_load, pq_index_attach = fitted_family(
+    "pq",
+    "embeddings.parquet",
+    [("pq", ["sub", "cid", "cv"], None), ("codes", ["vec_id", "sub", "cluster"], None)],
+    _pq_fit,
+    params={"n_sub": N_SUB, "k_pq": K_PQ},
+)
 
 
 def pq_probe_hits(
@@ -2296,15 +2278,15 @@ def q157_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q160_RECALL_TARGET = 0.3
 
 
-def ivfadc_index_for(
+def _ivfadc_fit(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The full IVFADC INDEX as a memoized serving artifact:
-    (coarse_cent, pq_cent, codes) with codes = (vec_id, cluster, sub,
-    code) — the coarse cell AND the per-subspace residual code of every
-    vector. Same fingerprint-keyed per-session cache contract as
-    :func:`codebook_for` / :func:`pq_index_for`; the coarse codebook is
-    SHARED with q68 through the same cache (one fit serves both).
+    """The full IVFADC INDEX fit: (coarse_cent, pq_cent, codes) with
+    codes = (vec_id, cluster, sub, code) — the coarse cell AND the
+    per-subspace residual code of every vector. Memoized/persisted via
+    the ``fitted_family`` lifecycle (:func:`ivfadc_index_for`); the
+    coarse codebook is SHARED with q68 through the same session cache
+    (one fit serves both).
 
     Build shape: one broadcast-argmax pass assigns cells (the corpus
     never shuffles for the index); residuals are a narrow map
@@ -2314,52 +2296,64 @@ def ivfadc_index_for(
     codes table REPLACES the raw vectors and the cluster column is the
     probe predicate — ADC cost is the probed cells' codes only,
     ~nprobe/k of the corpus."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    cache = _session_cache(spark)
-    key = ("ivfadc",) + source_fingerprint(src)
-    trip = cache.get(key)
-    if trip is None:
-        # the coarse half IS q68's index — codebook AND inverted lists
-        # come from the shared memo (one assignment pass serves q68,
-        # q155, and this composition)
-        cent, assign = ivf_index_for(spark, sf_dir)
-        # ingestion gate: the shared inverted lists may carry malformed
-        # vectors (q68's scoring NULLs them out, so they are inert
-        # there), but the residual subtraction and PQ fit would turn
-        # them into NULL-element arrays that poison Lloyd means — and
-        # diverge from the oracle's NULL ordering. Residuals and codes
-        # are built over well-formed vectors only (EMB_VALID_SQL twin).
-        resid = (
-            valid_embeddings(assign)
-            .join(F.broadcast(cent), assign.cluster == cent.cid)
-            .select(
-                "vec_id",
-                "cluster",
-                F.zip_with(
-                    F.transform("embedding", lambda x: x.cast("double")),
-                    F.col("cv"),
-                    lambda x, y: x - y,
-                ).alias("embedding"),
-            )
-            # three consumers (PQ sample fit, codes assignment, the
-            # cluster map) — materialize the assignment+subtract once
-            .localCheckpoint(eager=True)
+    # the coarse half IS q68's index — codebook AND inverted lists
+    # come from the shared memo (one assignment pass serves q68,
+    # q155, and this composition)
+    cent, assign = ivf_index_for(spark, sf_dir)
+    # ingestion gate: the shared inverted lists may carry malformed
+    # vectors (q68's scoring NULLs them out, so they are inert
+    # there), but the residual subtraction and PQ fit would turn
+    # them into NULL-element arrays that poison Lloyd means — and
+    # diverge from the oracle's NULL ordering. Residuals and codes
+    # are built over well-formed vectors only (EMB_VALID_SQL twin).
+    resid = (
+        valid_embeddings(assign)
+        .join(F.broadcast(cent), assign.cluster == cent.cid)
+        .select(
+            "vec_id",
+            "cluster",
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.col("cv"),
+                lambda x, y: x - y,
+            ).alias("embedding"),
         )
-        pcent = pq_codebooks(resid.select("vec_id", "embedding"))
-        sv = _subvectors(resid.select("vec_id", "embedding"))
-        dist = _l2_col(F.col("sv"), F.col("cv"))
-        codes = (
-            sv.join(F.broadcast(pcent), "sub")
-            .select("vec_id", "sub", "cid", dist.alias("d"))
-            .groupBy("vec_id", "sub")
-            .agg(F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("code"))
-            .join(resid.select("vec_id", "cluster"), "vec_id")
-            .select("vec_id", "cluster", "sub", "code")
-            .localCheckpoint(eager=True)
-        )
-        trip = (cent, pcent, codes)
-        _cache_put(cache, key, trip)
-    return trip
+        # three consumers (PQ sample fit, codes assignment, the
+        # cluster map) — materialize the assignment+subtract once
+        .localCheckpoint(eager=True)
+    )
+    pcent = pq_codebooks(resid.select("vec_id", "embedding"))
+    sv = _subvectors(resid.select("vec_id", "embedding"))
+    dist = _l2_col(F.col("sv"), F.col("cv"))
+    codes = (
+        sv.join(F.broadcast(pcent), "sub")
+        .select("vec_id", "sub", "cid", dist.alias("d"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("code"))
+        .join(resid.select("vec_id", "cluster"), "vec_id")
+        .select("vec_id", "cluster", "sub", "code")
+        .localCheckpoint(eager=True)
+    )
+    return (cent, pcent, codes)
+
+
+# IVFADC lifecycle via fitted_family. ``codes`` is written PARTITIONED
+# BY cluster: a query that probes nprobe cells reads only those cells'
+# files (partition pruning does the inverted-list seek) — exactly
+# FAISS's IVF layout expressed as a parquet table.
+ivfadc_index_for, ivfadc_index_save, ivfadc_index_load, ivfadc_index_attach = (
+    fitted_family(
+        "ivfadc",
+        "embeddings.parquet",
+        [
+            ("coarse", ["cid", "cv"], None),
+            ("pq", ["sub", "cid", "cv"], None),
+            ("codes", ["vec_id", "cluster", "sub", "code"], "cluster"),
+        ],
+        _ivfadc_fit,
+        params={"k_coarse": N_IVF_CENTROIDS, "n_sub": N_SUB, "k_pq": K_PQ},
+    )
+)
 
 
 def ivfadc_probe_hits(
@@ -2612,188 +2606,23 @@ def q160_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivfadc_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Persist the IVFADC index to PARQUET — the disk tier of the
-    index-artifact pattern: the session memo (ivfadc_index_for) makes
-    "fit once, serve many" true within a session; this makes it true
-    ACROSS sessions/jobs, which is what a production serving index is
-    (built by an offline job, read by query jobs).
-
-    Layout: three tables under ``out_dir`` — ``coarse`` (cid, cv),
-    ``pq`` (sub, cid, cv), and ``codes`` (vec_id, cluster, sub, code)
-    written PARTITIONED BY cluster: a query that probes nprobe cells
-    reads only those cells' files (partition pruning does the inverted
-    -list seek), which is exactly FAISS's IVF layout expressed as a
-    parquet table. The fit is deterministic, so save → load is
-    result-identical to the in-memory artifact (pinned by
-    tests/test_operators.py::test_ivfadc_index_save_load_roundtrip)."""
-    cent, pcent, codes = ivfadc_index_for(spark, sf_dir)
-    cent.write.mode("overwrite").parquet(os.path.join(out_dir, "coarse"))
-    pcent.write.mode("overwrite").parquet(os.path.join(out_dir, "pq"))
-    (
-        codes.write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(os.path.join(out_dir, "codes"))
-    )
-    write_index_meta(
-        out_dir,
-        os.path.join(sf_dir, "embeddings.parquet"),
-        schemas={
-            "coarse": cent.schema.json(),
-            "pq": pcent.schema.json(),
-            "codes": codes.schema.json(),
-        },
-    )
-
-
-def ivfadc_index_load(
-    spark: SparkSession, out_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Load a persisted IVFADC index (see :func:`ivfadc_index_save`).
-    The codebooks are broadcast-sized; the codes scan is partitioned by
-    cluster, so a probed-cell filter prunes to the probed partitions —
-    serve cost is file-pruned before a single row is read. All three
-    tables go through :func:`read_index_table`, which restores the
-    FITTED types (the partitioned ``cluster`` would otherwise read
-    back as the partition-discovery-inferred int, not the fitted
-    bigint, and poison every downstream consumer's schema)."""
-    cent = read_index_table(spark, out_dir, "coarse", ["cid", "cv"])
-    pcent = read_index_table(spark, out_dir, "pq", ["sub", "cid", "cv"])
-    codes = read_index_table(
-        spark, out_dir, "codes", ["vec_id", "cluster", "sub", "code"]
-    )
-    return cent, pcent, codes
-
-
 # ---------------------------------------------------------------------------
-# Index persistence — one layout for every fitted structure.
-#
-# Every *_index_save writes a directory of named parquet sub-tables
-# (the index's components), with the corpus-sized table partitioned by
-# its probe predicate when one exists (FAISS's IVF layout as parquet);
-# *_index_load reads them back with the exact in-memory column sets.
-# All fits are deterministic, so save → load is result-identical to the
-# session artifact — pinned per family by the roundtrip tests in
-# tests/test_operators.py. Reference analog: the spill-file contract
-# (common.go:36-43) — intermediate artifacts durable on the shared FS,
-# re-readable by later jobs without refitting.
+# Index persistence — one layout for every fitted structure, ONE
+# implementation: plans/_util.fitted_family generates the fit-memo /
+# save / load / attach quartet for each family (see the factory calls
+# at each family's definition site). Every save writes a directory of
+# named parquet sub-tables, the corpus-sized table partitioned by its
+# probe predicate when one exists (FAISS's IVF layout as parquet);
+# loads restore the FITTED schema; attach is fingerprint- and
+# param-checked (stale/mismatched -> ValueError) and primes the
+# session cache under exactly the keys the *_for memo computes, so a
+# fresh serving session never refits. All fits are deterministic, so
+# save -> load is result-identical to the session artifact — pinned
+# per family by the roundtrip tests in tests/test_operators.py.
+# Reference analog: the spill-file contract (common.go:36-43) —
+# intermediate artifacts durable on the shared FS, re-readable by
+# later jobs without refitting.
 # ---------------------------------------------------------------------------
-
-
-def ivf_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Persist the IVF index: ``coarse`` (cid, cv) + ``lists`` (vec_id,
-    label, cluster, embedding) partitioned by cluster — the inverted
-    lists as a parquet table whose partition column IS the probe
-    predicate, so an nprobe-cell query reads only those cells' files."""
-    cent, assign = ivf_index_for(spark, sf_dir)
-    cent.write.mode("overwrite").parquet(os.path.join(out_dir, "coarse"))
-    (
-        assign.write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(os.path.join(out_dir, "lists"))
-    )
-    write_index_meta(
-        out_dir,
-        os.path.join(sf_dir, "embeddings.parquet"),
-        schemas={
-            "coarse": cent.schema.json(),
-            "lists": assign.schema.json(),
-        },
-    )
-
-
-def ivf_index_load(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Load a persisted IVF index (see :func:`ivf_index_save`). Both
-    sub-tables go through :func:`read_index_table` so the partitioned
-    ``cluster`` column serves with its FITTED bigint type instead of
-    the partition-discovery-inferred int — ``cluster`` reaches q68's
-    output, so a raw read would fail the type-tagged value hash."""
-    cent = read_index_table(spark, out_dir, "coarse", ["cid", "cv"])
-    assign = read_index_table(
-        spark, out_dir, "lists", ["vec_id", "label", "cluster", "embedding"]
-    )
-    return cent, assign
-
-
-def pq_index_save(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """Persist the PQ index: ``pq`` (sub, cid, cv) + ``codes`` (vec_id,
-    sub, cluster). The codes are deliberately NOT partitioned: plain PQ
-    has no coarse cells — ADC scans every vector's codes, so there is
-    no probe predicate to prune on (that is IVFADC's trade; see
-    :func:`ivfadc_index_save`), and partitioning by vec_id would just
-    shatter the table into tiny files."""
-    cent, codes = pq_index_for(spark, sf_dir)
-    cent.write.mode("overwrite").parquet(os.path.join(out_dir, "pq"))
-    codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))
-    write_index_meta(
-        out_dir,
-        os.path.join(sf_dir, "embeddings.parquet"),
-        schemas={
-            "pq": cent.schema.json(),
-            "codes": codes.schema.json(),
-        },
-    )
-
-
-def pq_index_load(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Load a persisted PQ index (see :func:`pq_index_save`). Neither
-    sub-table is partitioned, so today's parquet types already match
-    the fitted ones — but the loads still go through
-    :func:`read_index_table` so a future layout change (or a type the
-    writer narrows) can never silently alter the serving schema."""
-    cent = read_index_table(spark, out_dir, "pq", ["sub", "cid", "cv"])
-    codes = read_index_table(spark, out_dir, "codes", ["vec_id", "sub", "cluster"])
-    return cent, codes
-
-
-# --- attach: serve a NEW session from a persisted index, no refit ----------
-#
-# The production split: an offline job fits and `*_index_save`s; query
-# jobs `*_index_attach` at startup and serve. Attach validates the
-# saved fingerprint against the CURRENT source file (stale index →
-# ValueError, the same refuse-don't-mislead posture as the in-session
-# fingerprint keys), then primes the session cache with the loaded
-# parquet scans under exactly the keys `*_index_for` computes — so
-# every downstream consumer (q68/q155/q157/q160, the recall audits)
-# transparently serves from disk instead of refitting. The loaded
-# DataFrames are plain parquet scans (already durable, partition-
-# pruned) — no localCheckpoint needed or wanted.
-
-
-def _index_attach(spark: SparkSession, sf_dir: str, out_dir: str,
-                  kind: str, value) -> None:
-    fp = check_index_meta(out_dir, os.path.join(sf_dir, "embeddings.parquet"))
-    _cache_put(_session_cache(spark), (kind,) + fp, value)
-
-
-def ivfadc_index_attach(
-    spark: SparkSession, sf_dir: str, out_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Prime this session's IVFADC serving path from a saved index."""
-    trip = ivfadc_index_load(spark, out_dir)
-    _index_attach(spark, sf_dir, out_dir, "ivfadc", trip)
-    return trip
-
-
-def ivf_index_attach(
-    spark: SparkSession, sf_dir: str, out_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Prime this session's IVF serving path from a saved index — both
-    cache entries: the inverted lists (ivf_index_for) and the coarse
-    codebook (codebook_for), which q87/q89/q147's probes read alone."""
-    pair = ivf_index_load(spark, out_dir)
-    _index_attach(spark, sf_dir, out_dir, "ivf_lists", pair)
-    _index_attach(spark, sf_dir, out_dir, "ivf", pair[0])
-    return pair
-
-
-def pq_index_attach(
-    spark: SparkSession, sf_dir: str, out_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Prime this session's PQ serving path from a saved index."""
-    pair = pq_index_load(spark, out_dir)
-    _index_attach(spark, sf_dir, out_dir, "pq", pair)
-    return pair
 
 
 # --- semantic dedup (SemDeDup-style: cluster, then dedup inside cells) ------

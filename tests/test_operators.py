@@ -1888,6 +1888,60 @@ def test_index_attach_refuses_stale_index(spark, tmp_path):
         pq_index_attach(spark, sf, out)
 
 
+def test_index_attach_refuses_param_mismatch(spark, tmp_path):
+    """The plane-count class of silent divergence, refused at BOTH
+    gates: (a) an artifact whose stamped fit params differ from what
+    the serving code expects (an lsh8 key table fitted at a different
+    plane/table count) must fail ATTACH with ValueError — including an
+    artifact predating the param stamp entirely; (b) a keys DataFrame
+    handed directly to lsh_multitable_hits with mismatched
+    _mms_fit_params must fail the SERVE call, since a mismatched key
+    table probes wrong buckets with no error anywhere."""
+    import json
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.similarity import (
+        lsh8_index_attach,
+        lsh8_index_save,
+        lsh_multitable_hits,
+        valid_embeddings,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    out = str(tmp_path / "lsh8_index")
+    lsh8_index_save(spark, SF_SMALL, out)
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    doctored = dict(meta, params={"n_tables": 4, "n_planes": 6})
+    with open(meta_path, "w") as f:
+        json.dump(doctored, f)
+    with _pytest.raises(ValueError, match="params"):
+        lsh8_index_attach(spark, SF_SMALL, out)
+    # predates the param stamp: also refused (params=None != expected)
+    legacy = {k: v for k, v in meta.items() if k != "params"}
+    with open(meta_path, "w") as f:
+        json.dump(legacy, f)
+    with _pytest.raises(ValueError, match="params"):
+        lsh8_index_attach(spark, SF_SMALL, out)
+
+    e = valid_embeddings(
+        load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    )
+    q = e.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    keys = e.select(
+        "vec_id", F.lit(0).alias("tbl"), F.lit(0).cast("bigint").alias("bucket")
+    )
+    keys._mms_fit_params = {"n_tables": 2, "n_planes": 4}
+    with _pytest.raises(ValueError, match="n_tables"):
+        lsh_multitable_hits(e, q, 5, keys=keys)
+
+
 def test_semantic_dedup_greedy_semantics(spark):
     """semantic_dedup_df's contract on planted fixtures: a vector is
     'dup' iff an EARLIER same-cluster vector sits within cosine tau;
