@@ -2872,6 +2872,60 @@ Q175_STANDING_HEX = "e666"
 Q175_RECALL_TARGET = 0.6
 
 
+def _standing_key() -> Column:
+    """The standing/increment split key: first 4 hex chars of
+    md5('ing1:' || vec_id) — replayed verbatim by the oracle."""
+    return F.substring(
+        F.md5(F.concat(F.lit("ing1:"), F.col("vec_id").cast("string"))), 1, 4
+    )
+
+
+def _ivf_standing_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The STANDING-corpus IVF index fit: (cent, lists) with the
+    codebook fitted on — and the inverted lists covering — only the
+    standing ~90% hash split of the corpus. This is the maintained
+    artifact of the index-freshness pattern (q175/q176): a periodic
+    offline job refits it; BETWEEN refits, serving sessions attach it
+    and pay only increment assignment (one broadcast-argmax over the
+    new vectors) plus probed-cell reads — FAISS's train()-then-add()
+    split with the trained index as a persisted table. Same gate
+    (valid_embeddings), same codebook fit, same assignment pass as the
+    full-corpus IVF family — only the fit population differs."""
+    e = valid_embeddings(t(spark, sf_dir, "embeddings"))
+    standing = e.where(_standing_key() < Q175_STANDING_HEX)
+    cent = ivf_codebook(standing)
+    lists = _assign_to_codebook(standing, _with_cnorm(cent)).localCheckpoint(
+        eager=True
+    )
+    return (cent, lists)
+
+
+# Standing-corpus IVF lifecycle via fitted_family — the NINTH persisted
+# family. Same layout as the full-corpus IVF index (coarse + lists
+# partitioned by cluster, so probed-cell serves prune files); the
+# standing split key rides the param stamp, so an artifact fitted on a
+# different split refuses to attach.
+(
+    ivf_standing_index_for,
+    ivf_standing_index_save,
+    ivf_standing_index_load,
+    ivf_standing_index_attach,
+) = fitted_family(
+    "ivf_standing",
+    "embeddings.parquet",
+    [
+        ("coarse", ["cid", "cv"], None),
+        ("lists", ["vec_id", "label", "cluster", "embedding"], "cluster"),
+    ],
+    _ivf_standing_fit,
+    params={
+        "standing_hex": Q175_STANDING_HEX,
+        "k": N_IVF_CENTROIDS,
+        "iters": N_KMEANS_ITERS,
+    },
+)
+
+
 def _q175_oracle() -> str:
     standing_pred = (
         "substr(md5('ing1:' || CAST(vec_id AS VARCHAR)), 1, 4) "
@@ -2949,54 +3003,27 @@ def q175_ivf_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook CTE-for-CTE (``_ivf_codebook_sql(src='standing')``) and
     replays assignment, probe, and audit.
 
-    Scale shape: the standing lists are the maintained table
-    (ivf_index_for's artifact — here rebuilt inline because the
-    standing set is a query-local split); only the INCREMENT pays
-    assignment per ingest batch (broadcast codebook, no shuffle of
-    either side); serve cost stays probed-cells-only. Staleness is the
-    trade: centroids drift from the true distribution until the next
-    refit — which is why the recall audit rides in-band, the signal a
-    production pipeline alerts on to trigger retraining.
+    Scale shape: the standing index is the MAINTAINED artifact — the
+    ninth persisted family (:func:`ivf_standing_index_for`, save/
+    attach like every other), fitted once per (session, source
+    fingerprint) or attached from disk with no refit. A serve call
+    pays only increment assignment (broadcast codebook over just the
+    new vectors — no shuffle of either side) plus probed-cell reads
+    (the attached lists are cluster-partitioned parquet). Staleness is
+    the trade: centroids drift from the true distribution until the
+    next refit — which is why the recall audit rides in-band, the
+    signal a production pipeline alerts on to trigger retraining.
 
     Reference analog: none (SURVEY §2.3 extension — the ANN-side twin
     of q161's incremental dedup: increments broadcast, the standing
     corpus never reshuffles)."""
     e = valid_embeddings(t(spark, sf_dir, "embeddings"))
-    key = F.substring(
-        F.md5(F.concat(F.lit("ing1:"), F.col("vec_id").cast("string"))), 1, 4
+    cent, slists = ivf_standing_index_for(spark, sf_dir)
+    centn = _with_cnorm(cent)
+    incr = e.where(~(_standing_key() < Q175_STANDING_HEX))
+    lists = slists.withColumn("is_new", F.lit(False)).unionByName(
+        _assign_to_codebook(incr, centn).withColumn("is_new", F.lit(True))
     )
-    standing = e.where(key < Q175_STANDING_HEX)
-    incr = e.where(~(key < Q175_STANDING_HEX))
-    cent = ivf_codebook(standing)
-    centn = cent.select("cid", "cv", _norm(F.col("cv")).alias("_cn"))
-
-    def _assign(part: DataFrame, is_new: bool) -> DataFrame:
-        sims = (
-            part.withColumn("_en", _norm(F.col("embedding")))
-            .crossJoin(F.broadcast(centn))
-            .select(
-                "vec_id",
-                "label",
-                "embedding",
-                "cid",
-                (
-                    _dot(F.col("embedding"), F.col("cv"))
-                    / F.nullif(F.col("_en") * F.col("_cn"), F.lit(0.0))
-                ).alias("sim"),
-            )
-        )
-        return (
-            sims.groupBy("vec_id", "label")
-            .agg(
-                F.max_by(
-                    "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
-                ).alias("cluster"),
-                F.any_value("embedding").alias("embedding"),
-            )
-            .withColumn("is_new", F.lit(is_new))
-        )
-
-    lists = _assign(standing, False).unionByName(_assign(incr, True))
     probe = (
         e.where(F.col("vec_id") == QUERY_VEC_ID)
         .crossJoin(F.broadcast(centn))

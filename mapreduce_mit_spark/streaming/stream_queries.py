@@ -1831,6 +1831,29 @@ def q168_stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy("query_id", "rnk")
 
 
+def q176_ingested_tree(spark: SparkSession, lists_dir: str) -> DataFrame:
+    """The increment tree as a serving DataFrame: ``batch_id=N/
+    cluster=K`` parquet partitions discovered as partition columns,
+    ``cluster`` cast back to the fitted bigint (partition discovery
+    re-infers int from directory names — the read_index_table class of
+    schema drift, applied here by hand since the tree is a stream sink
+    rather than a saved family). An empty tree (no increments ever
+    arrived) serves as an empty DataFrame with the lists schema so the
+    union — and a fresh corpus's serve path — still plans."""
+    if not glob.glob(os.path.join(lists_dir, "batch_id=*")):
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, label string, cluster bigint, "
+            "embedding array<float>",
+        )
+    return spark.read.parquet(lists_dir).select(
+        "vec_id",
+        "label",
+        F.col("cluster").cast("long").alias("cluster"),
+        "embedding",
+    )
+
+
 @register(
     "q176_stream_index_ingest",
     oracle=None,  # set below: shares q175's oracle — stream == batch == SQL
@@ -1841,27 +1864,36 @@ def q176_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING index ingest — the streaming half of q175's freshness
     story, and the ANN twin of q163's corpus admission: increment
     vectors arrive as a file stream in micro-batches, each batch is
-    assigned to the STANDING corpus's codebook (broadcast argmax over
-    the BATCH only — the standing lists never recompute, never
-    reshuffle) and appended to the inverted-lists tree as its own
-    ``batch_id=<id>`` parquet partition (overwrite → idempotent
-    redelivery, the q162 exactly-once discipline; the standing lists
-    seed the tree at ``batch_id=-1``). After the stream drains, the
-    pinned query is served from the COMBINED tree with q175's in-band
-    recall contract.
+    assigned to the STANDING index's codebook (broadcast argmax over
+    the BATCH only — the standing tier never recomputes, never
+    reshuffles) and appended to the increment tree as its own
+    ``batch_id=<id>/cluster=<k>`` parquet partitions (whole-batch
+    overwrite → idempotent redelivery, the q162 exactly-once
+    discipline; cluster sub-partitioning is FAISS's IVF layout, so
+    probed-cell serves PRUNE FILES on the increments exactly as they
+    do on the standing lists). After the stream drains, the pinned
+    query is served from standing artifact ∪ tree, both sides pruned
+    to the probed cells, with q175's in-band recall contract.
+
+    The STANDING tier is the ninth persisted family
+    (``ivf_standing_index_for`` — fitted once per session/source or
+    attached from disk); this query never refits or re-seeds it. The
+    serve materializes the probed cell ids (≤ N_PROBE rows, ranked
+    against the k-row broadcast codebook — the same documented
+    tiny-probe class as graph.py's convergence reads) so the cell
+    predicate is STATIC and both parquet tiers prune at planning time
+    (PartitionFilters — pinned in tests/test_plan_shapes.py).
 
     Because assignment is per-vector against a static codebook, the
-    streamed ingest lands EXACTLY the lists batch q175 builds in one
-    shot — stream == batch == the SQL oracle (this query registers
-    q175's oracle verbatim), the q162/q163 equivalence discipline
-    applied to the ANN index lifecycle.
+    streamed ingest lands EXACTLY the lists q175 builds in one shot —
+    stream == batch == the SQL oracle (this query registers q175's
+    oracle verbatim), the q162/q163 equivalence discipline applied to
+    the ANN index lifecycle.
 
     Scale shape: per micro-batch cost is the batch's rows × k
     centroids, nothing else; the tree is append-only with at-once
-    idempotent partitions (a production layout would sub-partition
-    each batch by cluster — FAISS's IVF layout — so serves prune to
-    probed cells; at fixture scale the batch partitions are single
-    files and the serve filter does the pruning)."""
+    idempotent batch partitions; serve reads probed-cell files only
+    from both tiers."""
     import shutil
 
     from ..plans.similarity import (
@@ -1870,12 +1902,15 @@ def q176_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         QUERY_VEC_ID,
         Q175_RECALL_TARGET,
         Q175_STANDING_HEX,
+        _assign_to_codebook,
         _dot,
         _mark_exact_topk,
         _norm,
+        _standing_key,
+        _with_cnorm,
         _with_recall,
         cosine_col,
-        ivf_codebook,
+        ivf_standing_index_for,
         valid_embeddings,
     )
     from ..sources.io import ensure_reader_confs, load_table
@@ -1889,37 +1924,12 @@ def q176_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same ingestion gate every ANN family applies (EMB_VALID_SQL
     # twin): malformed vectors never enter fit, lists, or ground truth
     e = valid_embeddings(load_table(spark, sf_dir, "embeddings"))
-    key = F.substring(
-        F.md5(F.concat(F.lit("ing1:"), F.col("vec_id").cast("string"))), 1, 4
+    incr = e.where(~(_standing_key() < Q175_STANDING_HEX)).select(
+        "vec_id", "label", "embedding"
     )
-    standing = e.where(key < Q175_STANDING_HEX)
-    incr = e.where(~(key < Q175_STANDING_HEX)).select("vec_id", "label", "embedding")
-    cent = ivf_codebook(standing)
-    centn = cent.select("cid", "cv", _norm(F.col("cv")).alias("_cn")).localCheckpoint(
-        eager=True
-    )
-
-    def _assign(part: DataFrame) -> DataFrame:
-        sims = (
-            part.withColumn("_en", _norm(F.col("embedding")))
-            .crossJoin(F.broadcast(centn))
-            .select(
-                "vec_id",
-                "label",
-                "embedding",
-                "cid",
-                (
-                    _dot(F.col("embedding"), F.col("cv"))
-                    / F.nullif(F.col("_en") * F.col("_cn"), F.lit(0.0))
-                ).alias("sim"),
-            )
-        )
-        return sims.groupBy("vec_id", "label").agg(
-            F.max_by(
-                "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
-            ).alias("cluster"),
-            F.any_value("embedding").alias("embedding"),
-        )
+    # the standing tier: fitted artifact (or attached — no refit here)
+    cent, slists = ivf_standing_index_for(spark, sf_dir)
+    centn = _with_cnorm(cent).localCheckpoint(eager=True)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS * 2))
@@ -1927,15 +1937,15 @@ def q176_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         with tree_lock(root):
             for sub in (src_dir, ckpt, lists_dir):
                 shutil.rmtree(sub, ignore_errors=True)
-            # seed: the standing lists are the maintained artifact
-            _assign(standing).write.mode("overwrite").parquet(
-                os.path.join(lists_dir, "batch_id=-1")
-            )
             # several micro-batches: one file per shard per trigger
             incr.repartition(4, "vec_id").write.mode("overwrite").parquet(src_dir)
 
             def ingest(batch: DataFrame, batch_id: int) -> None:
-                _assign(batch).write.mode("overwrite").parquet(
+                # cluster sub-partitioning inside the batch partition:
+                # the probe predicate becomes a directory prune
+                _assign_to_codebook(batch, centn).write.mode(
+                    "overwrite"
+                ).partitionBy("cluster").parquet(
                     os.path.join(lists_dir, f"batch_id={batch_id}")
                 )
 
@@ -1952,11 +1962,17 @@ def q176_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
             LAST_QUERY["q176_sink"] = q
-            lists = spark.read.parquet(lists_dir).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
-    # serve the pinned query from the combined tree (q175's contract)
+    tree = q176_ingested_tree(spark, lists_dir)
+
+    # serve the pinned query from standing artifact ∪ ingested tree
+    # (q175's contract). The probed cells materialize as a static
+    # predicate: N_PROBE ids ranked against the k-row codebook — a
+    # bounded driver-side read (k = 8 here; still trivial at k = 2^16)
+    # that lets BOTH cluster-partitioned tiers file-prune at planning
+    # time instead of row-filtering after the scan.
     probe = (
         e.where(F.col("vec_id") == QUERY_VEC_ID)
         .crossJoin(F.broadcast(centn))
@@ -1971,21 +1987,20 @@ def q176_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(N_PROBE)
         .select("cid")
     )
+    probed_cells = [r.cid for r in probe.collect()]
+    combined = (
+        slists.withColumn("is_new", F.lit(False))
+        .unionByName(tree.withColumn("is_new", F.lit(True)))
+        .where(F.col("cluster").isin(probed_cells))
+    )
     qv = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
     )
     qsim = cosine_col(F.col("embedding"), F.col("qv"))
     hits = (
-        lists.join(F.broadcast(probe), lists.cluster == F.col("cid"))
-        .where(F.col("vec_id") != QUERY_VEC_ID)
+        combined.where(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(qv))
-        .select(
-            "vec_id",
-            "label",
-            "cluster",
-            (F.col("batch_id") >= 0).alias("is_new"),
-            qsim.alias("_sim"),
-        )
+        .select("vec_id", "label", "cluster", "is_new", qsim.alias("_sim"))
         .orderBy(F.col("_sim").desc(), "vec_id")
         .limit(ANN_K)
     )

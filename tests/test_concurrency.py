@@ -295,19 +295,20 @@ def test_q168_two_processes_concurrently(spark):
     assert sorted(map(tuple, mine)) == sorted(map(tuple, again))
 
 
-def test_cold_start_attaches_all_eight_model_families(spark, tmp_path):
+def test_cold_start_attaches_all_nine_model_families(spark, tmp_path):
     """The production COLD START, end to end: one offline session saves
-    all eight persisted fitted artifacts (IVF, PQ, IVFADC, LSH bands,
+    all NINE persisted fitted artifacts (IVF, PQ, IVFADC, LSH bands,
     multi-table LSH keys, overlap sketches, the q149 unigram LM, the
-    q166 classifier weights); a FRESH PROCESS then attaches all eight
-    and serves one consumer per family — q68, q157, q160, q161, q165,
-    q149, q166, q172 — with every fit core poisoned (ivf_codebook,
-    pq_codebooks, _lsh_bands_df, lsh_multitable_keys_df,
-    _overlap_sketches_df, _unigram_freq_df,
-    _classifier_weights_df raise), so any refit on any
-    serve path fails the child loudly. The served rows must equal this
-    session's fitted baselines. The per-family attach tests prove each
-    path alone; this is the one-session-attaches-everything boot."""
+    q166 classifier weights, the q175 STANDING-corpus IVF); a FRESH
+    PROCESS then attaches all nine and serves one consumer per family
+    — q68, q157, q160, q161, q165, q149, q166, q172, q175 — with every
+    fit core poisoned (ivf_codebook, pq_codebooks, _lsh_bands_df,
+    lsh_multitable_keys_df, _overlap_sketches_df, _unigram_freq_df,
+    _classifier_weights_df raise; ivf_codebook also covers the
+    standing fit), so any refit on any serve path fails the child
+    loudly. The served rows must equal this session's fitted
+    baselines. The per-family attach tests prove each path alone;
+    this is the one-session-attaches-everything boot."""
     import json
 
     from mapreduce_mit_spark.plans import dedup as dd
@@ -319,7 +320,8 @@ def test_cold_start_attaches_all_eight_model_families(spark, tmp_path):
     sf = SF_SMALL
     dirs = {
         f: str(tmp_path / f)
-        for f in ("ivf", "pq", "ivfadc", "lsh", "lsh8", "overlap", "unigram", "cls")
+        for f in ("ivf", "pq", "ivfadc", "lsh", "lsh8", "overlap",
+                  "unigram", "cls", "ivf_standing")
     }
     sim.ivf_index_save(spark, sf, dirs["ivf"])
     sim.pq_index_save(spark, sf, dirs["pq"])
@@ -329,6 +331,7 @@ def test_cold_start_attaches_all_eight_model_families(spark, tmp_path):
     ql.overlap_index_save(spark, sf, dirs["overlap"])
     ql.unigram_lm_save(spark, sf, dirs["unigram"])
     ql.classifier_weights_save(spark, sf, dirs["cls"])
+    sim.ivf_standing_index_save(spark, sf, dirs["ivf_standing"])
 
     queries = [
         "q68_ivf_ann",
@@ -339,6 +342,7 @@ def test_cold_start_attaches_all_eight_model_families(spark, tmp_path):
         "q149_unigram_logprob",
         "q166_classifier_filter",
         "q172_ann_multitable_lsh",
+        "q175_ivf_incremental_serve",
     ]
     baselines = {
         q: sorted([list(r) for r in REGISTRY[q].fn(spark, sf).collect()])
@@ -368,6 +372,7 @@ def test_cold_start_attaches_all_eight_model_families(spark, tmp_path):
         ql.overlap_index_attach(spark, sf, dirs["overlap"])
         ql.unigram_lm_attach(spark, sf, dirs["unigram"])
         ql.classifier_weights_attach(spark, sf, dirs["cls"])
+        sim.ivf_standing_index_attach(spark, sf, dirs["ivf_standing"])
 
         def _poison(name):
             def _fn(*a, **kw):

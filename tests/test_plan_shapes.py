@@ -318,6 +318,53 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert df.count() == o.where("o_orderstatus = 'F'").count()
 
 
+def test_q176_serve_tiers_prune_to_probed_cells(spark, tmp_path):
+    """The index-freshness serve path reads probed-cell FILES, not
+    probed-cell rows, on BOTH tiers: (a) the attached standing-IVF
+    lists (the ninth persisted family, cluster-partitioned parquet)
+    and (b) the streamed increment tree (batch_id=N/cluster=K) — a
+    cluster predicate must become a PartitionFilter on each scan
+    (directories skipped at planning), while batch_id stays UNfiltered
+    on the tree (every ingested batch serves). At 100 TB this is the
+    difference between reading nprobe/k of the index and scanning all
+    of it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.similarity import (
+        ivf_standing_index_load,
+        ivf_standing_index_save,
+    )
+    from mapreduce_mit_spark.streaming.stream_queries import (
+        fp_stream_root,
+        q176_ingested_tree,
+    )
+
+    def pfilters(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return "\n".join(
+            l for l in buf.getvalue().splitlines() if "PartitionFilters" in l
+        )
+
+    # (a) the standing tier, attached from disk
+    out = str(tmp_path / "ivf_standing")
+    ivf_standing_index_save(spark, SF_SMALL, out)
+    _cent, slists = ivf_standing_index_load(spark, out)
+    line = pfilters(slists.where(F.col("cluster").isin([0, 3])))
+    assert "cluster" in line and " IN (0,3)" in line, line
+
+    # (b) the increment tree (q176 builds it; rerun is idempotent)
+    registry.REGISTRY["q176_stream_index_ingest"].fn(spark, SF_SMALL).collect()
+    root = fp_stream_root("mms_ivf_ingest", SF_SMALL, "embeddings.parquet")
+    tree = q176_ingested_tree(spark, os.path.join(root, "lists"))
+    line = pfilters(tree.where(F.col("cluster").isin([0, 3])))
+    assert "cluster" in line and " IN (0,3)" in line, line
+    assert "batch_id" not in line, "batch partitions must all serve"
+
+
 def test_bitmap_distinct_has_no_expand(plan):
     """q67's blocked-bitmap distinct must aggregate with fixed-width
     bit_or state — the whole point is avoiding the Expand node that
