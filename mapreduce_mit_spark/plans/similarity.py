@@ -1027,6 +1027,36 @@ def _multitable_probes_df(
     )
 
 
+# Query-side broadcast gate for the ANN serve paths (the q164
+# size-gate discipline applied to serving): the probe set (queries ×
+# L × (top_m + 2) narrow rows) and the normed query table (queries ×
+# DIM doubles) broadcast while the query batch is at most this many
+# rows (~50 MB of qv doubles at DIM=64 — comfortable); a production
+# query batch past the gate flips BOTH joins to key-partitioned
+# shuffle joins instead of OOMing executors with a forced multi-GB
+# broadcast. At that volume the join keys supply the parallelism the
+# broadcast existed to rescue: (tbl, bucket) has L × 2^planes values,
+# query_id has one per query.
+ANN_BROADCAST_MAX_QUERIES = 100_000
+
+
+def _query_count_for(
+    spark: SparkSession, sf_dir: str, frac: float, queries: DataFrame
+) -> int:
+    """Memoized row count of a hash-sampled query set — the
+    ``_assign_count_for`` discipline for the serve-path size gate:
+    one job per (session, source fingerprint, frac), not one per
+    serve call."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    cache = _session_cache(spark)
+    key = (f"qsample_count:{frac}",) + source_fingerprint(src)
+    n = cache.get(key)
+    if n is None:
+        n = queries.count()
+        _cache_put(cache, key, n)
+    return n
+
+
 def lsh_multitable_hits(
     e: DataFrame,
     queries: DataFrame,
@@ -1035,24 +1065,35 @@ def lsh_multitable_hits(
     n_planes: int = 8,
     top_m: int = Q172_TOP_M,
     keys: DataFrame | None = None,
+    broadcast_max_queries: int = ANN_BROADCAST_MAX_QUERIES,
+    query_rows: int | None = None,
 ) -> DataFrame:
     """Multi-table margin-probed LSH ANN: candidates gathered by id
     across ``n_tables`` independent plane families, deduped, then
     reranked by exact cosine — FAISS's gather-then-refine shape.
 
     Scale shape: the keyed index is L rows of (vec_id, tbl, bucket) per
-    vector — ids only, the 64-float embeddings never ride the union —
-    and the probe set broadcasts (queries × L × (top_m + 2) rows). The
-    one shuffle is the candidate-set distinct on (query_id, vec_id),
-    bounded by probes × bucket size; the rerank joins candidates back
-    to the vector store by id. ``e``: (vec_id, embedding) valid
-    vectors; ``queries``: (query_id, qv). Pass ``keys`` (the fitted
-    :func:`lsh8_index_for` artifact) to serve from the index instead
-    of re-keying the corpus inline — a keys artifact that carries fit
-    params (``_mms_fit_params``, stamped by the ``fitted_family``
-    load/fit paths) is VALIDATED against this call's
-    ``n_tables``/``n_planes``: a mismatch silently probes a wrong
-    neighbor set, so it refuses with ValueError instead."""
+    vector — ids only, the 64-float embeddings never ride the union.
+    The query-side structures (probe set, normed query table) are
+    SIZE-GATED (:data:`ANN_BROADCAST_MAX_QUERIES`): broadcast for
+    sampled/interactive query batches, key-partitioned shuffle joins
+    past the gate — a production query batch can outgrow any broadcast
+    budget, and a forced broadcast there OOMs executors (the q164
+    build-side discipline applied to serving; both modes plan-pinned
+    in tests/test_plan_shapes.py and row-identical on a forced-gate
+    run). The gate's count runs EAGERLY at plan construction — callers
+    that serve repeatedly should pass ``query_rows`` (q172 memoizes it
+    per session+source via :func:`_query_count_for`). The one
+    always-shuffle is the candidate-set distinct on (query_id,
+    vec_id), bounded by probes × bucket size; the rerank joins
+    candidates back to the vector store by id. ``e``: (vec_id,
+    embedding) valid vectors; ``queries``: (query_id, qv). Pass
+    ``keys`` (the fitted :func:`lsh8_index_for` artifact) to serve
+    from the index instead of re-keying the corpus inline — a keys
+    artifact that carries fit params (``_mms_fit_params``, stamped by
+    the ``fitted_family`` load/fit paths) is VALIDATED against this
+    call's ``n_tables``/``n_planes``: a mismatch silently probes a
+    wrong neighbor set, so it refuses with ValueError instead."""
     if keys is not None:
         fitted = getattr(keys, "_mms_fit_params", None)
         if fitted is not None and fitted != {
@@ -1070,10 +1111,21 @@ def lsh_multitable_hits(
         if keys is not None
         else lsh_multitable_keys_df(e, n_tables=n_tables, n_planes=n_planes)
     )
+    will_broadcast = (
+        queries.count() if query_rows is None else query_rows
+    ) <= broadcast_max_queries
     probed = _multitable_probes_df(queries, n_tables, n_planes, top_m)
+    # above the gate the shuffle is HINTED, not just unhinted: the
+    # fixture-sized stats would let the static planner re-broadcast
+    # the very side the gate exists to keep off the wire (at real
+    # batch volumes the estimate alone would shuffle, but the mode
+    # must be deterministic to pin)
+    build_probes = (
+        F.broadcast(probed) if will_broadcast else probed.hint("shuffle_hash")
+    )
     cand = (
         keyed.join(
-            F.broadcast(probed),
+            build_probes,
             (keyed.tbl == probed.tbl) & (F.col("bucket") == F.col("pbucket")),
         )
         .where(F.col("vec_id") != F.col("query_id"))
@@ -1081,13 +1133,14 @@ def lsh_multitable_hits(
         .distinct()
     )
     qn = queries.withColumn("_qn", _norm(F.col("qv")))
+    build_qn = F.broadcast(qn) if will_broadcast else qn.hint("shuffle_hash")
     sim = _dot(F.col("embedding"), F.col("qv")) / F.nullif(
         F.col("_bn") * F.col("_qn"), F.lit(0.0)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), "vec_id")
     return (
         cand.join(e.withColumn("_bn", _norm(F.col("embedding"))), "vec_id")
-        .join(F.broadcast(qn), "query_id")
+        .join(build_qn, "query_id")
         .select("query_id", "vec_id", sim.alias("_sim"))
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
@@ -1208,7 +1261,13 @@ def q172_ann_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
     qs = sample_queries(e, Q171_SAMPLE_FRAC)
-    hits = lsh_multitable_hits(e, qs, ANN_K, keys=lsh8_index_for(spark, sf_dir))
+    hits = lsh_multitable_hits(
+        e,
+        qs,
+        ANN_K,
+        keys=lsh8_index_for(spark, sf_dir),
+        query_rows=_query_count_for(spark, sf_dir, Q171_SAMPLE_FRAC, qs),
+    )
     return hits.select(
         "query_id", "vec_id", F.round("_sim", 4).alias("cos_sim")
     ).orderBy("query_id", "vec_id")

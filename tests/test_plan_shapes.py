@@ -259,6 +259,51 @@ def test_multitable_probes_df_matches_column_path(spark):
     assert fast == slow and fast
 
 
+def test_multitable_serve_shuffle_mode_above_gate(spark):
+    """The ANN serve path's query-side size gate
+    (ANN_BROADCAST_MAX_QUERIES), forced to 0: the probe join and the
+    qn rerank join must run as key-partitioned shuffle joins with NO
+    forced broadcast of the query-sized side — the production-batch
+    mode where the query set outgrows any broadcast budget. Below the
+    gate (the default), both query-side structures broadcast (pinned
+    by test_multitable_lsh_gathers_ids_then_reranks). Same rows either
+    way, pinned by value equality."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.similarity import (
+        ANN_K,
+        lsh8_index_for,
+        lsh_multitable_hits,
+        sample_queries,
+        valid_embeddings,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    e = valid_embeddings(
+        load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    )
+    qs = sample_queries(e, 0.02)
+    keys = lsh8_index_for(spark, SF_SMALL)
+    shuffled = lsh_multitable_hits(
+        e, qs, ANN_K, keys=keys, broadcast_max_queries=0, query_rows=10**9
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        shuffled.explain("formatted")
+    p = buf.getvalue()
+    # no broadcast join may carry the query-side columns in this mode
+    bhj_details = [b.split("\n\n")[0] for b in p.split(") BroadcastHashJoin")[1:]]
+    assert all(
+        "pbucket" not in b and "_qn" not in b for b in bhj_details
+    ), "query-side structure still broadcast above the gate"
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
+    base = lsh_multitable_hits(e, qs, ANN_K, keys=keys, query_rows=1)
+    assert sorted(map(tuple, shuffled.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+
+
 def test_multitable_plane_families_are_independent():
     from mapreduce_mit_spark.plans.similarity import _PLANES, _table_planes
 
