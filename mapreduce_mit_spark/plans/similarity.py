@@ -911,13 +911,18 @@ def q171_ann_multiprobe_8planes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per table, candidates unioned then reranked exactly — the classic
 # recall fix (Indyk-Motwani / Lv et al.): a neighbor missed by one
 # table's buckets is found by another, so miss probability MULTIPLIES
-# across tables while probe count stays L × (top_m + 2). Calibrated by
-# measurement at sf0.001/sf0.01 (see FLEET_FLOORS): L=6, top_m=6 is the
-# smallest budget with min recall ≥ 0.2 and ZERO zero-hit queries at
-# BOTH fixture SFs (single-table 8-plane probing saturates at min 0.0
-# even at 37 probes — on a small corpus the tail queries' neighbors are
-# cosine-noise no single partition finds).
-N_TABLES_8P = 6
+# across tables while probe count stays L × (top_m + 2). Operating
+# point chosen FROM THE MEASURED CURVE (tools/recall_report.py
+# --sweep, RECALL_REPORT.json sweep_8p: L ∈ {4,6,8} × top_m ∈ {4,6,8}
+# at both fixture SFs): L=8, top_m=6 is the smallest swept budget with
+# min recall ≥ 0.4 and ZERO zero-hit queries at BOTH SFs — 64 probes
+# vs the previous point's 48 (+33%) buys 2× the worst-query recall
+# (0.2 → 0.4) and mean 0.49 → 0.59. L=4 at ANY top_m still has dead
+# queries; single-table 8-plane probing saturates at min 0.0 even at
+# 37 probes — on a small corpus the tail queries' neighbors are
+# cosine-noise no single partition finds. The floor rides in
+# FLEET_FLOORS['lsh_multiprobe_8p'].
+N_TABLES_8P = 8
 Q172_TOP_M = 6
 
 
@@ -1245,18 +1250,22 @@ def q172_ann_multitable_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SERVING family at production plane counts, fleet-gated.
 
     q171 shows one 8-plane table with margin-ranked probes; this is the
-    recall fix that makes 8 planes servable: L = 6 independent plane
+    recall fix that makes 8 planes servable: L = 8 independent plane
     families, each margin-probed (top-6 single flips + the
     smallest-two double flip), candidates unioned by id and reranked
-    exactly. Miss probability multiplies across tables — the measured
-    floor (min recall 0.2, ZERO zero-hit queries at both fixture SFs,
-    FLEET_FLOORS['lsh_multiprobe_8p']) holds where every single-table
-    budget up to 37/256 probes still had dead queries. Probe count is
-    pinned: L × (top_m + 2) = 48 (table, bucket) pairs per query, a
-    3.1% scan of the 6 × 256 table-bucket space regardless of corpus
-    size. Serves from the fitted key table (:func:`lsh8_index_for` —
-    memoized, persistable, attachable like every index family): the
-    corpus is keyed once per session+source, not once per query set."""
+    exactly. Miss probability multiplies across tables — the operating
+    point is chosen from the MEASURED curve (RECALL_REPORT.json
+    sweep_8p, L × top_m grid at both fixture SFs): min recall 0.4,
+    ZERO zero-hit queries, where every single-table budget up to
+    37/256 probes still had dead queries and L=4 at any top_m keeps a
+    dead-query class (FLEET_FLOORS['lsh_multiprobe_8p'] = 0.4). Probe
+    count is pinned: L × (top_m + 2) = 64 (table, bucket) pairs per
+    query, a 3.1% scan of the 8 × 256 table-bucket space regardless of
+    corpus size. Serves from the fitted key table
+    (:func:`lsh8_index_for` — memoized, persistable, attachable like
+    every index family): the corpus is keyed once per session+source,
+    not once per query set; the query-side structures are size-gated
+    (:data:`ANN_BROADCAST_MAX_QUERIES`)."""
     e = valid_embeddings(
         t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )

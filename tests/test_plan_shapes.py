@@ -132,7 +132,7 @@ def test_margin_probe_count_is_pinned(spark):
         ).alias("n")
     ).collect()
     assert all(r.n <= Q171_TOP_M + 2 for r in probes8)
-    assert N_TABLES_8P * (Q172_TOP_M + 2) == 48
+    assert N_TABLES_8P * (Q172_TOP_M + 2) == 64
     # 4-plane default == ring ∪ {double flip}: every single flip present
     ring = e.select(
         _bucket_col(F.col("embedding"), 4).alias("b"),

@@ -41,9 +41,14 @@ from pyspark.sql import functions as F
 # ivfadc(nprobe=4) 0.4/0.4 — floors sit one notch under the weaker SF
 # so a genuine index-quality regression (a new zero- or near-zero-hit
 # query class) goes red while deterministic reruns stay green.
+# lsh_multiprobe_8p: 0.4 — the serving family moved to the L=8,
+# top_m=6 point of the measured operating curve (sweep_8p in
+# RECALL_REPORT.json: min 0.4/0.4 at the fixture SFs), and the floor
+# follows the ivf precedent (floor == weakest measurement; the sweep
+# is deterministic, so reruns are exact).
 FLEET_FLOORS = {
     "lsh_multiprobe": 0.2,
-    "lsh_multiprobe_8p": 0.2,
+    "lsh_multiprobe_8p": 0.4,
     "ivf": 0.4,
     "pq_adc_rerank": 0.4,
     "ivfadc": 0.35,
@@ -156,11 +161,64 @@ def build_report(spark: SparkSession, sf_dir: str, sample_frac: float = 0.05) ->
     return report
 
 
+def build_8p_sweep(
+    spark: SparkSession, sf_dir: str, sample_frac: float = 0.05
+) -> dict:
+    """The 8-plane multi-table family's OPERATING CURVE: recall vs
+    probe budget over L ∈ {4, 6, 8} tables × top_m ∈ {4, 6, 8}
+    margin-ranked flips, same query set for every cell. Published so
+    the FLEET_FLOORS choice for the serving family
+    (lsh_multiprobe_8p: L=6, top_m=6) is a point ON a measured curve,
+    not a bare constant — the knobs trade probes for recall, and the
+    curve is what a capacity plan reads. Each cell's key table is
+    built inline (the fitted lsh8 artifact is pinned at the serving
+    L, and a mismatched-keys serve correctly refuses)."""
+    from mapreduce_mit_spark.plans.similarity import (
+        ANN_K,
+        lsh_multitable_hits,
+        lsh_multitable_keys_df,
+        recall_audit,
+        sample_queries,
+        valid_embeddings,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    e = valid_embeddings(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    queries = sample_queries(e, sample_frac)
+    sweep: dict = {}
+    for n_tables in (4, 6, 8):
+        keys = lsh_multitable_keys_df(e, n_tables=n_tables).localCheckpoint(
+            eager=True
+        )
+        for top_m in (4, 6, 8):
+            hits = lsh_multitable_hits(
+                e, queries, ANN_K, n_tables=n_tables, top_m=top_m,
+                keys=keys, query_rows=1,
+            )
+            audit = recall_audit(e, queries, hits, ANN_K).collect()
+            recalls = [r.recall_at_k for r in audit]
+            probes = n_tables * (top_m + 2)
+            sweep[f"L={n_tables},top_m={top_m}"] = {
+                "probes_per_query": probes,
+                "scan_frac_of_tablespace": round(probes / (n_tables * 256), 4),
+                "n_queries": len(recalls),
+                "mean_recall": round(sum(recalls) / len(recalls), 4),
+                "min_recall": round(min(recalls), 4),
+                "zero_hit_queries": sum(1 for r in recalls if r == 0.0),
+            }
+        keys.unpersist()
+    return sweep
+
+
 def main() -> None:
     from mapreduce_mit_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.05
+    args = [a for a in sys.argv[1:] if a != "--sweep"]
+    do_sweep = "--sweep" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    frac = float(args[1]) if len(args) > 1 else 0.05
     spark = get_spark("recall-report", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     report = build_report(spark, sf_dir, frac)
@@ -173,12 +231,50 @@ def main() -> None:
             f"{fam:<16} {r['metric']:<7} {r['k']:>2} {r['n_queries']:>4} "
             f"{r['mean_recall']:>7.4f} {r['min_recall']:>7.4f} {r['zero_hit_queries']:>5}"
         )
+    payload = {"sf_dir": sf_dir, "sample_frac": frac, "families": report}
+    if do_sweep:
+        # the operating curve, both fixture SFs (siblings of sf_dir)
+        payload["sweep_8p"] = {}
+        base = os.path.dirname(sf_dir.rstrip("/"))
+        for sf_name in ("sf0.001", "sf0.01"):
+            d = os.path.join(base, sf_name)
+            if not os.path.isdir(d):
+                continue
+            sweep = build_8p_sweep(spark, d, frac)
+            payload["sweep_8p"][sf_name] = sweep
+            hdr2 = (
+                f"{'config':<14} {'probes':>6} {'scan%':>6} {'nq':>4} "
+                f"{'mean':>7} {'min':>7} {'zero':>5}"
+            )
+            print(f"\n8p operating curve @ {sf_name}")
+            print(hdr2)
+            print("-" * len(hdr2))
+            for cfg, r in sweep.items():
+                print(
+                    f"{cfg:<14} {r['probes_per_query']:>6} "
+                    f"{100 * r['scan_frac_of_tablespace']:>6.1f} "
+                    f"{r['n_queries']:>4} {r['mean_recall']:>7.4f} "
+                    f"{r['min_recall']:>7.4f} {r['zero_hit_queries']:>5}"
+                )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "RECALL_REPORT.json",
     )
-    with open(out, "w") as f:
-        json.dump({"sf_dir": sf_dir, "sample_frac": frac, "families": report}, f, indent=1)
+    if do_sweep:
+        # keep any previously-committed sweep when rerun without it;
+        # merging is unnecessary the other way (sweep reruns replace)
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1)
+    else:
+        try:
+            with open(out) as f:
+                prior = json.load(f)
+            if "sweep_8p" in prior:
+                payload["sweep_8p"] = prior["sweep_8p"]
+        except (FileNotFoundError, ValueError):
+            pass
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1)
     print(f"\nwritten: {out}")
     assert_fleet_floors(report)
     print("fleet floors: PASS")
