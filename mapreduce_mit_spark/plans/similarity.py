@@ -1511,13 +1511,18 @@ def _ivf_codebook_sql(
     k: int = N_IVF_CENTROIDS,
     iters: int = N_KMEANS_ITERS,
     src: str = "embeddings",
+    prefix: str = "",
 ) -> str:
     """DuckDB CTE text replaying :func:`ivf_codebook` exactly; the final
-    codebook CTE is named ``cent``. ``src`` names the relation the fit
-    reads — q175 fits on the STANDING subset only (the index-freshness
-    pattern: the codebook is a snapshot, increments assign to it)."""
+    codebook CTE is named ``<prefix>cent``. ``src`` names the relation
+    the fit reads — q175 fits on the STANDING subset only (the
+    index-freshness pattern: the codebook is a snapshot, increments
+    assign to it). ``prefix`` namespaces the intermediate CTEs so one
+    oracle can replay TWO independent fits (q177 compares the standing
+    codebook against a full-corpus refit)."""
+    p = prefix
     ctes = [
-        f"""cent0 AS (
+        f"""{p}cent0 AS (
       SELECT cid, cv FROM (
         SELECT row_number() OVER (ORDER BY md5(concat('ivf:', CAST(vec_id AS VARCHAR))), vec_id) - 1 AS cid,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
@@ -1531,23 +1536,23 @@ def _ivf_codebook_sql(
             for i in range(DIM)
         )
         mlist = ", ".join(f"m.m{i}" for i in range(DIM))
-        ctes.append(f"""assign{r} AS (
+        ctes.append(f"""{p}assign{r} AS (
       SELECT vec_id, embedding, cluster FROM (
         SELECT e.vec_id, e.embedding, c.cid AS cluster,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
-        FROM {src} e, cent{r - 1} c)
+        FROM {src} e, {p}cent{r - 1} c)
       WHERE rn = 1
     )""")
-        ctes.append(f"""cent{r} AS (
+        ctes.append(f"""{p}cent{r} AS (
       SELECT p.cid,
              CASE WHEN m.cluster IS NULL THEN p.cv
                   ELSE list_value({mlist}) END AS cv
-      FROM cent{r - 1} p LEFT JOIN (
-        SELECT cluster, {avgs} FROM assign{r} GROUP BY cluster) m
+      FROM {p}cent{r - 1} p LEFT JOIN (
+        SELECT cluster, {avgs} FROM {p}assign{r} GROUP BY cluster) m
         ON m.cluster = p.cid
     )""")
-    ctes.append(f"cent AS (SELECT cid, cv FROM cent{iters})")
+    ctes.append(f"{p}cent AS (SELECT cid, cv FROM {p}cent{iters})")
     return ",\n    ".join(ctes)
 
 
@@ -3131,4 +3136,180 @@ def q175_ivf_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "cluster", "is_new",
         F.round("_sim", 4).alias("cos_sim"),
         "in_exact_topk", "recall_at_k", "recall_ok",
+    )
+
+
+# --- q177: refit-drift audit — WHEN to retrain the standing index ----------
+
+# Churn threshold for the refit recommendation: the fraction of
+# standing vectors whose cell assignment would change under a
+# full-corpus refit (cells aligned by nearest-centroid matching — the
+# cheap proxy for a Hungarian assignment; when the matching is not a
+# bijection the metric over-counts, which is the conservative
+# direction for an alerting signal). Measured on the fixtures
+# (deterministic fits, both engines replay): 0.3297 / 0.2967 / 0.1012
+# at sf0.001 / 0.01 / 0.1. At the realistic fixture (sf0.1, 5k
+# vectors) a 10% increment barely moves the cells — churn 0.10, serve
+# on. The toy fixtures sit ABOVE the threshold: an 8-centroid fit
+# over ≤1k vectors is seed-unstable between the standing subset and
+# the full corpus (the two fits draw different md5-ordered seed
+# rows), and "the standing fit no longer resembles what a refit
+# would build" is exactly the condition the audit exists to flag —
+# the recommendation bit is True there by design, not by accident.
+Q177_CHURN_TAU = 0.25
+
+
+def _q177_oracle() -> str:
+    standing_pred = (
+        "substr(md5('ing1:' || CAST(vec_id AS VARCHAR)), 1, 4) "
+        f"< '{Q175_STANDING_HEX}'"
+    )
+    return f"""
+    WITH ev AS (SELECT * FROM {EMB_VALID_SQL} AS v),
+    standing AS (SELECT * FROM ev WHERE {standing_pred}),
+    {_ivf_codebook_sql(src='standing')},
+    {_ivf_codebook_sql(src='embeddings', prefix='r')},
+    sassign AS (
+      SELECT vec_id, cid AS s_cl
+      FROM (SELECT s.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id
+                                      ORDER BY {cosine_sql('s.embedding', 'c.cv')} DESC, c.cid) AS rn
+            FROM standing s, cent c)
+      WHERE rn = 1
+    ),
+    rassign AS (
+      -- the refit candidate is the q68 family: fitted and assigned
+      -- over the RAW table (its scoring NULLs malformed rows out);
+      -- the churn join keys on sassign, so only standing∩valid rows
+      -- reach the metric in both engines
+      SELECT vec_id, cid AS r_cl
+      FROM (SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+            FROM embeddings e, rcent c)
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT s.cid AS s_cid, r.cid AS r_cid,
+             {cosine_sql('s.cv', 'r.cv')} AS cs
+      FROM cent s, rcent r
+    ),
+    near_s AS (
+      SELECT s_cid, r_cid AS nearest_refit_cid, cs FROM (
+        SELECT *, row_number() OVER (PARTITION BY s_cid
+                                     ORDER BY cs DESC, r_cid) AS rn
+        FROM pairs)
+      WHERE rn = 1
+    ),
+    map_r AS (
+      SELECT r_cid, s_cid AS mapped_s FROM (
+        SELECT *, row_number() OVER (PARTITION BY r_cid
+                                     ORDER BY cs DESC, s_cid) AS rn
+        FROM pairs)
+      WHERE rn = 1
+    ),
+    churn AS (
+      SELECT round(CAST(sum(CASE WHEN m.mapped_s != s.s_cl THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 4) AS churn_frac
+      FROM sassign s
+      JOIN rassign r ON r.vec_id = s.vec_id
+      JOIN map_r m ON m.r_cid = r.r_cl
+    ),
+    pop AS (SELECT s_cl AS cid, count(*) AS n_standing FROM sassign GROUP BY s_cl)
+    SELECT n.s_cid AS cid,
+           CAST(coalesce(p.n_standing, 0) AS BIGINT) AS n_standing,
+           n.nearest_refit_cid,
+           round(1.0 - n.cs, 4) AS centroid_shift,
+           c.churn_frac,
+           (c.churn_frac >= {Q177_CHURN_TAU}) AS refit_recommended
+    FROM near_s n LEFT JOIN pop p ON p.cid = n.s_cid, churn c
+    ORDER BY cid
+    """
+
+
+@register(
+    "q177_index_refit_drift",
+    oracle=_q177_oracle(),
+    tags=("similarity", "ivf", "incremental", "monitoring",
+          "training-pipeline"),
+)
+def q177_index_refit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFIT-DRIFT AUDIT — the alerting signal that closes the index-
+    freshness loop: q175/q176 serve increments from a STALE standing
+    codebook between retrains; this query measures how stale, and
+    recommends (or doesn't) the retrain. Production twin: every vector
+    DB / FAISS deployment schedules re-train on exactly these signals
+    rather than on a timer.
+
+    Compares the standing index's codebook (the ninth persisted
+    family, :func:`ivf_standing_index_for`) against a FULL-corpus
+    refit candidate (the q68 family, :func:`ivf_index_for` — shared
+    through the same session cache, so the audit costs no new fit
+    when both families are already serving). Per standing cell:
+    population and centroid shift (1 − cosine to the nearest refit
+    centroid — codebooks are aligned by nearest-neighbor matching,
+    since independent k-means runs don't share cid semantics). Global,
+    on every row: ``churn_frac`` — the fraction of standing vectors
+    whose cell would CHANGE under the refit (refit cells mapped back
+    to standing cells through the alignment) — and the
+    ``refit_recommended`` bit (churn ≥ :data:`Q177_CHURN_TAU`).
+
+    Scale shape: both codebooks are k rows (broadcast everywhere);
+    the k×k alignment is trivial; churn is one broadcast-mapped join
+    of the two ID-only assignment tables (narrow rows) with a
+    partial-aggregable mean — no vector ever reshuffles, and when the
+    two families are attached artifacts the audit reads lists that
+    already exist. The oracle replays BOTH fits CTE-for-CTE (the
+    prefix-namespaced ``_ivf_codebook_sql``), the alignment, and the
+    churn join, so the entire drift computation is value-checked
+    cross-engine.
+
+    Reference analog: none (SURVEY §2.3 extension — monitoring for
+    the q175/q176 freshness lifecycle)."""
+    cent_s, slists = ivf_standing_index_for(spark, sf_dir)
+    cent_r, rlists = ivf_index_for(spark, sf_dir)
+    cs = cent_s.select(F.col("cid").alias("s_cid"), F.col("cv").alias("s_cv"))
+    cr = cent_r.select(F.col("cid").alias("r_cid"), F.col("cv").alias("r_cv"))
+    pairs = cs.crossJoin(F.broadcast(cr)).select(
+        "s_cid", "r_cid", cosine_col(F.col("s_cv"), F.col("r_cv")).alias("cs")
+    )
+    near_s = pairs.groupBy("s_cid").agg(
+        F.max_by(
+            "r_cid", F.struct(F.col("cs"), (-F.col("r_cid")).alias("nr"))
+        ).alias("nearest_refit_cid"),
+        F.max("cs").alias("mcs"),
+    )
+    map_r = pairs.groupBy("r_cid").agg(
+        F.max_by(
+            "s_cid", F.struct(F.col("cs"), (-F.col("s_cid")).alias("ns"))
+        ).alias("mapped_s")
+    )
+    sa = slists.select("vec_id", F.col("cluster").alias("s_cl"))
+    ra = rlists.select("vec_id", F.col("cluster").alias("r_cl"))
+    churn = (
+        sa.join(ra, "vec_id")
+        .join(F.broadcast(map_r), F.col("r_cl") == F.col("r_cid"))
+        .agg(
+            F.round(
+                F.sum((F.col("mapped_s") != F.col("s_cl")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("churn_frac")
+        )
+    )
+    pop = sa.groupBy("s_cl").agg(F.count(F.lit(1)).alias("n_standing"))
+    return (
+        near_s.join(pop, near_s.s_cid == pop.s_cl, "left")
+        .crossJoin(F.broadcast(churn))
+        .select(
+            F.col("s_cid").alias("cid"),
+            F.coalesce("n_standing", F.lit(0)).cast("long").alias("n_standing"),
+            "nearest_refit_cid",
+            F.round(F.lit(1.0) - F.col("mcs"), 4).alias("centroid_shift"),
+            "churn_frac",
+            (F.col("churn_frac") >= Q177_CHURN_TAU).alias("refit_recommended"),
+        )
+        .orderBy("cid")
     )

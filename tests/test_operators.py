@@ -2342,3 +2342,45 @@ def test_margin_probes_superset_of_ring(spark):
             assert extra == set()  # via array_distinct
         else:
             assert extra == {want}, f"vec {r.vec_id}: wrong double flip"
+
+
+def test_refit_drift_audit_contract(spark):
+    """q177's audit contract on the fixture: one row per standing
+    cell; churn_frac is a single global value stamped on every row;
+    nearest_refit_cid points into the refit codebook; centroid_shift
+    is a valid 1-cosine distance; the recommendation bit equals the
+    thresholded churn on every row; and the toy fixture's churn sits
+    ABOVE Q177_CHURN_TAU (an 8-centroid fit over ~100 vectors is
+    seed-unstable between the standing subset and the full corpus —
+    the exact condition the audit flags; see the Q177_CHURN_TAU note,
+    with sf0.1 measured at 0.10 → serve on). Then the no-refit
+    property: with both families already session-cached, the fit core
+    is poisoned and the audit still serves (it reads the standing and
+    refit artifacts, never fits its own)."""
+    from mapreduce_mit_spark.plans import similarity as sim
+    from mapreduce_mit_spark.registry import REGISTRY
+
+    rows = REGISTRY["q177_index_refit_drift"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == sim.N_IVF_CENTROIDS
+    assert sorted(r.cid for r in rows) == list(range(sim.N_IVF_CENTROIDS))
+    churns = {r.churn_frac for r in rows}
+    assert len(churns) == 1, "churn_frac must be one global value"
+    churn = churns.pop()
+    assert sim.Q177_CHURN_TAU <= churn <= 1.0
+    for r in rows:
+        assert r.refit_recommended == (r.churn_frac >= sim.Q177_CHURN_TAU)
+        assert 0 <= r.nearest_refit_cid < sim.N_IVF_CENTROIDS
+        assert -1e-9 <= r.centroid_shift <= 2.0
+        assert r.n_standing >= 0
+    assert sum(r.n_standing for r in rows) > 0
+
+    orig = sim.ivf_codebook
+    try:
+        def _poison(*a, **kw):
+            raise AssertionError("q177 refit a codebook instead of reusing the cached families")
+
+        sim.ivf_codebook = _poison
+        again = REGISTRY["q177_index_refit_drift"].fn(spark, SF_SMALL).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    finally:
+        sim.ivf_codebook = orig
