@@ -128,6 +128,9 @@ HEADLINE = [
     "q168_stream_ann_serve",
     "q172_ann_multitable_lsh",
     "q175_ivf_incremental_serve",
+    "q178_incremental_agg_maintenance",
+    "q179_zorder_layout",
+    "q181_stream_agg_maintenance",
 ]
 
 

@@ -1,0 +1,494 @@
+"""Table-maintenance / ops pack — the jobs that keep a 100 TB lakehouse
+servable BETWEEN full recomputes: incremental materialized-aggregate
+maintenance, multi-dimensional data layout (Z-order) with measured file
+pruning, and the key-skew audit that sizes salting before a big join.
+
+These close the "operations" side of the freshness story the catalog
+already tells for dedup (q161) and ANN indexes (q175): the same
+standing-snapshot + increment-merge discipline, applied to relational
+aggregates — plus the two planning passes (layout, skew) a team runs
+BEFORE committing a 1000-executor job shape.
+
+Cross-engine determinism: every surfaced sum is an exact integer
+(cents / whole units) so merge order can never wobble a double; all
+bucket and salt arithmetic is integer-only (``div`` / ``//``); hash
+splits are md5-prefix predicates replayed verbatim by the oracles.
+
+Reference analog: none of these exist in the reference (SURVEY §2.3
+extensions); the incremental-merge contract mirrors the reference's
+combiner discipline (partial aggregation before the shuffle,
+wc.go:64-74's reduce over pre-grouped values) lifted to a persisted
+snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import fitted_family, t
+
+# --- q178: incremental aggregate maintenance (tenth persisted family) ------
+
+# Standing/increment split: first 4 hex chars of md5('agg1:' || orderkey)
+# below this threshold ≈ the 90% of rows that were present at the last
+# full refresh; the rest "arrived since". Keyed on l_orderkey so a whole
+# order's lines land on the same side — increments arrive as orders, not
+# as scattered line items.
+Q178_STANDING_HEX = "e666"
+
+# Exact-integer measures: revenue in cents, quantity in whole units.
+# Integer partials merge associatively and commutatively, so
+# snapshot-merge == full recompute BIT-FOR-BIT — the property the oracle
+# checks (it recomputes from scratch; the Spark side merges).
+_REV_CENTS = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+_QTY_INT = "CAST(round(l_quantity) AS BIGINT)"
+
+
+def _agg_split_key() -> Column:
+    """Replayed verbatim by the oracle (same idiom as q175's split)."""
+    return F.substring(
+        F.md5(F.concat(F.lit("agg1:"), F.col("l_orderkey").cast("string"))), 1, 4
+    )
+
+
+def _lineitem_partials(li: DataFrame) -> DataFrame:
+    """Mergeable per-supplier partial aggregates — the ONLY shape the
+    snapshot stores: counts, exact integer sums, min/max. avg is
+    derived at serve time (sum/count), never stored — a stored average
+    cannot be merged."""
+    return li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.expr(_QTY_INT)).alias("sum_qty"),
+        F.sum(F.expr(_REV_CENTS)).alias("rev_cents"),
+        F.min("l_shipdate").alias("ship_first"),
+        F.max("l_shipdate").alias("ship_last"),
+    )
+
+
+def _standing_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIT-ONLY: the standing-split scan of the fact table. Kept as its
+    own module-global hook so the cold-start test can poison it and
+    prove an attached snapshot serves without ever rescanning the
+    standing side (the serve path touches only the increment rows)."""
+    return t(spark, sf_dir, "lineitem").where(_agg_split_key() < Q178_STANDING_HEX)
+
+
+def _merge_partials(parts: DataFrame) -> DataFrame:
+    """Fold any number of partial sets (tagged with ``has_new_i``) into
+    final per-group aggregates. Because the measures are exact
+    integers and min/max, this merge is associative and commutative —
+    the algebra tests/test_maintenance.py checks split-invariance of."""
+    return parts.groupBy("l_suppkey").agg(
+        F.sum("n_items").alias("n_items"),
+        F.sum("sum_qty").alias("sum_qty"),
+        F.sum("rev_cents").alias("rev_cents"),
+        F.min("ship_first").alias("ship_first"),
+        F.max("ship_last").alias("ship_last"),
+        (F.max("has_new_i") == 1).alias("has_new"),
+    )
+
+
+def _agg_snapshot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing snapshot: per-supplier partials over the ~90% hash
+    split — the materialized view a periodic offline job refreshes. At
+    100 TB this is the table the refresh job REWRITES; between
+    refreshes every serve merges it with increment partials without
+    ever rescanning the standing fact table."""
+    return _lineitem_partials(_standing_lineitem(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+
+
+# Aggregate-snapshot lifecycle via fitted_family — the TENTH persisted
+# family. One sub-table (the partials); the split key and group key ride
+# the param stamp so a snapshot built for a different split or grouping
+# refuses to attach.
+(
+    agg_snapshot_for,
+    agg_snapshot_save,
+    agg_snapshot_load,
+    agg_snapshot_attach,
+) = fitted_family(
+    "agg_snapshot",
+    "lineitem.parquet",
+    [
+        (
+            "partials",
+            ["l_suppkey", "n_items", "sum_qty", "rev_cents", "ship_first", "ship_last"],
+            None,
+        )
+    ],
+    _agg_snapshot_fit,
+    params={"standing_hex": Q178_STANDING_HEX, "group_key": "l_suppkey"},
+)
+
+
+def _q178_oracle() -> str:
+    new_pred = (
+        "substr(md5('agg1:' || CAST(l_orderkey AS VARCHAR)), 1, 4) "
+        f">= '{Q178_STANDING_HEX}'"
+    )
+    return f"""
+    WITH li AS (
+      SELECT l_suppkey, {_QTY_INT} AS qty_i, {_REV_CENTS} AS rev_c, l_shipdate,
+             ({new_pred}) AS is_new
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_suppkey,
+             count(*) AS n_items,
+             CAST(sum(qty_i) AS BIGINT) AS sum_qty,
+             CAST(sum(rev_c) AS BIGINT) AS rev_cents,
+             min(l_shipdate) AS ship_first,
+             max(l_shipdate) AS ship_last,
+             (max(CASE WHEN is_new THEN 1 ELSE 0 END) = 1) AS has_new
+      FROM li GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n_items, sum_qty,
+           rev_cents / 100.0 AS revenue,
+           round(sum_qty * 1.0 / n_items, 4) AS avg_qty,
+           ship_first, ship_last, has_new
+    FROM g
+    ORDER BY revenue DESC, l_suppkey
+    LIMIT 25
+    """
+
+
+@register(
+    "q178_incremental_agg_maintenance",
+    oracle=_q178_oracle(),
+    tags=("maintenance", "incremental", "aggregation", "training-pipeline"),
+)
+def q178_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-AGGREGATE MAINTENANCE: the freshness
+    pattern (q161 dedup, q175 ANN) applied to relational aggregates —
+    a per-supplier revenue view stays current by merging increment
+    partials into a persisted standing snapshot, WITHOUT rescanning
+    the standing fact table.
+
+    The standing snapshot (per-supplier count / exact-integer sums /
+    min-max over the ~90% hash split) is the tenth persisted family
+    (:func:`agg_snapshot_for`, save/attach like every other). A serve
+    call aggregates ONLY the increment rows to the same partial shape,
+    unions the two partial sets, and folds them with the merge
+    functions (sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes);
+    the average is DERIVED from merged sums, never stored. Because the
+    stored measures are exact integers, merge order cannot wobble a
+    double — the oracle recomputes the whole view from scratch and
+    must match bit-for-bit: incremental maintenance == full recompute
+    is the contract, not an approximation.
+
+    Scale shape: at 100 TB the standing snapshot is group-cardinality-
+    sized (suppliers, not line items) and the increment is the arrival
+    batch, so the serve's work is O(increment + groups): one partial
+    agg over the new rows (map-side combine does most of it), one
+    merge shuffle on the group key over two group-sized inputs. The
+    standing fact table is read ONLY by the periodic snapshot refresh.
+    In production the increment is its own arrival partition (q176's
+    ``batch_id=`` discipline); here it is carved from one table by the
+    md5 split, per the fixture convention q161/q175 established.
+
+    Reference analog: the combiner discipline (wc.go:64-74 — reduce
+    over pre-grouped partials) persisted across job boundaries."""
+    li = t(spark, sf_dir, "lineitem")
+    snap = agg_snapshot_for(spark, sf_dir)
+    incr = li.where(~(_agg_split_key() < Q178_STANDING_HEX))
+    merged = _merge_partials(
+        snap.withColumn("has_new_i", F.lit(0)).unionByName(
+            _lineitem_partials(incr).withColumn("has_new_i", F.lit(1))
+        )
+    )
+    return (
+        merged.select(
+            "l_suppkey",
+            "n_items",
+            "sum_qty",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            F.round(F.col("sum_qty") * 1.0 / F.col("n_items"), 4).alias("avg_qty"),
+            "ship_first",
+            "ship_last",
+            "has_new",
+        )
+        .orderBy(F.col("revenue").desc(), "l_suppkey")
+        .limit(25)
+    )
+
+
+# --- q179: Z-order layout audit — multi-dimensional file pruning -----------
+
+# 16 bits per dimension -> 32-bit interleaved key; 64 files = top 6 bits.
+_ZBITS = 16
+_N_FILES = 64
+# Pinned audit predicate: a one-year shipping window (days since the
+# 1995-01-01 anchor), ALL customers — the case where a custkey-sorted
+# layout prunes NOTHING and Z-order prunes ~(1 - window/span) of files.
+Q179_DD_LO = 1096
+Q179_DD_HI = 1460
+
+
+def _z_terms(xcol: str, ycol: str) -> list[str]:
+    """Bit-interleave terms: x's bit j lands at position 2j, y's at
+    2j+1. Disjoint positions, so plain integer addition == bitwise OR
+    — the same arithmetic runs verbatim in both engines modulo the
+    shift spelling (Spark ``shiftright`` fn, DuckDB ``>>``)."""
+    terms = []
+    for j in range(_ZBITS):
+        terms.append((xcol, j, 1 << (2 * j)))
+        terms.append((ycol, j, 1 << (2 * j + 1)))
+    return terms
+
+
+def _z_expr_spark(xcol: str, ycol: str) -> str:
+    return " + ".join(
+        f"(shiftright({c}, {j}) & 1) * {w}" for c, j, w in _z_terms(xcol, ycol)
+    )
+
+
+def _z_expr_duck(xcol: str, ycol: str) -> str:
+    return " + ".join(
+        f"(({c} >> {j}) & 1) * {w}" for c, j, w in _z_terms(xcol, ycol)
+    )
+
+
+def _q179_oracle() -> str:
+    zdiv = 1 << (2 * _ZBITS - 6)  # top 6 bits of the 32-bit key
+    xdiv = 1 << (_ZBITS - 6)  # top 6 bits of the 16-bit dim
+    return f"""
+    WITH o AS (
+      SELECT o_custkey AS ck,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd
+      FROM orders
+    ),
+    ext AS (
+      SELECT min(ck) AS ckmin, max(ck) AS ckmax,
+             min(dd) AS ddmin, max(dd) AS ddmax
+      FROM o
+    ),
+    s AS (
+      SELECT ck, dd,
+             CAST(((ck - ckmin) * {(1 << _ZBITS) - 1})
+                  // GREATEST(ckmax - ckmin, 1) AS BIGINT) AS x16,
+             CAST(((dd - ddmin) * {(1 << _ZBITS) - 1})
+                  // GREATEST(ddmax - ddmin, 1) AS BIGINT) AS d16
+      FROM o, ext
+    ),
+    z AS (SELECT ck, dd, x16, ({_z_expr_duck('x16', 'd16')}) AS zval FROM s),
+    b AS (
+      SELECT 'zorder' AS layout, CAST(zval // {zdiv} AS BIGINT) AS file_id,
+             ck, dd FROM z
+      UNION ALL
+      SELECT 'custkey_linear' AS layout, CAST(x16 // {xdiv} AS BIGINT) AS file_id,
+             ck, dd FROM z
+    )
+    SELECT layout, file_id, count(*) AS n_rows,
+           min(ck) AS ck_min, max(ck) AS ck_max,
+           min(dd) AS dd_min, max(dd) AS dd_max,
+           (NOT (max(dd) < {Q179_DD_LO} OR min(dd) > {Q179_DD_HI})) AS touched
+    FROM b
+    GROUP BY layout, file_id
+    ORDER BY layout, file_id
+    """
+
+
+@register(
+    "q179_zorder_layout",
+    oracle=_q179_oracle(),
+    tags=("maintenance", "layout", "pruning"),
+)
+def q179_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER LAYOUT AUDIT: interleave the bits of two scan dimensions
+    (customer, order date) into one clustering key, carve the keyspace
+    into {n} equal files, and measure — per candidate layout — which
+    files a pinned one-year date predicate would have to read, using
+    exactly the min/max zone maps a lakehouse file footer stores.
+
+    Two layouts over the same rows: ``zorder`` (files = ranges of the
+    interleaved key — every file covers a small RECTANGLE in
+    (custkey × date) space, so its min/max is tight in BOTH columns)
+    and ``custkey_linear`` (files = custkey ranges — the 1-D sort every
+    naive pipeline ships, whose per-file date range spans the whole
+    table). ``touched`` is footer-only pruning: a file is read iff its
+    [dd_min, dd_max] intersects the predicate window. On a date-only
+    predicate the linear layout touches ALL files; Z-order touches the
+    ~window/span fraction — the measured difference IS the result.
+
+    All arithmetic is integer-exact cross-engine: dims min-max-scale to
+    16 bits by integer floor-division, interleave by shift-and-mask
+    (addition over disjoint bit positions), file ids are the key's top
+    6 bits. The oracle replays it with DuckDB's operator spellings.
+
+    Scale shape: one pass to compute extents (at 100 TB: a footer-stats
+    read, not a scan), one map-side key computation, one shuffle to
+    group by (layout, file) — the same cost as the write-side
+    ``repartitionByRange(zval)`` that would PRODUCE this layout. The
+    audit is the cheap planning pass you run before committing the
+    rewrite of a 100 TB table.
+
+    Reference analog: none (SURVEY §2.3 layout extension; Morton-order
+    clustering per the public Delta/Iceberg OPTIMIZE ZORDER docs)."""
+    scale = (1 << _ZBITS) - 1
+    zdiv = 1 << (2 * _ZBITS - 6)
+    xdiv = 1 << (_ZBITS - 6)
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))
+        )
+        .cast("long")
+        .alias("dd"),
+    )
+    ext = o.agg(
+        F.min("ck").alias("ckmin"),
+        F.max("ck").alias("ckmax"),
+        F.min("dd").alias("ddmin"),
+        F.max("dd").alias("ddmax"),
+    )
+    s = o.crossJoin(F.broadcast(ext)).select(
+        "ck",
+        "dd",
+        F.expr(
+            f"CAST(((ck - ckmin) * {scale}) div GREATEST(ckmax - ckmin, 1) AS BIGINT)"
+        ).alias("x16"),
+        F.expr(
+            f"CAST(((dd - ddmin) * {scale}) div GREATEST(ddmax - ddmin, 1) AS BIGINT)"
+        ).alias("d16"),
+    )
+    z = s.select("ck", "dd", "x16", F.expr(_z_expr_spark("x16", "d16")).alias("zval"))
+    # Both layouts from ONE scan: stack() emits two (layout, file_id)
+    # rows per order instead of a union that would re-run the whole
+    # scan + extent subtree per branch (the plan this replaced read
+    # orders twice).
+    b = z.select(
+        "ck",
+        "dd",
+        F.expr(
+            f"stack(2, 'zorder', CAST(zval div {zdiv} AS BIGINT), "
+            f"'custkey_linear', CAST(x16 div {xdiv} AS BIGINT)) "
+            "AS (layout, file_id)"
+        ),
+    )
+    return (
+        b.groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ck").alias("ck_min"),
+            F.max("ck").alias("ck_max"),
+            F.min("dd").alias("dd_min"),
+            F.max("dd").alias("dd_max"),
+        )
+        .select(
+            "layout",
+            "file_id",
+            "n_rows",
+            "ck_min",
+            "ck_max",
+            "dd_min",
+            "dd_max",
+            (
+                ~(
+                    (F.col("dd_max") < Q179_DD_LO)
+                    | (F.col("dd_min") > Q179_DD_HI)
+                )
+            ).alias("touched"),
+        )
+        .orderBy("layout", "file_id")
+    )
+
+
+q179_zorder_layout.__doc__ = q179_zorder_layout.__doc__.format(n=_N_FILES)
+
+
+# --- q180: key-skew audit — size the salt BEFORE the join ------------------
+
+# Target reducer partitions the audit plans for (the session default).
+_Q180_PARTITIONS = 32
+
+
+def _q180_oracle() -> str:
+    return f"""
+    WITH k AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+    tot AS (
+      SELECT CAST(sum(n_events) AS BIGINT) AS total, count(*) AS n_keys FROM k
+    )
+    SELECT user_id, n_events,
+           round(n_events * 100.0 / total, 4) AS share_pct,
+           round(n_events * 1.0 * n_keys / total, 4) AS skew_x,
+           CAST((n_events * {_Q180_PARTITIONS} + total - 1) // total AS BIGINT)
+             AS salt_k,
+           (n_events * 2 * n_keys > 3 * total) AS is_hot
+    FROM k, tot
+    ORDER BY n_events DESC, user_id
+    LIMIT 15
+    """
+
+
+@register(
+    "q180_skew_audit",
+    oracle=_q180_oracle(),
+    tags=("maintenance", "skew", "diagnostics"),
+)
+def q180_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-SKEW AUDIT: the planning pass that decides whether a join or
+    aggregation key needs salting BEFORE the 1000-executor job runs —
+    per hot key: its row share, its skew multiple vs a uniform key
+    (``skew_x`` = share × distinct-keys), the salt fan-out that would
+    level it (``salt_k`` = how many target-sized reducer partitions
+    this one key fills, integer-ceil over {p} partitions), and an
+    ``is_hot`` flag at the 1.5×-average threshold (integer-exact:
+    2·n·keys > 3·total).
+
+    ``salt_k`` is directly the replication factor q19_salted_join
+    / q18_salted_agg take: a key with salt_k = 1 needs no salting; a
+    key with salt_k = 8 is split across 8 sub-keys so no single
+    reducer sees more than ~total/{p} rows of it. AQE's skew-join
+    handles the sort-merge case at runtime; this audit is for the
+    shapes AQE can't re-plan — broadcast-hash build sides, stateful
+    streaming keys, ``applyInPandas`` groups — where the salt must be
+    in the plan.
+
+    Scale shape: one map-side-combined count per key (the shuffle
+    carries one row per distinct key, not per event), one broadcast of
+    the two global scalars, top-15 fused into TakeOrdered. At 100 TB
+    the per-key count table is exactly what the shuffle write already
+    materializes — this audit reads it instead of guessing.
+
+    Reference analog: the reference hash-partitions by ihash(key) %
+    R with no skew handling (mapreduce.go's partition loop, SURVEY
+    §2.1 #4) — this is the measurement that tells you when that
+    breaks."""
+    # Lazy checkpoint: the per-key count table materializes once and
+    # serves BOTH consumers (the audit rows and the two global
+    # scalars) — without it the plan scans the fact table twice.
+    k = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
+    tot = k.agg(
+        F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") * 100.0 / F.col("total"), 4).alias(
+                "share_pct"
+            ),
+            F.round(
+                F.col("n_events") * 1.0 * F.col("n_keys") / F.col("total"), 4
+            ).alias("skew_x"),
+            F.expr(
+                f"CAST((n_events * {_Q180_PARTITIONS} + total - 1) div total"
+                " AS BIGINT)"
+            ).alias("salt_k"),
+            (
+                F.col("n_events") * 2 * F.col("n_keys") > F.col("total") * 3
+            ).alias("is_hot"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(15)
+    )

@@ -64,6 +64,7 @@ def load_all_plans() -> None:
         features,
         io_roundtrip,
         iterative,
+        maintenance,
         mapreduce_parity,
         modern,
         pipeline,

@@ -2032,3 +2032,149 @@ def _q176_bind_oracle() -> None:
 
 
 _q176_bind_oracle()
+
+
+# --- q181: streaming aggregate-snapshot maintenance -------------------------
+
+
+def _q181_partials_tree(spark: SparkSession, parts_dir: str) -> DataFrame:
+    """Read the streamed partials tree back, restoring the snapshot's
+    column set (``batch_id`` is layout, not data). Empty tree (no
+    increments ever arrived) planes as an empty DataFrame with the
+    partials schema so the merge still plans."""
+    if not glob.glob(os.path.join(parts_dir, "batch_id=*")):
+        return spark.createDataFrame(
+            [],
+            "l_suppkey bigint, n_items bigint, sum_qty bigint, "
+            "rev_cents bigint, ship_first timestamp_ntz, "
+            "ship_last timestamp_ntz",
+        )
+    return spark.read.parquet(parts_dir).select(
+        "l_suppkey", "n_items", "sum_qty", "rev_cents", "ship_first", "ship_last"
+    )
+
+
+@register(
+    "q181_stream_agg_maintenance",
+    oracle=None,  # set below: shares q178's oracle — stream == batch == SQL
+    tags=("streaming", "maintenance", "incremental", "aggregation"),
+)
+def q181_stream_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized-aggregate maintenance — the streaming half
+    of q178's freshness story, completing the trilogy's symmetry
+    (dedup q161/q162, ANN index q175/q176, relational aggregate
+    q178/this): increment fact rows arrive as a file stream in
+    micro-batches; each batch folds to the SAME mergeable partial
+    shape the snapshot stores (count / exact-integer sums / min-max —
+    one map-side-combined agg over the batch only) and lands as its
+    own ``batch_id=<id>`` parquet partition (whole-batch overwrite →
+    idempotent redelivery, the q162/q176 exactly-once discipline).
+    After the drain, the view is served by merging the persisted
+    standing snapshot (the tenth family, never rescanned, never
+    refreshed here) with the streamed partials tree.
+
+    Because the partial-merge algebra is associative and commutative
+    over exact integers (tests/test_maintenance.py proves
+    split-invariance), ANY batch boundary lands the same merged view —
+    so this query registers q178's oracle VERBATIM: stream == batch ==
+    SQL, value-checked by the driver.
+
+    Scale shape: per micro-batch cost is one partial agg over the
+    batch's rows (shuffle carries one row per touched group); the
+    partials tree grows by O(groups-touched) per batch, NOT by rows;
+    the serve-side merge reads snapshot + tree — both group-sized —
+    and never the standing fact table. A periodic refresh would fold
+    the tree into a new snapshot and truncate it (the q163 pointer-flip
+    pattern); between refreshes this is the entire serving cost.
+
+    Reference analog: the reference's combiner/reduce split
+    (wc.go:64-74) with the combine running per micro-batch and the
+    reduce at serve time."""
+    import shutil
+
+    from ..plans.maintenance import (
+        Q178_STANDING_HEX,
+        _agg_split_key,
+        _lineitem_partials,
+        _merge_partials,
+        agg_snapshot_for,
+    )
+    from ..sources.io import ensure_reader_confs, load_table
+
+    ensure_reader_confs(spark)
+    root = fp_stream_root("mms_agg_stream", sf_dir, "lineitem.parquet")
+    src_dir = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    parts_dir = os.path.join(root, "parts")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    incr = li.where(~(_agg_split_key() < Q178_STANDING_HEX)).select(
+        "l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    )
+    snap = agg_snapshot_for(spark, sf_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS * 2))
+    try:
+        with tree_lock(root):
+            for sub in (src_dir, ckpt, parts_dir):
+                shutil.rmtree(sub, ignore_errors=True)
+            # several micro-batches: one file per shard per trigger
+            incr.repartition(4, "l_orderkey").write.mode("overwrite").parquet(src_dir)
+
+            def fold(batch: DataFrame, batch_id: int) -> None:
+                _lineitem_partials(batch).write.mode("overwrite").parquet(
+                    os.path.join(parts_dir, f"batch_id={batch_id}")
+                )
+
+            stream = (
+                spark.readStream.schema(incr.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            q = (
+                stream.writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            LAST_QUERY["q181_sink"] = q
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    tree = _q181_partials_tree(spark, parts_dir)
+    merged = _merge_partials(
+        snap.withColumn("has_new_i", F.lit(0)).unionByName(
+            tree.withColumn("has_new_i", F.lit(1))
+        )
+    )
+    return (
+        merged.select(
+            "l_suppkey",
+            "n_items",
+            "sum_qty",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            F.round(F.col("sum_qty") * 1.0 / F.col("n_items"), 4).alias("avg_qty"),
+            "ship_first",
+            "ship_last",
+            "has_new",
+        )
+        .orderBy(F.col("revenue").desc(), "l_suppkey")
+        .limit(25)
+    )
+
+
+# stream == batch == SQL: the partial-merge algebra is batch-boundary-
+# independent, so the streamed maintenance provably lands q178's view —
+# q181 registers q178's oracle verbatim (the q162/q163/q176 equivalence
+# discipline applied to materialized-aggregate maintenance).
+def _q181_bind_oracle() -> None:
+    from ..plans.maintenance import _q178_oracle
+    from ..registry import REGISTRY
+
+    REGISTRY["q181_stream_agg_maintenance"].oracle = _q178_oracle()
+
+
+_q181_bind_oracle()

@@ -295,23 +295,25 @@ def test_q168_two_processes_concurrently(spark):
     assert sorted(map(tuple, mine)) == sorted(map(tuple, again))
 
 
-def test_cold_start_attaches_all_nine_model_families(spark, tmp_path):
+def test_cold_start_attaches_all_ten_model_families(spark, tmp_path):
     """The production COLD START, end to end: one offline session saves
-    all NINE persisted fitted artifacts (IVF, PQ, IVFADC, LSH bands,
+    all TEN persisted fitted artifacts (IVF, PQ, IVFADC, LSH bands,
     multi-table LSH keys, overlap sketches, the q149 unigram LM, the
-    q166 classifier weights, the q175 STANDING-corpus IVF); a FRESH
-    PROCESS then attaches all nine and serves one consumer per family
-    — q68, q157, q160, q161, q165, q149, q166, q172, q175 — with every
-    fit core poisoned (ivf_codebook, pq_codebooks, _lsh_bands_df,
+    q166 classifier weights, the q175 STANDING-corpus IVF, the q178
+    aggregate snapshot); a FRESH PROCESS then attaches all ten and
+    serves one consumer per family — q68, q157, q160, q161, q165,
+    q149, q166, q172, q175, q178 — with every fit core poisoned
+    (ivf_codebook, pq_codebooks, _lsh_bands_df,
     lsh_multitable_keys_df, _overlap_sketches_df, _unigram_freq_df,
-    _classifier_weights_df raise; ivf_codebook also covers the
-    standing fit), so any refit on any serve path fails the child
-    loudly. The served rows must equal this session's fitted
-    baselines. The per-family attach tests prove each path alone;
-    this is the one-session-attaches-everything boot."""
+    _classifier_weights_df, _standing_lineitem raise; ivf_codebook
+    also covers the standing fit), so any refit on any serve path
+    fails the child loudly. The served rows must equal this session's
+    fitted baselines. The per-family attach tests prove each path
+    alone; this is the one-session-attaches-everything boot."""
     import json
 
     from mapreduce_mit_spark.plans import dedup as dd
+    from mapreduce_mit_spark.plans import maintenance as mnt
     from mapreduce_mit_spark.plans import quality as ql
     from mapreduce_mit_spark.plans import similarity as sim
     from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
@@ -321,7 +323,7 @@ def test_cold_start_attaches_all_nine_model_families(spark, tmp_path):
     dirs = {
         f: str(tmp_path / f)
         for f in ("ivf", "pq", "ivfadc", "lsh", "lsh8", "overlap",
-                  "unigram", "cls", "ivf_standing")
+                  "unigram", "cls", "ivf_standing", "agg_snapshot")
     }
     sim.ivf_index_save(spark, sf, dirs["ivf"])
     sim.pq_index_save(spark, sf, dirs["pq"])
@@ -332,6 +334,7 @@ def test_cold_start_attaches_all_nine_model_families(spark, tmp_path):
     ql.unigram_lm_save(spark, sf, dirs["unigram"])
     ql.classifier_weights_save(spark, sf, dirs["cls"])
     sim.ivf_standing_index_save(spark, sf, dirs["ivf_standing"])
+    mnt.agg_snapshot_save(spark, sf, dirs["agg_snapshot"])
 
     queries = [
         "q68_ivf_ann",
@@ -343,17 +346,26 @@ def test_cold_start_attaches_all_nine_model_families(spark, tmp_path):
         "q166_classifier_filter",
         "q172_ann_multitable_lsh",
         "q175_ivf_incremental_serve",
+        "q178_incremental_agg_maintenance",
     ]
-    baselines = {
-        q: sorted([list(r) for r in REGISTRY[q].fn(spark, sf).collect()])
-        for q in queries
-    }
+    # default=str + loads: timestamps (q178's min/max ship dates) compare
+    # as their string forms on both sides of the process boundary.
+    baselines = json.loads(
+        json.dumps(
+            {
+                q: sorted([list(r) for r in REGISTRY[q].fn(spark, sf).collect()])
+                for q in queries
+            },
+            default=str,
+        )
+    )
 
     code = textwrap.dedent(
         f"""
         import json, sys
         sys.path.insert(0, {REPO!r})
         from mapreduce_mit_spark.plans import dedup as dd
+        from mapreduce_mit_spark.plans import maintenance as mnt
         from mapreduce_mit_spark.plans import quality as ql
         from mapreduce_mit_spark.plans import similarity as sim
         from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
@@ -373,6 +385,7 @@ def test_cold_start_attaches_all_nine_model_families(spark, tmp_path):
         ql.unigram_lm_attach(spark, sf, dirs["unigram"])
         ql.classifier_weights_attach(spark, sf, dirs["cls"])
         sim.ivf_standing_index_attach(spark, sf, dirs["ivf_standing"])
+        mnt.agg_snapshot_attach(spark, sf, dirs["agg_snapshot"])
 
         def _poison(name):
             def _fn(*a, **kw):
@@ -386,11 +399,12 @@ def test_cold_start_attaches_all_nine_model_families(spark, tmp_path):
         ql._overlap_sketches_df = _poison("_overlap_sketches_df")
         ql._unigram_freq_df = _poison("_unigram_freq_df")
         ql._classifier_weights_df = _poison("_classifier_weights_df")
+        mnt._standing_lineitem = _poison("_standing_lineitem")
 
         out = {{}}
         for q in {queries!r}:
             out[q] = sorted([list(r) for r in REGISTRY[q].fn(spark, sf).collect()])
-        print("SERVED " + json.dumps(out), flush=True)
+        print("SERVED " + json.dumps(out, default=str), flush=True)
         spark.stop()
         """
     )

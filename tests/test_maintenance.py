@@ -1,0 +1,159 @@
+"""Semantics tests for the maintenance/ops pack (q178-q180).
+
+What the DuckDB oracles can't pin down, these do:
+- the incremental-merge algebra is SPLIT-INVARIANT (any standing/
+  increment carve merges to the same view — not just the registered
+  e666 split the oracle replays);
+- the Z-order interleave matches an independent pure-Python Morton
+  encode, and the layout actually PRUNES (the measured point of q179);
+- the skew audit's salt factor is exactly the integer ceil it claims;
+- the tenth persisted family refuses param-mismatched artifacts like
+  the other nine.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_mit_spark.plans import maintenance as mnt
+from mapreduce_mit_spark.plans.maintenance import (
+    _lineitem_partials,
+    _merge_partials,
+    agg_snapshot_attach,
+    agg_snapshot_save,
+)
+from mapreduce_mit_spark.sources.io import load_table
+
+from .conftest import SF_SMALL
+
+
+def _merged_measures(spark, split_hex: str | None):
+    """q178's merge over an arbitrary standing/increment carve (None =
+    single-pass, no split). has_new depends on the carve by design, so
+    only the measure columns are compared."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    if split_hex is None:
+        parts = _lineitem_partials(li).withColumn("has_new_i", F.lit(0))
+    else:
+        key = mnt._agg_split_key()
+        parts = (
+            _lineitem_partials(li.where(key < split_hex))
+            .withColumn("has_new_i", F.lit(0))
+            .unionByName(
+                _lineitem_partials(li.where(~(key < split_hex))).withColumn(
+                    "has_new_i", F.lit(1)
+                )
+            )
+        )
+    rows = (
+        _merge_partials(parts)
+        .select("l_suppkey", "n_items", "sum_qty", "rev_cents",
+                "ship_first", "ship_last")
+        .collect()
+    )
+    return sorted(tuple(r) for r in rows)
+
+
+def test_incremental_merge_is_split_invariant(spark):
+    """The contract behind q178: merging partials is the SAME function
+    of the data no matter where the standing/increment boundary falls
+    — 10%, 50%, 90% increments and the no-split single pass all agree
+    bit-for-bit (exact-integer measures make this an equality, not a
+    tolerance)."""
+    base = _merged_measures(spark, None)
+    for hex_split in ("1999", "8000", "e666"):
+        assert _merged_measures(spark, hex_split) == base, hex_split
+
+
+def _py_morton(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for j in range(bits):
+        z |= ((x >> j) & 1) << (2 * j)
+        z |= ((y >> j) & 1) << (2 * j + 1)
+    return z
+
+
+def test_zorder_interleave_matches_python_morton(spark):
+    """The Spark-side shift-and-add interleave == an independent
+    pure-Python Morton encode, over the real fixture values."""
+    df = (
+        spark.range(0, 512)
+        .select(
+            (F.col("id") * 37 % 65536).cast("long").alias("x16"),
+            (F.col("id") * 101 % 65536).cast("long").alias("d16"),
+        )
+        .select(
+            "x16",
+            "d16",
+            F.expr(mnt._z_expr_spark("x16", "d16")).alias("zval"),
+        )
+    )
+    for r in df.collect():
+        assert r.zval == _py_morton(r.x16, r.d16), (r.x16, r.d16)
+
+
+def test_zorder_prunes_where_linear_layout_cannot(spark):
+    """The measured point of q179: on the pinned date-window predicate
+    the custkey-sorted layout reads EVERY file it wrote (its per-file
+    date range spans the table), while the Z-order layout's rectangle
+    files let footer min/max pruning skip a real fraction."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    rows = REGISTRY["q179_zorder_layout"].fn(spark, SF_SMALL).collect()
+    by_layout: dict[str, list] = {}
+    for r in rows:
+        by_layout.setdefault(r.layout, []).append(r)
+    lin = by_layout["custkey_linear"]
+    zod = by_layout["zorder"]
+    assert all(r.touched for r in lin), "1-D layout should prune nothing"
+    z_touched = sum(r.touched for r in zod)
+    assert z_touched < len(zod) / 2, (
+        f"zorder should skip >half its files: touched {z_touched}/{len(zod)}"
+    )
+    # zone maps are consistent: every file's stats bound its rows
+    assert all(r.ck_min <= r.ck_max and r.dd_min <= r.dd_max for r in rows)
+
+
+def test_skew_audit_salt_is_integer_ceil(spark):
+    """salt_k == ceil(key_rows * P / total) exactly, and every key gets
+    at least 1 — recomputed independently from the raw counts."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    audit = {
+        r.user_id: r for r in REGISTRY["q180_skew_audit"].fn(spark, SF_SMALL).collect()
+    }
+    counts = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    for uid, row in audit.items():
+        expect = math.ceil(counts[uid] * mnt._Q180_PARTITIONS / total)
+        assert row.salt_k == max(expect, 1), uid
+        assert row.salt_k >= 1
+
+
+def test_agg_snapshot_attach_refuses_param_mismatch(spark, tmp_path):
+    """The tenth family honors the same param-stamp gate as the other
+    nine: a snapshot built for a different split key or group key must
+    refuse to attach, not silently merge against the wrong carve."""
+    out = str(tmp_path / "agg_snapshot")
+    agg_snapshot_save(spark, SF_SMALL, out)
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    doctored = dict(meta, params={"standing_hex": "8000", "group_key": "l_suppkey"})
+    with open(meta_path, "w") as f:
+        json.dump(doctored, f)
+    with pytest.raises(ValueError, match="params"):
+        agg_snapshot_attach(spark, SF_SMALL, out)

@@ -1176,3 +1176,28 @@ def test_stream_index_ingest_equals_batch_freshness(spark):
         map(tuple, REGISTRY["q176_stream_index_ingest"].fn(spark, SF_SMALL).collect())
     )
     assert again == streamed, "q176 rerun not idempotent"
+
+
+def test_stream_agg_maintenance_equals_batch(spark):
+    """q181's streamed partial-fold must land EXACTLY q178's merged
+    view: same groups, same exact-integer measures, same has_new flags
+    — stream == batch, asserted directly (both are also value-checked
+    against the same SQL oracle by the driver). A second run over a
+    re-staged tree must be idempotent."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    batch = sorted(
+        map(
+            tuple,
+            REGISTRY["q178_incremental_agg_maintenance"].fn(spark, SF_SMALL).collect(),
+        )
+    )
+    streamed = sorted(
+        map(tuple, REGISTRY["q181_stream_agg_maintenance"].fn(spark, SF_SMALL).collect())
+    )
+    assert streamed == batch and batch, "streamed maintenance diverges from batch"
+    again = sorted(
+        map(tuple, REGISTRY["q181_stream_agg_maintenance"].fn(spark, SF_SMALL).collect())
+    )
+    assert again == streamed, "q181 rerun not idempotent"
