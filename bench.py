@@ -131,6 +131,7 @@ HEADLINE = [
     "q178_incremental_agg_maintenance",
     "q179_zorder_layout",
     "q181_stream_agg_maintenance",
+    "q183_epoch_repetition",
 ]
 
 

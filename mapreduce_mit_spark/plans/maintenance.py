@@ -252,11 +252,41 @@ def _z_expr_duck(xcol: str, ycol: str) -> str:
     )
 
 
-def _q179_oracle() -> str:
-    zdiv = 1 << (2 * _ZBITS - 6)  # top 6 bits of the 32-bit key
-    xdiv = 1 << (_ZBITS - 6)  # top 6 bits of the 16-bit dim
-    return f"""
-    WITH o AS (
+def _zorder_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by q179 (audit) and q182 (rewrite): orders keyed by the
+    32-bit Morton interleave of (custkey, days-since-anchor), both dims
+    min-max-scaled to 16 bits by exact integer arithmetic."""
+    scale = (1 << _ZBITS) - 1
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01")))
+        .cast("long")
+        .alias("dd"),
+    )
+    ext = o.agg(
+        F.min("ck").alias("ckmin"),
+        F.max("ck").alias("ckmax"),
+        F.min("dd").alias("ddmin"),
+        F.max("dd").alias("ddmax"),
+    )
+    s = o.crossJoin(F.broadcast(ext)).select(
+        "ck",
+        "dd",
+        F.expr(
+            f"CAST(((ck - ckmin) * {scale}) div GREATEST(ckmax - ckmin, 1) AS BIGINT)"
+        ).alias("x16"),
+        F.expr(
+            f"CAST(((dd - ddmin) * {scale}) div GREATEST(ddmax - ddmin, 1) AS BIGINT)"
+        ).alias("d16"),
+    )
+    return s.select(
+        "ck", "dd", "x16", F.expr(_z_expr_spark("x16", "d16")).alias("zval")
+    )
+
+
+# DuckDB twin of _zorder_frame, shared by the q179/q182 oracles.
+_ZORDER_CTES = f"""
+    o AS (
       SELECT o_custkey AS ck,
              date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd
       FROM orders
@@ -274,7 +304,15 @@ def _q179_oracle() -> str:
                   // GREATEST(ddmax - ddmin, 1) AS BIGINT) AS d16
       FROM o, ext
     ),
-    z AS (SELECT ck, dd, x16, ({_z_expr_duck('x16', 'd16')}) AS zval FROM s),
+    z AS (SELECT ck, dd, x16, ({_z_expr_duck('x16', 'd16')}) AS zval FROM s)
+"""
+
+
+def _q179_oracle() -> str:
+    zdiv = 1 << (2 * _ZBITS - 6)  # top 6 bits of the 32-bit key
+    xdiv = 1 << (_ZBITS - 6)  # top 6 bits of the 16-bit dim
+    return f"""
+    WITH {_ZORDER_CTES},
     b AS (
       SELECT 'zorder' AS layout, CAST(zval // {zdiv} AS BIGINT) AS file_id,
              ck, dd FROM z
@@ -328,34 +366,9 @@ def q179_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (SURVEY §2.3 layout extension; Morton-order
     clustering per the public Delta/Iceberg OPTIMIZE ZORDER docs)."""
-    scale = (1 << _ZBITS) - 1
     zdiv = 1 << (2 * _ZBITS - 6)
     xdiv = 1 << (_ZBITS - 6)
-    o = t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("ck"),
-        F.datediff(
-            F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))
-        )
-        .cast("long")
-        .alias("dd"),
-    )
-    ext = o.agg(
-        F.min("ck").alias("ckmin"),
-        F.max("ck").alias("ckmax"),
-        F.min("dd").alias("ddmin"),
-        F.max("dd").alias("ddmax"),
-    )
-    s = o.crossJoin(F.broadcast(ext)).select(
-        "ck",
-        "dd",
-        F.expr(
-            f"CAST(((ck - ckmin) * {scale}) div GREATEST(ckmax - ckmin, 1) AS BIGINT)"
-        ).alias("x16"),
-        F.expr(
-            f"CAST(((dd - ddmin) * {scale}) div GREATEST(ddmax - ddmin, 1) AS BIGINT)"
-        ).alias("d16"),
-    )
-    z = s.select("ck", "dd", "x16", F.expr(_z_expr_spark("x16", "d16")).alias("zval"))
+    z = _zorder_frame(spark, sf_dir)
     # Both layouts from ONE scan: stack() emits two (layout, file_id)
     # rows per order instead of a union that would re-run the whole
     # scan + extent subtree per branch (the plan this replaced read
@@ -492,3 +505,115 @@ def q180_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(15)
     )
+
+
+# --- q182: Z-order rewrite — real files, real footers ----------------------
+
+
+def _q182_path(sf_dir: str) -> str:
+    """Per-source scratch dir for the rewrite — fingerprint-keyed so two
+    fixture dirs (or a regenerated one) can never serve each other's
+    footers; overwritten on every run."""
+    import os
+
+    from ._util import source_fingerprint
+    from .io_roundtrip import _scratch
+
+    fp = source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    return os.path.join(
+        _scratch("zorder"), f"{os.path.basename(fp[0])}-{fp[1]}-{fp[2]}"
+    )
+
+
+def _q182_oracle() -> str:
+    zdiv = 1 << (2 * _ZBITS - 6)
+    return f"""
+    WITH {_ZORDER_CTES},
+    f AS (SELECT CAST(zval // {zdiv} AS BIGINT) AS file_id, dd FROM z)
+    SELECT file_id, count(*) AS n_rows,
+           min(dd) AS dd_min, max(dd) AS dd_max,
+           (NOT (max(dd) < {Q179_DD_LO} OR min(dd) > {Q179_DD_HI})) AS touched
+    FROM f
+    GROUP BY file_id
+    ORDER BY file_id
+    """
+
+
+@register(
+    "q182_zorder_rewrite",
+    oracle=_q182_oracle(),
+    tags=("maintenance", "layout", "pruning", "sink"),
+)
+def q182_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER REWRITE — the act q179 planned: physically rewrite the
+    table clustered by the interleaved key (one parquet file per
+    Z-range), then read the REAL file footers back and report, per
+    file, the row count and dd min/max the parquet writer actually
+    stamped — the statistics a 100 TB scan's pruning decisions run on.
+
+    The contract the oracle checks: real footer statistics == the zone
+    maps computed from the data (the oracle group-bys the same rows;
+    the Spark side reads ONLY parquet metadata, never the rewritten
+    rows). A mismatch would mean the rewrite scattered a Z-range
+    across files — i.e., the layout the planner promised is not the
+    layout on disk. ``touched`` is the same footer-intersects-window
+    rule as q179, now evaluated against stamped metadata.
+
+    Determinism: ``file_id = zval div 2^26`` is an explicit column
+    (NOT repartitionByRange, whose sampled boundaries differ run to
+    run), written ``partitionBy(file_id)`` after a hash repartition on
+    it, so each Z-range lands in exactly one file with
+    reproducible contents. The footer read is driver-side but bounded
+    by the FILE count (64 here; still trivial at 10⁵ files — it reads
+    ~100 bytes of metadata per file, the same planning-time cost every
+    lakehouse table commit pays), the documented tiny-read class of
+    graph.py's convergence probes.
+
+    Scale shape: the rewrite is one map-side key computation + one
+    shuffle on file_id + a partitioned write — identical cost to the
+    OPTIMIZE ZORDER job it models; the audit after it is metadata-only.
+
+    Reference analog: none (SURVEY §2.3 layout extension; the
+    write-side half of q179's Delta/Iceberg OPTIMIZE ZORDER pattern)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    zdiv = 1 << (2 * _ZBITS - 6)
+    z = _zorder_frame(spark, sf_dir).select(
+        "ck", "dd", F.expr(f"CAST(zval div {zdiv} AS BIGINT)").alias("file_id")
+    )
+    path = _q182_path(sf_dir)
+    z.repartition("file_id").write.mode("overwrite").partitionBy(
+        "file_id"
+    ).parquet(path)
+
+    rows = []
+    for part in sorted(_glob.glob(os.path.join(path, "file_id=*"))):
+        file_id = int(part.rsplit("file_id=", 1)[1])
+        n_rows, dd_min, dd_max = 0, None, None
+        for f in _glob.glob(os.path.join(part, "*.parquet")):
+            md = _pq.ParquetFile(f).metadata
+            dd_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+                "dd"
+            ]
+            n_rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(dd_idx).statistics
+                dd_min = st.min if dd_min is None else min(dd_min, st.min)
+                dd_max = st.max if dd_max is None else max(dd_max, st.max)
+        rows.append((file_id, n_rows, dd_min, dd_max))
+
+    stats = spark.createDataFrame(
+        rows, "file_id bigint, n_rows bigint, dd_min bigint, dd_max bigint"
+    )
+    return stats.select(
+        "file_id",
+        "n_rows",
+        "dd_min",
+        "dd_max",
+        (
+            ~((F.col("dd_max") < Q179_DD_LO) | (F.col("dd_min") > Q179_DD_HI))
+        ).alias("touched"),
+    ).orderBy("file_id")

@@ -1062,3 +1062,127 @@ def q173_trainer_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return funnel.orderBy("stage", "lang")
+
+
+# --- q183: epoch-aware repetition sampling ---------------------------------
+
+# Per-language epoch budgets: (whole epochs, fractional-epoch md5
+# threshold — first 2 hex chars, so P(extra copy) = 0xXY/256). en 2.5
+# epochs, fr 1.5, es/de 1.0, zh 0.5 — the data-constrained regime where
+# high-value subsets repeat and low-value ones subsample.
+EPOCH_BUDGETS = {
+    "en": (2, "80"),
+    "fr": (1, "80"),
+    "es": (1, "00"),
+    "de": (1, "00"),
+    "zh": (0, "80"),
+}
+_EPOCH_MAX = max(b for b, _ in EPOCH_BUDGETS.values()) + 2  # range() bound
+
+
+def _q183_oracle() -> str:
+    base_case = " ".join(
+        f"WHEN '{lang}' THEN {base}" for lang, (base, _) in EPOCH_BUDGETS.items()
+    )
+    frac_case = " ".join(
+        f"WHEN '{lang}' THEN '{frac}'" for lang, (_, frac) in EPOCH_BUDGETS.items()
+    )
+    return f"""
+    WITH k AS (
+      SELECT lang, n_chars,
+             (CASE lang {base_case} ELSE 1 END)
+             + (CASE WHEN substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                          < (CASE lang {frac_case} ELSE '00' END)
+                     THEN 1 ELSE 0 END) AS n_copies
+      FROM documents
+    ),
+    e AS (
+      SELECT k.lang, k.n_chars, r.epoch
+      FROM k JOIN (SELECT range AS epoch FROM range(0, {_EPOCH_MAX})) r
+        ON r.epoch < k.n_copies
+    )
+    SELECT lang, epoch, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM e
+    GROUP BY lang, epoch
+    ORDER BY lang, epoch
+    """
+
+
+@register(
+    "q183_epoch_repetition",
+    oracle=_q183_oracle(),
+    tags=("pipeline", "mixture", "sampling", "training-pipeline"),
+)
+def q183_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-AWARE REPETITION SAMPLING: the data-constrained training
+    regime (Muennighoff et al. 2023, "Scaling Data-Constrained
+    Language Models" — repeating data up to ~4 epochs is nearly as
+    good as fresh data) needs FRACTIONAL epochs per subset: en at 2.5
+    epochs, fr at 1.5, zh subsampled to 0.5. Every document of a
+    language gets its whole-epoch copies, plus one more iff
+    md5('ep1:'||doc_id) falls under the language's fractional
+    threshold — the q39/q46 determinism idiom lifted from keep/drop to
+    copy COUNTS, so every worker (and every rerun, and the oracle)
+    agrees on exactly which documents repeat without any coordination
+    or RNG state. The result is the per-(language, epoch) manifest —
+    documents and characters a trainer reads per pass.
+
+    Plan shape: one scan; copies materialize as
+    ``explode(sequence(0, n_copies-1))`` — a generator, not a join, so
+    the only shuffle is the final group-sized aggregation. The row
+    multiplication is bounded by the max budget (≤ {m}×), and at 100 TB
+    the explode happens AFTER the pack-selection filters, on doc ids +
+    metadata, never on payload text (the downstream packer re-joins
+    text by id per epoch — q37's discipline).
+
+    Reference analog: none (SURVEY §2.3 training-pipeline extension);
+    composes with q39 (mixture rates), q36 (shuffle), q37 (packing)."""
+    base = F.coalesce(
+        F.create_map(
+            *[
+                x
+                for lang, (b, _) in EPOCH_BUDGETS.items()
+                for x in (F.lit(lang), F.lit(b))
+            ]
+        )[F.col("lang")],
+        F.lit(1),
+    )
+    frac = F.coalesce(
+        F.create_map(
+            *[
+                x
+                for lang, (_, fr) in EPOCH_BUDGETS.items()
+                for x in (F.lit(lang), F.lit(fr))
+            ]
+        )[F.col("lang")],
+        F.lit("00"),
+    )
+    key = F.substring(
+        F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        (base + (key < frac).cast("int")).alias("n_copies"),
+    )
+    e = d.where(F.col("n_copies") > 0).select(
+        "lang",
+        "n_chars",
+        F.explode(
+            F.expr("sequence(CAST(0 AS BIGINT), CAST(n_copies - 1 AS BIGINT))")
+        ).alias("epoch"),
+    )
+    return (
+        e.groupBy("lang", "epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "epoch")
+    )
+
+
+q183_epoch_repetition.__doc__ = q183_epoch_repetition.__doc__.format(
+    m=_EPOCH_MAX - 1
+)

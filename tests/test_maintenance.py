@@ -157,3 +157,49 @@ def test_agg_snapshot_attach_refuses_param_mismatch(spark, tmp_path):
         json.dump(doctored, f)
     with pytest.raises(ValueError, match="params"):
         agg_snapshot_attach(spark, SF_SMALL, out)
+
+
+def test_zorder_rewrite_one_file_per_range_and_counts(spark):
+    """q182's determinism claim: the rewrite lands exactly ONE parquet
+    file per Z-range (explicit file_id column + hash repartition, not
+    sampled range boundaries), and the footer-reported row counts sum
+    to the table's row count."""
+    import glob
+
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    rows = REGISTRY["q182_zorder_rewrite"].fn(spark, SF_SMALL).collect()
+    n_orders = load_table(spark, SF_SMALL, "orders").count()
+    assert sum(r.n_rows for r in rows) == n_orders
+    path = mnt._q182_path(SF_SMALL)
+    for part in glob.glob(os.path.join(path, "file_id=*")):
+        files = glob.glob(os.path.join(part, "*.parquet"))
+        assert len(files) == 1, f"{part}: {len(files)} files for one Z-range"
+
+
+def test_epoch_repetition_copy_counts_match_python(spark):
+    """q183's per-document copy count == an independent pure-Python
+    md5 computation of base + fractional-epoch draw, checked by
+    reconciling the per-(lang, epoch) manifest against doc-level
+    counts recomputed from the raw table."""
+    import hashlib
+
+    from mapreduce_mit_spark.plans.pipeline import EPOCH_BUDGETS
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    manifest = {
+        (r.lang, r.epoch): r.n_docs
+        for r in REGISTRY["q183_epoch_repetition"].fn(spark, SF_SMALL).collect()
+    }
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang").collect()
+    expect: dict[tuple, int] = {}
+    for r in docs:
+        base, frac = EPOCH_BUDGETS.get(r.lang, (1, "00"))
+        key = hashlib.md5(f"ep1:{r.doc_id}".encode()).hexdigest()[:2]
+        n = base + (1 if key < frac else 0)
+        for epoch in range(n):
+            k = (r.lang, epoch)
+            expect[k] = expect.get(k, 0) + 1
+    assert manifest == expect
