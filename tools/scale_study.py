@@ -43,6 +43,11 @@ FLAT = [
     "q40_global_topk", "q42_distinct", "q47_pivot", "q70_tumbling_window",
     "q72_session_window", "q84_edit_distance", "q90_stream_tumbling",
     "q135_rollup_ladder",
+    # round-14 maintenance/ops pack: bounded outputs by design (merge of
+    # group-sized partials; 64-file layout stats; per-key counts; an
+    # 8-group epoch manifest)
+    "q178_incremental_agg_maintenance", "q179_zorder_layout",
+    "q180_skew_audit", "q183_epoch_repetition",
 ]
 SUBLINEAR = [
     "q02_filter_project", "q03_shipping_priority", "q05_local_supplier_volume",
