@@ -47,9 +47,18 @@ _QTY_INT = "CAST(round(l_quantity) AS BIGINT)"
 
 
 def _agg_split_key() -> Column:
-    """Replayed verbatim by the oracle (same idiom as q175's split)."""
-    return F.substring(
-        F.md5(F.concat(F.lit("agg1:"), F.col("l_orderkey").cast("string"))), 1, 4
+    """Replayed verbatim by the oracle (same idiom as q175's split).
+    NULL orderkeys hash to NULL, which a bare ``< hex`` predicate drops
+    from BOTH carves (NULL is neither < nor >=) — the coalesce routes
+    them deterministically to the standing side instead of silently
+    losing the row from the view."""
+    return F.coalesce(
+        F.substring(
+            F.md5(F.concat(F.lit("agg1:"), F.col("l_orderkey").cast("string"))),
+            1,
+            4,
+        ),
+        F.lit("0000"),
     )
 
 
@@ -127,8 +136,8 @@ def _agg_snapshot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q178_oracle() -> str:
     new_pred = (
-        "substr(md5('agg1:' || CAST(l_orderkey AS VARCHAR)), 1, 4) "
-        f">= '{Q178_STANDING_HEX}'"
+        "COALESCE(substr(md5('agg1:' || CAST(l_orderkey AS VARCHAR)), 1, 4), "
+        f"'0000') >= '{Q178_STANDING_HEX}'"
     )
     return f"""
     WITH li AS (
@@ -257,11 +266,18 @@ def _zorder_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     32-bit Morton interleave of (custkey, days-since-anchor), both dims
     min-max-scaled to 16 bits by exact integer arithmetic."""
     scale = (1 << _ZBITS) - 1
-    o = t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("ck"),
-        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01")))
-        .cast("long")
-        .alias("dd"),
+    # rows missing a layout dimension are not layoutable — excluded in
+    # both engines (a NULL zval would otherwise land in a
+    # __HIVE_DEFAULT_PARTITION__ file with no usable zone map)
+    o = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01")))
+            .cast("long")
+            .alias("dd"),
+        )
+        .where(F.col("ck").isNotNull() & F.col("dd").isNotNull())
     )
     ext = o.agg(
         F.min("ck").alias("ckmin"),
@@ -290,6 +306,7 @@ _ZORDER_CTES = f"""
       SELECT o_custkey AS ck,
              date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd
       FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
     ),
     ext AS (
       SELECT min(ck) AS ckmin, max(ck) AS ckmax,
@@ -421,7 +438,8 @@ _Q180_PARTITIONS = 32
 
 def _q180_oracle() -> str:
     return f"""
-    WITH k AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+    WITH k AS (SELECT user_id, count(*) AS n_events FROM events
+               WHERE user_id IS NOT NULL GROUP BY user_id),
     tot AS (
       SELECT CAST(sum(n_events) AS BIGINT) AS total, count(*) AS n_keys FROM k
     )
@@ -474,8 +492,13 @@ def q180_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lazy checkpoint: the per-key count table materializes once and
     # serves BOTH consumers (the audit rows and the two global
     # scalars) — without it the plan scans the fact table twice.
+    # NULL keys are excluded in both engines: a NULL key never matches
+    # an equi-join anyway, so it is not a salting subject — and its
+    # sort position differs cross-engine (NULLS FIRST vs LAST) at the
+    # top-15 cut.
     k = (
         t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .localCheckpoint(eager=False)

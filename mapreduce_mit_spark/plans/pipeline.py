@@ -1161,10 +1161,14 @@ def q183_epoch_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.substring(
         F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))), 1, 2
     )
+    # when(key < frac) — not a bare cast — so a NULL doc_id's NULL
+    # comparison lands in otherwise(0) exactly like SQL CASE's
+    # not-true branch (a cast would propagate NULL and silently drop
+    # the row from every epoch)
     d = t(spark, sf_dir, "documents").select(
         "lang",
         "n_chars",
-        (base + (key < frac).cast("int")).alias("n_copies"),
+        (base + F.when(key < frac, 1).otherwise(0)).alias("n_copies"),
     )
     e = d.where(F.col("n_copies") > 0).select(
         "lang",
