@@ -640,3 +640,184 @@ def q182_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~((F.col("dd_max") < Q179_DD_LO) | (F.col("dd_min") > Q179_DD_HI))
         ).alias("touched"),
     ).orderBy("file_id")
+
+
+# --- q184: retractable aggregate maintenance (inserts AND deletes) ---------
+
+# ~5% of STANDING rows retract (a CDC delete feed carved from the same
+# table, keyed so a whole order retracts together). Inserts are q178's
+# increment carve. NULL-keyed rows coalesce to 'ffff' — never deleted.
+Q184_DELETE_HEX = "0ccc"
+
+
+def _delete_key() -> Column:
+    return F.coalesce(
+        F.substring(
+            F.md5(F.concat(F.lit("del1:"), F.col("l_orderkey").cast("string"))),
+            1,
+            4,
+        ),
+        F.lit("ffff"),
+    )
+
+
+def _q184_oracle() -> str:
+    standing = (
+        "COALESCE(substr(md5('agg1:' || CAST(l_orderkey AS VARCHAR)), 1, 4), "
+        f"'0000') < '{Q178_STANDING_HEX}'"
+    )
+    deleted = (
+        f"(({standing}) AND COALESCE(substr(md5('del1:' || "
+        "CAST(l_orderkey AS VARCHAR)), 1, 4), 'ffff') "
+        f"< '{Q184_DELETE_HEX}')"
+    )
+    return f"""
+    WITH li AS (
+      SELECT l_suppkey, {_QTY_INT} AS qty_i, {_REV_CENTS} AS rev_c, l_shipdate,
+             ({deleted}) AS is_del
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_suppkey,
+             count(*) FILTER (WHERE NOT is_del) AS n_items,
+             CAST(COALESCE(sum(qty_i) FILTER (WHERE NOT is_del), 0) AS BIGINT)
+               AS sum_qty,
+             CAST(COALESCE(sum(rev_c) FILTER (WHERE NOT is_del), 0) AS BIGINT)
+               AS rev_cents,
+             min(l_shipdate) FILTER (WHERE NOT is_del) AS ship_first,
+             max(l_shipdate) FILTER (WHERE NOT is_del) AS ship_last,
+             (max(CASE WHEN is_del THEN 1 ELSE 0 END) = 1) AS has_retraction
+      FROM li GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n_items, sum_qty,
+           rev_cents / 100.0 AS revenue,
+           round(sum_qty * 1.0 / n_items, 4) AS avg_qty,
+           ship_first, ship_last, has_retraction
+    FROM g
+    WHERE n_items > 0
+    ORDER BY revenue DESC, l_suppkey
+    LIMIT 25
+    """
+
+
+@register(
+    "q184_retractable_agg_maintenance",
+    oracle=_q184_oracle(),
+    tags=("maintenance", "incremental", "aggregation", "cdc"),
+)
+def q184_retractable_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTABLE aggregate maintenance — q178 extended from
+    append-only to a full CDC feed (inserts AND deletes), which splits
+    the measures by their algebra:
+
+    - **Invertible measures** (count, sums) maintain incrementally
+      under deletion: delete partials fold in with sign −1, so the
+      merged sums are snapshot + inserts − deletes with NO fact-table
+      access — exact, because the stored measures are integers.
+    - **Non-invertible measures** (min/max) cannot un-see a deleted
+      extreme. They recompute from live rows ONLY for the groups a
+      delete actually touched (``affected`` = distinct deleted group
+      keys, broadcast; the live scan is semi-join-pruned to those
+      groups). Unaffected groups keep the merged snapshot+insert
+      extremes — exact, since deletes are the only way an extreme
+      leaves.
+
+    The served view coalesces the two: recomputed extremes where
+    affected, merged elsewhere; groups whose rows all retracted drop
+    out (``n_items > 0``). ``has_retraction`` marks the recomputed
+    groups. The oracle recomputes everything from scratch over the
+    live rows — maintenance == recompute is again the contract.
+
+    Scale shape: the incremental path is O(changes + groups) exactly
+    like q178; the recompute branch is O(rows of affected groups) —
+    the quantity a production layout bounds by clustering the fact
+    table on the group key (q182's rewrite), so the semi-join prunes
+    files, not rows. Delete-heavy feeds degrade gracefully toward the
+    full recompute they actually require; the split-by-algebra is what
+    keeps the common mostly-insert case cheap.
+
+    Reference analog: none (SURVEY §2.3 maintenance block; the
+    invertible/non-invertible split is the standard materialized-view
+    retraction treatment, e.g. Flink's retract streams)."""
+    li = t(spark, sf_dir, "lineitem")
+    standing = _agg_split_key() < Q178_STANDING_HEX
+    del_pred = standing & (_delete_key() < Q184_DELETE_HEX)
+    snap = agg_snapshot_for(spark, sf_dir)
+    ins_p = _lineitem_partials(li.where(~standing))
+    dels = li.where(del_pred)
+    del_p = _lineitem_partials(dels)
+
+    parts = (
+        snap.withColumn("sign", F.lit(1))
+        .unionByName(ins_p.withColumn("sign", F.lit(1)))
+        .unionByName(del_p.withColumn("sign", F.lit(-1)))
+    )
+    merged = parts.groupBy("l_suppkey").agg(
+        F.sum(F.col("n_items") * F.col("sign")).alias("n_items"),
+        F.sum(F.col("sum_qty") * F.col("sign")).alias("sum_qty"),
+        F.sum(F.col("rev_cents") * F.col("sign")).alias("rev_cents"),
+        F.min(F.when(F.col("sign") > 0, F.col("ship_first"))).alias("ship_first_m"),
+        F.max(F.when(F.col("sign") > 0, F.col("ship_last"))).alias("ship_last_m"),
+        (F.max((F.col("sign") < 0).cast("int")) == 1).alias("has_retraction"),
+    )
+
+    affected = dels.select("l_suppkey").distinct()
+    live_affected = li.where(~del_pred).join(
+        F.broadcast(affected), "l_suppkey"
+    )
+    ext = live_affected.groupBy("l_suppkey").agg(
+        F.min("l_shipdate").alias("ship_first_r"),
+        F.max("l_shipdate").alias("ship_last_r"),
+    )
+    view = merged.join(ext, "l_suppkey", "left").select(
+        "l_suppkey",
+        "n_items",
+        "sum_qty",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        F.round(F.col("sum_qty") * 1.0 / F.col("n_items"), 4).alias("avg_qty"),
+        F.coalesce("ship_first_r", "ship_first_m").alias("ship_first"),
+        F.coalesce("ship_last_r", "ship_last_m").alias("ship_last"),
+        "has_retraction",
+    )
+    return (
+        view.where(F.col("n_items") > 0)
+        .orderBy(F.col("revenue").desc(), "l_suppkey")
+        .limit(25)
+    )
+
+
+def agg_snapshot_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """The periodic REFRESH job the q178/q181 docstrings promise: fold
+    the standing snapshot with the current increment partials into a
+    NEW full-coverage snapshot artifact and persist it (the q163
+    pointer-flip discipline applies at the directory level: write new,
+    then swap). The refreshed artifact's param stamp moves the
+    standing boundary to 'ffff' — everything standing, zero pending
+    increments — so it can never be attached by serving code still
+    carving increments at the OLD boundary (the param check refuses);
+    after a refresh the increment feed restarts from empty.
+
+    Cost: group-sized inputs only (snapshot + increment partials) —
+    the fact table is scanned once for the increment side, exactly the
+    q178 serve cost, NOT a full refit. The pytest contract: the
+    refreshed partials equal a from-scratch ``_lineitem_partials`` over
+    the whole table, bit-for-bit."""
+    import os
+
+    from ._util import source_fingerprint, write_index_meta
+
+    li = t(spark, sf_dir, "lineitem")
+    snap = agg_snapshot_for(spark, sf_dir)
+    incr_p = _lineitem_partials(li.where(~(_agg_split_key() < Q178_STANDING_HEX)))
+    refreshed = _merge_partials(
+        snap.withColumn("has_new_i", F.lit(0)).unionByName(
+            incr_p.withColumn("has_new_i", F.lit(0))
+        )
+    ).drop("has_new")
+    refreshed.write.mode("overwrite").parquet(os.path.join(out_dir, "partials"))
+    write_index_meta(
+        out_dir,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        schemas={"partials": refreshed.schema.json()},
+        params={"standing_hex": "ffff", "group_key": "l_suppkey"},
+    )

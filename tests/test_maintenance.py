@@ -203,3 +203,56 @@ def test_epoch_repetition_copy_counts_match_python(spark):
             k = (r.lang, epoch)
             expect[k] = expect.get(k, 0) + 1
     assert manifest == expect
+
+
+def test_snapshot_refresh_equals_from_scratch(spark, tmp_path):
+    """agg_snapshot_refresh's contract: the refreshed artifact's
+    partials equal a from-scratch partial aggregation over the WHOLE
+    fact table, bit-for-bit — and its 'ffff' boundary stamp refuses to
+    attach into serving code still carving at the old boundary."""
+    out = str(tmp_path / "refreshed")
+    mnt.agg_snapshot_refresh(spark, SF_SMALL, out)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "partials"))
+        .select("l_suppkey", "n_items", "sum_qty", "rev_cents",
+                "ship_first", "ship_last")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _lineitem_partials(load_table(spark, SF_SMALL, "lineitem"))
+        .collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="params"):
+        agg_snapshot_attach(spark, SF_SMALL, out)
+
+
+def test_retraction_algebra_zero_deletes_matches_q178(spark):
+    """With the delete feed empty, q184's view must equal q178's
+    (modulo the flag column) — the retraction path is a strict
+    extension, not a different aggregate."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    import mapreduce_mit_spark.plans.maintenance as m
+
+    old = m.Q184_DELETE_HEX
+    m.Q184_DELETE_HEX = "0000"  # nothing deletes
+    try:
+        q184 = sorted(
+            tuple(r)[:-1]
+            for r in REGISTRY["q184_retractable_agg_maintenance"]
+            .fn(spark, SF_SMALL)
+            .collect()
+        )
+    finally:
+        m.Q184_DELETE_HEX = old
+    q178 = sorted(
+        tuple(r)[:-1]
+        for r in REGISTRY["q178_incremental_agg_maintenance"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    )
+    assert q184 == q178 and q178
