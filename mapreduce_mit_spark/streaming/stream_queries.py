@@ -2090,14 +2090,21 @@ def q181_stream_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: the reference's combiner/reduce split
     (wc.go:64-74) with the combine running per micro-batch and the
     reduce at serve time."""
+    parts_dir = _stage_agg_parts_tree(spark, sf_dir, "q181_sink")
+    return _serve_agg_view(spark, sf_dir, parts_dir)
+
+
+def _stage_agg_parts_tree(spark: SparkSession, sf_dir: str, sink_key: str) -> str:
+    """q181's ingest: stream the increment rows and fold each
+    micro-batch to an idempotent ``batch_id=`` partial partition.
+    Returns the partials tree dir. Shared with q185, whose compaction
+    rewrites this tree."""
     import shutil
 
     from ..plans.maintenance import (
         Q178_STANDING_HEX,
         _agg_split_key,
         _lineitem_partials,
-        _merge_partials,
-        agg_snapshot_for,
     )
     from ..sources.io import ensure_reader_confs, load_table
 
@@ -2112,7 +2119,6 @@ def q181_stream_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
         "l_discount", "l_shipdate",
     )
-    snap = agg_snapshot_for(spark, sf_dir)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS * 2))
@@ -2140,10 +2146,19 @@ def q181_stream_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            LAST_QUERY["q181_sink"] = q
+            LAST_QUERY[sink_key] = q
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return parts_dir
 
+
+def _serve_agg_view(spark: SparkSession, sf_dir: str, parts_dir: str) -> DataFrame:
+    """Serve q178's view from snapshot + a partials tree — the final
+    merge q181 and q185 share (both register q178's oracle, so the
+    view's shape is the one contract)."""
+    from ..plans.maintenance import _merge_partials, agg_snapshot_for
+
+    snap = agg_snapshot_for(spark, sf_dir)
     tree = _q181_partials_tree(spark, parts_dir)
     merged = _merge_partials(
         snap.withColumn("has_new_i", F.lit(0)).unionByName(
@@ -2178,3 +2193,76 @@ def _q181_bind_oracle() -> None:
 
 
 _q181_bind_oracle()
+
+
+# --- q185: streaming-state compaction --------------------------------------
+
+
+@register(
+    "q185_stream_state_compaction",
+    oracle=None,  # set below: q178's oracle — compaction preserves the view
+    tags=("streaming", "maintenance", "incremental", "aggregation"),
+)
+def q185_stream_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-STATE COMPACTION — the small-files lifecycle step every
+    ``batch_id=``-append tree (q162/q163/q176/q181) eventually needs:
+    after N micro-batches the partials tree holds N tiny partitions,
+    and every serve plans N file reads. Because partial merge is
+    associative, the tree can be FOLDED — all batch partials merged
+    into ONE partial set per group — without changing the view it
+    serves. The fold writes ``batch_id=-2`` under a temp name and
+    atomically renames over the old tree (the q163 pointer discipline
+    at directory level: a crash leaves either the old multi-partition
+    tree or the new compacted one, both serving identical views).
+
+    This query stages q181's tree, compacts it, and serves q178's view
+    from snapshot + COMPACTED tree — registering q178's oracle
+    VERBATIM, so the driver value-checks that compaction preserved the
+    view exactly (and tests/test_streaming.py additionally pins
+    tree-file shrinkage and row-identical pre/post serves).
+
+    Scale shape: the fold's inputs are the N batch partial sets —
+    group-sized each, never fact rows; cost is one group-keyed merge
+    shuffle. At 100 TB this is the maintenance job that keeps serve
+    planning O(1) in stream age (N grows forever without it), the
+    exact analog of a lakehouse OPTIMIZE/compaction run over commit
+    deltas.
+
+    Reference analog: the reference's merge phase (merge in
+    master.go's reduce hand-off) — many partial files folded into one
+    — run periodically against streaming state instead of once per
+    job."""
+    import shutil
+
+    from ..plans.maintenance import _merge_partials
+
+    parts_dir = _stage_agg_parts_tree(spark, sf_dir, "q185_sink")
+    root = os.path.dirname(parts_dir)
+
+    with tree_lock(root):
+        tree = _q181_partials_tree(spark, parts_dir)
+        folded = _merge_partials(
+            tree.withColumn("has_new_i", F.lit(1))
+        ).drop("has_new")
+        compact_tmp = parts_dir + ".compact"
+        shutil.rmtree(compact_tmp, ignore_errors=True)
+        folded.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(compact_tmp, "batch_id=-2")
+        )
+        old_tmp = parts_dir + ".old"
+        shutil.rmtree(old_tmp, ignore_errors=True)
+        os.rename(parts_dir, old_tmp)
+        os.rename(compact_tmp, parts_dir)
+        shutil.rmtree(old_tmp, ignore_errors=True)
+
+    return _serve_agg_view(spark, sf_dir, parts_dir)
+
+
+def _q185_bind_oracle() -> None:
+    from ..plans.maintenance import _q178_oracle
+    from ..registry import REGISTRY
+
+    REGISTRY["q185_stream_state_compaction"].oracle = _q178_oracle()
+
+
+_q185_bind_oracle()

@@ -1201,3 +1201,36 @@ def test_stream_agg_maintenance_equals_batch(spark):
         map(tuple, REGISTRY["q181_stream_agg_maintenance"].fn(spark, SF_SMALL).collect())
     )
     assert again == streamed, "q181 rerun not idempotent"
+
+
+def test_stream_state_compaction_preserves_view_and_shrinks_tree(spark):
+    """q185's contract, pinned beyond the shared oracle: the compacted
+    tree serves ROW-IDENTICAL results to the fresh multi-batch tree,
+    and physically shrinks to the single batch_id=-2 partition."""
+    import glob
+    import os
+
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+    from mapreduce_mit_spark.streaming.stream_queries import (
+        _stage_agg_parts_tree,
+        _serve_agg_view,
+        fp_stream_root,
+    )
+
+    load_all_plans()
+    parts_dir = _stage_agg_parts_tree(spark, SF_SMALL, "q185_test_sink")
+    n_batches_before = len(glob.glob(os.path.join(parts_dir, "batch_id=*")))
+    assert n_batches_before > 1, "staging should land multiple micro-batches"
+    before = sorted(
+        map(tuple, _serve_agg_view(spark, SF_SMALL, parts_dir).collect())
+    )
+    after = sorted(
+        map(
+            tuple,
+            REGISTRY["q185_stream_state_compaction"].fn(spark, SF_SMALL).collect(),
+        )
+    )
+    assert after == before and before, "compaction changed the served view"
+    root = fp_stream_root("mms_agg_stream", SF_SMALL, "lineitem.parquet")
+    parts = glob.glob(os.path.join(root, "parts", "batch_id=*"))
+    assert len(parts) == 1 and parts[0].endswith("batch_id=-2")
