@@ -1744,3 +1744,148 @@ def classify_increment(
         )
         .orderBy("doc_id")
     )
+
+
+# --- q186: exact set-similarity self-join via prefix filtering -------------
+
+# Jaccard threshold as an integer ratio (3/5 = 0.6) so the prefix
+# length and the final gate are integer-exact in both engines.
+Q186_T_NUM, Q186_T_DEN = 3, 5
+
+
+@register(
+    "q186_setsim_join_prefix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({shingles_sql()})) AS token
+      FROM documents
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+    ordered AS (
+      SELECT t.doc_id, t.token,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY f.df, t.token) AS pos
+      FROM toks t JOIN dfreq f USING (token)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    pfx AS (
+      SELECT o.doc_id, o.token
+      FROM ordered o JOIN sizes s USING (doc_id)
+      WHERE o.pos <= s.n - (({Q186_T_NUM} * s.n + {Q186_T_DEN - 1})
+                            // {Q186_T_DEN}) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pfx a JOIN pfx b ON a.token = b.token AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+      FROM cand c
+        JOIN toks ta ON ta.doc_id = c.doc_a
+        JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4)
+             AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared * {Q186_T_DEN} >= {Q186_T_NUM} * (sa.n + sb.n - n_shared)
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "jaccard", "setsim", "training-pipeline"),
+)
+def q186_setsim_join_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join over the WHOLE corpus via PREFIX
+    FILTERING (AllPairs/PPJoin, Bayardo et al. WWW'07) — the
+    deterministic alternative to banded-LSH candidate generation
+    (q81/q148): where LSH trades recall for cost probabilistically,
+    the prefix filter is LOSSLESS. Sets are word-3-gram SHINGLES
+    (:func:`shingles_col` — unigram token sets over a shared synthetic
+    vocabulary are near-identical corpus-wide and would qualify ~60% of
+    ALL pairs; shingle sets isolate true near-dups). Order every
+    document's shingles by a GLOBAL rarity order (document frequency,
+    then shingle); two sets
+    with Jaccard ≥ t MUST share a token within their first
+    ``|d| - ceil(t·|d|) + 1`` tokens of that order, so joining on
+    prefix tokens only provably generates every qualifying pair — and
+    because prefixes are the RAREST tokens, the join's fan-out is
+    governed by rare-token frequencies, not by stopwords (the reason a
+    naive token join explodes). Candidates then verify with the exact
+    intersection join (q82's stage), gated integer-exactly:
+    ``n_shared·5 ≥ 3·union``.
+
+    Scale shape: one token explode, one doc-frequency aggregate
+    (map-side combined), one per-doc window for prefix positions, a
+    join whose left/right sides are PREFIX tokens only (≈(1−t)·|d| per
+    doc), and verification on candidates only. No parameter tuning,
+    no recall floor to audit — exactness is structural, pinned in
+    tests/test_operators.py against the brute-force all-pairs join.
+
+    Reference analog: none (SURVEY §2.3 dedup block; complements the
+    LSH family — run THIS when the contract is 'every pair', LSH when
+    the corpus makes even prefix joins too hot)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("_tk")
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(F.col("_tk")))).alias("token"),
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ordered = toks.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("df", "token"))
+        .alias("pos"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    pfx = ordered.join(sizes, "doc_id").where(
+        F.col("pos")
+        <= F.col("n")
+        - F.expr(f"({Q186_T_NUM} * n + {Q186_T_DEN - 1}) div {Q186_T_DEN}")
+        + 1
+    )
+    a, b = pfx.alias("a"), pfx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    inter = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("doc_b"))
+            & (F.col("ta.token") == F.col("tb.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    union_n = F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(F.col("n_shared") * Q186_T_DEN >= Q186_T_NUM * union_n)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / union_n, 4).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

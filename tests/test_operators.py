@@ -2384,3 +2384,69 @@ def test_refit_drift_audit_contract(spark):
         assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
     finally:
         sim.ivf_codebook = orig
+
+
+def test_prefix_filter_setsim_is_exact(spark):
+    """q186's structural claim: prefix filtering is LOSSLESS — its
+    qualifying pairs equal the brute-force all-pairs shingle-Jaccard
+    join (no candidate generation) bit-for-bit, including the scores."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.dedup import (
+        Q186_T_DEN,
+        Q186_T_NUM,
+        shingles_col,
+        tokens_col,
+    )
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+    from mapreduce_mit_spark.sources.io import load_table
+
+    load_all_plans()
+    got = sorted(
+        map(
+            tuple,
+            REGISTRY["q186_setsim_join_prefix"].fn(spark, SF_SMALL).collect(),
+        )
+    )
+    d = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", tokens_col("text").alias("_tk")
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(F.col("_tk")))).alias("token"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    union_n = F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    want = sorted(
+        map(
+            tuple,
+            inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+            .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+            .where(F.col("n_shared") * Q186_T_DEN >= Q186_T_NUM * union_n)
+            .select(
+                "doc_a",
+                "doc_b",
+                F.col("sa.n").alias("n_a"),
+                F.col("sb.n").alias("n_b"),
+                "n_shared",
+                F.round(
+                    F.col("n_shared").cast("double") / union_n, 4
+                ).alias("jaccard"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and got, "prefix filtering diverged from brute force"
