@@ -1,13 +1,17 @@
 """Table-maintenance / ops pack — the jobs that keep a 100 TB lakehouse
 servable BETWEEN full recomputes: incremental materialized-aggregate
-maintenance, multi-dimensional data layout (Z-order) with measured file
-pruning, and the key-skew audit that sizes salting before a big join.
+maintenance (q178, append-only; q184, full CDC with retractions; the
+refresh fold), multi-dimensional data layout (q179 Z-order audit, q182
+the rewrite with real parquet footers), and the key-skew audit (q180)
+that sizes salting before a big join.
 
 These close the "operations" side of the freshness story the catalog
 already tells for dedup (q161) and ANN indexes (q175): the same
 standing-snapshot + increment-merge discipline, applied to relational
 aggregates — plus the two planning passes (layout, skew) a team runs
-BEFORE committing a 1000-executor job shape.
+BEFORE committing a 1000-executor job shape. The streaming twins
+(q181 maintenance, q185 state compaction) live in
+streaming/stream_queries.py.
 
 Cross-engine determinism: every surfaced sum is an exact integer
 (cents / whole units) so merge order can never wobble a double; all

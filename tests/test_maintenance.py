@@ -1,12 +1,17 @@
-"""Semantics tests for the maintenance/ops pack (q178-q180).
+"""Semantics tests for the maintenance/ops pack (q178-q184).
 
 What the DuckDB oracles can't pin down, these do:
 - the incremental-merge algebra is SPLIT-INVARIANT (any standing/
   increment carve merges to the same view — not just the registered
   e666 split the oracle replays);
 - the Z-order interleave matches an independent pure-Python Morton
-  encode, and the layout actually PRUNES (the measured point of q179);
+  encode, the layout actually PRUNES (the measured point of q179), and
+  q182's rewrite lands one reproducible file per Z-range whose footer
+  counts reconcile;
 - the skew audit's salt factor is exactly the integer ceil it claims;
+- q183's copy counts match an independent Python md5 computation;
+- q184's zero-delete case equals q178, and the refresh fold equals a
+  from-scratch build;
 - the tenth persisted family refuses param-mismatched artifacts like
   the other nine.
 """
