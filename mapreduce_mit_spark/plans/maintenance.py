@@ -825,3 +825,275 @@ def agg_snapshot_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> None
         schemas={"partials": refreshed.schema.json()},
         params={"standing_hex": "ffff", "group_key": "l_suppkey"},
     )
+
+
+# --- q187: mergeable-histogram quantile maintenance (eleventh family) ------
+
+Q187_BUCKETS = 64
+Q187_QS = (0.5, 0.9, 0.99)
+
+
+def _hist_snapshot_fit(spark: SparkSession, sf_dir: str):
+    """Equal-width histogram of o_totalprice over the STANDING carve:
+    (bucket counts, [lo, hi] extent). Bucket counts are exact integers
+    — the canonical MERGEABLE distribution sketch: snapshot + increment
+    counts add, bit-for-bit. The boundaries are fitted on standing
+    data and go STALE as increments arrive (out-of-range new values
+    clamp into the edge buckets) — the same freshness trade as q175's
+    codebook, with the in-band error audit as the retrain alarm."""
+    standing = _standing_orders(spark, sf_dir)
+    ext = standing.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).localCheckpoint(eager=True)
+    counts = (
+        standing.crossJoin(F.broadcast(ext))
+        .select(_hist_bucket_col().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    return (counts, ext)
+
+
+def _standing_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIT-ONLY (the q178 ``_standing_lineitem`` discipline): the
+    standing-split scan of orders, poisonable by the cold-start test to
+    prove an attached histogram serves without rescanning standing."""
+    return (
+        t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .where(_order_split_key() < Q178_STANDING_HEX)
+    )
+
+
+def _order_split_key() -> Column:
+    """q178's split idiom keyed on o_orderkey (orders-side carve)."""
+    return F.coalesce(
+        F.substring(
+            F.md5(F.concat(F.lit("agg1:"), F.col("o_orderkey").cast("string"))),
+            1,
+            4,
+        ),
+        F.lit("0000"),
+    )
+
+
+def _hist_bucket_col() -> Column:
+    """Clamped equal-width bucket of o_totalprice against [lo, hi] —
+    identical double arithmetic in both engines (same ops, same order
+    → identical bits), clamp into the edge buckets for values outside
+    the fitted range."""
+    w = (F.col("hi") - F.col("lo")) / Q187_BUCKETS
+    raw = F.floor((F.col("o_totalprice") - F.col("lo")) / w)
+    return F.greatest(F.least(raw, F.lit(Q187_BUCKETS - 1)), F.lit(0)).cast("long")
+
+
+(
+    hist_snapshot_for,
+    hist_snapshot_save,
+    hist_snapshot_load,
+    hist_snapshot_attach,
+) = fitted_family(
+    "hist_snapshot",
+    "orders.parquet",
+    [
+        ("counts", ["bucket", "n"], None),
+        ("extent", ["lo", "hi"], None),
+    ],
+    _hist_snapshot_fit,
+    params={"standing_hex": Q178_STANDING_HEX, "n_buckets": Q187_BUCKETS},
+)
+
+
+def _q187_oracle() -> str:
+    standing = (
+        "COALESCE(substr(md5('agg1:' || CAST(o_orderkey AS VARCHAR)), 1, 4), "
+        f"'0000') < '{Q178_STANDING_HEX}'"
+    )
+    qs_rows = ", ".join(f"(CAST({q} AS DOUBLE))" for q in Q187_QS)
+    return f"""
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, ({standing}) AS is_standing
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    ext AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM o WHERE is_standing
+    ),
+    b AS (
+      SELECT GREATEST(LEAST(CAST(floor((o_totalprice - lo)
+                                        / ((hi - lo) / {Q187_BUCKETS}))
+                            AS BIGINT), {Q187_BUCKETS - 1}), 0) AS bucket,
+             (o_totalprice < lo OR o_totalprice
+                >= lo + ((hi - lo) / {Q187_BUCKETS}) * {Q187_BUCKETS}) AS clamped,
+             is_standing
+      FROM o, ext
+    ),
+    counts AS (
+      SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket, n,
+             sum(n) OVER (ORDER BY bucket) AS c,
+             sum(n) OVER (ORDER BY bucket) - n AS c_before
+      FROM counts
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+    clamp AS (
+      SELECT CAST(COALESCE(sum(CASE WHEN clamped AND NOT is_standing
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_new_clamped
+      FROM b
+    ),
+    qs(q) AS (VALUES {qs_rows}),
+    tgt AS (
+      SELECT q, CAST(ceil(q * total) AS BIGINT) AS rk FROM qs, tot
+    ),
+    est AS (
+      SELECT t.q, t.rk, c.bucket, c.n, c.c_before,
+             lo + ((hi - lo) / {Q187_BUCKETS})
+                * (c.bucket + (t.rk - c.c_before) * 1.0 / c.n) AS est_val
+      FROM tgt t JOIN cum c ON c.c >= t.rk AND c.c_before < t.rk, ext
+    ),
+    ranked AS (
+      SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM o
+    ),
+    exact AS (
+      SELECT t.q, r.o_totalprice AS exact_val
+      FROM tgt t JOIN ranked r ON r.rn = t.rk
+    )
+    SELECT e.q, round(e.est_val, 4) AS est,
+           round(x.exact_val, 4) AS exact_val,
+           round(abs(e.est_val - x.exact_val), 4) AS abs_err,
+           round((hi - lo) / {Q187_BUCKETS}, 4) AS bucket_width,
+           (abs(e.est_val - x.exact_val) <= (hi - lo) / {Q187_BUCKETS})
+             AS audit_ok,
+           clamp.n_new_clamped
+    FROM est e JOIN exact x ON x.q = e.q, ext, clamp
+    ORDER BY e.q
+    """
+
+
+@register(
+    "q187_histogram_quantile_maintenance",
+    oracle=_q187_oracle(),
+    tags=("maintenance", "incremental", "sketch", "quantiles"),
+)
+def q187_histogram_quantile_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISTRIBUTION-STAT MAINTENANCE: the mergeable equal-width
+    histogram is the distribution analog of q178's partials — bucket
+    counts are exact integers that ADD across snapshot and increment,
+    so the standing histogram (the ELEVENTH persisted family,
+    :func:`hist_snapshot_for`) serves current quantile estimates by
+    bucketizing ONLY the increment against the fitted boundaries and
+    summing. Like q175's codebook, the boundaries go stale: increment
+    values outside the fitted [lo, hi] CLAMP into the edge buckets
+    (surfaced as ``n_new_clamped`` — the retrain signal), and every
+    estimate carries an IN-BAND audit against the exact rank-based
+    quantile (|est − exact| ≤ one bucket width, the q16/q165
+    falsifiability discipline; the exact path is the audit's cost,
+    sampled in production, and is precisely q17/q153's operator).
+
+    Estimate: target rank ``ceil(q·N)`` located in the cumulative
+    bucket sums (a 64-row window — sketch-sized, never data-sized),
+    linear interpolation within the bucket. All inputs to the float
+    formula are exact integers and the fitted extent, computed with
+    the same operations in both engines — bit-identical.
+
+    Scale shape: serve cost = increment bucketize (map-side, broadcast
+    extent) + a 64-row merge + a 64-row window. The full-data exact
+    audit is the only data-sized stage and exists to falsify the
+    estimate; drop it and the serve never touches the fact table.
+
+    Reference analog: none (SURVEY §2.3 maintenance block; the
+    mergeable-histogram pattern behind every approximate-quantile
+    sketch, reduced to its exactly-testable core)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    counts_s, ext = hist_snapshot_for(spark, sf_dir)
+    incr = o.where(~(_order_split_key() < Q178_STANDING_HEX))
+    incr_b = incr.crossJoin(F.broadcast(ext)).select(
+        _hist_bucket_col().alias("bucket"),
+        (
+            (F.col("o_totalprice") < F.col("lo"))
+            | (
+                F.col("o_totalprice")
+                >= F.col("lo")
+                + ((F.col("hi") - F.col("lo")) / Q187_BUCKETS) * Q187_BUCKETS
+            )
+        ).alias("clamped"),
+    )
+    incr_counts = incr_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    n_clamped = incr_b.agg(
+        F.coalesce(F.sum(F.col("clamped").cast("long")), F.lit(0)).alias(
+            "n_new_clamped"
+        )
+    )
+    counts = (
+        counts_s.unionByName(incr_counts)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    from pyspark.sql.window import Window as W
+
+    cum = counts.select(
+        "bucket",
+        "n",
+        F.sum("n").over(W.orderBy("bucket")).alias("c"),
+        (F.sum("n").over(W.orderBy("bucket")) - F.col("n")).alias("c_before"),
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    qs = spark.createDataFrame([(q,) for q in Q187_QS], "q double")
+    tgt = qs.crossJoin(F.broadcast(tot)).select(
+        "q", F.ceil(F.col("q") * F.col("total")).cast("long").alias("rk")
+    )
+    width = (F.col("hi") - F.col("lo")) / Q187_BUCKETS
+    est = (
+        tgt.join(
+            cum, (F.col("c") >= F.col("rk")) & (F.col("c_before") < F.col("rk"))
+        )
+        .crossJoin(F.broadcast(ext))
+        .select(
+            "q",
+            "rk",
+            (
+                F.col("lo")
+                + width
+                * (
+                    F.col("bucket")
+                    + (F.col("rk") - F.col("c_before")) * 1.0 / F.col("n")
+                )
+            ).alias("est_val"),
+            width.alias("_w"),
+        )
+    )
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number()
+        .over(W.orderBy("o_totalprice", "o_orderkey"))
+        .alias("rn"),
+    )
+    exact = tgt.join(ranked, F.col("rn") == F.col("rk")).select(
+        F.col("q").alias("q_x"), F.col("o_totalprice").alias("exact_val")
+    )
+    return (
+        est.join(exact, F.col("q") == F.col("q_x"))
+        .crossJoin(F.broadcast(n_clamped))
+        .select(
+            "q",
+            F.round("est_val", 4).alias("est"),
+            F.round("exact_val", 4).alias("exact_val"),
+            F.round(F.abs(F.col("est_val") - F.col("exact_val")), 4).alias(
+                "abs_err"
+            ),
+            F.round("_w", 4).alias("bucket_width"),
+            (F.abs(F.col("est_val") - F.col("exact_val")) <= F.col("_w")).alias(
+                "audit_ok"
+            ),
+            "n_new_clamped",
+        )
+        .orderBy("q")
+    )

@@ -2210,10 +2210,13 @@ def q185_stream_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every serve plans N file reads. Because partial merge is
     associative, the tree can be FOLDED — all batch partials merged
     into ONE partial set per group — without changing the view it
-    serves. The fold writes ``batch_id=-2`` under a temp name and
-    atomically renames over the old tree (the q163 pointer discipline
-    at directory level: a crash leaves either the old multi-partition
-    tree or the new compacted one, both serving identical views).
+    serves. The fold writes ``batch_id=-2`` under a temp name, then
+    swaps directories with two renames. The swap window (old tree
+    moved aside, new not yet in place) is tolerable precisely because
+    the tree is DERIVED state — rebuildable from the source stream,
+    which this query's staging does on every call; a production tree
+    would put the swap behind q163's atomic meta pointer instead of
+    relying on rename ordering.
 
     This query stages q181's tree, compacts it, and serves q178's view
     from snapshot + COMPACTED tree — registering q178's oracle

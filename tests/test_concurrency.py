@@ -295,17 +295,19 @@ def test_q168_two_processes_concurrently(spark):
     assert sorted(map(tuple, mine)) == sorted(map(tuple, again))
 
 
-def test_cold_start_attaches_all_ten_model_families(spark, tmp_path):
+def test_cold_start_attaches_all_eleven_model_families(spark, tmp_path):
     """The production COLD START, end to end: one offline session saves
-    all TEN persisted fitted artifacts (IVF, PQ, IVFADC, LSH bands,
+    all ELEVEN persisted fitted artifacts (IVF, PQ, IVFADC, LSH bands,
     multi-table LSH keys, overlap sketches, the q149 unigram LM, the
     q166 classifier weights, the q175 STANDING-corpus IVF, the q178
-    aggregate snapshot); a FRESH PROCESS then attaches all ten and
-    serves one consumer per family — q68, q157, q160, q161, q165,
-    q149, q166, q172, q175, q178 — with every fit core poisoned
+    aggregate snapshot, the q187 histogram snapshot); a FRESH PROCESS
+    then attaches all eleven and serves one consumer per family —
+    q68, q157, q160, q161, q165, q149, q166, q172, q175, q178, q187 —
+    with every fit core poisoned
     (ivf_codebook, pq_codebooks, _lsh_bands_df,
     lsh_multitable_keys_df, _overlap_sketches_df, _unigram_freq_df,
-    _classifier_weights_df, _standing_lineitem raise; ivf_codebook
+    _classifier_weights_df, _standing_lineitem, _standing_orders
+    raise; ivf_codebook
     also covers the standing fit), so any refit on any serve path
     fails the child loudly. The served rows must equal this session's
     fitted baselines. The per-family attach tests prove each path
@@ -323,7 +325,7 @@ def test_cold_start_attaches_all_ten_model_families(spark, tmp_path):
     dirs = {
         f: str(tmp_path / f)
         for f in ("ivf", "pq", "ivfadc", "lsh", "lsh8", "overlap",
-                  "unigram", "cls", "ivf_standing", "agg_snapshot")
+                  "unigram", "cls", "ivf_standing", "agg_snapshot", "hist_snapshot")
     }
     sim.ivf_index_save(spark, sf, dirs["ivf"])
     sim.pq_index_save(spark, sf, dirs["pq"])
@@ -335,6 +337,7 @@ def test_cold_start_attaches_all_ten_model_families(spark, tmp_path):
     ql.classifier_weights_save(spark, sf, dirs["cls"])
     sim.ivf_standing_index_save(spark, sf, dirs["ivf_standing"])
     mnt.agg_snapshot_save(spark, sf, dirs["agg_snapshot"])
+    mnt.hist_snapshot_save(spark, sf, dirs["hist_snapshot"])
 
     queries = [
         "q68_ivf_ann",
@@ -347,6 +350,7 @@ def test_cold_start_attaches_all_ten_model_families(spark, tmp_path):
         "q172_ann_multitable_lsh",
         "q175_ivf_incremental_serve",
         "q178_incremental_agg_maintenance",
+        "q187_histogram_quantile_maintenance",
     ]
     # default=str + loads: timestamps (q178's min/max ship dates) compare
     # as their string forms on both sides of the process boundary.
@@ -386,6 +390,7 @@ def test_cold_start_attaches_all_ten_model_families(spark, tmp_path):
         ql.classifier_weights_attach(spark, sf, dirs["cls"])
         sim.ivf_standing_index_attach(spark, sf, dirs["ivf_standing"])
         mnt.agg_snapshot_attach(spark, sf, dirs["agg_snapshot"])
+        mnt.hist_snapshot_attach(spark, sf, dirs["hist_snapshot"])
 
         def _poison(name):
             def _fn(*a, **kw):
@@ -400,6 +405,7 @@ def test_cold_start_attaches_all_ten_model_families(spark, tmp_path):
         ql._unigram_freq_df = _poison("_unigram_freq_df")
         ql._classifier_weights_df = _poison("_classifier_weights_df")
         mnt._standing_lineitem = _poison("_standing_lineitem")
+        mnt._standing_orders = _poison("_standing_orders")
 
         out = {{}}
         for q in {queries!r}:

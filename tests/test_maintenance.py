@@ -261,3 +261,43 @@ def test_retraction_algebra_zero_deletes_matches_q178(spark):
         .collect()
     )
     assert q184 == q178 and q178
+
+
+def test_histogram_counts_merge_equals_full_build(spark):
+    """q187's mergeability: snapshot bucket counts + increment bucket
+    counts == bucket counts of a one-pass build over ALL rows against
+    the SAME standing boundaries — exact integer equality."""
+    from mapreduce_mit_spark.plans.maintenance import (
+        Q178_STANDING_HEX,
+        _hist_bucket_col,
+        _order_split_key,
+        hist_snapshot_for,
+    )
+
+    counts_s, ext = hist_snapshot_for(spark, SF_SMALL)
+    o = load_table(spark, SF_SMALL, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
+    incr = o.where(~(_order_split_key() < Q178_STANDING_HEX))
+    incr_counts = (
+        incr.crossJoin(F.broadcast(ext))
+        .select(_hist_bucket_col().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merged = {
+        r.bucket: r.n
+        for r in counts_s.unionByName(incr_counts)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    full = {
+        r.bucket: r.n
+        for r in o.crossJoin(F.broadcast(ext))
+        .select(_hist_bucket_col().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert merged == full and sum(full.values()) == o.count()
