@@ -132,6 +132,8 @@ HEADLINE = [
     "q179_zorder_layout",
     "q181_stream_agg_maintenance",
     "q183_epoch_repetition",
+    "q184_retractable_agg_maintenance",
+    "q187_histogram_quantile_maintenance",
 ]
 
 
