@@ -590,22 +590,26 @@ def q182_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NOT repartitionByRange, whose sampled boundaries differ run to
     run), written ``partitionBy(file_id)`` after a hash repartition on
     it, so each Z-range lands in exactly one file with
-    reproducible contents. The footer read is driver-side but bounded
-    by the FILE count (64 here; still trivial at 10⁵ files — it reads
-    ~100 bytes of metadata per file, the same planning-time cost every
-    lakehouse table commit pays), the documented tiny-read class of
-    graph.py's convergence probes.
+    reproducible contents. The footer read is DISTRIBUTED: the driver
+    only lists the partition directories (the same file-listing every
+    parquet scan's planning does), and the per-file metadata reads —
+    ~100 bytes each — run as an Arrow-batched ``mapInPandas`` over the
+    file list, so at the 10⁵-file scale a real lakehouse table reaches
+    the audit parallelizes across executors instead of serializing on
+    the driver. A row group missing ``dd`` statistics (statistics
+    disabled at write time) raises a descriptive error naming the file
+    — the query's contract depends on stamped statistics, so absence
+    must refuse, not read as an empty zone map.
 
     Scale shape: the rewrite is one map-side key computation + one
     shuffle on file_id + a partitioned write — identical cost to the
-    OPTIMIZE ZORDER job it models; the audit after it is metadata-only.
+    OPTIMIZE ZORDER job it models; the audit after it is metadata-only
+    and executor-parallel.
 
     Reference analog: none (SURVEY §2.3 layout extension; the
     write-side half of q179's Delta/Iceberg OPTIMIZE ZORDER pattern)."""
     import glob as _glob
     import os
-
-    import pyarrow.parquet as _pq
 
     zdiv = 1 << (2 * _ZBITS - 6)
     z = _zorder_frame(spark, sf_dir).select(
@@ -616,24 +620,52 @@ def q182_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_id"
     ).parquet(path)
 
-    rows = []
-    for part in sorted(_glob.glob(os.path.join(path, "file_id=*"))):
-        file_id = int(part.rsplit("file_id=", 1)[1])
-        n_rows, dd_min, dd_max = 0, None, None
-        for f in _glob.glob(os.path.join(part, "*.parquet")):
-            md = _pq.ParquetFile(f).metadata
-            dd_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
-                "dd"
-            ]
-            n_rows += md.num_rows
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(dd_idx).statistics
-                dd_min = st.min if dd_min is None else min(dd_min, st.min)
-                dd_max = st.max if dd_max is None else max(dd_max, st.max)
-        rows.append((file_id, n_rows, dd_min, dd_max))
+    files = [
+        (int(part.rsplit("file_id=", 1)[1]), f)
+        for part in sorted(_glob.glob(os.path.join(path, "file_id=*")))
+        for f in sorted(_glob.glob(os.path.join(part, "*.parquet")))
+    ]
 
-    stats = spark.createDataFrame(
-        rows, "file_id bigint, n_rows bigint, dd_min bigint, dd_max bigint"
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            out = []
+            for file_id, f in zip(pdf["file_id"], pdf["path"]):
+                md = _pq.ParquetFile(f).metadata
+                dd_idx = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }["dd"]
+                dd_min, dd_max = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(dd_idx).statistics
+                    if st is None or st.min is None or st.max is None:
+                        raise ValueError(
+                            f"parquet file {f} row group {rg} has no 'dd' "
+                            "statistics — the zone-map audit requires footer "
+                            "min/max; rewrite with statistics enabled"
+                        )
+                    dd_min = st.min if dd_min is None else min(dd_min, st.min)
+                    dd_max = st.max if dd_max is None else max(dd_max, st.max)
+                out.append((int(file_id), md.num_rows, dd_min, dd_max))
+            yield pd.DataFrame(
+                out, columns=["file_id", "n_rows", "dd_min", "dd_max"]
+            )
+
+    stats = (
+        spark.createDataFrame(files, "file_id bigint, path string")
+        .repartition(min(len(files), 32) or 1)
+        .mapInPandas(
+            read_footers,
+            "file_id bigint, n_rows bigint, dd_min bigint, dd_max bigint",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("dd_min").alias("dd_min"),
+            F.max("dd_max").alias("dd_max"),
+        )
     )
     return stats.select(
         "file_id",

@@ -2037,11 +2037,55 @@ _q176_bind_oracle()
 # --- q181: streaming aggregate-snapshot maintenance -------------------------
 
 
+def _parts_pointer_write(root: str, basename: str) -> None:
+    """Atomically flip the ACTIVE-tree pointer (q163's meta-pointer
+    discipline applied to the partials tree): write a tmp file, then
+    ``os.replace`` — readers resolving through the pointer see either
+    the old tree or the new one, never neither. This replaces the
+    earlier two-rename directory swap, whose window (old tree moved
+    aside, new not yet in place) could read as 'no tree'."""
+    tmp = os.path.join(root, "ACTIVE.tmp")
+    with open(tmp, "w") as f:
+        f.write(basename)
+    os.replace(tmp, os.path.join(root, "ACTIVE"))
+
+
+def _active_parts_dir(root: str) -> str:
+    """Resolve the ACTIVE partials tree through the pointer. A missing
+    pointer, or a pointer naming a missing directory, fails LOUDLY:
+    'tree missing' must be distinguishable from 'tree legitimately
+    empty' — without the distinction a torn swap would silently serve
+    a snapshot-only view with every streamed increment dropped."""
+    ptr = os.path.join(root, "ACTIVE")
+    if not os.path.exists(ptr):
+        raise RuntimeError(
+            f"no ACTIVE partials-tree pointer under {root} — the tree was "
+            "never staged (run the q181 ingest) or a swap was torn before "
+            "the pointer flip; refusing to serve a possibly-stale view"
+        )
+    with open(ptr) as f:
+        base = f.read().strip()
+    d = os.path.join(root, base)
+    if not os.path.isdir(d):
+        raise RuntimeError(
+            f"ACTIVE partials-tree pointer names {base!r} but {d} does not "
+            "exist — torn swap or manual deletion; restage the tree"
+        )
+    return d
+
+
 def _q181_partials_tree(spark: SparkSession, parts_dir: str) -> DataFrame:
     """Read the streamed partials tree back, restoring the snapshot's
-    column set (``batch_id`` is layout, not data). Empty tree (no
-    increments ever arrived) planes as an empty DataFrame with the
-    partials schema so the merge still plans."""
+    column set (``batch_id`` is layout, not data). Empty tree (the
+    directory EXISTS but no increments ever arrived) planes as an
+    empty DataFrame with the partials schema so the merge still plans;
+    a MISSING directory raises (see :func:`_active_parts_dir` — the
+    two cases must not be conflated)."""
+    if not os.path.isdir(parts_dir):
+        raise RuntimeError(
+            f"partials tree {parts_dir} does not exist — resolve trees "
+            "through _active_parts_dir, never a guessed path"
+        )
     if not glob.glob(os.path.join(parts_dir, "batch_id=*")):
         return spark.createDataFrame(
             [],
@@ -2124,7 +2168,7 @@ def _stage_agg_parts_tree(spark: SparkSession, sf_dir: str, sink_key: str) -> st
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS * 2))
     try:
         with tree_lock(root):
-            for sub in (src_dir, ckpt, parts_dir):
+            for sub in (src_dir, ckpt, parts_dir, parts_dir + "_compact"):
                 shutil.rmtree(sub, ignore_errors=True)
             # several micro-batches: one file per shard per trigger
             incr.repartition(4, "l_orderkey").write.mode("overwrite").parquet(src_dir)
@@ -2147,9 +2191,14 @@ def _stage_agg_parts_tree(spark: SparkSession, sf_dir: str, sink_key: str) -> st
             )
             q.awaitTermination()
             LAST_QUERY[sink_key] = q
+            # a zero-batch drain never creates the dir: materialize it
+            # so 'legitimately empty' is representable, then flip the
+            # pointer — from here on readers resolve through ACTIVE
+            os.makedirs(parts_dir, exist_ok=True)
+            _parts_pointer_write(root, os.path.basename(parts_dir))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return parts_dir
+    return _active_parts_dir(root)
 
 
 def _serve_agg_view(spark: SparkSession, sf_dir: str, parts_dir: str) -> DataFrame:
@@ -2231,6 +2280,14 @@ def q185_stream_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact analog of a lakehouse OPTIMIZE/compaction run over commit
     deltas.
 
+    The swap is ATOMIC: the compacted tree is written under its own
+    directory, then the ACTIVE pointer flips to it in one
+    ``os.replace`` (:func:`_parts_pointer_write` — q163's meta-pointer
+    discipline); a reader planning mid-compaction resolves either the
+    old tree or the new, both serving the identical view, never a
+    missing one. The superseded tree is garbage-collected only AFTER
+    the flip.
+
     Reference analog: the reference's merge phase (merge in
     master.go's reduce hand-off) — many partial files folded into one
     — run periodically against streaming state instead of once per
@@ -2247,18 +2304,15 @@ def q185_stream_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         folded = _merge_partials(
             tree.withColumn("has_new_i", F.lit(1))
         ).drop("has_new")
-        compact_tmp = parts_dir + ".compact"
-        shutil.rmtree(compact_tmp, ignore_errors=True)
+        compact_dir = parts_dir + "_compact"
+        shutil.rmtree(compact_dir, ignore_errors=True)
         folded.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(compact_tmp, "batch_id=-2")
+            os.path.join(compact_dir, "batch_id=-2")
         )
-        old_tmp = parts_dir + ".old"
-        shutil.rmtree(old_tmp, ignore_errors=True)
-        os.rename(parts_dir, old_tmp)
-        os.rename(compact_tmp, parts_dir)
-        shutil.rmtree(old_tmp, ignore_errors=True)
+        _parts_pointer_write(root, os.path.basename(compact_dir))
+        shutil.rmtree(parts_dir, ignore_errors=True)
 
-    return _serve_agg_view(spark, sf_dir, parts_dir)
+    return _serve_agg_view(spark, sf_dir, _active_parts_dir(root))
 
 
 def _q185_bind_oracle() -> None:

@@ -1212,6 +1212,7 @@ def test_stream_state_compaction_preserves_view_and_shrinks_tree(spark):
 
     from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
     from mapreduce_mit_spark.streaming.stream_queries import (
+        _active_parts_dir,
         _stage_agg_parts_tree,
         _serve_agg_view,
         fp_stream_root,
@@ -1232,5 +1233,39 @@ def test_stream_state_compaction_preserves_view_and_shrinks_tree(spark):
     )
     assert after == before and before, "compaction changed the served view"
     root = fp_stream_root("mms_agg_stream", SF_SMALL, "lineitem.parquet")
-    parts = glob.glob(os.path.join(root, "parts", "batch_id=*"))
+    active = _active_parts_dir(root)
+    parts = glob.glob(os.path.join(active, "batch_id=*"))
     assert len(parts) == 1 and parts[0].endswith("batch_id=-2")
+    # the superseded multi-batch tree was GC'd after the pointer flip
+    assert not os.path.isdir(os.path.join(root, "parts"))
+
+
+def test_partials_tree_pointer_distinguishes_missing_from_empty(spark, tmp_path):
+    """The torn-swap guard: a missing ACTIVE pointer (or a pointer
+    naming a vanished directory) must raise, never silently serve a
+    snapshot-only view; a pointer to an EXISTING empty tree serves the
+    empty partials frame (zero increments is a legitimate state)."""
+    import os
+
+    import pytest
+
+    from mapreduce_mit_spark.streaming.stream_queries import (
+        _active_parts_dir,
+        _parts_pointer_write,
+        _q181_partials_tree,
+    )
+
+    root = str(tmp_path / "tree_root")
+    os.makedirs(root)
+    with pytest.raises(RuntimeError, match="ACTIVE"):
+        _active_parts_dir(root)
+    _parts_pointer_write(root, "parts_gone")
+    with pytest.raises(RuntimeError, match="torn swap"):
+        _active_parts_dir(root)
+    empty = os.path.join(root, "parts_empty")
+    os.makedirs(empty)
+    _parts_pointer_write(root, "parts_empty")
+    assert _active_parts_dir(root) == empty
+    assert _q181_partials_tree(spark, empty).count() == 0
+    with pytest.raises(RuntimeError, match="does not exist"):
+        _q181_partials_tree(spark, os.path.join(root, "nope"))
