@@ -98,7 +98,10 @@ def write_index_meta(
 
 
 def check_index_meta(
-    out_dir: str, src_path: str, expect_params: dict | None = None
+    out_dir: str,
+    src_path: str,
+    expect_params: dict | None = None,
+    mutable_keys: tuple = (),
 ) -> tuple:
     """Validate a persisted index against the CURRENT source file.
     Returns the session-cache key fingerprint tail (realpath, size,
@@ -112,7 +115,13 @@ def check_index_meta(
     param stamp entirely) refuses with ValueError — the plane-count
     class of silent divergence (a bucket column keyed at n planes
     probed by code expecting m planes returns a wrong neighbor set
-    with no error anywhere)."""
+    with no error anywhere).
+
+    ``mutable_keys``: params whose VALUE may legitimately differ
+    between the stamp and the serving default because the serving
+    code reads the stamped value at runtime (the refresh lifecycle's
+    moved standing boundary). A mutable key must still be PRESENT in
+    the stamp; only the equality check is waived."""
     import json
     import os
 
@@ -131,12 +140,21 @@ def check_index_meta(
         )
     if expect_params:
         got = meta.get("params")
-        if got != expect_params:
+        ok = (
+            got is not None
+            and set(got) == set(expect_params)
+            and all(
+                k in mutable_keys or got[k] == v
+                for k, v in expect_params.items()
+            )
+        )
+        if not ok:
             raise ValueError(
                 f"persisted index at {out_dir} was fitted with params "
-                f"{got}, but this serving code expects {expect_params} — "
-                "a mismatched index silently serves wrong neighbors; "
-                "refit (…_index_save) with the current code"
+                f"{got}, but this serving code expects {expect_params} "
+                f"(mutable: {list(mutable_keys)}) — a mismatched index "
+                "silently serves wrong neighbors; refit (…_index_save) "
+                "with the current code"
             )
     return cur
 
@@ -194,6 +212,7 @@ def fitted_family(
     fit,
     prime_extra=None,
     params: dict | None = None,
+    mutable: tuple = (),
 ):
     """Factory for the fit/save/load/attach quartet every persisted
     model family shares — ONE implementation of the artifact
@@ -226,13 +245,18 @@ def fitted_family(
     meta stamp and is REQUIRED to match at attach; it is also tagged
     onto every served DataFrame as ``_mms_fit_params`` so serving
     helpers can validate an explicitly-passed artifact (the
-    lsh_multitable_hits plane-count check)."""
+    lsh_multitable_hits plane-count check). ``mutable`` names params
+    whose stamped value may differ from the fit-time default (the
+    refresh lifecycle's moved standing boundary): attach still
+    requires them PRESENT, and loads tag the ARTIFACT's stamped
+    values so serving code binds to what was actually fitted."""
     import os
 
-    def _tag(value):
-        if params:
+    def _tag(value, stamped: dict | None = None):
+        eff = stamped if stamped is not None else params
+        if eff:
             for df in value if isinstance(value, tuple) else (value,):
-                df._mms_fit_params = dict(params)
+                df._mms_fit_params = dict(eff)
         return value
 
     def for_fn(spark, sf_dir: str, **fit_kwargs):
@@ -260,15 +284,28 @@ def fitted_family(
         )
 
     def load_fn(spark, out_dir: str):
+        import json
+
+        # tag the STAMPED params (not the factory defaults): a
+        # refreshed artifact's moved boundary must be what serving
+        # code reads back, or the carve double-counts
+        stamped = None
+        meta_path = os.path.join(out_dir, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stamped = json.load(f).get("params")
         dfs = tuple(
             read_index_table(spark, out_dir, name, cols)
             for name, cols, _part in tables
         )
-        return _tag(dfs[0] if len(tables) == 1 else dfs)
+        return _tag(dfs[0] if len(tables) == 1 else dfs, stamped=stamped)
 
     def attach_fn(spark, sf_dir: str, out_dir: str):
         fp = check_index_meta(
-            out_dir, os.path.join(sf_dir, source), expect_params=params
+            out_dir,
+            os.path.join(sf_dir, source),
+            expect_params=params,
+            mutable_keys=mutable,
         )
         value = load_fn(spark, out_dir)
         cache = _session_cache(spark)

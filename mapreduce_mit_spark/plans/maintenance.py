@@ -42,6 +42,26 @@ from ._util import fitted_family, t
 # as scattered line items.
 Q178_STANDING_HEX = "e666"
 
+# The boundary a REFRESHED snapshot stamps: lexicographically above
+# every 4-hex-char md5 prefix ('f' < 'g'), so the increment carve
+# `NOT (key < boundary)` is provably empty — everything is standing,
+# zero pending increments. ('ffff' would be wrong: rows whose prefix IS
+# 'ffff' would read as increments and double-count against a snapshot
+# that already folded them.)
+AGG_REFRESHED_HEX = "g000"
+
+
+def agg_standing_hex(snap: DataFrame) -> str:
+    """The increment-carve boundary is a property of the ATTACHED
+    snapshot artifact, not of the serving code: read it from the
+    ``_mms_fit_params`` tag the family factory stamps on every fitted
+    or loaded artifact, so a refreshed snapshot (boundary moved to
+    :data:`AGG_REFRESHED_HEX`) is served correctly by the SAME serve
+    path — closing the lifecycle that used to end at a refusal."""
+    return getattr(snap, "_mms_fit_params", {}).get(
+        "standing_hex", Q178_STANDING_HEX
+    )
+
 # Exact-integer measures: revenue in cents, quantity in whole units.
 # Integer partials merge associatively and commutatively, so
 # snapshot-merge == full recompute BIT-FOR-BIT — the property the oracle
@@ -135,6 +155,10 @@ def _agg_snapshot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ],
     _agg_snapshot_fit,
     params={"standing_hex": Q178_STANDING_HEX, "group_key": "l_suppkey"},
+    # standing_hex is MUTABLE: a refreshed snapshot legitimately moves
+    # the boundary (to AGG_REFRESHED_HEX) and serving code reads the
+    # stamped value back (agg_standing_hex) — group_key stays immutable
+    mutable=("standing_hex",),
 )
 
 
@@ -205,9 +229,18 @@ def q178_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
 
     Reference analog: the combiner discipline (wc.go:64-74 — reduce
     over pre-grouped partials) persisted across job boundaries."""
+    return _serve_agg_from(spark, sf_dir, agg_snapshot_for(spark, sf_dir))
+
+
+def _serve_agg_from(spark: SparkSession, sf_dir: str, snap: DataFrame) -> DataFrame:
+    """q178's serve against an EXPLICIT snapshot artifact: carve the
+    increments at the snapshot's OWN stamped boundary
+    (:func:`agg_standing_hex`) — a freshly-fitted snapshot carves at
+    Q178_STANDING_HEX, a refreshed one at AGG_REFRESHED_HEX (empty
+    increment) — merge, and derive the view. Shared by q178 and the
+    refresh-serve q188."""
     li = t(spark, sf_dir, "lineitem")
-    snap = agg_snapshot_for(spark, sf_dir)
-    incr = li.where(~(_agg_split_key() < Q178_STANDING_HEX))
+    incr = li.where(~(_agg_split_key() < agg_standing_hex(snap)))
     merged = _merge_partials(
         snap.withColumn("has_new_i", F.lit(0)).unionByName(
             _lineitem_partials(incr).withColumn("has_new_i", F.lit(1))
@@ -828,10 +861,14 @@ def agg_snapshot_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> None
     NEW full-coverage snapshot artifact and persist it (the q163
     pointer-flip discipline applies at the directory level: write new,
     then swap). The refreshed artifact's param stamp moves the
-    standing boundary to 'ffff' — everything standing, zero pending
-    increments — so it can never be attached by serving code still
-    carving increments at the OLD boundary (the param check refuses);
-    after a refresh the increment feed restarts from empty.
+    standing boundary to :data:`AGG_REFRESHED_HEX` — lexicographically
+    above every md5 prefix, i.e. everything standing, zero pending
+    increments. Because ``standing_hex`` is a MUTABLE family param and
+    the serve path carves at the artifact's stamped boundary
+    (:func:`agg_standing_hex`), the refreshed snapshot ATTACHES and
+    SERVES through the ordinary lifecycle (q188 registers exactly
+    that) — the increment feed restarts from empty, with no
+    double-count possible at any boundary value.
 
     Cost: group-sized inputs only (snapshot + increment partials) —
     the fact table is scanned once for the increment side, exactly the
@@ -840,11 +877,11 @@ def agg_snapshot_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> None
     the whole table, bit-for-bit."""
     import os
 
-    from ._util import source_fingerprint, write_index_meta
+    from ._util import write_index_meta
 
     li = t(spark, sf_dir, "lineitem")
     snap = agg_snapshot_for(spark, sf_dir)
-    incr_p = _lineitem_partials(li.where(~(_agg_split_key() < Q178_STANDING_HEX)))
+    incr_p = _lineitem_partials(li.where(~(_agg_split_key() < agg_standing_hex(snap))))
     refreshed = _merge_partials(
         snap.withColumn("has_new_i", F.lit(0)).unionByName(
             incr_p.withColumn("has_new_i", F.lit(0))
@@ -855,8 +892,90 @@ def agg_snapshot_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> None
         out_dir,
         os.path.join(sf_dir, "lineitem.parquet"),
         schemas={"partials": refreshed.schema.json()},
-        params={"standing_hex": "ffff", "group_key": "l_suppkey"},
+        params={"standing_hex": AGG_REFRESHED_HEX, "group_key": "l_suppkey"},
     )
+
+
+def _q188_oracle() -> str:
+    return f"""
+    WITH li AS (
+      SELECT l_suppkey, {_QTY_INT} AS qty_i, {_REV_CENTS} AS rev_c, l_shipdate
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_suppkey,
+             count(*) AS n_items,
+             CAST(sum(qty_i) AS BIGINT) AS sum_qty,
+             CAST(sum(rev_c) AS BIGINT) AS rev_cents,
+             min(l_shipdate) AS ship_first,
+             max(l_shipdate) AS ship_last
+      FROM li GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n_items, sum_qty,
+           rev_cents / 100.0 AS revenue,
+           round(sum_qty * 1.0 / n_items, 4) AS avg_qty,
+           ship_first, ship_last, FALSE AS has_new
+    FROM g
+    ORDER BY revenue DESC, l_suppkey
+    LIMIT 25
+    """
+
+
+@register(
+    "q188_agg_refresh_serve",
+    oracle=_q188_oracle(),
+    tags=("maintenance", "incremental", "aggregation", "lifecycle"),
+)
+def q188_agg_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFRESH-THEN-SERVE — the lifecycle act that closes q178's loop:
+    run :func:`agg_snapshot_refresh` (fold snapshot + increment
+    partials into a full-coverage artifact stamped at the MOVED
+    boundary), ATTACH the refreshed artifact through the ordinary
+    fingerprint+param gate (``standing_hex`` is a mutable param — the
+    gate still refuses a wrong ``group_key`` or a stale fingerprint),
+    and serve q178's view from it. The serve path carves increments at
+    the artifact's stamped boundary (:func:`agg_standing_hex`), which
+    for a refreshed snapshot is provably empty — so the view is the
+    full-table aggregate with ``has_new = false`` everywhere, exactly
+    what the oracle recomputes from scratch.
+
+    The session cache entry is restored afterwards (the returned plan
+    closes over the loaded artifact directly), so running q188 can
+    never poison a later q178/q184 call in the same session with a
+    moved boundary their oracles don't model.
+
+    Scale shape: the refresh reads group-sized partials plus one
+    increment carve — q178's serve cost, not a refit; the attach+serve
+    adds a fingerprint check and an EMPTY increment scan. At 100 TB
+    this is the nightly snapshot-rotation job, and the mutable-param
+    gate is what lets one serving binary span the rotation.
+
+    Reference analog: none (SURVEY §2.3 maintenance block — the
+    refresh half of the materialized-view lifecycle)."""
+    import os
+    import tempfile
+
+    from ._util import _session_cache, source_fingerprint
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "mms_agg_refresh",
+        "-".join(map(str, source_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))[1:])),
+    )
+    agg_snapshot_refresh(spark, sf_dir, out_dir)
+
+    cache = _session_cache(spark)
+    key = ("agg_snapshot",) + source_fingerprint(
+        os.path.join(sf_dir, "lineitem.parquet")
+    )
+    prev = cache.get(key)
+    refreshed = agg_snapshot_attach(spark, sf_dir, out_dir)
+    # restore the fresh-fit cache entry: the served plan below closes
+    # over `refreshed` itself and never re-reads the cache
+    if prev is not None:
+        cache[key] = prev
+    else:
+        cache.pop(key, None)
+    return _serve_agg_from(spark, sf_dir, refreshed)
 
 
 # --- q187: mergeable-histogram quantile maintenance (eleventh family) ------

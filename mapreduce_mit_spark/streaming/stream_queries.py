@@ -2146,9 +2146,10 @@ def _stage_agg_parts_tree(spark: SparkSession, sf_dir: str, sink_key: str) -> st
     import shutil
 
     from ..plans.maintenance import (
-        Q178_STANDING_HEX,
         _agg_split_key,
         _lineitem_partials,
+        agg_snapshot_for,
+        agg_standing_hex,
     )
     from ..sources.io import ensure_reader_confs, load_table
 
@@ -2159,7 +2160,11 @@ def _stage_agg_parts_tree(spark: SparkSession, sf_dir: str, sink_key: str) -> st
     parts_dir = os.path.join(root, "parts")
 
     li = load_table(spark, sf_dir, "lineitem")
-    incr = li.where(~(_agg_split_key() < Q178_STANDING_HEX)).select(
+    # carve at the SNAPSHOT's stamped boundary (not the module
+    # constant) so the streamed increments and the snapshot the serve
+    # merges with can never disagree about where standing ends
+    boundary = agg_standing_hex(agg_snapshot_for(spark, sf_dir))
+    incr = li.where(~(_agg_split_key() < boundary)).select(
         "l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice",
         "l_discount", "l_shipdate",
     )

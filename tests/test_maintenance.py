@@ -150,14 +150,25 @@ def test_skew_audit_salt_is_integer_ceil(spark):
 
 def test_agg_snapshot_attach_refuses_param_mismatch(spark, tmp_path):
     """The tenth family honors the same param-stamp gate as the other
-    nine: a snapshot built for a different split key or group key must
-    refuse to attach, not silently merge against the wrong carve."""
+    nine for its IMMUTABLE params: a snapshot built for a different
+    group key must refuse to attach, not silently merge against the
+    wrong carve. (standing_hex is the family's one MUTABLE param — the
+    serve path reads the stamped boundary back, so a moved boundary is
+    the refresh lifecycle, not a mismatch; see
+    test_snapshot_refresh_equals_from_scratch.) A stamp missing a
+    mutable key entirely still refuses — mutable waives equality, not
+    presence."""
     out = str(tmp_path / "agg_snapshot")
     agg_snapshot_save(spark, SF_SMALL, out)
     meta_path = os.path.join(out, "_meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
-    doctored = dict(meta, params={"standing_hex": "8000", "group_key": "l_suppkey"})
+    doctored = dict(meta, params={"standing_hex": "e666", "group_key": "l_partkey"})
+    with open(meta_path, "w") as f:
+        json.dump(doctored, f)
+    with pytest.raises(ValueError, match="params"):
+        agg_snapshot_attach(spark, SF_SMALL, out)
+    doctored = dict(meta, params={"group_key": "l_suppkey"})
     with open(meta_path, "w") as f:
         json.dump(doctored, f)
     with pytest.raises(ValueError, match="params"):
@@ -213,8 +224,12 @@ def test_epoch_repetition_copy_counts_match_python(spark):
 def test_snapshot_refresh_equals_from_scratch(spark, tmp_path):
     """agg_snapshot_refresh's contract: the refreshed artifact's
     partials equal a from-scratch partial aggregation over the WHOLE
-    fact table, bit-for-bit — and its 'ffff' boundary stamp refuses to
-    attach into serving code still carving at the old boundary."""
+    fact table, bit-for-bit — and the refreshed artifact ATTACHES
+    through the mutable-param gate, carrying its moved boundary in the
+    param tag so the serve path carves an EMPTY increment (the closed
+    lifecycle; the old behavior was a refusal dead-end)."""
+    from mapreduce_mit_spark.plans._util import _session_cache, source_fingerprint
+
     out = str(tmp_path / "refreshed")
     mnt.agg_snapshot_refresh(spark, SF_SMALL, out)
     got = sorted(
@@ -230,6 +245,34 @@ def test_snapshot_refresh_equals_from_scratch(spark, tmp_path):
         .collect()
     )
     assert got == want
+    key = ("agg_snapshot",) + source_fingerprint(
+        os.path.join(SF_SMALL, "lineitem.parquet")
+    )
+    cache = _session_cache(spark)
+    prev = cache.get(key)
+    try:
+        refreshed = agg_snapshot_attach(spark, SF_SMALL, out)
+        assert mnt.agg_standing_hex(refreshed) == mnt.AGG_REFRESHED_HEX
+        # the moved boundary makes the increment carve provably empty
+        incr = load_table(spark, SF_SMALL, "lineitem").where(
+            ~(mnt._agg_split_key() < mnt.agg_standing_hex(refreshed))
+        )
+        assert incr.count() == 0
+    finally:
+        if prev is not None:
+            cache[key] = prev
+        else:
+            cache.pop(key, None)
+    # the gate still refuses what remains IMMUTABLE: a wrong group_key
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    doctored = dict(
+        meta,
+        params={"standing_hex": mnt.AGG_REFRESHED_HEX, "group_key": "l_partkey"},
+    )
+    with open(meta_path, "w") as f:
+        json.dump(doctored, f)
     with pytest.raises(ValueError, match="params"):
         agg_snapshot_attach(spark, SF_SMALL, out)
 
