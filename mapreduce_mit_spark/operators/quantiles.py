@@ -276,3 +276,40 @@ def exact_quantiles_auto(
     if n_groups >= P:
         return exact_quantiles(df, keys, col, qs, nd, mode)
     return exact_quantiles_ranged(df, keys, col, qs, nd, mode, partitions=P)
+
+
+def global_ranks(
+    df: DataFrame, order_cols: list[str], partitions: int | None = None
+) -> DataFrame:
+    """Global ``row_number`` over a TOTAL ordering without the
+    single-task funnel of ``row_number().over(Window.orderBy(...))``
+    (an empty-partitionBy window drags the whole input through ONE
+    task — q17's documented 114×-at-100× pathology).
+
+    Same rank strategy as :func:`exact_quantiles_ranged`, degenerate
+    group case: range-repartition on the ordering (each partition a
+    bounded contiguous slice), rank locally within the partition, add
+    the broadcast per-partition prefix counts. No task ever holds more
+    than one shuffle partition; the prefix table is P rows.
+
+    ``order_cols`` must be a total order (include a tiebreaker key) or
+    ranks within ties are partition-placement-dependent. NULLs rank
+    last (asc_nulls_last), matching SQL-standard/DuckDB placement.
+    Returns the input columns plus ``rn`` (1-based)."""
+    P = _resolve_partitions(df, partitions)
+    cols = [F.col(c).asc_nulls_last() for c in order_cols]
+    d = df.repartitionByRange(P, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wl = Window.partitionBy("_pid").orderBy(*cols)
+    local = d.withColumn("_lrn", F.row_number().over(wl))
+    cnt = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    # P-row inputs only: this empty-partitionBy window is the bounded
+    # kind (prefix over partition COUNTS, never data rows)
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    pre = cnt.withColumn("_prefix", F.coalesce(F.sum("_c").over(wp), F.lit(0)))
+    return (
+        local.join(F.broadcast(pre.select("_pid", "_prefix")), "_pid")
+        .withColumn("rn", F.col("_lrn") + F.col("_prefix"))
+        .drop("_pid", "_lrn", "_prefix")
+    )

@@ -1053,14 +1053,24 @@ def _hist_bucket_col() -> Column:
     ],
     _hist_snapshot_fit,
     params={"standing_hex": Q178_STANDING_HEX, "n_buckets": Q187_BUCKETS},
+    # standing_hex mutable for the same reason as the agg snapshot's:
+    # a refreshed histogram (hist_snapshot_refresh) moves the boundary
+    # and the serve path reads the stamped value; n_buckets stays
+    # immutable — counts binned at 64 buckets served as 32 would be
+    # silently wrong quantiles
+    mutable=("standing_hex",),
 )
 
 
-def _q187_oracle() -> str:
-    standing = (
-        "COALESCE(substr(md5('agg1:' || CAST(o_orderkey AS VARCHAR)), 1, 4), "
-        f"'0000') < '{Q178_STANDING_HEX}'"
-    )
+def _q187_oracle(standing: str | None = None) -> str:
+    """Parameterized over the standing predicate: q187 uses the md5
+    carve (stale boundaries + clamped increments), q189 passes 'TRUE'
+    (post-refresh: boundaries fitted on everything, zero clamps)."""
+    if standing is None:
+        standing = (
+            "COALESCE(substr(md5('agg1:' || CAST(o_orderkey AS VARCHAR)), 1, 4), "
+            f"'0000') < '{Q178_STANDING_HEX}'"
+        )
     qs_rows = ", ".join(f"(CAST({q} AS DOUBLE))" for q in Q187_QS)
     return f"""
     WITH o AS (
@@ -1147,7 +1157,9 @@ def q187_histogram_quantile_maintenance(
     estimate carries an IN-BAND audit against the exact rank-based
     quantile (|est − exact| ≤ one bucket width, the q16/q165
     falsifiability discipline; the exact path is the audit's cost,
-    sampled in production, and is precisely q17/q153's operator).
+    sampled in production, and runs q153's giant-group-safe rank
+    strategy — ``operators.quantiles.global_ranks`` — never q17's
+    single-task global-sort formulation).
 
     Estimate: target rank ``ceil(q·N)`` located in the cumulative
     bucket sums (a 64-row window — sketch-sized, never data-sized),
@@ -1163,9 +1175,22 @@ def q187_histogram_quantile_maintenance(
     Reference analog: none (SURVEY §2.3 maintenance block; the
     mergeable-histogram pattern behind every approximate-quantile
     sketch, reduced to its exactly-testable core)."""
-    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
     counts_s, ext = hist_snapshot_for(spark, sf_dir)
-    incr = o.where(~(_order_split_key() < Q178_STANDING_HEX))
+    return _hist_quantile_view(spark, sf_dir, counts_s, ext)
+
+
+def _hist_quantile_view(
+    spark: SparkSession, sf_dir: str, counts_s: DataFrame, ext: DataFrame
+) -> DataFrame:
+    """q187's serve against an EXPLICIT histogram artifact: bucketize
+    the increment against the artifact's boundaries, merge counts,
+    interpolate quantiles, and audit in-band. The increment carve uses
+    the artifact's STAMPED boundary (:func:`agg_standing_hex` — the
+    same mutable-param discipline as the agg snapshot), so a refreshed
+    histogram (q189) serves with a provably empty increment and zero
+    clamps through this one code path."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    incr = o.where(~(_order_split_key() < agg_standing_hex(counts_s)))
     incr_b = incr.crossJoin(F.broadcast(ext)).select(
         _hist_bucket_col().alias("bucket"),
         (
@@ -1221,12 +1246,15 @@ def q187_histogram_quantile_maintenance(
             width.alias("_w"),
         )
     )
-    ranked = o.select(
-        "o_totalprice",
-        F.row_number()
-        .over(W.orderBy("o_totalprice", "o_orderkey"))
-        .alias("rn"),
-    )
+    # exact rank lookup via the giant-group-safe rank strategy (q153's
+    # operator, degenerate single-group case) — the audit no longer
+    # carries q17's single-task global-sort pathology; the ordering is
+    # total (orderkey tiebreak), matching the oracle's row_number
+    from ..operators.quantiles import global_ranks
+
+    ranked = global_ranks(
+        o.select("o_totalprice", "o_orderkey"), ["o_totalprice", "o_orderkey"]
+    ).select("o_totalprice", "rn")
     exact = tgt.join(ranked, F.col("rn") == F.col("rk")).select(
         F.col("q").alias("q_x"), F.col("o_totalprice").alias("exact_val")
     )
@@ -1248,3 +1276,98 @@ def q187_histogram_quantile_maintenance(
         )
         .orderBy("q")
     )
+
+
+def hist_snapshot_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """The RETRAIN act q187's ``n_new_clamped`` alarm calls for —
+    previously the histogram story ended at the alarm. Unlike q178's
+    partials, equal-width bucket counts CANNOT be re-binned across
+    moved boundaries without the data (a count bucketized at stale
+    [lo, hi] says nothing about where its rows fall in the new grid),
+    so the refresh is an honest ONE-PASS FULL REFIT: fit [lo, hi] on
+    the whole table, re-bucketize everything, persist counts + extent
+    stamped at the moved boundary (:data:`AGG_REFRESHED_HEX` —
+    standing = everything, zero pending increments). This is the same
+    cost class as the IVF codebook refit q177's churn signal gates:
+    the alarm exists precisely because the retrain is not free.
+
+    The refreshed artifact attaches through the ordinary gate
+    (``standing_hex`` mutable, ``n_buckets`` immutable) and serves
+    through :func:`_hist_quantile_view` unchanged — q189 registers the
+    full lifecycle. Pytest contract: refreshed counts == a
+    from-scratch full-data bucketize, bit-for-bit, and the post-
+    refresh serve clamps nothing."""
+    import os
+
+    from ._util import write_index_meta
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    ext = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    counts = (
+        o.crossJoin(F.broadcast(ext))
+        .select(_hist_bucket_col().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts.write.mode("overwrite").parquet(os.path.join(out_dir, "counts"))
+    ext.write.mode("overwrite").parquet(os.path.join(out_dir, "extent"))
+    write_index_meta(
+        out_dir,
+        os.path.join(sf_dir, "orders.parquet"),
+        schemas={"counts": counts.schema.json(), "extent": ext.schema.json()},
+        params={"standing_hex": AGG_REFRESHED_HEX, "n_buckets": Q187_BUCKETS},
+    )
+
+
+@register(
+    "q189_hist_refresh_serve",
+    oracle=_q187_oracle("TRUE"),
+    tags=("maintenance", "incremental", "sketch", "quantiles", "lifecycle"),
+)
+def q189_hist_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM REFRESH-THEN-SERVE — q188's lifecycle act for the
+    distribution sketch: run :func:`hist_snapshot_refresh` (full refit
+    at current extent), ATTACH the refreshed artifact through the
+    mutable-param gate, and serve q187's quantile view from it. With
+    boundaries fitted on everything and the boundary stamp moved, the
+    increment carve is provably empty and ``n_new_clamped`` is zero by
+    construction — the oracle recomputes the same view with the
+    standing predicate TRUE. ``audit_ok`` still runs the exact
+    rank-based check: refresh must restore the |est − exact| ≤
+    bucket-width bound that stale boundaries erode.
+
+    The session cache entry is save/restored around the attach (the
+    returned plan closes over the loaded artifact), so q189 never
+    poisons a later q187 call whose oracle models the STALE boundary.
+
+    Scale shape: the refresh is the one-pass refit (the alarm's
+    documented cost); the serve afterwards is sketch-sized — a 64-row
+    merge + window, an empty increment scan, and the deliberate exact
+    audit.
+
+    Reference analog: none (SURVEY §2.3 maintenance block — the
+    retrain half of the distribution-sketch lifecycle)."""
+    import os
+    import tempfile
+
+    from ._util import _session_cache, source_fingerprint
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "mms_hist_refresh",
+        "-".join(map(str, source_fingerprint(os.path.join(sf_dir, "orders.parquet"))[1:])),
+    )
+    hist_snapshot_refresh(spark, sf_dir, out_dir)
+
+    cache = _session_cache(spark)
+    key = ("hist_snapshot",) + source_fingerprint(
+        os.path.join(sf_dir, "orders.parquet")
+    )
+    prev = cache.get(key)
+    counts_s, ext = hist_snapshot_attach(spark, sf_dir, out_dir)
+    if prev is not None:
+        cache[key] = prev
+    else:
+        cache.pop(key, None)
+    return _hist_quantile_view(spark, sf_dir, counts_s, ext)

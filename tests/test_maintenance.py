@@ -344,3 +344,68 @@ def test_histogram_counts_merge_equals_full_build(spark):
         .collect()
     }
     assert merged == full and sum(full.values()) == o.count()
+
+
+def test_hist_refresh_full_refit_and_zero_clamps(spark, tmp_path):
+    """hist_snapshot_refresh's contract: the refreshed counts equal a
+    from-scratch full-data bucketize at the refit extent, bit-for-bit;
+    the attached artifact serves with ZERO clamped increments and a
+    passing in-band audit; and running q189 does not poison a later
+    q187 serve (whose oracle models the stale boundary)."""
+    from mapreduce_mit_spark.plans._util import _session_cache, source_fingerprint
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    out = str(tmp_path / "hist_refreshed")
+    mnt.hist_snapshot_refresh(spark, SF_SMALL, out)
+
+    o = load_table(spark, SF_SMALL, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
+    ext = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    want = sorted(
+        (r.bucket, r.n)
+        for r in o.crossJoin(F.broadcast(ext))
+        .select(mnt._hist_bucket_col().alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = sorted(
+        (r.bucket, r.n)
+        for r in spark.read.parquet(os.path.join(out, "counts")).collect()
+    )
+    assert got == want and got
+
+    before_stale = sorted(
+        map(
+            tuple,
+            REGISTRY["q187_histogram_quantile_maintenance"]
+            .fn(spark, SF_SMALL)
+            .collect(),
+        )
+    )
+    served = REGISTRY["q189_hist_refresh_serve"].fn(spark, SF_SMALL).collect()
+    assert served and all(r.n_new_clamped == 0 for r in served)
+    assert all(r.audit_ok for r in served)
+    # cache restored: q187 still serves the STALE-boundary view
+    after_stale = sorted(
+        map(
+            tuple,
+            REGISTRY["q187_histogram_quantile_maintenance"]
+            .fn(spark, SF_SMALL)
+            .collect(),
+        )
+    )
+    assert after_stale == before_stale
+    # n_buckets stays immutable: a doctored bucket count refuses
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    doctored = dict(
+        meta, params={"standing_hex": mnt.AGG_REFRESHED_HEX, "n_buckets": 32}
+    )
+    with open(meta_path, "w") as f:
+        json.dump(doctored, f)
+    with pytest.raises(ValueError, match="params"):
+        mnt.hist_snapshot_attach(spark, SF_SMALL, out)

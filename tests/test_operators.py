@@ -2450,3 +2450,47 @@ def test_prefix_filter_setsim_is_exact(spark):
         )
     )
     assert got == want and got, "prefix filtering diverged from brute force"
+
+
+def test_global_ranks_matches_single_task_window(spark):
+    """global_ranks (range-partitioned rank, q153's strategy in its
+    degenerate single-group form) must equal the single-task
+    row_number window on a total ordering — including duplicate sort
+    values resolved by the tiebreaker and NULLs ranking last."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduce_mit_spark.operators.quantiles import global_ranks
+    from mapreduce_mit_spark.sources.io import load_table
+
+    o = (
+        load_table(spark, SF_SMALL, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit(None)).otherwise(
+                F.round("o_totalprice", -3)  # force duplicate sort keys
+            ),
+        )
+    )
+    want = {
+        r.o_orderkey: r.rn
+        for r in o.select(
+            "o_orderkey",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("o_totalprice").asc_nulls_last(),
+                    F.col("o_orderkey").asc_nulls_last(),
+                )
+            )
+            .alias("rn"),
+        ).collect()
+    }
+    got = {
+        r.o_orderkey: r.rn
+        for r in global_ranks(
+            o, ["o_totalprice", "o_orderkey"], partitions=7
+        ).collect()
+    }
+    assert got == want and len(got) > 100
