@@ -156,10 +156,11 @@ def _calibrate(spark) -> float:
         runs.append(time.perf_counter() - t0)
     return round(min(runs), 3)
 
-# Calibration of the box BENCH_r10 ran on — the pinned reference for
-# value_normalized (see the slim summary). All rounds normalize to this
-# one ruler; update it only if the normalization baseline is ever
-# deliberately re-anchored (and say so in SCALING.md).
+# Calibration of the box BENCH_r10 ran on — the pinned ruler for
+# flagships_normalized (and for the retired value_normalized in r≤14
+# artifacts). All rounds normalize to this one ruler; update it only if
+# the normalization baseline is ever deliberately re-anchored (and say
+# so in SCALING.md).
 REF_CALIBRATION_S = 0.161
 
 
@@ -492,15 +493,24 @@ def main() -> None:
         "reps": reps,
         "sf": float(sf),
         "calibration_s": calibration_s,
-        # Box-normalized total: value × (REF_CALIBRATION_S /
-        # calibration_s) — "what this total would read on the
-        # reference box". The reference is PINNED (round 10's box, the
-        # round the normalization question was raised about), not the
-        # previous round's, so every round normalizes to the same
-        # ruler and round-over-round deltas in value_normalized are
-        # code, not hardware. The calibration job is CPU-bound like
-        # the query mix, so linear scaling is a fair first-order model.
-        "value_normalized": round(total * (REF_CALIBRATION_S / calibration_s), 3),
+        # value_normalized is RETIRED (r15): the in-run total × a
+        # parent-process calibration ratio drifted opposite to both the
+        # raw and isolated series three rounds running — the linear
+        # model amplifies whichever contention window the parent's
+        # calibration happened to sample. The trustworthy normalized
+        # number is the isolated flagship series against the
+        # calibrations that BRACKET it (each child calibrates its own
+        # fresh process): flagships_normalized below. Round-over-round
+        # claims quote isolated raw medians first, this second, and the
+        # in-run total only as the headline-coverage number.
+        "flagships_normalized": round(
+            sum(flagships_isolated.values())
+            * (
+                REF_CALIBRATION_S
+                / max(min(c for c in flagship_calibrations if c), 1e-9)
+            ),
+            3,
+        ),
         "fits_total": round(sum(fits.values()), 3),
         # r13 contention-robustness: the isolated flagship series' total
         # (min of two fresh-process warm-medians per query) plus each

@@ -107,23 +107,34 @@ def check_bench_scaling_drift() -> list[str]:
         secs = re.findall(
             rf"###[^\n]*Round {n}\b.*?(?=\n### |\Z)", scaling, re.DOTALL
         )
+        # r≤14 sections quote "raw X s / normalized Y s"; r15+ quote
+        # raw-only (value_normalized retired — see bench.py). Both
+        # forms stay checkable against the committed artifact.
         quotes = [
-            q
+            (q.group(1), q.group(2))
             for sec in secs
             for q in re.finditer(
                 r"raw headline total \*\*([\d.]+)\s*s / normalized ([\d.]+)\s*s\*\*",
                 sec,
+            )
+        ] + [
+            (q.group(1), None)
+            for sec in secs
+            for q in re.finditer(
+                r"raw headline total \*\*([\d.]+)\s*s\*\*(?! */)", sec
             )
         ]
         if not quotes:
             continue
         with open(path) as f:
             art = json.load(f).get("parsed") or {}
-        for quoted in quotes:
-            for label, got, want in (
-                ("raw", float(quoted.group(1)), art.get("value")),
-                ("normalized", float(quoted.group(2)), art.get("value_normalized")),
-            ):
+        for raw_q, norm_q in quotes:
+            checks = [("raw", float(raw_q), art.get("value"))]
+            if norm_q is not None:
+                checks.append(
+                    ("normalized", float(norm_q), art.get("value_normalized"))
+                )
+            for label, got, want in checks:
                 if want is None:
                     # a malformed/unparsed artifact must fail the gate,
                     # not silently pass it: SCALING.md is quoting a
@@ -190,8 +201,8 @@ def check_bench_contention_trust() -> tuple[list[str], list[str]]:
     if cal and cal > 2.0 * _bench.REF_CALIBRATION_S:
         warns.append(
             f"calibration {cal:.3f}s is >2x the pinned ruler "
-            f"({_bench.REF_CALIBRATION_S}s): value_normalized is outside the "
-            "linear model's trust region — quote isolated raw medians in "
+            f"({_bench.REF_CALIBRATION_S}s): any linear normalization is "
+            "outside its trust region — quote isolated raw medians in "
             "SCALING.md"
         )
     return errs, warns
