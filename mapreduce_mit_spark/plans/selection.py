@@ -1,0 +1,510 @@
+"""Data-selection / tokenizer-prep pack over ``documents``.
+
+The operators a 100 TB pre-training pipeline runs BETWEEN corpus
+hygiene (quality.py) and shard assembly (pipeline.py): deciding WHICH
+cleaned documents to train on, in what proportions, and preparing the
+tokenizer that will consume them.
+
+- **DSIR importance weighting** (q190): hashed-n-gram importance
+  resampling (Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling") reduced to its exactly-testable unigram
+  core: two hashed-bucket LMs — target (the domain you want more of)
+  and raw (what you have) — give every document a log-likelihood-ratio
+  weight Σ_b n_b·(ln p_t(b) − ln p_r(b)). The LMs are the TWELFTH
+  persisted family: 256-row bucket-count tables, fitted once, attached
+  everywhere.
+- **stratified top-k selection** (q191): the act after the weights —
+  per-language top-K by DSIR weight via the two-level (shard-local
+  top-K → global top-K) refinement, so no task ever sorts a whole
+  language.
+- **BPE first merge** (q192): the tokenizer-training step — adjacent
+  symbol-pair counts over the word-frequency table (Sennrich et al.
+  2016), the exactly-SQL-expressible first iteration of BPE training.
+- **weighted sampling without replacement** (q193): Efraimidis-
+  Spirakis priorities in their EXACT-INTEGER form — a doc with weight
+  w gets priority max of w md5 draws (distributionally u^(1/w)), all
+  comparisons on hex strings, zero float hazard.
+
+Cross-engine determinism: bucket keys and sampling draws are md5
+prefixes (the repo's split idiom); the one float surface (q190's
+weight) is a sum of identically-computed ln terms rounded to 4
+decimals in both engines (the q149/q63 discipline); q191 ranks on the
+ROUNDED weight with a doc_id tiebreak; q192/q193 are exact
+integers/strings end to end.
+
+Reference analog: none of these exist in the reference (SURVEY §2.3
+training-pipeline extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textfns import tokens_col, tokens_sql
+from ..registry import register
+from ._util import fitted_family, t, tw
+
+# --- q190: DSIR importance weights (twelfth persisted family) --------------
+
+# 256 hashed feature buckets: the first 2 hex chars of md5(token) — the
+# same split idiom every other carve uses, so both engines bucket
+# identically with no hex→int conversion anywhere.
+DSIR_BUCKETS = 256
+# The target distribution: English documents (the fixture's largest
+# language). In production this is the trusted domain sample (wiki,
+# books); the fit is identical — a second bucket-count pass over it.
+DSIR_TARGET_LANG = "en"
+
+
+def _bucket_col(token: Column) -> Column:
+    return F.substring(F.md5(token), 1, 2)
+
+
+def _dsir_occ(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) — one row per token occurrence, already
+    hashed to its feature bucket. Tokens never leave this projection:
+    the LMs, the weights, and every shuffle downstream are keyed on the
+    2-hex bucket, not the text."""
+    return docs.select(
+        "doc_id", "lang", F.explode(tokens_col("text")).alias("token")
+    ).select("doc_id", "lang", _bucket_col(F.col("token")).alias("bucket"))
+
+
+def _dsir_lm_fit(spark: SparkSession, sf_dir: str):
+    return _dsir_count_tables(spark, sf_dir)
+
+
+def _dsir_count_tables(spark: SparkSession, sf_dir: str):
+    """FIT CORE for the twelfth family (kept separate from
+    ``_dsir_lm_fit`` so the cold-start test can poison it without
+    touching ``_dsir_occ``, which the SERVE path legitimately reruns —
+    scoring needs per-doc features; only the LM must never refit):
+    two 256-row bucket-count tables — target (DSIR_TARGET_LANG docs
+    only) and raw (all docs) — from ONE tokenize pass."""
+    occ = _dsir_occ(tw(spark, sf_dir, "documents"))
+    raw = (
+        occ.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    target = (
+        occ.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    return (target, raw)
+
+
+(
+    dsir_lm_for,
+    dsir_lm_save,
+    dsir_lm_load,
+    dsir_lm_attach,
+) = fitted_family(
+    "dsir_lm",
+    "documents.parquet",
+    [
+        ("target", ["bucket", "c"], None),
+        ("raw", ["bucket", "c"], None),
+    ],
+    _dsir_lm_fit,
+    params={"n_buckets": DSIR_BUCKETS, "target_lang": DSIR_TARGET_LANG},
+)
+
+
+def _dsir_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 256-row (bucket, llr) table: add-one-smoothed
+    ln p_target(b) − ln p_raw(b). Built from the fitted family's two
+    count tables; broadcast by every consumer. The smoothing denominators
+    (totals + 256) come from 1-row aggregates over the 256-row tables —
+    never a data-sized pass at serve time."""
+    target, raw = dsir_lm_for(spark, sf_dir)
+    tt = target.agg(F.sum("c").cast("double").alias("tt"))
+    tr = raw.agg(F.sum("c").cast("double").alias("tr"))
+    return (
+        raw.select("bucket", F.col("c").alias("cr"))
+        .join(target.select("bucket", F.col("c").alias("ct")), "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("tt") + float(DSIR_BUCKETS))
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("tr") + float(DSIR_BUCKETS)))
+            ).alias("llr"),
+        )
+    )
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR weight: Σ_b n_db · llr(b), rounded to 4
+    decimals (both engines sum ≤256 per-doc terms of identically-
+    computed doubles — the q149 float discipline). Shared by q190
+    (the weight view) and q191 (the selection)."""
+    occ = _dsir_occ(tw(spark, sf_dir, "documents"))
+    n_db = occ.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        n_db.join(F.broadcast(_dsir_llr(spark, sf_dir)), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("n") * F.col("llr")), 4).alias("weight"),
+        )
+    )
+
+
+# The shared oracle CTE chain: replays tokenize → bucket → two LMs →
+# llr → per-doc weight, verbatim.
+_DSIR_W_CTES = f"""
+    occ0 AS (
+      SELECT doc_id, lang, unnest({tokens_sql('text')}) AS token FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, lang, substr(md5(token), 1, 2) AS bucket FROM occ0
+    ),
+    raw_c AS (SELECT bucket, count(*) AS cr FROM occ GROUP BY bucket),
+    tgt_c AS (
+      SELECT bucket, count(*) AS ct FROM occ
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+    ),
+    tots AS (
+      SELECT (SELECT CAST(sum(cr) AS DOUBLE) FROM raw_c) AS tr,
+             (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) FROM tgt_c) AS tt
+    ),
+    llr AS (
+      SELECT r.bucket,
+             ln((coalesce(t.ct, 0) + 1.0) / (tt + {DSIR_BUCKETS}.0))
+               - ln((r.cr + 1.0) / (tr + {DSIR_BUCKETS}.0)) AS llr
+      FROM raw_c r LEFT JOIN tgt_c t USING (bucket), tots
+    ),
+    n_db AS (
+      SELECT doc_id, bucket, count(*) AS n FROM occ GROUP BY doc_id, bucket
+    ),
+    w AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+             round(sum(n * llr), 4) AS weight
+      FROM n_db JOIN llr USING (bucket) GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "q190_dsir_importance",
+    oracle=f"""
+    WITH {_DSIR_W_CTES}
+    SELECT d.doc_id, d.lang,
+           CAST(coalesce(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+           w.weight,
+           (coalesce(w.weight, -1e9) > 0) AS selected
+    FROM documents d LEFT JOIN w USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("selection", "language-model", "training-pipeline"),
+)
+def q190_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR IMPORTANCE WEIGHTS (Xie et al. 2023): score every document
+    by how much more likely its hashed-unigram features are under the
+    TARGET distribution (``lang = 'en'`` here; the trusted domain
+    sample in production) than under the RAW corpus —
+    weight = Σ_b n_db · (ln p_t(b) − ln p_r(b)) with add-one smoothing
+    over 256 md5 buckets. ``selected`` is the sign gate: positive
+    means "more target-like than the corpus average".
+
+    The two bucket LMs are the TWELFTH persisted family
+    (:func:`dsir_lm_for` — save/attach/fingerprint/param-stamp like
+    the other eleven): fitted once per corpus snapshot, 256 rows each,
+    so every scoring job joins against a BROADCAST 256-row llr table —
+    the model side of the join is constant-size no matter how large
+    the corpus grows. Contrast q149, whose vocabulary-sized LM join
+    must shuffle: hashing buys a model that broadcasts at any scale,
+    at the price of bucket collisions the smoothing absorbs.
+
+    Scale shape: one tokenize pass (generator, no Python), one
+    (doc_id, bucket) partial agg — map-side combinable, ≤256 rows per
+    doc — then a broadcast join and a doc_id agg. Zero
+    vocabulary-sized or corpus-sized shuffles; the only wide exchange
+    is keyed on doc_id. At 100 TB the fit is one scheduled pass and
+    the serve is O(corpus tokens) map work.
+
+    Reference analog: none (SURVEY §2.3 selection extension)."""
+    d = t(spark, sf_dir, "documents")
+    w = _dsir_weights(spark, sf_dir)
+    return (
+        d.select("doc_id", "lang")
+        .join(w, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            "weight",
+            (F.coalesce("weight", F.lit(-1e9)) > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- q191: stratified top-K selection (two-level refinement) ---------------
+
+Q191_K = 20
+Q191_SHARDS = 8
+
+
+@register(
+    "q191_dsir_select",
+    oracle=f"""
+    WITH {_DSIR_W_CTES},
+    scored AS (
+      SELECT d.doc_id, d.lang, w.weight,
+             row_number() OVER (
+               PARTITION BY d.lang ORDER BY w.weight DESC, d.doc_id
+             ) AS sel_rank
+      FROM documents d JOIN w USING (doc_id)
+      WHERE w.weight IS NOT NULL
+    )
+    SELECT lang, sel_rank, doc_id, weight
+    FROM scored WHERE sel_rank <= {Q191_K}
+    ORDER BY lang, sel_rank
+    """,
+    tags=("selection", "top-k", "training-pipeline"),
+)
+def q191_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED TOP-K SELECTION — the act after q190's weights: keep
+    the K most target-like documents PER LANGUAGE (the per-stratum
+    budget a data-mixture recipe hands down; q183's epoch budgets are
+    the next stage).
+
+    Per-language top-K is the few-giant-groups window problem (5
+    languages = 5 tasks sorting a fifth of the corpus each at 100 TB),
+    so the rank runs as the classic TWO-LEVEL refinement: (1) shard
+    each language 8 ways by an md5 hash of doc_id, window-rank within
+    (lang, shard) — no task ever sorts more than a shard — and keep K
+    per shard; (2) window-rank the ≤ 8·K survivors per language — a
+    constant-size input — and keep K. Exact by the standard argument:
+    any global top-K member is top-K within its own shard, so level 1
+    can never evict it. The oracle ranks the whole language in one
+    window — brute force against refinement, values must agree.
+
+    Ordering is (weight DESC, doc_id) on the ROUNDED weight — both
+    engines rank identical values, so the selected set is
+    deterministic cross-engine.
+
+    Scale shape: level 1's window partitions are bounded by shard
+    size (grow the shard count with the data); level 2's input is
+    languages × shards × K rows — KBs at any corpus size. Nothing
+    sorts a whole stratum anywhere.
+
+    Reference analog: the reference's test-side top-k
+    (test_test.go sort/head) lifted to a stratified, shard-refined
+    form (SURVEY §2.1 #14 extension)."""
+    d = t(spark, sf_dir, "documents")
+    scored = (
+        d.select("doc_id", "lang")
+        .join(_dsir_weights(spark, sf_dir), "doc_id")
+        .where(F.col("weight").isNotNull())
+        .withColumn(
+            "_shard",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sh1:"), F.col("doc_id").cast("string"))),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % Q191_SHARDS,
+        )
+    )
+    w1 = Window.partitionBy("lang", "_shard").orderBy(
+        F.col("weight").desc(), F.col("doc_id")
+    )
+    survivors = (
+        scored.withColumn("_lr", F.row_number().over(w1))
+        .where(F.col("_lr") <= Q191_K)
+        .drop("_lr", "_shard")
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.col("weight").desc(), F.col("doc_id"))
+    return (
+        survivors.withColumn("sel_rank", F.row_number().over(w2))
+        .where(F.col("sel_rank") <= Q191_K)
+        .select("lang", "sel_rank", "doc_id", "weight")
+        .orderBy("lang", "sel_rank")
+    )
+
+
+# --- q192: BPE first merge — adjacent pair counts ---------------------------
+
+Q192_TOP = 20
+
+
+@register(
+    "q192_bpe_pair_merge",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({tokens_sql('text')}) AS word FROM documents
+    ),
+    wf AS (SELECT word, count(*) AS wfreq FROM toks GROUP BY word),
+    pos AS (
+      SELECT word, wfreq, unnest(generate_series(1, length(word) - 1)) AS i
+      FROM wf WHERE length(word) >= 2
+    ),
+    p AS (SELECT substr(word, i, 2) AS pair, wfreq, word FROM pos),
+    a AS (
+      SELECT pair, CAST(sum(wfreq) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT word) AS BIGINT) AS n_words
+      FROM p GROUP BY pair
+    )
+    SELECT pair, n_occurrences, n_words
+    FROM a ORDER BY n_occurrences DESC, pair LIMIT {Q192_TOP}
+    """,
+    tags=("selection", "tokenizer", "training-pipeline"),
+)
+def q192_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE FIRST MERGE (Sennrich et al. 2016): the tokenizer-training
+    primitive — count adjacent symbol pairs over the corpus's
+    word-frequency table and surface the top merge candidates. This is
+    exactly one iteration of BPE training with character symbols; the
+    iterative loop (merge the winner, re-pair, repeat) composes this
+    same job N times with the symbol table fed back in — each
+    iteration is this plan, so its scale shape IS the trainer's.
+
+    The key cost insight, same as the reference's combiner: pair
+    counting runs over the WORD-FREQUENCY table (vocabulary-sized),
+    not the corpus — a word seen a million times contributes its pairs
+    once, weighted by its count. The corpus is touched exactly once
+    (the word count); everything after is vocabulary-scale.
+
+    Scale shape: one tokenize + word-count pass (map-side combinable);
+    the pair explode is a generator over vocabulary rows ≤ word-length
+    wide; the pair agg shuffles vocabulary-sized data on short string
+    keys; top-K is TakeOrdered. Exact integers end to end.
+
+    Reference analog: wc.go's word count is literally stage 1 of this
+    plan (SURVEY §2.3 tokenizer extension)."""
+    d = tw(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+    )
+    pairs = (
+        wf.where(F.length("word") >= 2)
+        .select(
+            "word",
+            "wfreq",
+            F.explode(F.expr("sequence(1, length(word) - 1)")).alias("i"),
+        )
+        .select(
+            F.expr("substring(word, i, 2)").alias("pair"), "wfreq", "word"
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("wfreq").cast("long").alias("n_occurrences"),
+            F.countDistinct("word").cast("long").alias("n_words"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(Q192_TOP)
+    )
+
+
+# --- q193: weighted sampling without replacement (Efraimidis-Spirakis) ------
+
+Q193_K = 100
+Q193_W_DIV = 300  # weight = 1 + min(n_chars div 300, 7) -> 1..8
+Q193_W_CAP = 7
+
+
+def _q193_weight() -> Column:
+    return 1 + F.least(
+        F.floor(F.col("n_chars") / Q193_W_DIV).cast("long"), F.lit(Q193_W_CAP)
+    )
+
+
+@register(
+    "q193_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             1 + LEAST(n_chars // {Q193_W_DIV}, {Q193_W_CAP}) AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, w, unnest(generate_series(0, w - 1)) AS i FROM d
+    ),
+    p AS (
+      SELECT doc_id, lang, w,
+             md5('samp1:' || CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(i AS VARCHAR)) AS u
+      FROM c
+    ),
+    a AS (
+      SELECT doc_id, lang, CAST(w AS BIGINT) AS w, max(u) AS priority
+      FROM p GROUP BY doc_id, lang, w
+    )
+    SELECT doc_id, lang, w, priority
+    FROM a ORDER BY priority DESC, doc_id LIMIT {Q193_K}
+    """,
+    tags=("selection", "sampling", "training-pipeline"),
+)
+def q193_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED SAMPLING WITHOUT REPLACEMENT — Efraimidis-Spirakis
+    (2006) priorities in their EXACT-INTEGER form: a document with
+    integer weight w draws w independent md5 uniforms and its priority
+    is their MAX (the max of w uniforms is distributed as u^(1/w) —
+    the E-S key — with no ln/exp anywhere). The global top-K by
+    priority is then a weight-proportional sample without replacement.
+    All draws are md5 hex strings and all comparisons lexicographic,
+    so the selected set is bit-deterministic in both engines — the
+    float-key E-S formula (exp(ln(u)/w)) would ride on last-ulp libm
+    agreement; this variant cannot wobble.
+
+    Weights here derive from document length (1..8, capped); in
+    production they're quality scores (q166) or DSIR weights (q190)
+    quantized to small integers — the cap bounds the explode factor.
+
+    Scale shape: the w-fold explode is a GENERATOR over metadata rows
+    only (doc_id + small columns, never the payload), ≤ 8× row
+    amplification; per-doc max collapses map-side; the global top-K is
+    TakeOrdered (per-partition heaps + driver merge of K rows — no
+    global sort, no single-task window). At 100 TB this is one map
+    pass over metadata.
+
+    Reference analog: none (SURVEY §2.3 sampling extension; the
+    trainer-side subsampling every data-constrained run does)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _q193_weight().alias("w")
+    )
+    cand = d.select(
+        "doc_id",
+        "lang",
+        "w",
+        F.explode(F.expr("sequence(0, w - 1)")).alias("i"),
+    )
+    pri = cand.select(
+        "doc_id",
+        "lang",
+        "w",
+        F.md5(
+            F.concat(
+                F.lit("samp1:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("i").cast("string"),
+            )
+        ).alias("u"),
+    )
+    return (
+        pri.groupBy("doc_id", "lang", "w")
+        .agg(F.max("u").alias("priority"))
+        .select("doc_id", "lang", F.col("w").cast("long").alias("w"), "priority")
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(Q193_K)
+    )

@@ -71,6 +71,7 @@ def load_all_plans() -> None:
         quality,
         relational,
         scalar_funcs,
+        selection,
         similarity,
         text_analysis,
         windows,

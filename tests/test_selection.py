@@ -1,0 +1,179 @@
+"""Semantics tests for the selection/tokenizer-prep pack (q190-q193).
+
+What the DuckDB oracles can't pin down, these do:
+- DSIR weights actually SELECT the target: the mean weight of
+  target-language documents exceeds the rest (the paper's premise,
+  checked on the real fixture);
+- q191's two-level shard refinement is EXACT against the brute-force
+  single-window rank it replaces;
+- q192's pair counts equal an independent pure-Python first BPE
+  iteration over the same word-frequency table;
+- q193's selected set equals a pure-Python Efraimidis-Spirakis
+  max-of-w-hashes recompute, and higher weights are selected at a
+  higher rate (weight-proportionality, directionally).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mapreduce_mit_spark.plans import selection as sel
+from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+from mapreduce_mit_spark.sources.io import load_table
+
+from .conftest import SF_SMALL
+
+
+def _tokens_py(text: str) -> list[str]:
+    """The reference tokenizer in pure Python: split on runs of
+    non-letters. ``[\\W\\d_]`` = not-word ∪ digit ∪ underscore =
+    exactly the non-letter class under re.UNICODE."""
+    return [t for t in re.split(r"[\W\d_]+", text, flags=re.UNICODE) if t]
+
+
+def test_dsir_weights_prefer_target_language(spark):
+    """The selection property: documents drawn from the target
+    distribution (lang = 'en') must average a HIGHER importance weight
+    than the rest — otherwise the llr table is inverted or the
+    smoothing swamped the signal."""
+    load_all_plans()
+    rows = REGISTRY["q190_dsir_importance"].fn(spark, SF_SMALL).collect()
+    en = [r.weight for r in rows if r.lang == sel.DSIR_TARGET_LANG and r.weight is not None]
+    rest = [r.weight for r in rows if r.lang != sel.DSIR_TARGET_LANG and r.weight is not None]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+    # and the sign gate tracks it: target docs select at a higher rate
+    en_sel = sum(1 for r in rows if r.lang == sel.DSIR_TARGET_LANG and r.selected)
+    rest_sel = sum(1 for r in rows if r.lang != sel.DSIR_TARGET_LANG and r.selected)
+    assert en_sel / max(len(en), 1) > rest_sel / max(len(rest), 1)
+
+
+def test_dsir_select_two_level_equals_brute_force(spark):
+    """q191's shard-refined top-K must equal the single-window rank:
+    the refinement is an optimization, never an approximation."""
+    load_all_plans()
+    got = [
+        (r.lang, r.sel_rank, r.doc_id)
+        for r in REGISTRY["q191_dsir_select"].fn(spark, SF_SMALL).collect()
+    ]
+    scored = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "lang")
+        .join(sel._dsir_weights(spark, SF_SMALL), "doc_id")
+        .where(F.col("weight").isNotNull())
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("weight").desc(), F.col("doc_id"))
+    want = [
+        (r.lang, r.sel_rank, r.doc_id)
+        for r in scored.withColumn("sel_rank", F.row_number().over(w))
+        .where(F.col("sel_rank") <= sel.Q191_K)
+        .orderBy("lang", "sel_rank")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_bpe_pair_counts_match_python(spark):
+    """q192 == an independent pure-Python first BPE iteration: build
+    the word-frequency table, count adjacent character pairs weighted
+    by word frequency, compare the full aggregate (not just top-20)."""
+    load_all_plans()
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    wf: dict[str, int] = {}
+    for r in docs:
+        for tok in _tokens_py(r.text):
+            wf[tok] = wf.get(tok, 0) + 1
+    pairs: dict[str, list] = {}
+    for word, c in wf.items():
+        if len(word) < 2:
+            continue
+        for i in range(len(word) - 1):
+            p = word[i : i + 2]
+            ent = pairs.setdefault(p, [0, set()])
+            ent[0] += c
+            ent[1].add(word)
+    got = {
+        r.pair: (r.n_occurrences, r.n_words)
+        for r in REGISTRY["q192_bpe_pair_merge"].fn(spark, SF_SMALL).collect()
+    }
+    want_full = {p: (n, len(ws)) for p, (n, ws) in pairs.items()}
+    top = sorted(want_full.items(), key=lambda kv: (-kv[1][0], kv[0]))[: sel.Q192_TOP]
+    assert got == dict(top)
+
+
+def test_weighted_sample_matches_python_es(spark):
+    """q193's selected set == a pure-Python recompute of the exact
+    max-of-w-md5 priorities, and weight proportionality holds: the
+    heaviest weight class is overrepresented relative to its share of
+    the population."""
+    load_all_plans()
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    pri = {}
+    wts = {}
+    for r in docs:
+        w = 1 + min(r.n_chars // sel.Q193_W_DIV, sel.Q193_W_CAP)
+        wts[r.doc_id] = w
+        pri[r.doc_id] = max(
+            hashlib.md5(f"samp1:{r.doc_id}:{i}".encode()).hexdigest()
+            for i in range(w)
+        )
+    want = set(
+        sorted(pri, key=lambda d: (pri[d], -d), reverse=True)[: sel.Q193_K]
+    )
+    rows = REGISTRY["q193_weighted_sample"].fn(spark, SF_SMALL).collect()
+    got = {r.doc_id for r in rows}
+    assert got == want
+    # proportionality: selection rate of the top weight class beats the
+    # bottom class (E-S guarantees inclusion prob monotone in weight)
+    pop = {}
+    selc = {}
+    for d, w in wts.items():
+        pop[w] = pop.get(w, 0) + 1
+        if d in got:
+            selc[w] = selc.get(w, 0) + 1
+    lo, hi = min(pop), max(pop)
+    assert hi > lo, "fixture should span several weight classes"
+    assert selc.get(hi, 0) / pop[hi] > selc.get(lo, 0) / pop[lo]
+
+
+def test_dsir_lm_family_attach_poisoned_fit(spark, tmp_path):
+    """The twelfth family honors the lifecycle: save, attach in the
+    same session with the fit core poisoned, serve q190 — identical
+    rows, zero refit."""
+    load_all_plans()
+    out = str(tmp_path / "dsir_lm")
+    sel.dsir_lm_save(spark, SF_SMALL, out)
+    baseline = sorted(
+        map(tuple, REGISTRY["q190_dsir_importance"].fn(spark, SF_SMALL).collect())
+    )
+    from mapreduce_mit_spark.plans._util import _session_cache, source_fingerprint
+    import os
+
+    key = ("dsir_lm",) + source_fingerprint(
+        os.path.join(SF_SMALL, "documents.parquet")
+    )
+    cache = _session_cache(spark)
+    prev = cache.pop(key, None)
+    orig = sel._dsir_count_tables
+    try:
+        sel.dsir_lm_attach(spark, SF_SMALL, out)
+
+        def _poisoned(*a, **kw):
+            raise AssertionError("dsir_lm refit after attach")
+
+        sel._dsir_count_tables = _poisoned
+        served = sorted(
+            map(tuple, REGISTRY["q190_dsir_importance"].fn(spark, SF_SMALL).collect())
+        )
+        assert served == baseline
+    finally:
+        sel._dsir_count_tables = orig
+        if prev is not None:
+            cache[key] = prev
