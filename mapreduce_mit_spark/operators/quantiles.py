@@ -313,3 +313,43 @@ def global_ranks(
         .withColumn("rn", F.col("_lrn") + F.col("_prefix"))
         .drop("_pid", "_lrn", "_prefix")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    partitions: int | None = None,
+    alias: str = "running_total",
+) -> DataFrame:
+    """Global cumulative sum over a TOTAL ordering without the
+    single-task funnel of ``sum().over(Window.orderBy(...))`` — the
+    running-total twin of :func:`global_ranks`, sharing its strategy:
+    range-repartition on the ordering, local cumulative sum within
+    each partition, add the broadcast per-partition prefix SUMS.
+
+    The prefix table is P rows (partition subtotals), so the only
+    empty-partitionBy window runs on P rows, never data. Inclusive
+    semantics (``rows unbounded preceding .. current row``), matching
+    ``SUM(v) OVER (ORDER BY ...)`` with a total order. ``order_cols``
+    must be a total order (tiebreaker included) or the running value
+    at ties is placement-dependent."""
+    P = _resolve_partitions(df, partitions)
+    cols = [F.col(c).asc_nulls_last() for c in order_cols]
+    d = df.repartitionByRange(P, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wl = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("_lsum", F.sum(value_col).over(wl))
+    cnt = local.groupBy("_pid").agg(F.sum(value_col).alias("_s"))
+    wp = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    pre = cnt.withColumn("_prefix", F.coalesce(F.sum("_s").over(wp), F.lit(0)))
+    return (
+        local.join(F.broadcast(pre.select("_pid", "_prefix")), "_pid")
+        .withColumn(alias, F.col("_lsum") + F.col("_prefix"))
+        .drop("_pid", "_lsum", "_prefix")
+    )

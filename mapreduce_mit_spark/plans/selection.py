@@ -508,3 +508,102 @@ def q193_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "doc_id")
         .limit(Q193_K)
     )
+
+
+# --- q194: curriculum phases via scalable running token totals --------------
+
+Q194_PHASES = 4
+
+
+@register(
+    "q194_curriculum_budget",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, n_chars, n_tok,
+             CAST(sum(n_tok) OVER (
+               ORDER BY n_chars, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM d
+    ),
+    t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM d),
+    p AS (
+      SELECT o.*, LEAST(((GREATEST(cum, 1) - 1) * {Q194_PHASES}) // total,
+                        {Q194_PHASES - 1}) AS phase
+      FROM o, t
+    )
+    SELECT CAST(phase AS BIGINT) AS phase,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS phase_tokens,
+           min(cum) AS cum_lo, max(cum) AS cum_hi,
+           min(n_chars) AS chars_lo, max(n_chars) AS chars_hi
+    FROM p GROUP BY phase ORDER BY phase
+    """,
+    tags=("selection", "curriculum", "training-pipeline"),
+)
+def q194_curriculum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM PHASE ASSIGNMENT: order the corpus easy→hard (here
+    by document length; a learned difficulty score slots in unchanged)
+    and cut it into equal-TOKEN phases — each document's phase is
+    determined by the RUNNING token total at its position, the way a
+    curriculum dataloader consumes budgets (Bengio et al. 2009's
+    schedule, materialized as a manifest).
+
+    The interesting operator is the running total itself: the naive
+    ``SUM() OVER (ORDER BY ...)`` drags the entire corpus through ONE
+    task (the q17 pathology, for running sums instead of ranks). This
+    plan runs :func:`operators.quantiles.global_running_sum` — q153's
+    range-partition + local-prefix + broadcast-partition-subtotal
+    strategy applied to cumulative sums — so no task ever holds more
+    than a shuffle partition while producing the bit-identical
+    inclusive running total the oracle computes with the single-task
+    window. Phase arithmetic is exact integers:
+    ``least((cum-1)·P div total, P-1)``.
+
+    Scale shape: one tokenize-count map, one range shuffle, a P-row
+    broadcast — the whole corpus is never globally sorted on one
+    task. Output is P summary rows.
+
+    Reference analog: none (SURVEY §2.3 training-pipeline extension;
+    the scalable-running-total operator is the general contribution —
+    same shape serves billing cutoffs and watermark budgeting)."""
+    from ..operators.quantiles import global_running_sum
+
+    d = tw(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens_col("text")).cast("long").alias("n_tok"),
+    )
+    cum = global_running_sum(
+        d, ["n_chars", "doc_id"], "n_tok", alias="cum"
+    ).withColumn("cum", F.col("cum").cast("long"))
+    tot = d.agg(F.sum("n_tok").cast("long").alias("total"))
+    p = cum.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_chars",
+        "n_tok",
+        "cum",
+        F.expr(
+            f"least(((greatest(cum, 1) - 1) * {Q194_PHASES}) div total, "
+            f"{Q194_PHASES - 1})"
+        )
+        .cast("long")
+        .alias("phase"),
+    )
+    return (
+        p.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("phase_tokens"),
+            F.min("cum").alias("cum_lo"),
+            F.max("cum").alias("cum_hi"),
+            F.min("n_chars").alias("chars_lo"),
+            F.max("n_chars").alias("chars_hi"),
+        )
+        .orderBy("phase")
+    )

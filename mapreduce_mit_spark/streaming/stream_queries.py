@@ -2328,3 +2328,136 @@ def _q185_bind_oracle() -> None:
 
 
 _q185_bind_oracle()
+
+
+# --- q195: streaming DSIR scoring (the twelfth family's serve twin) --------
+
+
+@register(
+    "q195_stream_dsir_scoring",
+    oracle=None,  # set below: q190's oracle verbatim — stream == batch == SQL
+    tags=("streaming", "selection", "language-model", "training-pipeline"),
+)
+def q195_stream_dsir_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DSIR scoring — the crawl-ingest shape of q190,
+    completing the serve-twin symmetry for the twelfth family (dedup
+    q161/q162, ANN q175/q176, aggregates q178/q181, DSIR q190/this):
+    documents arrive as a file stream in micro-batches and each batch
+    is scored against the STANDING bucket LMs — the 256-row llr table
+    is built ONCE before the stream from the fitted family
+    (:func:`~..plans.selection._dsir_llr`, checkpointed) and joined
+    BROADCAST into every micro-batch; the model never refits and
+    nothing corpus-sized ever shuffles.
+
+    Exactly-once: each micro-batch OVERWRITES its own ``batch_id=<id>``
+    partition (the q162 idempotent-sink discipline, tree process-
+    leased). Because scoring is per-document against a static model,
+    the result is independent of batch boundaries — the streamed union
+    equals batch q190, so this query registers q190's oracle VERBATIM
+    (stream == batch == SQL, driver value-checked).
+
+    Scale shape: per micro-batch, one tokenize + (doc_id, bucket)
+    partial agg over the batch's rows and a broadcast join against 256
+    rows — O(batch tokens) map work, zero standing-side cost. This is
+    the production filter loop: score documents as they land, admit on
+    the sign gate.
+
+    Reference analog: wc.go's map-side combine run per arrival batch
+    against a persisted model (SURVEY §2.3 selection extension)."""
+    import shutil
+
+    from ..plans.selection import _bucket_col, _dsir_llr
+    from ..functions.textfns import tokens_col
+    from ..sources.io import ensure_reader_confs, load_table
+
+    ensure_reader_confs(spark)
+    root = fp_stream_root("mms_dsir_stream", sf_dir, "documents.parquet")
+    src_dir = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    out_dir = os.path.join(root, "out")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # the standing model, built once for the whole stream (256 rows)
+    llr = _dsir_llr(spark, sf_dir).localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS * 2))
+    try:
+        with tree_lock(root):
+            for sub in (src_dir, ckpt, out_dir):
+                shutil.rmtree(sub, ignore_errors=True)
+            docs.repartition(4, "doc_id").write.mode("overwrite").parquet(src_dir)
+
+            def score(batch: DataFrame, batch_id: int) -> None:
+                occ = batch.select(
+                    "doc_id", F.explode(tokens_col("text")).alias("token")
+                ).select("doc_id", _bucket_col(F.col("token")).alias("bucket"))
+                n_db = occ.groupBy("doc_id", "bucket").agg(
+                    F.count(F.lit(1)).alias("n")
+                )
+                w = (
+                    n_db.join(F.broadcast(llr), "bucket")
+                    .groupBy("doc_id")
+                    .agg(
+                        F.sum("n").cast("long").alias("n_tokens"),
+                        F.round(F.sum(F.col("n") * F.col("llr")), 4).alias(
+                            "weight"
+                        ),
+                    )
+                )
+                out = (
+                    batch.select("doc_id", "lang")
+                    .join(w, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        "lang",
+                        F.coalesce("n_tokens", F.lit(0))
+                        .cast("long")
+                        .alias("n_tokens"),
+                        "weight",
+                        (F.coalesce("weight", F.lit(-1e9)) > 0).alias(
+                            "selected"
+                        ),
+                    )
+                )
+                out.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"batch_id={batch_id}")
+                )
+
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            q = (
+                stream.writeStream.foreachBatch(score)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            LAST_QUERY["q195_sink"] = q
+            res = (
+                spark.read.parquet(out_dir)
+                .select("doc_id", "lang", "n_tokens", "weight", "selected")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        llr.unpersist()
+
+    return res.orderBy("doc_id")
+
+
+def _q195_bind_oracle() -> None:
+    # importing the plans module registers q190 (direct imports of this
+    # module don't go through load_all_plans)
+    from ..plans import selection as _sel  # noqa: F401
+    from ..registry import REGISTRY
+
+    REGISTRY["q195_stream_dsir_scoring"].oracle = REGISTRY[
+        "q190_dsir_importance"
+    ].oracle
+
+
+_q195_bind_oracle()

@@ -2494,3 +2494,33 @@ def test_global_ranks_matches_single_task_window(spark):
         ).collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_global_running_sum_matches_single_task_window(spark):
+    """global_running_sum (range-partitioned prefix strategy) must
+    equal the single-task SUM() OVER (ORDER BY ...) inclusive running
+    total on a total ordering."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mapreduce_mit_spark.operators.quantiles import global_running_sum
+    from mapreduce_mit_spark.sources.io import load_table
+
+    o = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", (F.col("o_totalprice") * 0 + F.col("o_orderkey") % 13).alias("v")
+    )
+    w = (
+        Window.orderBy(F.col("v").asc_nulls_last(), F.col("o_orderkey").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r.o_orderkey: r.rt
+        for r in o.select("o_orderkey", F.sum("v").over(w).alias("rt")).collect()
+    }
+    got = {
+        r.o_orderkey: r.running_total
+        for r in global_running_sum(
+            o, ["v", "o_orderkey"], "v", partitions=5
+        ).collect()
+    }
+    assert got == want and len(got) > 100

@@ -1269,3 +1269,19 @@ def test_partials_tree_pointer_distinguishes_missing_from_empty(spark, tmp_path)
     assert _q181_partials_tree(spark, empty).count() == 0
     with pytest.raises(RuntimeError, match="does not exist"):
         _q181_partials_tree(spark, os.path.join(root, "nope"))
+
+
+def test_stream_dsir_scoring_equals_batch(spark):
+    """q195's contract beyond the shared oracle: the streamed per-batch
+    scoring against the standing llr table lands EXACTLY q190's rows —
+    stream == batch, independent of micro-batch boundaries."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    batch = sorted(
+        map(tuple, REGISTRY["q190_dsir_importance"].fn(spark, SF_SMALL).collect())
+    )
+    streamed = sorted(
+        map(tuple, REGISTRY["q195_stream_dsir_scoring"].fn(spark, SF_SMALL).collect())
+    )
+    assert streamed == batch and batch
