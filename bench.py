@@ -134,6 +134,13 @@ HEADLINE = [
     "q183_epoch_repetition",
     "q184_retractable_agg_maintenance",
     "q187_histogram_quantile_maintenance",
+    "q188_agg_refresh_serve",
+    "q190_dsir_importance",
+    "q191_dsir_select",
+    "q192_bpe_pair_merge",
+    "q193_weighted_sample",
+    "q194_curriculum_budget",
+    "q195_stream_dsir_scoring",
 ]
 
 

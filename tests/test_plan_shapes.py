@@ -1061,3 +1061,33 @@ def test_pydatasource_sink_single_agg_shuffle(plan):
     p = plan("q169_pydatasource_sink")
     assert "partial_count" in p or "HashAggregate" in p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_dsir_model_join_is_broadcast(plan):
+    """q190's llr table (256 rows) must join BROADCAST into the
+    (doc_id, bucket) counts — the model side stays constant-size at
+    any corpus scale, so a shuffle there is a plan regression."""
+    p = plan("q190_dsir_importance")
+    assert "BroadcastHashJoin" in p
+
+
+def test_selection_topk_fuses_into_take_ordered(plan):
+    """q192/q193's global top-K must plan as TakeOrderedAndProject
+    (per-partition heaps + driver K-row merge), never a global sort."""
+    assert "TakeOrderedAndProject" in plan("q192_bpe_pair_merge")
+    assert "TakeOrderedAndProject" in plan("q193_weighted_sample")
+
+
+def test_running_sum_is_range_partitioned(plan):
+    """q194's cumulative total must ride the range-partition + local
+    prefix strategy: the data-sized exchange is rangepartitioning, and
+    the only empty-partitionBy window input is the P-row subtotal
+    table (global_running_sum's contract)."""
+    p = plan("q194_curriculum_budget")
+    assert "rangepartitioning" in p
+    # the single-task window exists ONLY for the P-row prefix table:
+    # its input must come from a partial_sum aggregate, not raw rows
+    import re
+
+    sp = [m.start() for m in re.finditer("SinglePartition", p)]
+    assert len(sp) <= 2, f"unexpected single-partition stages: {len(sp)}"
