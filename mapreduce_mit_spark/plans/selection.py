@@ -607,3 +607,268 @@ def q194_curriculum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+# --- q196/q197: iterative BPE training (thirteenth persisted family) -------
+
+BPE_MERGES = 6
+Q197_TOP = 30
+
+# Initial symbolization: one space between every character. Identical
+# regex in both engines ('.' = one codepoint in Java regex and RE2).
+_SYM0_SPARK = "trim(regexp_replace(word, '(.)', '$1 '))"
+_SYM0_DUCK = "trim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
+
+
+def _merge_apply_expr(s: str, pair: str, merged: str) -> str:
+    """Apply ONE merge to a space-joined symbol string, in SQL common
+    to both engines: pad with sentinel spaces, then TWO sequential
+    ``replace`` passes of ``' l r ' -> ' lr '``, then trim.
+
+    Two passes are exact BPE left-to-right merge semantics: pass 1
+    replaces every other occurrence in a chain (each miss lost its
+    leading space to the consumed neighbor on its left); the misses
+    are isolated after pass 1 — their left neighbor now ends with the
+    replacement's trailing space — so pass 2 catches them all, and a
+    replacement can never create a NEW occurrence of the same pair
+    (the merged symbol contains no space). Verified against a
+    pure-Python BPE trainer in tests/test_selection.py."""
+    padded = f"concat(' ', {s}, ' ')"
+    pat = f"concat(' ', {pair}, ' ')"
+    rep = f"concat(' ', {merged}, ' ')"
+    return f"trim(replace(replace({padded}, {pat}, {rep}), {pat}, {rep}))"
+
+
+def _bpe_pair_counts(d: DataFrame) -> DataFrame:
+    """(pair, n): adjacent-symbol pair counts over (s, wfreq) rows,
+    weighted by word frequency — the BPE statistic."""
+    return (
+        d.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(s, ' ')) - 2), "
+                    "i -> concat(split(s, ' ')[i], ' ', split(s, ' ')[i+1]))"
+                )
+            ).alias("pair"),
+            "wfreq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wfreq").cast("long").alias("n"))
+    )
+
+
+def _bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, wfreq) over the corpus — wc.go's own plan; the ONLY
+    corpus-sized pass BPE training makes."""
+    return (
+        tw(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+    )
+
+
+def _bpe_merges_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIT CORE for the thirteenth family: BPE_MERGES iterations of
+    (count adjacent pairs → take the argmax (n DESC, pair ASC) → apply
+    the merge to the symbolization). Every iteration runs on the
+    VOCABULARY-sized (s, wfreq) table — the corpus was folded into
+    word frequencies once, so N merges cost N tiny jobs regardless of
+    corpus size (each level localCheckpointed to keep lineage flat).
+    The winner is selected and applied LAZILY via a broadcast 1-row
+    crossJoin — no driver round-trip inside the loop."""
+    wf = _bpe_word_freq(spark, sf_dir)
+    cur = (
+        wf.where(F.length("word") >= 2)
+        .select(F.expr(_SYM0_SPARK).alias("s"), "wfreq")
+        .localCheckpoint(eager=True)
+    )
+    winners = []
+    for r in range(BPE_MERGES):
+        win = (
+            _bpe_pair_counts(cur)
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("merge_rank"),
+                "pair",
+                F.expr("replace(pair, ' ', '')").alias("merged"),
+                "n",
+            )
+            .localCheckpoint(eager=True)
+        )
+        winners.append(win)
+        cur = (
+            cur.crossJoin(
+                F.broadcast(
+                    win.select(
+                        F.col("pair").alias("_p"), F.col("merged").alias("_m")
+                    )
+                )
+            )
+            .select(F.expr(_merge_apply_expr("s", "_p", "_m")).alias("s"), "wfreq")
+            .localCheckpoint(eager=True)
+        )
+    merges = winners[0]
+    for w in winners[1:]:
+        merges = merges.unionByName(w)
+    return merges.localCheckpoint(eager=True)
+
+
+(
+    bpe_merges_for,
+    bpe_merges_save,
+    bpe_merges_load,
+    bpe_merges_attach,
+) = fitted_family(
+    "bpe_merges",
+    "documents.parquet",
+    [("merges", ["merge_rank", "pair", "merged", "n"], None)],
+    _bpe_merges_fit,
+    params={"n_merges": BPE_MERGES},
+)
+
+
+def _bpe_train_ctes() -> str:
+    """The UNROLLED oracle chain: wf → s0 → (pc_r → w_r → s_{r+1}) for
+    each merge level, generated once. Each level's winner is the same
+    (n DESC, pair ASC) argmax; the merge application is the identical
+    two-pass padded replace."""
+    parts = [
+        f"""
+    toks AS (SELECT unnest({tokens_sql('text')}) AS word FROM documents),
+    wf AS MATERIALIZED (
+      SELECT word, count(*) AS wfreq FROM toks GROUP BY word
+    ),
+    s0 AS MATERIALIZED (
+      SELECT {_SYM0_DUCK} AS s, wfreq FROM wf WHERE length(word) >= 2
+    )"""
+    ]
+    for r in range(BPE_MERGES):
+        pat = f"' ' || (SELECT pair FROM w{r}) || ' '"
+        rep = f"' ' || (SELECT merged FROM w{r}) || ' '"
+        parts.append(
+            f"""
+    pc{r} AS MATERIALIZED (
+      SELECT pair, CAST(sum(wfreq) AS BIGINT) AS n
+      FROM (
+        SELECT unnest([l[i] || ' ' || l[i+1]
+                       for i in generate_series(1, len(l) - 1)]) AS pair,
+               wfreq
+        FROM (SELECT string_split(s, ' ') AS l, wfreq FROM s{r})
+      ) GROUP BY pair
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT CAST({r} AS BIGINT) AS merge_rank, pair,
+             replace(pair, ' ', '') AS merged, n
+      FROM pc{r} ORDER BY n DESC, pair LIMIT 1
+    ),
+    s{r + 1} AS MATERIALIZED (
+      SELECT trim(replace(replace(' ' || s || ' ', {pat}, {rep}),
+                          {pat}, {rep})) AS s,
+             wfreq
+      FROM s{r}
+    )"""
+        )
+    return ",".join(parts)
+
+
+@register(
+    "q196_bpe_train",
+    oracle=f"""
+    WITH {_bpe_train_ctes()}
+    SELECT * FROM (
+      {" UNION ALL ".join(f"SELECT * FROM w{r}" for r in range(BPE_MERGES))}
+    ) ORDER BY merge_rank
+    """,
+    tags=("selection", "tokenizer", "iterative", "training-pipeline"),
+)
+def q196_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE TRAINING (Sennrich et al. 2016), end to end: N
+    merge rounds of count-pairs → argmax → apply-merge, producing the
+    fitted merge table — the THIRTEENTH persisted family
+    (:func:`bpe_merges_for`, save/attach like the other twelve). q192
+    is one round of this loop; this is the loop, and the oracle
+    replays ALL of it — the argmax and the merge application are
+    unrolled level by level in pure SQL (the two-pass padded-replace
+    identity makes BPE's left-to-right merge exactly expressible), so
+    the driver value-checks the entire iterative computation, not just
+    a step.
+
+    Scale shape: the corpus is touched ONCE (the word count); every
+    iteration runs on the vocabulary-sized symbolization table, so N
+    merges are N small jobs whose cost is independent of corpus size —
+    the property that makes BPE trainable at 100 TB (the real
+    tokenizer trains on exactly this word-frequency reduction). The
+    per-level winner is a broadcast 1-row crossJoin, not a driver
+    round-trip.
+
+    Reference analog: wc.go's word count is stage 1 verbatim; the
+    merge loop is SURVEY §2.3's tokenizer extension."""
+    return bpe_merges_for(spark, sf_dir).orderBy("merge_rank")
+
+
+@register(
+    "q197_bpe_vocab",
+    oracle=f"""
+    WITH {_bpe_train_ctes()},
+    allw AS MATERIALIZED (
+      SELECT {_SYM0_DUCK} AS s, wfreq FROM wf
+    ),
+    {",".join(f'''
+    a{r + 1} AS MATERIALIZED (
+      SELECT trim(replace(replace(' ' || s || ' ',
+                   ' ' || (SELECT pair FROM w{r}) || ' ',
+                   ' ' || (SELECT merged FROM w{r}) || ' '),
+                   ' ' || (SELECT pair FROM w{r}) || ' ',
+                   ' ' || (SELECT merged FROM w{r}) || ' ')) AS s, wfreq
+      FROM {"allw" if r == 0 else f"a{r}"}
+    )''' for r in range(BPE_MERGES))}
+    SELECT symbol, CAST(sum(wfreq) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(s, ' ')) AS symbol, wfreq
+          FROM a{BPE_MERGES})
+    GROUP BY symbol ORDER BY n DESC, symbol LIMIT {Q197_TOP}
+    """,
+    tags=("selection", "tokenizer", "training-pipeline"),
+)
+def q197_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZE-AND-COUNT — the serve half of q196's lifecycle:
+    apply the FITTED merge table to every corpus word (all words this
+    time, single-character ones included) in rank order, then count
+    the resulting symbols weighted by word frequency — the vocabulary
+    a trained tokenizer actually induces on the corpus.
+
+    The serve reads the merge ARTIFACT (6 rows — the bounded model
+    read every serve path makes, graph.py's documented tiny-read
+    class) and folds the merges into one composed column expression,
+    so tokenization is a single map pass over the vocabulary table
+    with zero joins and zero Python. The oracle re-derives the merges
+    from scratch AND re-applies them — the whole lifecycle is
+    value-checked.
+
+    Scale shape: identical to q196's — corpus touched once for word
+    frequencies, everything after vocabulary-sized. The composed
+    expression deepens linearly in N merges (columnar codegen handles
+    hundreds; a production 32k-merge vocab would switch to the
+    linear-scan tokenizer, same artifact).
+
+    Reference analog: none (SURVEY §2.3 tokenizer extension)."""
+    merges = bpe_merges_for(spark, sf_dir)
+    # bounded artifact read: N_MERGES rows, rank-ordered
+    rows = sorted(
+        ((r["merge_rank"], r["pair"], r["merged"]) for r in merges.collect())
+    )
+    wf = _bpe_word_freq(spark, sf_dir)
+    expr = _SYM0_SPARK
+    for _rank, pair, merged in rows:
+        expr = _merge_apply_expr(
+            expr, f"'{pair}'", f"'{merged}'"
+        )
+    return (
+        wf.select(F.expr(expr).alias("s"), "wfreq")
+        .select(F.explode(F.split("s", " ")).alias("symbol"), "wfreq")
+        .groupBy("symbol")
+        .agg(F.sum("wfreq").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "symbol")
+        .limit(Q197_TOP)
+    )

@@ -177,3 +177,115 @@ def test_dsir_lm_family_attach_poisoned_fit(spark, tmp_path):
         sel._dsir_count_tables = orig
         if prev is not None:
             cache[key] = prev
+
+
+def _py_bpe_train(wf: dict, n_merges: int):
+    """Reference BPE trainer (Sennrich et al. 2016 semantics): count
+    adjacent pairs weighted by word freq, take (count desc, pair asc)
+    argmax, merge left-to-right non-overlapping, repeat."""
+    syms = {w: list(w) for w in wf if len(w) >= 2}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, ss in syms.items():
+            c = wf[w]
+            for i in range(len(ss) - 1):
+                p = (ss[i], ss[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        (l, r), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((f"{l} {r}", l + r, n))
+        for w, ss in syms.items():
+            out, i = [], 0
+            while i < len(ss):
+                if i + 1 < len(ss) and ss[i] == l and ss[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(ss[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """q196's full iterative loop — including the two-pass replace
+    merge-application identity — equals a pure-Python BPE trainer on
+    the real corpus, merge for merge; and q197's post-merge vocabulary
+    equals the Python symbolization's weighted symbol counts."""
+    load_all_plans()
+    docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
+    wf: dict = {}
+    for r in docs:
+        for tok in _tokens_py(r.text):
+            wf[tok] = wf.get(tok, 0) + 1
+    merges, syms = _py_bpe_train(wf, sel.BPE_MERGES)
+
+    got = [
+        (r.merge_rank, r.pair, r.merged, r.n)
+        for r in REGISTRY["q196_bpe_train"].fn(spark, SF_SMALL).collect()
+    ]
+    want = [(i, p, m, n) for i, (p, m, n) in enumerate(merges)]
+    assert got == want
+
+    # q197: apply the python merges to ALL words (len-1 included)
+    vocab: dict = {}
+    for w, c in wf.items():
+        ss = syms.get(w, list(w))
+        for s in ss:
+            vocab[s] = vocab.get(s, 0) + c
+    top = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[: sel.Q197_TOP]
+    got_v = [
+        (r.symbol, r.n)
+        for r in REGISTRY["q197_bpe_vocab"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got_v == top
+
+
+def test_bpe_merges_family_attach_poisoned_fit(spark, tmp_path):
+    """The thirteenth family's lifecycle: save, attach with the fit
+    core poisoned, serve q197 — identical rows, zero refit; a doctored
+    n_merges stamp refuses."""
+    import json
+    import os
+
+    load_all_plans()
+    out = str(tmp_path / "bpe_merges")
+    sel.bpe_merges_save(spark, SF_SMALL, out)
+    baseline = sorted(
+        map(tuple, REGISTRY["q197_bpe_vocab"].fn(spark, SF_SMALL).collect())
+    )
+    from mapreduce_mit_spark.plans._util import _session_cache, source_fingerprint
+
+    key = ("bpe_merges",) + source_fingerprint(
+        os.path.join(SF_SMALL, "documents.parquet")
+    )
+    cache = _session_cache(spark)
+    prev = cache.pop(key, None)
+    orig = sel._bpe_merges_fit
+    try:
+        sel.bpe_merges_attach(spark, SF_SMALL, out)
+
+        def _poisoned(*a, **kw):
+            raise AssertionError("bpe_merges refit after attach")
+
+        sel._bpe_merges_fit = _poisoned
+        served = sorted(
+            map(tuple, REGISTRY["q197_bpe_vocab"].fn(spark, SF_SMALL).collect())
+        )
+        assert served == baseline
+    finally:
+        sel._bpe_merges_fit = orig
+        if prev is not None:
+            cache[key] = prev
+        else:
+            cache.pop(key, None)
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    doctored = dict(meta, params={"n_merges": sel.BPE_MERGES + 1})
+    with open(meta_path, "w") as f:
+        json.dump(doctored, f)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="params"):
+        sel.bpe_merges_attach(spark, SF_SMALL, out)
