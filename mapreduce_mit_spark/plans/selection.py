@@ -333,7 +333,12 @@ def q191_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         survivors.withColumn("sel_rank", F.row_number().over(w2))
         .where(F.col("sel_rank") <= Q191_K)
-        .select("lang", "sel_rank", "doc_id", "weight")
+        # row_number is INT in Spark, BIGINT in DuckDB — the type-tagged
+        # value hash needs them identical
+        .select(
+            "lang", F.col("sel_rank").cast("long").alias("sel_rank"),
+            "doc_id", "weight",
+        )
         .orderBy("lang", "sel_rank")
     )
 
