@@ -2461,3 +2461,122 @@ def _q195_bind_oracle() -> None:
 
 
 _q195_bind_oracle()
+
+
+# --- q198: streaming BPE tokenize (the thirteenth family's serve twin) -----
+
+
+@register(
+    "q198_stream_bpe_tokenize",
+    oracle=None,  # set below: q197's oracle verbatim — stream == batch == SQL
+    tags=("streaming", "selection", "tokenizer", "training-pipeline"),
+)
+def q198_stream_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING BPE tokenization — the serve twin for the THIRTEENTH
+    family, completing the maintained-artifact streaming symmetry
+    (dedup, ANN, aggregates, DSIR, now the tokenizer): documents
+    arrive in micro-batches, each batch tokenizes its own words with
+    the FITTED merge table (read once per stream — a 6-row bounded
+    artifact read folded into one composed column expression, the
+    q197 serve) and lands its per-batch (symbol, count) partials as an
+    idempotent ``batch_id=`` partition. Symbol counts are additive
+    over document occurrences, so the post-drain fold of all batch
+    partials equals the batch q197 view for ANY batch boundary — this
+    query registers q197's oracle VERBATIM (stream == batch == SQL).
+
+    Scale shape: per micro-batch, one tokenize + vocab-sized symbol
+    agg over the batch only; the partials tree grows by
+    O(symbols-touched) per batch; the serve fold reads batch-sized
+    partials, never documents. This is the trainer-side ingest loop:
+    tokenize arrivals with the frozen tokenizer, maintain corpus
+    token statistics incrementally.
+
+    Reference analog: wc.go's combiner per arrival batch with the
+    reduce at serve time — the reference's own split, run against a
+    persisted tokenizer model (SURVEY §2.3 tokenizer extension)."""
+    import shutil
+
+    from ..plans.selection import (
+        _SYM0_SPARK,
+        _merge_apply_expr,
+        Q197_TOP,
+        bpe_merges_for,
+    )
+    from ..functions.textfns import tokens_col
+    from ..sources.io import ensure_reader_confs, load_table
+
+    ensure_reader_confs(spark)
+    root = fp_stream_root("mms_bpe_stream", sf_dir, "documents.parquet")
+    src_dir = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    out_dir = os.path.join(root, "out")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the standing tokenizer, read once per stream (6 rows)
+    merges = sorted(
+        (r["merge_rank"], r["pair"], r["merged"])
+        for r in bpe_merges_for(spark, sf_dir).collect()
+    )
+    expr = _SYM0_SPARK
+    for _rank, pair, merged in merges:
+        expr = _merge_apply_expr(expr, f"'{pair}'", f"'{merged}'")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS * 2))
+    try:
+        with tree_lock(root):
+            for sub in (src_dir, ckpt, out_dir):
+                shutil.rmtree(sub, ignore_errors=True)
+            docs.repartition(4, "doc_id").write.mode("overwrite").parquet(src_dir)
+
+            def tokenize(batch: DataFrame, batch_id: int) -> None:
+                out = (
+                    batch.select(F.explode(tokens_col("text")).alias("word"))
+                    .groupBy("word")
+                    .agg(F.count(F.lit(1)).alias("wfreq"))
+                    .select(F.expr(expr).alias("s"), "wfreq")
+                    .select(
+                        F.explode(F.split("s", " ")).alias("symbol"), "wfreq"
+                    )
+                    .groupBy("symbol")
+                    .agg(F.sum("wfreq").cast("long").alias("n"))
+                )
+                out.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"batch_id={batch_id}")
+                )
+
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            q = (
+                stream.writeStream.foreachBatch(tokenize)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            LAST_QUERY["q198_sink"] = q
+            res = (
+                spark.read.parquet(out_dir)
+                .groupBy("symbol")
+                .agg(F.sum("n").cast("long").alias("n"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return res.orderBy(F.col("n").desc(), "symbol").limit(Q197_TOP)
+
+
+def _q198_bind_oracle() -> None:
+    from ..plans import selection as _sel  # noqa: F401  (registers q197)
+    from ..registry import REGISTRY
+
+    REGISTRY["q198_stream_bpe_tokenize"].oracle = REGISTRY[
+        "q197_bpe_vocab"
+    ].oracle
+
+
+_q198_bind_oracle()

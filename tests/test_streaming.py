@@ -1285,3 +1285,20 @@ def test_stream_dsir_scoring_equals_batch(spark):
         map(tuple, REGISTRY["q195_stream_dsir_scoring"].fn(spark, SF_SMALL).collect())
     )
     assert streamed == batch and batch
+
+
+def test_stream_bpe_tokenize_equals_batch(spark):
+    """q198's contract beyond the shared oracle: per-batch tokenization
+    with the fitted merge table folds to EXACTLY q197's vocabulary —
+    symbol counts are additive over documents, so any micro-batch
+    boundary lands the same view."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    batch = sorted(
+        map(tuple, REGISTRY["q197_bpe_vocab"].fn(spark, SF_SMALL).collect())
+    )
+    streamed = sorted(
+        map(tuple, REGISTRY["q198_stream_bpe_tokenize"].fn(spark, SF_SMALL).collect())
+    )
+    assert streamed == batch and batch
