@@ -141,6 +141,9 @@ HEADLINE = [
     "q193_weighted_sample",
     "q194_curriculum_budget",
     "q195_stream_dsir_scoring",
+    "q196_bpe_train",
+    "q197_bpe_vocab",
+    "q198_stream_bpe_tokenize",
 ]
 
 
@@ -260,6 +263,7 @@ def _index_fits():
     )
 
     from mapreduce_mit_spark.plans.dedup import lsh_bands_for
+    from mapreduce_mit_spark.plans.selection import bpe_merges_for, dsir_lm_for
 
     return {
         "q68_ivf_ann": (("ivf", "ivf_lists"), ivf_index_for),
@@ -269,6 +273,9 @@ def _index_fits():
         "q81_minhash_lsh": (("lsh_bands",), lsh_bands_for),
         # the multi-table LSH key table (r13)
         "q172_ann_multitable_lsh": (("lsh8",), lsh8_index_for),
+        # r15: the DSIR bucket LMs and the BPE merge table
+        "q190_dsir_importance": (("dsir_lm",), dsir_lm_for),
+        "q196_bpe_train": (("bpe_merges",), bpe_merges_for),
     }
 
 
