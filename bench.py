@@ -144,6 +144,8 @@ HEADLINE = [
     "q196_bpe_train",
     "q197_bpe_vocab",
     "q198_stream_bpe_tokenize",
+    "q199_dsir_lm_drift",
+    "q200_tokenizer_drift",
 ]
 
 

@@ -662,27 +662,37 @@ def _bpe_pair_counts(d: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_word_freq(
+    spark: SparkSession, sf_dir: str, where: Column | None = None
+) -> DataFrame:
     """(word, wfreq) over the corpus — wc.go's own plan; the ONLY
-    corpus-sized pass BPE training makes."""
+    corpus-sized pass BPE training makes. ``where`` restricts the
+    document set (q200's standing-carve fit)."""
+    docs = tw(spark, sf_dir, "documents")
+    if where is not None:
+        docs = docs.where(where)
     return (
-        tw(spark, sf_dir, "documents")
-        .select(F.explode(tokens_col("text")).alias("word"))
+        docs.select(F.explode(tokens_col("text")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wfreq"))
     )
 
 
 def _bpe_merges_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FIT CORE for the thirteenth family: BPE_MERGES iterations of
-    (count adjacent pairs → take the argmax (n DESC, pair ASC) → apply
-    the merge to the symbolization). Every iteration runs on the
+    """FIT CORE for the thirteenth family (full corpus). q200's
+    standing-carve fit shares :func:`_bpe_train_merges`."""
+    return _bpe_train_merges(_bpe_word_freq(spark, sf_dir))
+
+
+def _bpe_train_merges(wf: DataFrame) -> DataFrame:
+    """BPE_MERGES iterations of (count adjacent pairs → take the
+    argmax (n DESC, pair ASC) → apply the merge to the symbolization)
+    over an arbitrary (word, wfreq) table. Every iteration runs on the
     VOCABULARY-sized (s, wfreq) table — the corpus was folded into
     word frequencies once, so N merges cost N tiny jobs regardless of
     corpus size (each level localCheckpointed to keep lineage flat).
     The winner is selected and applied LAZILY via a broadcast 1-row
     crossJoin — no driver round-trip inside the loop."""
-    wf = _bpe_word_freq(spark, sf_dir)
     cur = (
         wf.where(F.length("word") >= 2)
         .select(F.expr(_SYM0_SPARK).alias("s"), "wfreq")
@@ -734,14 +744,16 @@ def _bpe_merges_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 
 
-def _bpe_train_ctes() -> str:
+def _bpe_train_ctes(where_sql: str = "TRUE") -> str:
     """The UNROLLED oracle chain: wf → s0 → (pc_r → w_r → s_{r+1}) for
     each merge level, generated once. Each level's winner is the same
     (n DESC, pair ASC) argmax; the merge application is the identical
-    two-pass padded replace."""
+    two-pass padded replace. ``where_sql`` restricts the TRAINING
+    document set (q200's standing-carve fit)."""
     parts = [
         f"""
-    toks AS (SELECT unnest({tokens_sql('text')}) AS word FROM documents),
+    toks AS (SELECT unnest({tokens_sql('text')}) AS word
+             FROM documents WHERE {where_sql}),
     wf AS MATERIALIZED (
       SELECT word, count(*) AS wfreq FROM toks GROUP BY word
     ),
@@ -876,4 +888,331 @@ def q197_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("wfreq").cast("long").alias("n"))
         .orderBy(F.col("n").desc(), "symbol")
         .limit(Q197_TOP)
+    )
+
+
+# --- q199: DSIR LM drift audit — WHEN to refit the selection model ---------
+
+# Simulated arrival window: the same md5-carve idiom as q178/q187 —
+# ~10% of documents "arrived since" the standing model was fitted.
+Q199_INCR_HEX = "e666"
+# Retrain threshold on the total-variation distance between the
+# standing raw-LM bucket distribution and the arrival window's.
+Q199_TV_TAU = 0.02
+Q199_TOP = 10
+
+
+def _sel_incr_key() -> Column:
+    return F.coalesce(
+        F.substring(
+            F.md5(F.concat(F.lit("sel1:"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        F.lit("0000"),
+    )
+
+
+_Q199_INCR_SQL = (
+    "COALESCE(substr(md5('sel1:' || CAST(doc_id AS VARCHAR)), 1, 4), '0000') "
+    f">= '{Q199_INCR_HEX}'"
+)
+
+
+def _q199_oracle() -> str:
+    return f"""
+    WITH occ0 AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, substr(md5(token), 1, 2) AS bucket FROM occ0
+    ),
+    inc AS (SELECT doc_id FROM documents WHERE {_Q199_INCR_SQL}),
+    s_c AS (SELECT bucket, count(*) AS ns FROM occ GROUP BY bucket),
+    i_c AS (
+      SELECT bucket, count(*) AS ni FROM occ
+      WHERE doc_id IN (SELECT doc_id FROM inc) GROUP BY bucket
+    ),
+    tots AS (
+      SELECT (SELECT CAST(sum(ns) AS DOUBLE) FROM s_c) AS ts,
+             (SELECT CAST(coalesce(sum(ni), 0) AS DOUBLE) FROM i_c) AS ti
+    ),
+    j AS (
+      SELECT s.bucket, s.ns, coalesce(i.ni, 0) AS ni,
+             (s.ns + 1.0) / (ts + {DSIR_BUCKETS}.0) AS ps,
+             (coalesce(i.ni, 0) + 1.0) / (ti + {DSIR_BUCKETS}.0) AS pi
+      FROM s_c s LEFT JOIN i_c i USING (bucket), tots
+    ),
+    tv AS (SELECT round(sum(abs(pi - ps)) / 2, 4) AS tv_global FROM j)
+    SELECT bucket, CAST(ns AS BIGINT) AS n_standing,
+           CAST(ni AS BIGINT) AS n_incr,
+           round(ps, 4) AS p_standing, round(pi, 4) AS p_incr,
+           round(abs(pi - ps), 4) AS delta,
+           tv_global, (tv_global >= {Q199_TV_TAU}) AS refit_recommended
+    FROM j, tv
+    ORDER BY round(abs(pi - ps), 4) DESC, bucket LIMIT {Q199_TOP}
+    """
+
+
+@register(
+    "q199_dsir_lm_drift",
+    oracle=_q199_oracle(),
+    tags=("selection", "maintenance", "drift", "training-pipeline"),
+)
+def q199_dsir_lm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-MODEL DRIFT AUDIT — q177's refit-drift discipline applied
+    to the twelfth family: the standing raw bucket LM serves every
+    scoring job between refits (q190/q195); this query measures how
+    far the ARRIVAL WINDOW's feature distribution has moved from it
+    and recommends (or doesn't) the refit. The signal is the total-
+    variation distance between the two add-one-smoothed bucket
+    distributions — the quantity that bounds how much any DSIR weight
+    can be off under the stale model — plus the top drifted buckets
+    for attribution. Production twin: data-drift monitors in front of
+    every learned filter (fastText quality gates, DSIR samplers) alarm
+    on exactly this statistic.
+
+    The standing side reads the FITTED family's raw count table
+    (:func:`dsir_lm_for` — an attached artifact costs no fit); the
+    arrival side is one bucket-count pass over the window only. Both
+    are 256-row tables: the whole audit after the window scan is
+    sketch-sized, broadcastable arithmetic.
+
+    Scale shape: O(window tokens) map work + two 256-row tables —
+    the audit costs a fraction of one scoring run, which is what
+    makes running it on every arrival batch viable at 100 TB.
+
+    Reference analog: none (SURVEY §2.3 monitoring extension for the
+    selection lifecycle)."""
+    docs = tw(spark, sf_dir, "documents")
+    _target, raw = dsir_lm_for(spark, sf_dir)
+    incr_occ = _dsir_occ(docs.where(_sel_incr_key() >= Q199_INCR_HEX))
+    i_c = incr_occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("ni"))
+    ts = raw.agg(F.sum("c").cast("double").alias("ts"))
+    ti = i_c.agg(
+        F.coalesce(F.sum("ni"), F.lit(0)).cast("double").alias("ti")
+    )
+    j = (
+        raw.select("bucket", F.col("c").alias("ns"))
+        .join(i_c, "bucket", "left")
+        .withColumn("ni", F.coalesce("ni", F.lit(0)))
+        .crossJoin(F.broadcast(ts))
+        .crossJoin(F.broadcast(ti))
+        .select(
+            "bucket",
+            "ns",
+            "ni",
+            ((F.col("ns") + 1.0) / (F.col("ts") + float(DSIR_BUCKETS))).alias(
+                "ps"
+            ),
+            ((F.col("ni") + 1.0) / (F.col("ti") + float(DSIR_BUCKETS))).alias(
+                "pi"
+            ),
+        )
+    )
+    tv = j.agg(
+        F.round(F.sum(F.abs(F.col("pi") - F.col("ps"))) / 2, 4).alias(
+            "tv_global"
+        )
+    )
+    return (
+        j.crossJoin(F.broadcast(tv))
+        .select(
+            "bucket",
+            F.col("ns").cast("long").alias("n_standing"),
+            F.col("ni").cast("long").alias("n_incr"),
+            F.round("ps", 4).alias("p_standing"),
+            F.round("pi", 4).alias("p_incr"),
+            F.round(F.abs(F.col("pi") - F.col("ps")), 4).alias("delta"),
+            "tv_global",
+            (F.col("tv_global") >= Q199_TV_TAU).alias("refit_recommended"),
+        )
+        .orderBy(F.col("delta").desc(), "bucket")
+        .limit(Q199_TOP)
+    )
+
+
+# --- q200: tokenizer drift audit — WHEN to retrain the BPE merges ----------
+
+# Coverage-drop threshold: if the standing tokenizer compresses the
+# arrival window this much less than its own training corpus, retrain.
+Q200_COV_TAU = 0.05
+
+_Q200_STANDING_SQL = (
+    "COALESCE(substr(md5('sel1:' || CAST(doc_id AS VARCHAR)), 1, 4), '0000') "
+    f"< '{Q199_INCR_HEX}'"
+)
+
+
+def _q200_apply_chain(src: str, prefix: str) -> str:
+    """Oracle fragment: apply the standing merges (w0..wN-1 CTEs from
+    the training chain) to ``src``'s (s, wfreq) rows, one two-pass
+    replace per level — the q197 application, parameterized so both
+    corpus sides run the SAME fitted merges."""
+    parts = []
+    for r in range(BPE_MERGES):
+        pat = f"' ' || (SELECT pair FROM w{r}) || ' '"
+        rep = f"' ' || (SELECT merged FROM w{r}) || ' '"
+        src_cte = src if r == 0 else f"{prefix}{r}"
+        parts.append(
+            f"""
+    {prefix}{r + 1} AS MATERIALIZED (
+      SELECT trim(replace(replace(' ' || s || ' ', {pat}, {rep}),
+                          {pat}, {rep})) AS s, wfreq
+      FROM {src_cte}
+    )"""
+        )
+    return ",".join(parts)
+
+
+def _q200_oracle() -> str:
+    sym_counts = lambda chain: f"""
+      SELECT symbol, CAST(sum(wfreq) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(s, ' ')) AS symbol, wfreq
+            FROM {chain}{BPE_MERGES})
+      GROUP BY symbol
+    """
+    return f"""
+    WITH {_bpe_train_ctes(_Q200_STANDING_SQL)},
+    sw AS MATERIALIZED (
+      SELECT {_SYM0_DUCK} AS s, count(*) AS wfreq
+      FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS word
+            FROM documents WHERE {_Q200_STANDING_SQL})
+      GROUP BY word
+    ),
+    iw AS MATERIALIZED (
+      SELECT {_SYM0_DUCK} AS s, count(*) AS wfreq
+      FROM (SELECT doc_id, unnest({tokens_sql('text')}) AS word
+            FROM documents WHERE NOT ({_Q200_STANDING_SQL}))
+      GROUP BY word
+    ),
+    {_q200_apply_chain('sw', 'sa')},
+    {_q200_apply_chain('iw', 'ia')},
+    sc AS MATERIALIZED ({sym_counts('sa')}),
+    ic AS MATERIALIZED ({sym_counts('ia')}),
+    tots AS (
+      SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM sc) AS ts,
+             (SELECT CAST(sum(n) AS DOUBLE) FROM ic) AS ti,
+             (SELECT CAST(coalesce(sum(CASE WHEN length(symbol) > 1
+                                            THEN n END), 0) AS DOUBLE)
+              FROM sc) AS ms,
+             (SELECT CAST(coalesce(sum(CASE WHEN length(symbol) > 1
+                                            THEN n END), 0) AS DOUBLE)
+              FROM ic) AS mi
+    ),
+    mt AS (
+      {" UNION ALL ".join(f"SELECT CAST({r} AS BIGINT) AS merge_rank, (SELECT merged FROM w{r}) AS merged" for r in range(BPE_MERGES))}
+    )
+    SELECT m.merge_rank, m.merged,
+           CAST(coalesce(s.n, 0) AS BIGINT) AS n_standing,
+           CAST(coalesce(i.n, 0) AS BIGINT) AS n_incr,
+           round(coalesce(s.n, 0) / ts, 4) AS share_standing,
+           round(coalesce(i.n, 0) / ti, 4) AS share_incr,
+           round(ms / ts, 4) AS cov_standing,
+           round(mi / ti, 4) AS cov_incr,
+           round(ms / ts - mi / ti, 4) AS cov_drop,
+           ((ms / ts - mi / ti) >= {Q200_COV_TAU}) AS retrain_recommended
+    FROM mt m
+    LEFT JOIN sc s ON s.symbol = m.merged
+    LEFT JOIN ic i ON i.symbol = m.merged, tots
+    ORDER BY m.merge_rank
+    """
+
+
+@register(
+    "q200_tokenizer_drift",
+    oracle=_q200_oracle(),
+    tags=("selection", "tokenizer", "maintenance", "drift"),
+)
+def q200_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER DRIFT AUDIT — the q177/q199 retrain signal for the
+    BPE family: a tokenizer frozen at training time compresses new
+    data progressively worse as the corpus drifts (new domains, new
+    scripts — the merged symbols stop firing). This query fits the
+    standing merges on the STANDING carve only, applies them to BOTH
+    the standing corpus and the arrival window, and compares
+    per-merge firing shares and the global MERGE COVERAGE (fraction
+    of symbol occurrences that are multi-character, i.e. actually
+    compressed); ``retrain_recommended`` trips when the arrival
+    window's coverage falls ``Q200_COV_TAU`` below the training
+    corpus's — the tokenizer-side n_new_clamped.
+
+    Scale shape: one word-frequency pass per side, the N-merge fit on
+    the vocabulary-sized standing table, and two vocabulary-sized
+    applications — nothing corpus-sized after the word counts. The
+    ENTIRE computation (training chain, both applications, both
+    coverage ratios) is replayed by the oracle level-for-level.
+
+    Reference analog: none (SURVEY §2.3 monitoring extension for the
+    tokenizer lifecycle)."""
+    standing = _sel_incr_key() < Q199_INCR_HEX
+    merges = _bpe_train_merges(
+        _bpe_word_freq(spark, sf_dir, where=standing)
+    )
+    rows = sorted(
+        (r["merge_rank"], r["pair"], r["merged"]) for r in merges.collect()
+    )
+    expr = _SYM0_SPARK
+    for _rank, pair, merged in rows:
+        expr = _merge_apply_expr(expr, f"'{pair}'", f"'{merged}'")
+
+    def side_counts(pred: Column) -> DataFrame:
+        return (
+            _bpe_word_freq(spark, sf_dir, where=pred)
+            .select(F.expr(expr).alias("s"), "wfreq")
+            .select(F.explode(F.split("s", " ")).alias("symbol"), "wfreq")
+            .groupBy("symbol")
+            .agg(F.sum("wfreq").cast("long").alias("n"))
+        )
+
+    sc = side_counts(standing)
+    ic = side_counts(~standing)
+    mcol = F.sum(
+        F.when(F.length("symbol") > 1, F.col("n")).otherwise(F.lit(0))
+    ).cast("double")
+    tots = (
+        sc.agg(F.sum("n").cast("double").alias("ts"), mcol.alias("ms"))
+        .crossJoin(
+            F.broadcast(
+                ic.agg(
+                    F.sum("n").cast("double").alias("ti"), mcol.alias("mi")
+                )
+            )
+        )
+    )
+    mt = spark.createDataFrame(
+        [(r, m) for r, _p, m in rows], "merge_rank bigint, merged string"
+    )
+    return (
+        mt.join(
+            sc.select(F.col("symbol").alias("_ss"), F.col("n").alias("n_s")),
+            F.col("merged") == F.col("_ss"),
+            "left",
+        )
+        .join(
+            ic.select(F.col("symbol").alias("_is"), F.col("n").alias("n_i")),
+            F.col("merged") == F.col("_is"),
+            "left",
+        )
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "merge_rank",
+            "merged",
+            F.coalesce("n_s", F.lit(0)).cast("long").alias("n_standing"),
+            F.coalesce("n_i", F.lit(0)).cast("long").alias("n_incr"),
+            F.round(F.coalesce("n_s", F.lit(0)) / F.col("ts"), 4).alias(
+                "share_standing"
+            ),
+            F.round(F.coalesce("n_i", F.lit(0)) / F.col("ti"), 4).alias(
+                "share_incr"
+            ),
+            F.round(F.col("ms") / F.col("ts"), 4).alias("cov_standing"),
+            F.round(F.col("mi") / F.col("ti"), 4).alias("cov_incr"),
+            F.round(
+                F.col("ms") / F.col("ts") - F.col("mi") / F.col("ti"), 4
+            ).alias("cov_drop"),
+            (
+                (F.col("ms") / F.col("ts") - F.col("mi") / F.col("ti"))
+                >= Q200_COV_TAU
+            ).alias("retrain_recommended"),
+        )
+        .orderBy("merge_rank")
     )

@@ -289,3 +289,56 @@ def test_bpe_merges_family_attach_poisoned_fit(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="params"):
         sel.bpe_merges_attach(spark, SF_SMALL, out)
+
+
+def test_dsir_drift_tv_matches_python(spark):
+    """q199's total-variation statistic == a pure-Python recompute
+    over the same md5 carve and md5 buckets (the alarm must be a real
+    number, not plan luck)."""
+    load_all_plans()
+    rows = REGISTRY["q199_dsir_lm_drift"].fn(spark, SF_SMALL).collect()
+    assert rows and len({r.tv_global for r in rows}) == 1
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    s_c: dict = {}
+    i_c: dict = {}
+    for r in docs:
+        incr = (
+            hashlib.md5(f"sel1:{r.doc_id}".encode()).hexdigest()[:4]
+            >= sel.Q199_INCR_HEX
+        )
+        for tok in _tokens_py(r.text):
+            b = hashlib.md5(tok.encode()).hexdigest()[:2]
+            s_c[b] = s_c.get(b, 0) + 1
+            if incr:
+                i_c[b] = i_c.get(b, 0) + 1
+    ts = sum(s_c.values())
+    ti = sum(i_c.values())
+    B = sel.DSIR_BUCKETS
+    tv = (
+        sum(
+            abs(
+                (i_c.get(b, 0) + 1.0) / (ti + B)
+                - (s_c[b] + 1.0) / (ts + B)
+            )
+            for b in s_c
+        )
+        / 2
+    )
+    assert abs(rows[0].tv_global - round(tv, 4)) < 1e-9
+
+
+def test_tokenizer_drift_coverage_sane(spark):
+    """q200's invariants: coverage ratios live in (0, 1], per-merge
+    shares are positive on the standing side (the merges were chosen
+    BECAUSE they fire there), and the arrival window — drawn from the
+    same synthetic distribution — must not trip the retrain alarm."""
+    load_all_plans()
+    rows = REGISTRY["q200_tokenizer_drift"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == sel.BPE_MERGES
+    for r in rows:
+        assert 0 < r.cov_standing <= 1 and 0 < r.cov_incr <= 1
+        assert r.n_standing > 0 and r.share_standing > 0
+    assert not rows[0].retrain_recommended
+    assert abs(rows[0].cov_drop) < sel.Q200_COV_TAU
