@@ -146,6 +146,8 @@ HEADLINE = [
     "q198_stream_bpe_tokenize",
     "q199_dsir_lm_drift",
     "q200_tokenizer_drift",
+    "q201_kanon_export",
+    "q202_bigram_logprob",
 ]
 
 
@@ -265,6 +267,7 @@ def _index_fits():
     )
 
     from mapreduce_mit_spark.plans.dedup import lsh_bands_for
+    from mapreduce_mit_spark.plans.quality import bigram_lm_for
     from mapreduce_mit_spark.plans.selection import bpe_merges_for, dsir_lm_for
 
     return {
@@ -278,6 +281,7 @@ def _index_fits():
         # r15: the DSIR bucket LMs and the BPE merge table
         "q190_dsir_importance": (("dsir_lm",), dsir_lm_for),
         "q196_bpe_train": (("bpe_merges",), bpe_merges_for),
+        "q202_bigram_logprob": (("bigram_lm",), bigram_lm_for),
     }
 
 

@@ -970,3 +970,250 @@ def q166_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- q201: k-anonymity export gate (generalize-then-suppress) ---------------
+
+Q201_K = 5
+
+
+@register(
+    "q201_kanon_export",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, count(*) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    pass0 AS (
+      SELECT lang, source, n, 0 AS level FROM g WHERE n >= {Q201_K}
+    ),
+    gen AS (
+      SELECT lang, '*' AS source, CAST(sum(n) AS BIGINT) AS n, 1 AS level
+      FROM g WHERE n < {Q201_K} GROUP BY lang
+    )
+    SELECT lang, source, CAST(n AS BIGINT) AS n_docs,
+           CAST(level AS BIGINT) AS level,
+           CASE WHEN n >= {Q201_K} THEN 'exported'
+                ELSE 'suppressed' END AS status
+    FROM (SELECT * FROM pass0 UNION ALL SELECT * FROM gen)
+    ORDER BY lang, source
+    """,
+    tags=("quality", "governance", "training-pipeline"),
+)
+def q201_kanon_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY EXPORT GATE — the governance step before a corpus
+    (or its metadata manifest) leaves the pipeline: no exported group
+    of quasi-identifiers (here ``lang × source``) may describe fewer
+    than K documents, or the manifest itself re-identifies rare
+    provenances (the Sweeney 2002 k-anonymity model applied to
+    dataset release). The standard GENERALIZE-THEN-SUPPRESS ladder,
+    one level: groups passing K export as-is (level 0); failing
+    groups climb the generalization hierarchy (``source → '*'``) and
+    re-test as merged (lang, *) groups (level 1); groups that STILL
+    fail are suppressed from the export — surfaced, never silently
+    dropped, so the release audit shows exactly what was withheld.
+
+    Scale shape: two group-sized aggregates (the second over the
+    failing remainder only) — group-cardinality work end to end; the
+    fact table is scanned once. At 100 TB the gate is a planning-time
+    rounding error, which is why there is no excuse for skipping it.
+
+    Reference analog: none (SURVEY §2.3 governance extension)."""
+    g = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pass0 = g.where(F.col("n") >= Q201_K).select(
+        "lang", "source", "n", F.lit(0).cast("long").alias("level")
+    )
+    gen = (
+        g.where(F.col("n") < Q201_K)
+        .groupBy("lang")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select("lang", F.lit("*").alias("source"), "n",
+                F.lit(1).cast("long").alias("level"))
+    )
+    return (
+        pass0.unionByName(gen)
+        .select(
+            "lang",
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            "level",
+            F.when(F.col("n") >= Q201_K, F.lit("exported"))
+            .otherwise(F.lit("suppressed"))
+            .alias("status"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --- q202: interpolated bigram-LM fluency (fourteenth persisted family) ----
+
+Q202_LAMBDA = 0.7  # interpolation weight on the bigram term
+Q202_KEEP = -3.43  # keep gate on the rounded per-doc average logprob
+# (-3.43: ~p10 of the fixture distribution — the gate CUTS, like q149's)
+
+
+def _bigram_counts_df(docs: DataFrame) -> DataFrame:
+    """FIT CORE (poisonable): (pair, w1, w2, c) bigram counts, the
+    pair stored as the space-joined string (tokens are letter-runs, so
+    the space separator is collision-free in both engines)."""
+    toks = docs.select("doc_id", tokens_col("text").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(toks[i-1], ' ', toks[i]))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "pair",
+            F.expr("split(pair, ' ')[0]").alias("w1"),
+            F.expr("split(pair, ' ')[1]").alias("w2"),
+            "c",
+        )
+    )
+
+
+def _bigram_lm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bigram_counts_df(tw(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+
+
+(
+    bigram_lm_for,
+    bigram_lm_save,
+    bigram_lm_load,
+    bigram_lm_attach,
+) = fitted_family(
+    "bigram_lm",
+    "documents.parquet",
+    [("bigrams", ["pair", "w1", "w2", "c"], None)],
+    _bigram_lm_fit,
+    params={"order": 2},
+)
+
+
+def _q202_oracle() -> str:
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    occ AS (SELECT doc_id, unnest(toks) AS token FROM docs),
+    uni AS (SELECT token, count(*) AS c FROM occ GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni),
+    bp AS (
+      SELECT doc_id, unnest([toks[i-1] || ' ' || toks[i]
+                             for i in generate_series(2, len(toks))]) AS pair
+      FROM docs WHERE len(toks) >= 2
+    ),
+    big AS (SELECT pair, count(*) AS c FROM bp GROUP BY pair),
+    scored AS (
+      SELECT bp.doc_id,
+             ln({Q202_LAMBDA} * (coalesce(big.c, 0) * 1.0 / u1.c)
+                + {1 - Q202_LAMBDA} * (u2.c / total)) AS lp
+      FROM bp
+      LEFT JOIN big ON big.pair = bp.pair
+      JOIN uni u1 ON u1.token = split_part(bp.pair, ' ', 1)
+      JOIN uni u2 ON u2.token = split_part(bp.pair, ' ', 2), tot
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           p.avg_logprob,
+           (coalesce(p.avg_logprob, -100) >= {Q202_KEEP}) AS keep
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register(
+    "q202_bigram_logprob",
+    oracle=_q202_oracle(),
+    tags=("quality", "language-model", "training-pipeline"),
+)
+def q202_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATED BIGRAM-LM fluency filter — q149 one order deeper,
+    the real shape of the KenLM gate: score each document by the mean
+    ln(λ·p(w₂|w₁) + (1−λ)·p(w₂)) over its adjacent token pairs. The
+    bigram conditional c(w₁w₂)/c(w₁) catches word-ORDER breakage that
+    unigram frequency cannot (scrambled text keeps its unigram score;
+    its bigrams crater — tested), and the interpolation is real
+    Jelinek-Mercer: a pair UNSEEN at fit time is not skipped but
+    floored at ln((1−λ)·p_uni(w₂)) via the LEFT join — the penalty
+    that makes the word-order claim true on out-of-model text.
+
+    The bigram table is the FOURTEENTH persisted family
+    (:func:`bigram_lm_for`): vocabulary²-BOUNDED, not corpus-sized —
+    at 100 TB you store the top-V² observed pairs with a count floor
+    and the plan shape is unchanged. Scoring joins occurrences to the
+    pair table on the pair string and to the unigram table (the q149
+    family) on each side — equi-joins AQE can skew-split, the q149
+    posture; the per-doc reduction is one doc_id aggregate.
+
+    Scale shape: one tokenize pass, one pair explode (generator),
+    vocabulary-sized model joins, one doc_id agg. The mean logprob is
+    rounded to 4 decimals in both engines and the keep gate compares
+    the ROUNDED score (q63/q149 float discipline).
+
+    Reference analog: none (SURVEY §2.3 quality extension; the
+    n-gram-LM step between q149's unigram and a production KenLM)."""
+    d = tw(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col("text").alias("toks"))
+    bp = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(toks[i-1], ' ', toks[i]))"
+            )
+        ).alias("pair"),
+    )
+    big = bigram_lm_for(spark, sf_dir)
+    uni = unigram_lm_for(spark, sf_dir)
+    tot = uni.agg(F.sum("c").cast("double").alias("total"))
+    scored = (
+        bp.withColumn("w1", F.expr("split(pair, ' ')[0]"))
+        .withColumn("w2", F.expr("split(pair, ' ')[1]"))
+        .join(big.select("pair", F.col("c").alias("cb")), "pair", "left")
+        .join(uni.select(F.col("token").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("token").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(
+                Q202_LAMBDA
+                * (F.coalesce(F.col("cb"), F.lit(0)) * 1.0 / F.col("c1"))
+                + (1 - Q202_LAMBDA) * (F.col("c2") / F.col("total"))
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "avg_logprob",
+            (F.coalesce("avg_logprob", F.lit(-100.0)) >= Q202_KEEP).alias(
+                "keep"
+            ),
+        )
+        .orderBy("doc_id")
+    )

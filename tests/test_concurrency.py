@@ -295,20 +295,22 @@ def test_q168_two_processes_concurrently(spark):
     assert sorted(map(tuple, mine)) == sorted(map(tuple, again))
 
 
-def test_cold_start_attaches_all_thirteen_model_families(spark, tmp_path):
+def test_cold_start_attaches_all_fourteen_model_families(spark, tmp_path):
     """The production COLD START, end to end: one offline session saves
-    all THIRTEEN persisted fitted artifacts (IVF, PQ, IVFADC, LSH bands,
+    all FOURTEEN persisted fitted artifacts (IVF, PQ, IVFADC, LSH bands,
     multi-table LSH keys, overlap sketches, the q149 unigram LM, the
     q166 classifier weights, the q175 STANDING-corpus IVF, the q178
     aggregate snapshot, the q187 histogram snapshot, the q190 DSIR
-    bucket LMs, the q196 BPE merge table); a FRESH PROCESS
-    then attaches all thirteen and serves one consumer per family —
+    bucket LMs, the q196 BPE merge table, the q202 bigram LM); a
+    FRESH PROCESS
+    then attaches all fourteen and serves one consumer per family —
     q68, q157, q160, q161, q165, q149, q166, q172, q175, q178, q187,
-    q190, q197 — with every fit core poisoned
+    q190, q197, q202 — with every fit core poisoned
     (ivf_codebook, pq_codebooks, _lsh_bands_df,
     lsh_multitable_keys_df, _overlap_sketches_df, _unigram_freq_df,
     _classifier_weights_df, _standing_lineitem, _standing_orders,
-    _dsir_count_tables, _bpe_merges_fit raise; ivf_codebook
+    _dsir_count_tables, _bpe_merges_fit, _bigram_counts_df raise;
+    ivf_codebook
     also covers the standing fit), so any refit on any serve path
     fails the child loudly. The served rows must equal this session's
     fitted baselines. The per-family attach tests prove each path
@@ -328,7 +330,7 @@ def test_cold_start_attaches_all_thirteen_model_families(spark, tmp_path):
         f: str(tmp_path / f)
         for f in ("ivf", "pq", "ivfadc", "lsh", "lsh8", "overlap",
                   "unigram", "cls", "ivf_standing", "agg_snapshot",
-                  "hist_snapshot", "dsir_lm", "bpe_merges")
+                  "hist_snapshot", "dsir_lm", "bpe_merges", "bigram_lm")
     }
     sim.ivf_index_save(spark, sf, dirs["ivf"])
     sim.pq_index_save(spark, sf, dirs["pq"])
@@ -343,6 +345,7 @@ def test_cold_start_attaches_all_thirteen_model_families(spark, tmp_path):
     mnt.hist_snapshot_save(spark, sf, dirs["hist_snapshot"])
     selp.dsir_lm_save(spark, sf, dirs["dsir_lm"])
     selp.bpe_merges_save(spark, sf, dirs["bpe_merges"])
+    ql.bigram_lm_save(spark, sf, dirs["bigram_lm"])
 
     queries = [
         "q68_ivf_ann",
@@ -358,6 +361,7 @@ def test_cold_start_attaches_all_thirteen_model_families(spark, tmp_path):
         "q187_histogram_quantile_maintenance",
         "q190_dsir_importance",
         "q197_bpe_vocab",
+        "q202_bigram_logprob",
     ]
     # default=str + loads: timestamps (q178's min/max ship dates) compare
     # as their string forms on both sides of the process boundary.
@@ -401,6 +405,7 @@ def test_cold_start_attaches_all_thirteen_model_families(spark, tmp_path):
         mnt.hist_snapshot_attach(spark, sf, dirs["hist_snapshot"])
         selp.dsir_lm_attach(spark, sf, dirs["dsir_lm"])
         selp.bpe_merges_attach(spark, sf, dirs["bpe_merges"])
+        ql.bigram_lm_attach(spark, sf, dirs["bigram_lm"])
 
         def _poison(name):
             def _fn(*a, **kw):
@@ -418,6 +423,7 @@ def test_cold_start_attaches_all_thirteen_model_families(spark, tmp_path):
         mnt._standing_orders = _poison("_standing_orders")
         selp._dsir_count_tables = _poison("_dsir_count_tables")
         selp._bpe_merges_fit = _poison("_bpe_merges_fit")
+        ql._bigram_counts_df = _poison("_bigram_counts_df")
 
         out = {{}}
         for q in {queries!r}:

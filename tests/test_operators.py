@@ -2524,3 +2524,88 @@ def test_global_running_sum_matches_single_task_window(spark):
         ).collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_bigram_lm_penalizes_scrambled_word_order(spark):
+    """q202's claim: a bigram LM catches word-ORDER breakage the
+    unigram LM cannot. Score the corpus-fitted model on (a) the real
+    documents and (b) the same documents with tokens SORTED
+    (unigram-identical, order destroyed): the scrambled side's mean
+    bigram logprob must drop. The margin is small BECAUSE the fixture
+    is sampled word salad (little order structure to destroy) — on
+    real text the gap is large; what the synthetic corpus can still
+    falsify is the DIRECTION, which is deterministic here (exact
+    joins, fixed corpus, no sampling)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.quality import (
+        Q202_LAMBDA,
+        bigram_lm_for,
+        unigram_lm_for,
+    )
+    from mapreduce_mit_spark.functions.textfns import tokens_col
+    from mapreduce_mit_spark.sources.io import load_table
+
+    d = load_table(spark, SF_SMALL, "documents")
+
+    def score(toks_col_expr):
+        toks = d.select("doc_id", toks_col_expr.alias("toks"))
+        bp = toks.where(F.size("toks") >= 2).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat(toks[i-1], ' ', toks[i]))"
+                )
+            ).alias("pair"),
+        )
+        big = bigram_lm_for(spark, SF_SMALL)
+        uni = unigram_lm_for(spark, SF_SMALL)
+        tot = uni.agg(F.sum("c").cast("double").alias("total"))
+        scored = (
+            bp.withColumn("w1", F.expr("split(pair, ' ')[0]"))
+            .withColumn("w2", F.expr("split(pair, ' ')[1]"))
+            .join(big.select("pair", F.col("c").alias("cb")), "pair", "left")
+            .join(
+                uni.select(F.col("token").alias("w1"), F.col("c").alias("c1")),
+                "w1",
+            )
+            .join(
+                uni.select(F.col("token").alias("w2"), F.col("c").alias("c2")),
+                "w2",
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.log(
+                    Q202_LAMBDA
+                    * (F.coalesce(F.col("cb"), F.lit(0)) * 1.0 / F.col("c1"))
+                    + (1 - Q202_LAMBDA) * (F.col("c2") / F.col("total"))
+                ).alias("lp")
+            )
+        )
+        return scored.agg(F.avg("lp")).first()[0]
+
+    real = score(tokens_col("text"))
+    scrambled = score(F.array_sort(tokens_col("text")))
+    assert scrambled < real - 0.005, (real, scrambled)
+
+
+def test_kanon_export_invariants(spark):
+    """q201: every exported group has n >= K; suppression only happens
+    at level 1 (after generalization); and the final groups partition
+    the corpus — total n_docs equals the table's row count."""
+    from mapreduce_mit_spark.plans.quality import Q201_K
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+    from mapreduce_mit_spark.sources.io import load_table
+
+    load_all_plans()
+    rows = REGISTRY["q201_kanon_export"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r.status == "exported":
+            assert r.n_docs >= Q201_K
+        else:
+            assert r.level == 1
+    assert any(r.level == 1 for r in rows), "fixture should force generalization"
+    total = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in rows) == total
