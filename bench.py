@@ -148,6 +148,7 @@ HEADLINE = [
     "q200_tokenizer_drift",
     "q201_kanon_export",
     "q202_bigram_logprob",
+    "q203_join_cardinality_audit",
 ]
 
 

@@ -1371,3 +1371,97 @@ def q189_hist_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         cache.pop(key, None)
     return _hist_quantile_view(spark, sf_dir, counts_s, ext)
+
+
+# --- q203: join-cardinality planning audit ----------------------------------
+
+Q203_PRIORITY = "1-URGENT"
+
+
+@register(
+    "q203_join_cardinality_audit",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '{Q203_PRIORITY}'
+    ),
+    lc AS (SELECT l_orderkey AS k, count(*) AS nl FROM lineitem GROUP BY 1),
+    oc AS (SELECT o_orderkey AS k, count(*) AS no_ FROM o GROUP BY 1),
+    prod AS (
+      SELECT lc.k, lc.nl * oc.no_ AS contrib FROM lc JOIN oc USING (k)
+    ),
+    est AS (
+      SELECT CAST(coalesce(sum(contrib), 0) AS BIGINT) AS est_rows,
+             CAST(coalesce(max(contrib), 0) AS BIGINT) AS top_contrib,
+             CAST(coalesce(count(*), 0) AS BIGINT) AS n_keys
+      FROM prod
+    ),
+    act AS (
+      SELECT CAST(count(*) AS BIGINT) AS actual_rows
+      FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT est_rows, actual_rows, (est_rows = actual_rows) AS exact_match,
+           n_keys, top_contrib,
+           CAST(CASE WHEN est_rows > 0
+                     THEN top_contrib * 100 // est_rows ELSE 0 END
+                AS BIGINT) AS top_share_pct
+    FROM est, act
+    """,
+    tags=("maintenance", "planning", "join", "skew"),
+)
+def q203_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-CARDINALITY PLANNING AUDIT — the pre-join pass that sizes
+    a 1000-executor join BEFORE running it: per-key counts on both
+    sides (group-sized aggregates) joined and multiplied give the
+    join's output cardinality EXACTLY — Σ_k n_left(k)·n_right(k) is
+    not an estimate, it is the equi-join row count, computable at
+    group-size cost without materializing a single joined row. The
+    query computes both (the count-product and the real join's count)
+    and asserts their equality cross-engine; ``top_share_pct`` — the
+    largest single key's share of the output — is the skew number
+    that decides between a plain shuffle join, a salted join (q18's
+    fan-out, sized by q180), and an AQE skew split.
+
+    At 100 TB the count-product side costs two map-side-combined
+    aggregates over key frequencies and one group-sized join — the
+    real join costs a full fact-table shuffle. Running THIS first is
+    how a pipeline avoids discovering a 10^14-row blowup at executor
+    OOM time. (The actual-join column exists here to falsify the
+    identity; production runs only the cheap side.)
+
+    Reference analog: none (SURVEY §2.3 ops/planning extension —
+    q180's skew audit lifted from one table to the join product)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == Q203_PRIORITY
+    ).select("o_orderkey")
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    oc = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("no_")
+    )
+    prod = lc.join(oc, "k").select(
+        "k", (F.col("nl") * F.col("no_")).alias("contrib")
+    )
+    est = prod.agg(
+        F.coalesce(F.sum("contrib"), F.lit(0)).cast("long").alias("est_rows"),
+        F.coalesce(F.max("contrib"), F.lit(0)).cast("long").alias("top_contrib"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    act = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).cast("long").alias("actual_rows")
+    )
+    return est.crossJoin(F.broadcast(act)).select(
+        "est_rows",
+        "actual_rows",
+        (F.col("est_rows") == F.col("actual_rows")).alias("exact_match"),
+        "n_keys",
+        "top_contrib",
+        F.when(
+            F.col("est_rows") > 0,
+            F.expr("top_contrib * 100 div est_rows"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_share_pct"),
+    )
