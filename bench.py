@@ -149,6 +149,7 @@ HEADLINE = [
     "q201_kanon_export",
     "q202_bigram_logprob",
     "q203_join_cardinality_audit",
+    "q204_incremental_layout_audit",
 ]
 
 

@@ -1465,3 +1465,157 @@ def q203_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_share_pct"),
     )
+
+
+# --- q204: incremental layout maintenance — the compaction trigger ---------
+
+# Standing/arrival carve on o_orderkey (the q178 idiom, 'lay1:' salt).
+Q204_STANDING_HEX = "e666"
+Q204_TAIL_FILES = 8
+# Compact when the tail's share of window-scanned rows exceeds this
+# integer percentage — the OPTIMIZE trigger.
+Q204_TRIGGER_PCT = 20
+
+
+def _q204_oracle() -> str:
+    zdiv = 1 << (2 * _ZBITS - 6)
+    standing = (
+        "COALESCE(substr(md5('lay1:' || CAST(ck AS VARCHAR)), 1, 4), '0000') "
+        f"< '{Q204_STANDING_HEX}'"
+    )
+    return f"""
+    WITH {_ZORDER_CTES},
+    lay AS (
+      SELECT ck, dd,
+             ({standing}) AS is_standing,
+             CASE WHEN {standing} THEN CAST(zval // {zdiv} AS BIGINT)
+                  ELSE 64 + (ck % {Q204_TAIL_FILES}) END AS file_id
+      FROM z
+    ),
+    fs AS (
+      SELECT CASE WHEN is_standing THEN 'standing_zorder'
+                  ELSE 'arrival_tail' END AS layer,
+             file_id, count(*) AS n_rows,
+             min(dd) AS dd_min, max(dd) AS dd_max,
+             (NOT (max(dd) < {Q179_DD_LO} OR min(dd) > {Q179_DD_HI}))
+               AS touched
+      FROM lay GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT layer,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN touched THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_touched,
+             CAST(sum(n_rows) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN touched THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned
+      FROM fs GROUP BY layer
+    ),
+    tot AS (
+      SELECT CAST(sum(rows_scanned) AS BIGINT) AS scan_total FROM agg
+    )
+    SELECT layer, n_files, n_touched, n_rows, rows_scanned,
+           CAST(rows_scanned * 100 // scan_total AS BIGINT)
+             AS scan_share_pct,
+           ((SELECT rows_scanned FROM agg WHERE layer = 'arrival_tail')
+              * 100 // scan_total >= {Q204_TRIGGER_PCT})
+             AS compact_recommended
+    FROM agg, tot
+    ORDER BY layer
+    """
+
+
+@register(
+    "q204_incremental_layout_audit",
+    oracle=_q204_oracle(),
+    tags=("maintenance", "layout", "pruning", "incremental"),
+)
+def q204_incremental_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL LAYOUT MAINTENANCE — the missing step between
+    q179's audit and q182's rewrite: real tables DEGRADE. The standing
+    90% sits in the Z-ordered layout the last OPTIMIZE produced (64
+    files with tight zone maps); arrivals since then land in TAIL
+    files in arrival order, whose dd zone maps span the whole table —
+    every windowed scan touches every tail file. This query audits
+    both layers under the pinned date window and emits the COMPACTION
+    TRIGGER: when the unsorted tail's share of window-scanned rows
+    crosses Q204_TRIGGER_PCT, run q182's rewrite over the tail (the
+    Delta/Iceberg incremental-OPTIMIZE policy, as a measured decision
+    instead of a timer).
+
+    Scale shape: one scan, one (layer, file) aggregate — zone maps are
+    group-sized facts; the decision arithmetic is integer percentages
+    on a 2-row table. The audit never reads the window's rows; it
+    PREDICTS what a scan would read from the zone maps, which is
+    exactly what the planner does.
+
+    Reference analog: none (SURVEY §2.3 ops extension — closes the
+    q179 → q182 loop against arrival entropy)."""
+    zdiv = 1 << (2 * _ZBITS - 6)
+    z = _zorder_frame(spark, sf_dir)
+    standing = F.coalesce(
+        F.substring(
+            F.md5(F.concat(F.lit("lay1:"), F.col("ck").cast("string"))), 1, 4
+        ),
+        F.lit("0000"),
+    ) < Q204_STANDING_HEX
+    lay = z.select(
+        "ck",
+        "dd",
+        standing.alias("is_standing"),
+        F.when(standing, F.expr(f"CAST(zval div {zdiv} AS BIGINT)"))
+        .otherwise(F.lit(64) + F.col("ck") % Q204_TAIL_FILES)
+        .alias("file_id"),
+    )
+    fs = (
+        lay.groupBy(
+            F.when(F.col("is_standing"), F.lit("standing_zorder"))
+            .otherwise(F.lit("arrival_tail"))
+            .alias("layer"),
+            "file_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("dd").alias("dd_min"),
+            F.max("dd").alias("dd_max"),
+        )
+        .withColumn(
+            "touched",
+            ~((F.col("dd_max") < Q179_DD_LO) | (F.col("dd_min") > Q179_DD_HI)),
+        )
+    )
+    agg = fs.groupBy("layer").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.col("touched").cast("long")).cast("long").alias("n_touched"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("touched"), F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+    )
+    tot = agg.agg(
+        F.sum("rows_scanned").cast("long").alias("scan_total"),
+        F.sum(
+            F.when(F.col("layer") == "arrival_tail", F.col("rows_scanned"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("tail_scanned"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "layer",
+            "n_files",
+            "n_touched",
+            "n_rows",
+            "rows_scanned",
+            F.expr("rows_scanned * 100 div scan_total")
+            .cast("long")
+            .alias("scan_share_pct"),
+            (
+                F.expr("tail_scanned * 100 div scan_total")
+                >= Q204_TRIGGER_PCT
+            ).alias("compact_recommended"),
+        )
+        .orderBy("layer")
+    )

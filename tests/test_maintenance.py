@@ -409,3 +409,30 @@ def test_hist_refresh_full_refit_and_zero_clamps(spark, tmp_path):
         json.dump(doctored, f)
     with pytest.raises(ValueError, match="params"):
         mnt.hist_snapshot_attach(spark, SF_SMALL, out)
+
+
+def test_incremental_layout_audit_invariants(spark):
+    """q204: the arrival tail's zone maps must be useless under the
+    window (every tail file touched — arrival order is uncorrelated
+    with the scan dimension), the standing Z-order layer must still
+    prune at least half its files (q179's property, preserved for the
+    standing carve), and the compaction decision must equal the
+    integer-percentage rule recomputed from the row counts."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    rows = {
+        r.layer: r
+        for r in REGISTRY["q204_incremental_layout_audit"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    tail, standing = rows["arrival_tail"], rows["standing_zorder"]
+    # every NON-EMPTY tail file is touched (at sf0.001 a ck%8 bucket
+    # can be empty, so n_files may fall short of the configured count)
+    assert 1 <= tail.n_files <= mnt.Q204_TAIL_FILES
+    assert tail.n_touched == tail.n_files
+    assert standing.n_touched <= standing.n_files / 2
+    scan_total = tail.rows_scanned + standing.rows_scanned
+    want = tail.rows_scanned * 100 // scan_total >= mnt.Q204_TRIGGER_PCT
+    assert tail.compact_recommended == standing.compact_recommended == want
