@@ -135,6 +135,7 @@ HEADLINE = [
     "q184_retractable_agg_maintenance",
     "q187_histogram_quantile_maintenance",
     "q188_agg_refresh_serve",
+    "q189_hist_refresh_serve",
     "q190_dsir_importance",
     "q191_dsir_select",
     "q192_bpe_pair_merge",
@@ -525,13 +526,17 @@ def main() -> None:
         # fresh process): flagships_normalized below. Round-over-round
         # claims quote isolated raw medians first, this second, and the
         # in-run total only as the headline-coverage number.
-        "flagships_normalized": round(
-            sum(flagships_isolated.values())
-            * (
-                REF_CALIBRATION_S
-                / max(min(c for c in flagship_calibrations if c), 1e-9)
-            ),
-            3,
+        # guard: if every flagship child failed to report a calibration
+        # (empty/zero list), emit null rather than crash the whole bench
+        # after all timing work is done
+        "flagships_normalized": (
+            round(
+                sum(flagships_isolated.values())
+                * (REF_CALIBRATION_S / max(min(_cals), 1e-9)),
+                3,
+            )
+            if (_cals := [c for c in flagship_calibrations if c])
+            else None
         ),
         "fits_total": round(sum(fits.values()), 3),
         # r13 contention-robustness: the isolated flagship series' total

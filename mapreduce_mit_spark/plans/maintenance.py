@@ -957,8 +957,11 @@ def q188_agg_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ._util import _session_cache, source_fingerprint
 
+    # per-process component: two concurrent sessions refreshing the
+    # same source must not race overwrite-vs-attach on one directory
+    # (torn _meta.json/parquet reads) — each pid writes its own tree
     out_dir = os.path.join(
-        tempfile.gettempdir(), "mms_agg_refresh",
+        tempfile.gettempdir(), "mms_agg_refresh", f"pid{os.getpid()}",
         "-".join(map(str, source_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))[1:])),
     )
     agg_snapshot_refresh(spark, sf_dir, out_dir)
@@ -1354,8 +1357,9 @@ def q189_hist_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ._util import _session_cache, source_fingerprint
 
+    # per-process dir (same rationale as q188's): no cross-session race
     out_dir = os.path.join(
-        tempfile.gettempdir(), "mms_hist_refresh",
+        tempfile.gettempdir(), "mms_hist_refresh", f"pid{os.getpid()}",
         "-".join(map(str, source_fingerprint(os.path.join(sf_dir, "orders.parquet"))[1:])),
     )
     hist_snapshot_refresh(spark, sf_dir, out_dir)
@@ -1512,13 +1516,20 @@ def _q204_oracle() -> str:
       FROM fs GROUP BY layer
     ),
     tot AS (
-      SELECT CAST(sum(rows_scanned) AS BIGINT) AS scan_total FROM agg
+      -- empty-layer guards (cross-engine edge): a missing arrival_tail
+      -- layer coalesces to 0 (not NULL), and scan_total is floored at 1
+      -- so the integer division never divides by zero in either engine
+      SELECT CAST(COALESCE(sum(rows_scanned), 0) AS BIGINT) AS scan_total,
+             CAST(COALESCE((SELECT rows_scanned FROM agg
+                            WHERE layer = 'arrival_tail'), 0) AS BIGINT)
+               AS tail_scanned
+      FROM agg
     )
     SELECT layer, n_files, n_touched, n_rows, rows_scanned,
-           CAST(rows_scanned * 100 // scan_total AS BIGINT)
+           CAST(rows_scanned * 100 // greatest(scan_total, 1) AS BIGINT)
              AS scan_share_pct,
-           ((SELECT rows_scanned FROM agg WHERE layer = 'arrival_tail')
-              * 100 // scan_total >= {Q204_TRIGGER_PCT})
+           (tail_scanned * 100 // greatest(scan_total, 1)
+              >= {Q204_TRIGGER_PCT})
              AS compact_recommended
     FROM agg, tot
     ORDER BY layer
@@ -1592,11 +1603,19 @@ def q204_incremental_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("rows_scanned"),
     )
+    # empty-layer guards mirror the oracle's: missing tail -> 0, and
+    # scan_total floored at 1 so the div never hits zero
     tot = agg.agg(
-        F.sum("rows_scanned").cast("long").alias("scan_total"),
-        F.sum(
-            F.when(F.col("layer") == "arrival_tail", F.col("rows_scanned"))
-            .otherwise(0)
+        F.coalesce(F.sum("rows_scanned"), F.lit(0))
+        .cast("long")
+        .alias("scan_total"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("layer") == "arrival_tail", F.col("rows_scanned")
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("tail_scanned"),
@@ -1609,11 +1628,11 @@ def q204_incremental_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_touched",
             "n_rows",
             "rows_scanned",
-            F.expr("rows_scanned * 100 div scan_total")
+            F.expr("rows_scanned * 100 div greatest(scan_total, 1L)")
             .cast("long")
             .alias("scan_share_pct"),
             (
-                F.expr("tail_scanned * 100 div scan_total")
+                F.expr("tail_scanned * 100 div greatest(scan_total, 1L)")
                 >= Q204_TRIGGER_PCT
             ).alias("compact_recommended"),
         )

@@ -1892,24 +1892,26 @@ def q176_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per micro-batch cost is the batch's rows × k
     centroids, nothing else; the tree is append-only with at-once
-    idempotent batch partitions; serve reads probed-cell files only
-    from both tiers."""
+    idempotent batch partitions (compacted periodically by q205);
+    serve reads probed-cell files only from both tiers."""
+    root = _stage_ivf_lists_tree(spark, sf_dir, "q176_sink")
+    return _serve_ivf_ingest_view(spark, sf_dir, _active_parts_dir(root))
+
+
+def _stage_ivf_lists_tree(spark: SparkSession, sf_dir: str, sink_key: str) -> str:
+    """q176's ingest: stream the increment vectors, assign each batch
+    to the standing codebook, land idempotent ``batch_id=N/cluster=K``
+    partitions, then flip the ACTIVE pointer to the fresh tree.
+    Returns the tree ROOT (resolve the tree itself through
+    :func:`_active_parts_dir`). Shared with q205, whose compaction
+    rewrites the tree behind the same pointer."""
     import shutil
 
     from ..plans.similarity import (
-        ANN_K,
-        N_PROBE,
-        QUERY_VEC_ID,
-        Q175_RECALL_TARGET,
         Q175_STANDING_HEX,
         _assign_to_codebook,
-        _dot,
-        _mark_exact_topk,
-        _norm,
         _standing_key,
         _with_cnorm,
-        _with_recall,
-        cosine_col,
         ivf_standing_index_for,
         valid_embeddings,
     )
@@ -1928,14 +1930,14 @@ def q176_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding"
     )
     # the standing tier: fitted artifact (or attached — no refit here)
-    cent, slists = ivf_standing_index_for(spark, sf_dir)
+    cent, _slists = ivf_standing_index_for(spark, sf_dir)
     centn = _with_cnorm(cent).localCheckpoint(eager=True)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS * 2))
     try:
         with tree_lock(root):
-            for sub in (src_dir, ckpt, lists_dir):
+            for sub in (src_dir, ckpt, lists_dir, lists_dir + "_compact"):
                 shutil.rmtree(sub, ignore_errors=True)
             # several micro-batches: one file per shard per trigger
             incr.repartition(4, "vec_id").write.mode("overwrite").parquet(src_dir)
@@ -1961,10 +1963,44 @@ def q176_stream_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            LAST_QUERY["q176_sink"] = q
+            LAST_QUERY[sink_key] = q
+            # a zero-batch drain never creates the dir: materialize it
+            # so 'legitimately empty' is representable, then flip the
+            # pointer — from here on readers resolve through ACTIVE
+            os.makedirs(lists_dir, exist_ok=True)
+            _parts_pointer_write(root, os.path.basename(lists_dir))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return root
 
+
+def _serve_ivf_ingest_view(
+    spark: SparkSession, sf_dir: str, lists_dir: str
+) -> DataFrame:
+    """Serve q175's pinned-query view from standing artifact ∪ the
+    ingested increment tree — the final probe/union/top-k q176 and
+    q205 share (both register q175's oracle, so the view's shape is
+    the one contract)."""
+    from ..plans.similarity import (
+        ANN_K,
+        N_PROBE,
+        QUERY_VEC_ID,
+        Q175_RECALL_TARGET,
+        _dot,
+        _mark_exact_topk,
+        _norm,
+        _with_cnorm,
+        _with_recall,
+        cosine_col,
+        ivf_standing_index_for,
+        valid_embeddings,
+    )
+    from ..sources.io import ensure_reader_confs, load_table
+
+    ensure_reader_confs(spark)
+    e = valid_embeddings(load_table(spark, sf_dir, "embeddings"))
+    cent, slists = ivf_standing_index_for(spark, sf_dir)
+    centn = _with_cnorm(cent).localCheckpoint(eager=True)
     tree = q176_ingested_tree(spark, lists_dir)
 
     # serve the pinned query from standing artifact ∪ ingested tree
@@ -2032,6 +2068,92 @@ def _q176_bind_oracle() -> None:
 
 
 _q176_bind_oracle()
+
+
+# --- q205: ANN ingest-tree compaction ---------------------------------------
+
+
+@register(
+    "q205_ann_ingest_compaction",
+    oracle=None,  # set below: q175's oracle — compaction preserves the serve
+    tags=("streaming", "similarity", "ivf", "ann", "maintenance",
+          "incremental"),
+)
+def q205_ann_ingest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INGEST-TREE COMPACTION — q185's small-files lifecycle step
+    applied to the LATENCY-SENSITIVE tier: q176's ``batch_id=N/
+    cluster=K`` inverted-lists tree grows in files forever (one file
+    set per micro-batch per touched cell), and every probed-cell serve
+    plans one read per batch per cell. Because list membership is
+    append-only facts (vector → cluster assignment against a STATIC
+    codebook), the drained batches can be FOLDED into one consolidated
+    ``batch_id=-2`` tier — still ``cluster=K``-partitioned, so the
+    probe predicate keeps pruning files — without changing a single
+    served row. In a live tree only DRAINED batch partitions fold;
+    undrained ones would carry over under their own ``batch_id=N``
+    (and keep serving ``is_new = true`` exactly as before — tier
+    membership, not batch id, is what marks a row new).
+
+    The swap is ATOMIC: the consolidated tree is written under its own
+    directory, then the ACTIVE pointer flips in one ``os.replace``
+    (:func:`_parts_pointer_write` — the q163/q185 discipline); a
+    reader planning mid-compaction resolves either tree, both serving
+    the identical view. The superseded tree is GC'd only AFTER the
+    flip. (As with q185: the flip protects pointer RESOLUTION; a
+    reader in another process that resolved the old tree before the
+    flip races the GC — the single-writer-per-tree lease every managed
+    streaming runtime enforces is the production guard, and
+    ``tree_lock`` is that lease for the write half.)
+
+    This query stages q176's tree, compacts it, and serves q175's
+    pinned-query view from standing artifact ∪ COMPACTED tree —
+    registering q175's oracle VERBATIM, so the driver value-checks
+    that compaction preserved the serve exactly
+    (tests/test_streaming.py additionally pins file-count shrinkage
+    and row-identical pre/post serves).
+
+    Scale shape: the fold reads the increment lists once and writes
+    one file set per cluster (``repartition("cluster")`` — one shuffle
+    whose width is the cell count, never the corpus); serve planning
+    returns to O(probed cells) in stream age. At 100 TB this is the
+    periodic OPTIMIZE that keeps the freshness tier's p99 flat while
+    the stream runs forever.
+
+    Reference analog: the reference's merge phase (master_splitmerge.go
+    — many per-task files folded into one) run periodically against
+    the live index instead of once per job."""
+    import shutil
+
+    root = _stage_ivf_lists_tree(spark, sf_dir, "q205_sink")
+    with tree_lock(root):
+        lists_dir = _active_parts_dir(root)
+        compact_dir = os.path.join(root, "lists_compact")
+        shutil.rmtree(compact_dir, ignore_errors=True)
+        if glob.glob(os.path.join(lists_dir, "batch_id=*")):
+            # fold every drained batch into the consolidated tier, one
+            # file set per cluster so probed-cell serves keep pruning
+            q176_ingested_tree(spark, lists_dir).repartition(
+                "cluster"
+            ).write.mode("overwrite").partitionBy("cluster").parquet(
+                os.path.join(compact_dir, "batch_id=-2")
+            )
+        else:  # legitimately empty tree: compact to an empty tree
+            os.makedirs(compact_dir, exist_ok=True)
+        _parts_pointer_write(root, os.path.basename(compact_dir))
+        shutil.rmtree(lists_dir, ignore_errors=True)
+    return _serve_ivf_ingest_view(spark, sf_dir, _active_parts_dir(root))
+
+
+# compaction preserves the serve row-for-row, so q205 registers q175's
+# oracle verbatim (the q185 discipline applied to the ANN tier).
+def _q205_bind_oracle() -> None:
+    from ..plans.similarity import _q175_oracle
+    from ..registry import REGISTRY
+
+    REGISTRY["q205_ann_ingest_compaction"].oracle = _q175_oracle()
+
+
+_q205_bind_oracle()
 
 
 # --- q181: streaming aggregate-snapshot maintenance -------------------------
@@ -2263,14 +2385,8 @@ def q185_stream_state_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     after N micro-batches the partials tree holds N tiny partitions,
     and every serve plans N file reads. Because partial merge is
     associative, the tree can be FOLDED — all batch partials merged
-    into ONE partial set per group — without changing the view it
-    serves. The fold writes ``batch_id=-2`` under a temp name, then
-    swaps directories with two renames. The swap window (old tree
-    moved aside, new not yet in place) is tolerable precisely because
-    the tree is DERIVED state — rebuildable from the source stream,
-    which this query's staging does on every call; a production tree
-    would put the swap behind q163's atomic meta pointer instead of
-    relying on rename ordering.
+    into ONE partial set per group (``batch_id=-2``) — without
+    changing the view it serves.
 
     This query stages q181's tree, compacts it, and serves q178's view
     from snapshot + COMPACTED tree — registering q178's oracle

@@ -382,6 +382,7 @@ def test_q176_serve_tiers_prune_to_probed_cells(spark, tmp_path):
         ivf_standing_index_save,
     )
     from mapreduce_mit_spark.streaming.stream_queries import (
+        _active_parts_dir,
         fp_stream_root,
         q176_ingested_tree,
     )
@@ -404,7 +405,7 @@ def test_q176_serve_tiers_prune_to_probed_cells(spark, tmp_path):
     # (b) the increment tree (q176 builds it; rerun is idempotent)
     registry.REGISTRY["q176_stream_index_ingest"].fn(spark, SF_SMALL).collect()
     root = fp_stream_root("mms_ivf_ingest", SF_SMALL, "embeddings.parquet")
-    tree = q176_ingested_tree(spark, os.path.join(root, "lists"))
+    tree = q176_ingested_tree(spark, _active_parts_dir(root))
     line = pfilters(tree.where(F.col("cluster").isin([0, 3])))
     assert "cluster" in line and " IN (0,3)" in line, line
     assert "batch_id" not in line, "batch partitions must all serve"

@@ -342,3 +342,75 @@ def test_tokenizer_drift_coverage_sane(spark):
         assert r.n_standing > 0 and r.share_standing > 0
     assert not rows[0].retrain_recommended
     assert abs(rows[0].cov_drop) < sel.Q200_COV_TAU
+
+
+def _py_twopass_train(wf: dict, n_merges: int):
+    """Pure-Python mirror of the engine's (and oracle's) two-pass
+    padded-replace merge application — Python str.replace has the same
+    non-overlapping left-to-right scan as SQL replace, so this IS the
+    documented semantics, including the l == r chain divergence."""
+    syms = {w: " ".join(w) for w in wf if len(w) >= 2}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, s in syms.items():
+            parts = s.split(" ")
+            for i in range(len(parts) - 1):
+                p = parts[i] + " " + parts[i + 1]
+                counts[p] = counts.get(p, 0) + wf[w]
+        pair, n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = pair.replace(" ", "")
+        merges.append((pair, merged, n))
+        pat, rep = f" {pair} ", f" {merged} "
+        syms = {
+            w: (" " + s + " ").replace(pat, rep).replace(pat, rep).strip()
+            for w, s in syms.items()
+        }
+    return merges, syms
+
+
+def test_bpe_self_overlap_chain_matches_oracle(spark):
+    """The two ADVICE-flagged BPE edge cases, pinned on a synthetic
+    vocabulary the sf fixtures happen to lack:
+
+    1. SINGLE-SYMBOL COLLAPSE (the crash): 'he' collapses to one
+       symbol after the merge 'h e'; the next round's pair count must
+       skip it, not index off the array (INVALID_ARRAY_INDEX under
+       ANSI) or emit NULL pairs into the argmax.
+    2. SELF-OVERLAPPING PAIR (l == r): a run of 5 'a' merges to
+       'aa a aa' under the two-pass replace — NOT greedy's 'aa aa a' —
+       and a run of 6 gets 2 merges vs greedy's 3. Engine, oracle, and
+       this Python mirror share the semantics exactly.
+    """
+    load_all_plans()
+    wf = {
+        "aaaaa": 10,   # 'a a' x4 -> 40
+        "aaaaaa": 5,   # 'a a' x5 -> 25 (total 65: merge 1 = 'a a')
+        "he": 30,      # 'h e' -> 30
+        "hehe": 2,     # 'h e' x2 -> +4 (total 34: merge 2 = 'h e')
+        "hello": 7,
+        "yellow": 4,
+        "banana": 6,
+        "bananas": 3,
+    }
+    wf_df = spark.createDataFrame(
+        [(w, c) for w, c in wf.items()], "word string, wfreq long"
+    )
+    got = [
+        (r.pair, r.merged, r.n)
+        for r in sel._bpe_train_merges(wf_df).orderBy("merge_rank").collect()
+    ]
+    want, _ = _py_twopass_train(wf, sel.BPE_MERGES)
+    assert got == want
+    assert want[0][0] == "a a" and want[1][0] == "h e"
+    # the documented divergence, stated positively, after merge 1:
+    # two-pass gives 'aa a aa' / 'aa a aa a' (greedy: 'aa aa a' /
+    # 'aa aa aa' — one MORE merge on the run of 6)
+    _, syms1 = _py_twopass_train(wf, 1)
+    assert syms1["aaaaa"] == "aa a aa"
+    assert syms1["aaaaaa"] == "aa a aa a"
+    # after merge 2 ('h e'): 'he' collapsed to ONE symbol — the row
+    # the unfiltered pair count crashed on — and rounds 3..6 above
+    # completed with it in the table (got == want covers them)
+    _, syms2 = _py_twopass_train(wf, 2)
+    assert syms2["he"] == "he"

@@ -1302,3 +1302,48 @@ def test_stream_bpe_tokenize_equals_batch(spark):
         map(tuple, REGISTRY["q198_stream_bpe_tokenize"].fn(spark, SF_SMALL).collect())
     )
     assert streamed == batch and batch
+
+
+def test_ann_ingest_compaction_preserves_serve_and_shrinks_tree(spark):
+    """q205's contract, pinned beyond the shared oracle: the compacted
+    increment tree serves ROW-IDENTICAL results to the fresh
+    multi-batch tree, physically shrinks to the single batch_id=-2
+    partition with fewer parquet files, and the superseded tree is
+    GC'd after the atomic pointer flip."""
+    import glob
+    import os
+
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+    from mapreduce_mit_spark.streaming.stream_queries import (
+        _active_parts_dir,
+        _serve_ivf_ingest_view,
+        _stage_ivf_lists_tree,
+    )
+
+    load_all_plans()
+    root = _stage_ivf_lists_tree(spark, SF_SMALL, "q205_test_sink")
+    lists_dir = _active_parts_dir(root)
+    n_batches_before = len(glob.glob(os.path.join(lists_dir, "batch_id=*")))
+    assert n_batches_before > 1, "staging should land multiple micro-batches"
+    files_before = len(
+        glob.glob(os.path.join(lists_dir, "batch_id=*", "cluster=*", "*.parquet"))
+    )
+    before = sorted(
+        map(tuple, _serve_ivf_ingest_view(spark, SF_SMALL, lists_dir).collect())
+    )
+    after = sorted(
+        map(
+            tuple,
+            REGISTRY["q205_ann_ingest_compaction"].fn(spark, SF_SMALL).collect(),
+        )
+    )
+    assert after == before and before, "compaction changed the served view"
+    active = _active_parts_dir(root)
+    parts = glob.glob(os.path.join(active, "batch_id=*"))
+    assert len(parts) == 1 and parts[0].endswith("batch_id=-2")
+    files_after = len(
+        glob.glob(os.path.join(active, "batch_id=*", "cluster=*", "*.parquet"))
+    )
+    assert 0 < files_after < files_before, (files_after, files_before)
+    # the superseded multi-batch tree was GC'd after the pointer flip
+    assert not os.path.isdir(os.path.join(root, "lists"))
