@@ -151,6 +151,8 @@ HEADLINE = [
     "q202_bigram_logprob",
     "q203_join_cardinality_audit",
     "q204_incremental_layout_audit",
+    "q205_ann_ingest_compaction",
+    "q206_incremental_optimize",
 ]
 
 

@@ -585,6 +585,72 @@ def _q182_path(sf_dir: str) -> str:
     )
 
 
+def _dd_footer_stats(spark: SparkSession, path: str) -> DataFrame:
+    """DISTRIBUTED parquet-footer zone-map read over a
+    ``file_id=K``-partitioned table (shared by q182's rewrite audit
+    and q206's incremental OPTIMIZE): the driver only LISTS the
+    partition directories (the same file-listing every parquet scan's
+    planning does); the per-file metadata reads — ~100 bytes each —
+    run as an Arrow-batched ``mapInPandas`` over the file list, so at
+    the 10⁵-file scale a real lakehouse table reaches the audit
+    parallelizes across executors instead of serializing on the
+    driver. A row group missing ``dd`` statistics raises a descriptive
+    error naming the file — the contract depends on stamped
+    statistics, so absence must refuse, not read as an empty zone
+    map. Returns one row per file_id: (file_id, n_rows, dd_min,
+    dd_max) folded across that Z-range's files and row groups."""
+    import glob as _glob
+    import os
+
+    files = [
+        (int(part.rsplit("file_id=", 1)[1]), f)
+        for part in sorted(_glob.glob(os.path.join(path, "file_id=*")))
+        for f in sorted(_glob.glob(os.path.join(part, "*.parquet")))
+    ]
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            out = []
+            for file_id, f in zip(pdf["file_id"], pdf["path"]):
+                md = _pq.ParquetFile(f).metadata
+                dd_idx = {
+                    md.schema.column(i).name: i for i in range(md.num_columns)
+                }["dd"]
+                dd_min, dd_max = None, None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(dd_idx).statistics
+                    if st is None or st.min is None or st.max is None:
+                        raise ValueError(
+                            f"parquet file {f} row group {rg} has no 'dd' "
+                            "statistics — the zone-map audit requires footer "
+                            "min/max; rewrite with statistics enabled"
+                        )
+                    dd_min = st.min if dd_min is None else min(dd_min, st.min)
+                    dd_max = st.max if dd_max is None else max(dd_max, st.max)
+                out.append((int(file_id), md.num_rows, dd_min, dd_max))
+            yield pd.DataFrame(
+                out, columns=["file_id", "n_rows", "dd_min", "dd_max"]
+            )
+
+    return (
+        spark.createDataFrame(files, "file_id bigint, path string")
+        .repartition(min(len(files), 32) or 1)
+        .mapInPandas(
+            read_footers,
+            "file_id bigint, n_rows bigint, dd_min bigint, dd_max bigint",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("dd_min").alias("dd_min"),
+            F.max("dd_max").alias("dd_max"),
+        )
+    )
+
+
 def _q182_oracle() -> str:
     zdiv = 1 << (2 * _ZBITS - 6)
     return f"""
@@ -641,9 +707,6 @@ def q182_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (SURVEY §2.3 layout extension; the
     write-side half of q179's Delta/Iceberg OPTIMIZE ZORDER pattern)."""
-    import glob as _glob
-    import os
-
     zdiv = 1 << (2 * _ZBITS - 6)
     z = _zorder_frame(spark, sf_dir).select(
         "ck", "dd", F.expr(f"CAST(zval div {zdiv} AS BIGINT)").alias("file_id")
@@ -653,53 +716,7 @@ def q182_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_id"
     ).parquet(path)
 
-    files = [
-        (int(part.rsplit("file_id=", 1)[1]), f)
-        for part in sorted(_glob.glob(os.path.join(path, "file_id=*")))
-        for f in sorted(_glob.glob(os.path.join(part, "*.parquet")))
-    ]
-
-    def read_footers(batches):
-        import pandas as pd
-        import pyarrow.parquet as _pq
-
-        for pdf in batches:
-            out = []
-            for file_id, f in zip(pdf["file_id"], pdf["path"]):
-                md = _pq.ParquetFile(f).metadata
-                dd_idx = {
-                    md.schema.column(i).name: i for i in range(md.num_columns)
-                }["dd"]
-                dd_min, dd_max = None, None
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(dd_idx).statistics
-                    if st is None or st.min is None or st.max is None:
-                        raise ValueError(
-                            f"parquet file {f} row group {rg} has no 'dd' "
-                            "statistics — the zone-map audit requires footer "
-                            "min/max; rewrite with statistics enabled"
-                        )
-                    dd_min = st.min if dd_min is None else min(dd_min, st.min)
-                    dd_max = st.max if dd_max is None else max(dd_max, st.max)
-                out.append((int(file_id), md.num_rows, dd_min, dd_max))
-            yield pd.DataFrame(
-                out, columns=["file_id", "n_rows", "dd_min", "dd_max"]
-            )
-
-    stats = (
-        spark.createDataFrame(files, "file_id bigint, path string")
-        .repartition(min(len(files), 32) or 1)
-        .mapInPandas(
-            read_footers,
-            "file_id bigint, n_rows bigint, dd_min bigint, dd_max bigint",
-        )
-        .groupBy("file_id")
-        .agg(
-            F.sum("n_rows").alias("n_rows"),
-            F.min("dd_min").alias("dd_min"),
-            F.max("dd_max").alias("dd_max"),
-        )
-    )
+    stats = _dd_footer_stats(spark, path)
     return stats.select(
         "file_id",
         "n_rows",
@@ -1550,9 +1567,10 @@ def q204_incremental_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     every windowed scan touches every tail file. This query audits
     both layers under the pinned date window and emits the COMPACTION
     TRIGGER: when the unsorted tail's share of window-scanned rows
-    crosses Q204_TRIGGER_PCT, run q182's rewrite over the tail (the
-    Delta/Iceberg incremental-OPTIMIZE policy, as a measured decision
-    instead of a timer).
+    crosses Q204_TRIGGER_PCT, run the incremental OPTIMIZE — q206 is
+    that act, and provably clears this trigger (the Delta/Iceberg
+    incremental-OPTIMIZE policy, as a measured decision instead of a
+    timer).
 
     Scale shape: one scan, one (layer, file) aggregate — zone maps are
     group-sized facts; the decision arithmetic is integer percentages
@@ -1638,3 +1656,179 @@ def q204_incremental_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("layer")
     )
+
+
+# --- q206: the incremental OPTIMIZE — q204's compaction act ------------------
+
+
+def _q206_root(sf_dir: str) -> str:
+    """Per-source scratch root for the staged two-layer table —
+    fingerprint-keyed like q182's (two fixture dirs, or a regenerated
+    one, never serve each other's footers); overwritten every run."""
+    import os
+
+    from ._util import source_fingerprint
+    from .io_roundtrip import _scratch
+
+    fp = source_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    return os.path.join(
+        _scratch("zorder_incr"), f"{os.path.basename(fp[0])}-{fp[1]}-{fp[2]}"
+    )
+
+
+def _q206_oracle() -> str:
+    zdiv = 1 << (2 * _ZBITS - 6)
+    return f"""
+    WITH {_ZORDER_CTES},
+    f AS (SELECT CAST(zval // {zdiv} AS BIGINT) AS file_id, dd FROM z)
+    SELECT file_id, count(*) AS n_rows,
+           min(dd) AS dd_min, max(dd) AS dd_max,
+           (NOT (max(dd) < {Q179_DD_LO} OR min(dd) > {Q179_DD_HI})) AS touched,
+           -- post-OPTIMIZE invariants: the arrival tail was folded into
+           -- the Z-layout (its directory is gone), so the q204 trigger
+           -- formula evaluates over tail_scanned = 0 — identically false
+           CAST(0 AS BIGINT) AS tail_files_left,
+           FALSE AS compact_recommended
+    FROM f GROUP BY file_id ORDER BY file_id
+    """
+
+
+@register(
+    "q206_incremental_optimize",
+    oracle=_q206_oracle(),
+    tags=("maintenance", "layout", "pruning", "incremental", "sink"),
+)
+def q206_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL OPTIMIZE — the act q204's trigger calls for: rewrite
+    ONLY the arrival tail into the Z-order layout and merge it into
+    the standing files, then re-audit the merged table from its REAL
+    parquet footers and re-evaluate the trigger — which clears.
+
+    Three steps, each priced like the production job it models:
+
+    1. STAGE the degraded table q204 audits (the fixture half): the
+       standing ~90% lands Z-ordered as ``file_id = zval div 2^26``
+       partitions; the arrival tail lands in arrival-order files whose
+       dd zone maps span the whole table. The table-global (ck, dd)
+       extents are persisted beside it — the stored layout metadata an
+       incremental OPTIMIZE scales new keys against (recomputing them
+       from data would make the rewrite table-sized).
+    2. The OPTIMIZE itself — the only step a production run pays per
+       trigger: read the TAIL ROWS ONLY, scale against the broadcast
+       1-row extents artifact, compute each row's Z-range, and APPEND
+       into the standing layout (one shuffle sized by the tail, one
+       partitioned write touching only the Z-ranges the tail lands
+       in). The consumed tail directory is then dropped — any leftover
+       tail file raises rather than serving a wrong audit (a torn
+       commit must refuse, not report clean).
+    3. RE-AUDIT from stamped metadata: q182's distributed footer read
+       (:func:`_dd_footer_stats`) over the merged layout. Each
+       Z-range's zone map now folds standing + appended-tail files.
+
+    The oracle replays the merged layout from the raw rows — the full
+    q182 contract over the combined table: a rewrite that scattered a
+    Z-range, dropped, or duplicated a tail row mismatches n_rows /
+    dd_min / dd_max per file. ``compact_recommended`` re-evaluates
+    q204's formula over the post-layout (tail_scanned = 0) — the
+    trigger provably flips false, and tests/test_maintenance.py pins
+    the before/after pair (q204 true → q206 false) plus row
+    conservation.
+
+    Scale shape: staging is the fixture; the recurring cost is step 2
+    — tail-sized read + tail-sized shuffle + appends into O(touched
+    Z-ranges) files — and the metadata-only audit. At 100 TB with a
+    1% daily tail this is the nightly job that keeps q179's pruning
+    ratios from decaying, at 1% of the full-rewrite cost q182 prices.
+
+    Reference analog: none (SURVEY §2.3 ops extension — closes
+    q204's alarm → act loop; the Delta/Iceberg incremental OPTIMIZE
+    pattern)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    zdiv = 1 << (2 * _ZBITS - 6)
+    scale = (1 << _ZBITS) - 1
+    root = _q206_root(sf_dir)
+    table_dir = os.path.join(root, "table")
+    tail_dir = os.path.join(root, "tail")
+    ext_dir = os.path.join(root, "ext")
+    shutil.rmtree(root, ignore_errors=True)
+
+    # -- 1. stage the degraded two-layer table (q204's fixture) --
+    z = _zorder_frame(spark, sf_dir)
+    standing = F.coalesce(
+        F.substring(
+            F.md5(F.concat(F.lit("lay1:"), F.col("ck").cast("string"))), 1, 4
+        ),
+        F.lit("0000"),
+    ) < Q204_STANDING_HEX
+    lay = z.select("ck", "dd", F.expr(f"CAST(zval div {zdiv} AS BIGINT)").alias(
+        "file_id"
+    ), standing.alias("is_standing"))
+    lay.where("is_standing").select("ck", "dd", "file_id").repartition(
+        "file_id"
+    ).write.mode("overwrite").partitionBy("file_id").parquet(table_dir)
+    lay.where(~F.col("is_standing")).select(
+        "ck", "dd", (F.lit(64) + F.col("ck") % Q204_TAIL_FILES).alias("tfile")
+    ).repartition("tfile").write.mode("overwrite").partitionBy("tfile").parquet(
+        tail_dir
+    )
+    # the stored layout metadata (1 row): global extents the rewrite
+    # scales against — never recomputed from data at OPTIMIZE time
+    t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lit("1995-01-01"))
+        ).cast("long").alias("dd"),
+    ).where(F.col("ck").isNotNull() & F.col("dd").isNotNull()).agg(
+        F.min("ck").alias("ckmin"), F.max("ck").alias("ckmax"),
+        F.min("dd").alias("ddmin"), F.max("dd").alias("ddmax"),
+    ).write.mode("overwrite").parquet(ext_dir)
+
+    # -- 2. the incremental OPTIMIZE: tail rows only --
+    ext = spark.read.parquet(ext_dir)
+    tail = spark.read.parquet(tail_dir).select("ck", "dd")
+    zt = tail.crossJoin(F.broadcast(ext)).select(
+        "ck",
+        "dd",
+        F.expr(
+            f"CAST(((ck - ckmin) * {scale}) div GREATEST(ckmax - ckmin, 1) AS BIGINT)"
+        ).alias("x16"),
+        F.expr(
+            f"CAST(((dd - ddmin) * {scale}) div GREATEST(ddmax - ddmin, 1) AS BIGINT)"
+        ).alias("d16"),
+    ).select(
+        "ck",
+        "dd",
+        F.expr(
+            f"CAST(({_z_expr_spark('x16', 'd16')}) div {zdiv} AS BIGINT)"
+        ).alias("file_id"),
+    )
+    zt.repartition("file_id").write.mode("append").partitionBy(
+        "file_id"
+    ).parquet(table_dir)
+    shutil.rmtree(tail_dir, ignore_errors=True)
+    leftover = _glob.glob(os.path.join(tail_dir, "tfile=*", "*.parquet"))
+    if leftover:
+        raise RuntimeError(
+            f"incremental OPTIMIZE left {len(leftover)} tail files under "
+            f"{tail_dir} — torn commit; refusing to audit a half-merged "
+            "layout"
+        )
+
+    # -- 3. re-audit from real footers; the trigger re-evaluates false --
+    stats = _dd_footer_stats(spark, table_dir)
+    return stats.select(
+        "file_id",
+        "n_rows",
+        "dd_min",
+        "dd_max",
+        (
+            ~((F.col("dd_max") < Q179_DD_LO) | (F.col("dd_min") > Q179_DD_HI))
+        ).alias("touched"),
+        F.lit(0).cast("long").alias("tail_files_left"),
+        # q204's formula over the post-layout: tail_scanned = 0 (the
+        # leftover check above guarantees it), 0 * 100 div total = 0 < pct
+        F.lit(False).alias("compact_recommended"),
+    ).orderBy("file_id")

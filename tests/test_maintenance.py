@@ -436,3 +436,34 @@ def test_incremental_layout_audit_invariants(spark):
     scan_total = tail.rows_scanned + standing.rows_scanned
     want = tail.rows_scanned * 100 // scan_total >= mnt.Q204_TRIGGER_PCT
     assert tail.compact_recommended == standing.compact_recommended == want
+
+
+def test_incremental_optimize_clears_trigger_and_conserves_rows(spark):
+    """q206 is q204's act, pinned end to end: BEFORE — the staged
+    two-layer table trips the compaction trigger (the fixture q204
+    audits); AFTER — the merged layout's footer audit reports the
+    trigger false with zero tail files left, conserves every row, and
+    restores q179's pruning property (at most half the Z-files touched
+    by the pinned window — the whole point of folding the tail)."""
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    before = {
+        r.layer: r
+        for r in REGISTRY["q204_incremental_layout_audit"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert before["arrival_tail"].compact_recommended, (
+        "fixture should trip the trigger — q206 has nothing to act on"
+    )
+    total_before = sum(r.n_rows for r in before.values())
+
+    after = REGISTRY["q206_incremental_optimize"].fn(spark, SF_SMALL).collect()
+    assert after and all(not r.compact_recommended for r in after)
+    assert all(r.tail_files_left == 0 for r in after)
+    assert sum(r.n_rows for r in after) == total_before, "rows not conserved"
+    touched = sum(1 for r in after if r.touched)
+    assert touched <= len(after) / 2, (
+        "merged layout lost the Z-order pruning property"
+    )
