@@ -153,6 +153,9 @@ HEADLINE = [
     "q204_incremental_layout_audit",
     "q205_ann_ingest_compaction",
     "q206_incremental_optimize",
+    "q207_ivf_refresh_serve",
+    "q208_dsir_refresh_serve",
+    "q209_bpe_refresh_serve",
 ]
 
 

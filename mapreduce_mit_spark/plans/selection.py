@@ -1252,3 +1252,179 @@ def q200_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("merge_rank")
     )
+
+
+# --- q208/q209: the retrains — q199's and q200's alarms get their acts ------
+
+
+def dsir_lm_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """The RETRAIN job q199's ``refit_recommended`` calls for: refit
+    BOTH 256-row bucket LMs over the FULL current corpus (standing ∪
+    the arrival window whose drift tripped the alarm) and persist them
+    in the twelfth family's exact layout. No boundary moves here — the
+    DSIR LM is always full-corpus-as-of-fit-time; freshness lives in
+    WHICH corpus snapshot the fingerprint stamps — so the params
+    re-stamp unchanged and the attach gate still refuses a doctored
+    bucket count or target language.
+
+    Cost: one tokenize+bucket-count pass over the corpus — the refit
+    price q199's sketch-sized audit deliberately gates."""
+    import os
+
+    from ._util import write_index_meta
+
+    target, raw = _dsir_count_tables(spark, sf_dir)
+    target.write.mode("overwrite").parquet(os.path.join(out_dir, "target"))
+    raw.write.mode("overwrite").parquet(os.path.join(out_dir, "raw"))
+    write_index_meta(
+        out_dir,
+        os.path.join(sf_dir, "documents.parquet"),
+        schemas={"target": target.schema.json(), "raw": raw.schema.json()},
+        params={"n_buckets": DSIR_BUCKETS, "target_lang": DSIR_TARGET_LANG},
+    )
+
+
+@register(
+    "q208_dsir_refresh_serve",
+    oracle=None,  # set below: q190's oracle — refresh == from-scratch fit
+    tags=("selection", "language-model", "lifecycle", "training-pipeline"),
+)
+def q208_dsir_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFRESH-THEN-SERVE for the DSIR bucket LMs — closes q199's
+    alarm → act loop (the q188 pattern applied to the twelfth family):
+    run :func:`dsir_lm_refresh` (full-corpus refit persisted to disk),
+    ATTACH the refreshed artifact through the ordinary
+    fingerprint+param gate, and serve q190's importance-weight view
+    from it. A refreshed LM equals the from-scratch fit by definition,
+    so this registers q190's oracle VERBATIM — the driver value-checks
+    that the persisted-artifact round trip (write → stamp → gate →
+    read → serve) loses nothing.
+
+    The session cache entry is restored afterwards (the returned plan
+    closes over the attached 256-row tables directly), so q208 never
+    poisons a later q190/q195/q199 call in the same session.
+
+    Scale shape: the refresh is the one corpus pass the alarm gates;
+    the serve after it is q190's ordinary cost — the model side stays
+    a broadcast 256-row table at any corpus size.
+
+    Reference analog: none (SURVEY §2.3 maintenance block — the
+    retrain half of the selection-model lifecycle)."""
+    import os
+    import tempfile
+
+    from ._util import _session_cache, source_fingerprint
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "mms_dsir_refresh", f"pid{os.getpid()}",
+        "-".join(map(str, source_fingerprint(
+            os.path.join(sf_dir, "documents.parquet"))[1:])),
+    )
+    dsir_lm_refresh(spark, sf_dir, out_dir)
+
+    cache = _session_cache(spark)
+    key = ("dsir_lm",) + source_fingerprint(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    prev = cache.get(key)
+    dsir_lm_attach(spark, sf_dir, out_dir)
+    try:
+        # plan-build reads the cache (the attached artifact) once; the
+        # returned DataFrame closes over it
+        return q190_dsir_importance(spark, sf_dir)
+    finally:
+        if prev is not None:
+            cache[key] = prev
+        else:
+            cache.pop(key, None)
+
+
+def bpe_merges_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """The RETRAIN job q200's ``retrain_recommended`` calls for: refit
+    the BPE merge table over the FULL current corpus (the standing
+    carve q200 fitted on PLUS the arrival window whose coverage drop
+    tripped the alarm) and persist it in the thirteenth family's
+    layout. The params re-stamp unchanged (``n_merges`` is the
+    immutable contract); freshness lives in the source fingerprint.
+
+    Cost: one word-count pass over the corpus + N vocabulary-sized
+    merge rounds — q196's training price, which the coverage audit
+    deliberately gates."""
+    import os
+
+    from ._util import write_index_meta
+
+    merges = _bpe_train_merges(_bpe_word_freq(spark, sf_dir))
+    merges.write.mode("overwrite").parquet(os.path.join(out_dir, "merges"))
+    write_index_meta(
+        out_dir,
+        os.path.join(sf_dir, "documents.parquet"),
+        schemas={"merges": merges.schema.json()},
+        params={"n_merges": BPE_MERGES},
+    )
+
+
+@register(
+    "q209_bpe_refresh_serve",
+    oracle=None,  # set below: q197's oracle — refresh == from-scratch fit
+    tags=("selection", "tokenizer", "lifecycle", "training-pipeline"),
+)
+def q209_bpe_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFRESH-THEN-SERVE for the BPE merge table — closes q200's
+    alarm → act loop (the q188 pattern applied to the thirteenth
+    family): run :func:`bpe_merges_refresh` (full-corpus retrain
+    persisted to disk), ATTACH through the ordinary fingerprint+param
+    gate (a doctored ``n_merges`` stamp refuses — the existing family
+    test), and serve q197's induced-vocabulary view from the attached
+    artifact. Registers q197's oracle VERBATIM: the driver
+    value-checks the whole persisted round trip against the
+    from-scratch unrolled SQL training chain.
+
+    The session cache entry is restored afterwards, so q209 never
+    poisons a later q196/q197/q198/q200 call in the same session.
+
+    Scale shape: the retrain is q196's price (corpus touched once);
+    the serve is q197's — merges folded into one composed expression
+    over the vocabulary table.
+
+    Reference analog: none (SURVEY §2.3 maintenance block — the
+    retrain half of the tokenizer lifecycle)."""
+    import os
+    import tempfile
+
+    from ._util import _session_cache, source_fingerprint
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "mms_bpe_refresh", f"pid{os.getpid()}",
+        "-".join(map(str, source_fingerprint(
+            os.path.join(sf_dir, "documents.parquet"))[1:])),
+    )
+    bpe_merges_refresh(spark, sf_dir, out_dir)
+
+    cache = _session_cache(spark)
+    key = ("bpe_merges",) + source_fingerprint(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    prev = cache.get(key)
+    bpe_merges_attach(spark, sf_dir, out_dir)
+    try:
+        return q197_bpe_vocab(spark, sf_dir)
+    finally:
+        if prev is not None:
+            cache[key] = prev
+        else:
+            cache.pop(key, None)
+
+
+def _bind_refresh_oracles() -> None:
+    from ..registry import REGISTRY
+
+    REGISTRY["q208_dsir_refresh_serve"].oracle = REGISTRY[
+        "q190_dsir_importance"
+    ].oracle
+    REGISTRY["q209_bpe_refresh_serve"].oracle = REGISTRY[
+        "q197_bpe_vocab"
+    ].oracle
+
+
+_bind_refresh_oracles()

@@ -2953,6 +2953,26 @@ def _standing_key() -> Column:
     )
 
 
+# The boundary a REFRESHED standing index stamps: lexicographically
+# above every 4-hex md5 prefix ('f' < 'g'), so the increment carve
+# `NOT (key < boundary)` is provably empty — the q188 discipline
+# applied to the ANN family ('ffff' would leave 'ffff'-keyed vectors
+# double-assigned against lists that already hold them).
+IVF_REFRESHED_HEX = "g000"
+
+
+def ivf_standing_hex(artifact: DataFrame) -> str:
+    """The increment-carve boundary is a property of the ATTACHED
+    index artifact, not of the serving code (maintenance.py's
+    ``agg_standing_hex``, applied to the ninth family): read it from
+    the ``_mms_fit_params`` tag so a refreshed index (boundary moved
+    to :data:`IVF_REFRESHED_HEX`) serves through the SAME q175/q176
+    paths with a provably empty increment."""
+    return getattr(artifact, "_mms_fit_params", {}).get(
+        "standing_hex", Q175_STANDING_HEX
+    )
+
+
 def _ivf_standing_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """The STANDING-corpus IVF index fit: (cent, lists) with the
     codebook fitted on — and the inverted lists covering — only the
@@ -2996,14 +3016,22 @@ def _ivf_standing_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
         "k": N_IVF_CENTROIDS,
         "iters": N_KMEANS_ITERS,
     },
+    # standing_hex is MUTABLE: a refreshed index legitimately moves the
+    # boundary (to IVF_REFRESHED_HEX) and serving code reads the stamped
+    # value back (ivf_standing_hex) — k and iters stay immutable
+    mutable=("standing_hex",),
 )
 
 
-def _q175_oracle() -> str:
-    standing_pred = (
-        "substr(md5('ing1:' || CAST(vec_id AS VARCHAR)), 1, 4) "
-        f"< '{Q175_STANDING_HEX}'"
-    )
+def _q175_oracle(standing_pred: str | None = None) -> str:
+    """q175's full serve chain. ``standing_pred`` overrides the
+    standing carve — q207 passes ``'TRUE'`` (a refreshed index covers
+    everything; the increment is empty and is_new false throughout)."""
+    if standing_pred is None:
+        standing_pred = (
+            "substr(md5('ing1:' || CAST(vec_id AS VARCHAR)), 1, 4) "
+            f"< '{Q175_STANDING_HEX}'"
+        )
     return f"""
     WITH ev AS (SELECT * FROM {EMB_VALID_SQL} AS v),
     standing AS (SELECT * FROM ev WHERE {standing_pred}),
@@ -3090,10 +3118,22 @@ def q175_ivf_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (SURVEY §2.3 extension — the ANN-side twin
     of q161's incremental dedup: increments broadcast, the standing
     corpus never reshuffles)."""
-    e = valid_embeddings(t(spark, sf_dir, "embeddings"))
     cent, slists = ivf_standing_index_for(spark, sf_dir)
+    return _serve_ivf_incr_view(spark, sf_dir, cent, slists)
+
+
+def _serve_ivf_incr_view(
+    spark: SparkSession, sf_dir: str, cent: DataFrame, slists: DataFrame
+) -> DataFrame:
+    """Serve q175's view from a standing (cent, lists) artifact:
+    assign the increment carve to the broadcast codebook, union into
+    the lists, probe/top-k/recall-audit. The increment boundary is the
+    ARTIFACT's stamped one (:func:`ivf_standing_hex`), so a refreshed
+    index (q207) serves an empty increment through this same path —
+    shared by q175 and q207."""
+    e = valid_embeddings(t(spark, sf_dir, "embeddings"))
     centn = _with_cnorm(cent)
-    incr = e.where(~(_standing_key() < Q175_STANDING_HEX))
+    incr = e.where(~(_standing_key() < ivf_standing_hex(cent)))
     lists = slists.withColumn("is_new", F.lit(False)).unionByName(
         _assign_to_codebook(incr, centn).withColumn("is_new", F.lit(True))
     )
@@ -3313,3 +3353,101 @@ def q177_index_refit_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# --- q207: the retrain — q177's refit alarm gets its act ---------------------
+
+
+def ivf_standing_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """The RETRAIN job q177's ``refit_recommended`` calls for: refit
+    the codebook AND the inverted lists over the FULL current corpus
+    (standing ∪ increments — the refit candidate q177 measured churn
+    against), persist in the ninth family's exact layout, and stamp
+    the moved boundary :data:`IVF_REFRESHED_HEX` — everything
+    standing, zero pending increments. Because ``standing_hex`` is a
+    MUTABLE family param and the serve paths carve at the artifact's
+    stamped boundary (:func:`ivf_standing_hex`), the refreshed index
+    attaches and serves through the ordinary lifecycle with no code
+    change — q188's snapshot-rotation discipline applied to the ANN
+    tier.
+
+    Cost: the q68-family fit (one codebook k-means over the corpus +
+    one assignment pass) — the full retrain price the alarm
+    deliberately gates; this is why the alarm exists instead of
+    refitting on a timer."""
+    import os
+
+    from ._util import write_index_meta
+
+    e = valid_embeddings(t(spark, sf_dir, "embeddings"))
+    cent = ivf_codebook(e)
+    lists = _assign_to_codebook(e, _with_cnorm(cent)).localCheckpoint(eager=True)
+    cent.write.mode("overwrite").parquet(os.path.join(out_dir, "coarse"))
+    lists.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(out_dir, "lists")
+    )
+    write_index_meta(
+        out_dir,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        schemas={"coarse": cent.schema.json(), "lists": lists.schema.json()},
+        params={
+            "standing_hex": IVF_REFRESHED_HEX,
+            "k": N_IVF_CENTROIDS,
+            "iters": N_KMEANS_ITERS,
+        },
+    )
+
+
+@register(
+    "q207_ivf_refresh_serve",
+    oracle=_q175_oracle(standing_pred="TRUE"),
+    tags=("similarity", "ivf", "ann", "incremental", "lifecycle",
+          "training-pipeline"),
+)
+def q207_ivf_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFRESH-THEN-SERVE for the ANN index — closes q177's alarm →
+    act loop (the q188 pattern applied to the ninth family): run
+    :func:`ivf_standing_refresh` (full-corpus refit stamped at the
+    moved boundary), ATTACH the refreshed artifact through the
+    ordinary fingerprint+param gate (``standing_hex`` is mutable; a
+    doctored ``k``/``iters`` or a stale fingerprint still refuses),
+    and serve q175's view from it. The serve carves increments at the
+    artifact's stamped boundary — provably empty for a refreshed
+    index — so the view is the full-corpus IVF serve with
+    ``is_new = false`` on every row, exactly what the oracle recomputes
+    from scratch (q175's chain with the standing carve = TRUE).
+
+    The session cache entry is restored afterwards (the returned plan
+    closes over the attached artifact directly), so running q207 can
+    never poison a later q175/q176/q177 call whose oracle models the
+    STALE boundary.
+
+    Scale shape: the refresh is the one-shot retrain the alarm gates;
+    the attach+serve after it is q175's ordinary probed-cell cost with
+    an EMPTY increment scan.
+
+    Reference analog: none (SURVEY §2.3 maintenance block — the
+    retrain half of the index-freshness lifecycle)."""
+    import os
+    import tempfile
+
+    from ._util import _session_cache, source_fingerprint
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "mms_ivf_refresh", f"pid{os.getpid()}",
+        "-".join(map(str, source_fingerprint(
+            os.path.join(sf_dir, "embeddings.parquet"))[1:])),
+    )
+    ivf_standing_refresh(spark, sf_dir, out_dir)
+
+    cache = _session_cache(spark)
+    key = ("ivf_standing",) + source_fingerprint(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    prev = cache.get(key)
+    cent, slists = ivf_standing_index_attach(spark, sf_dir, out_dir)
+    if prev is not None:
+        cache[key] = prev
+    else:
+        cache.pop(key, None)
+    return _serve_ivf_incr_view(spark, sf_dir, cent, slists)

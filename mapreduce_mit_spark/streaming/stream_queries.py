@@ -1908,10 +1908,10 @@ def _stage_ivf_lists_tree(spark: SparkSession, sf_dir: str, sink_key: str) -> st
     import shutil
 
     from ..plans.similarity import (
-        Q175_STANDING_HEX,
         _assign_to_codebook,
         _standing_key,
         _with_cnorm,
+        ivf_standing_hex,
         ivf_standing_index_for,
         valid_embeddings,
     )
@@ -1924,13 +1924,15 @@ def _stage_ivf_lists_tree(spark: SparkSession, sf_dir: str, sink_key: str) -> st
     lists_dir = os.path.join(root, "lists")
 
     # the same ingestion gate every ANN family applies (EMB_VALID_SQL
-    # twin): malformed vectors never enter fit, lists, or ground truth
+    # twin): malformed vectors never enter fit, lists, or ground truth.
+    # The increment carve is the ARTIFACT's stamped boundary (q207's
+    # refreshed index streams a provably empty ingest).
     e = valid_embeddings(load_table(spark, sf_dir, "embeddings"))
-    incr = e.where(~(_standing_key() < Q175_STANDING_HEX)).select(
-        "vec_id", "label", "embedding"
-    )
     # the standing tier: fitted artifact (or attached — no refit here)
     cent, _slists = ivf_standing_index_for(spark, sf_dir)
+    incr = e.where(~(_standing_key() < ivf_standing_hex(cent))).select(
+        "vec_id", "label", "embedding"
+    )
     centn = _with_cnorm(cent).localCheckpoint(eager=True)
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")

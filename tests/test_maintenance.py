@@ -467,3 +467,57 @@ def test_incremental_optimize_clears_trigger_and_conserves_rows(spark):
     assert touched <= len(after) / 2, (
         "merged layout lost the Z-order pruning property"
     )
+
+
+def test_ivf_refresh_attach_moved_boundary_and_restores_cache(spark, tmp_path):
+    """q207's lifecycle, pinned beyond the shared oracle: the
+    refreshed index attaches through the mutable-param gate carrying
+    the moved boundary (increment carve provably empty), the gate
+    still refuses a doctored IMMUTABLE param (k), the served rows are
+    all is_new = false, and a later q175 in the same session is
+    untouched (the cache save/restore discipline)."""
+    from mapreduce_mit_spark.plans import similarity as sim
+    from mapreduce_mit_spark.plans._util import _session_cache, source_fingerprint
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    q175_before = sorted(
+        map(tuple, REGISTRY["q175_ivf_incremental_serve"].fn(spark, SF_SMALL).collect())
+    )
+    out = str(tmp_path / "ivf_refreshed")
+    sim.ivf_standing_refresh(spark, SF_SMALL, out)
+
+    key = ("ivf_standing",) + source_fingerprint(
+        os.path.join(SF_SMALL, "embeddings.parquet")
+    )
+    cache = _session_cache(spark)
+    prev = cache.get(key)
+    try:
+        cent, _slists = sim.ivf_standing_index_attach(spark, SF_SMALL, out)
+        assert sim.ivf_standing_hex(cent) == sim.IVF_REFRESHED_HEX
+        incr = sim.valid_embeddings(
+            load_table(spark, SF_SMALL, "embeddings")
+        ).where(~(sim._standing_key() < sim.ivf_standing_hex(cent)))
+        assert incr.count() == 0, "refreshed boundary must empty the increment"
+    finally:
+        if prev is not None:
+            cache[key] = prev
+        else:
+            cache.pop(key, None)
+
+    served = REGISTRY["q207_ivf_refresh_serve"].fn(spark, SF_SMALL).collect()
+    assert served and all(not r.is_new for r in served)
+    q175_after = sorted(
+        map(tuple, REGISTRY["q175_ivf_incremental_serve"].fn(spark, SF_SMALL).collect())
+    )
+    assert q175_after == q175_before, "q207 poisoned the session cache"
+
+    # the gate still refuses what remains IMMUTABLE: a doctored k
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    doctored = dict(meta, params=dict(meta["params"], k=99))
+    with open(meta_path, "w") as f:
+        json.dump(doctored, f)
+    with pytest.raises(ValueError, match="params"):
+        sim.ivf_standing_index_attach(spark, SF_SMALL, out)

@@ -414,3 +414,129 @@ def test_bpe_self_overlap_chain_matches_oracle(spark):
     # completed with it in the table (got == want covers them)
     _, syms2 = _py_twopass_train(wf, 2)
     assert syms2["he"] == "he"
+
+
+def test_dsir_refresh_lifecycle(spark, tmp_path):
+    """q208's contract beyond the shared oracle: the refreshed LM
+    artifact attaches through the gate and serves q190 with the fit
+    core POISONED (zero refit — the artifact is what serves), a
+    doctored immutable param refuses, and a later q190 is untouched."""
+    import json
+    import os
+
+    from mapreduce_mit_spark.plans._util import _session_cache, source_fingerprint
+
+    load_all_plans()
+    baseline = sorted(
+        map(tuple, REGISTRY["q190_dsir_importance"].fn(spark, SF_SMALL).collect())
+    )
+    out = str(tmp_path / "dsir_refreshed")
+    sel.dsir_lm_refresh(spark, SF_SMALL, out)
+
+    key = ("dsir_lm",) + source_fingerprint(
+        os.path.join(SF_SMALL, "documents.parquet")
+    )
+    cache = _session_cache(spark)
+    prev = cache.pop(key, None)
+    orig = sel._dsir_count_tables
+    try:
+        sel.dsir_lm_attach(spark, SF_SMALL, out)
+
+        def _poisoned(*a, **kw):
+            raise AssertionError("dsir_lm refit after refresh-attach")
+
+        sel._dsir_count_tables = _poisoned
+        served = sorted(
+            map(tuple, REGISTRY["q190_dsir_importance"].fn(spark, SF_SMALL).collect())
+        )
+        assert served == baseline
+    finally:
+        sel._dsir_count_tables = orig
+        if prev is not None:
+            cache[key] = prev
+        else:
+            cache.pop(key, None)
+
+    # q208 end to end restores the cache: q190 afterwards is untouched
+    q208 = sorted(
+        map(tuple, REGISTRY["q208_dsir_refresh_serve"].fn(spark, SF_SMALL).collect())
+    )
+    assert q208 == baseline
+    after = sorted(
+        map(tuple, REGISTRY["q190_dsir_importance"].fn(spark, SF_SMALL).collect())
+    )
+    assert after == baseline
+
+    # the gate refuses a doctored immutable param
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    doctored = dict(meta, params=dict(meta["params"], target_lang="xx"))
+    with open(meta_path, "w") as f:
+        json.dump(doctored, f)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="params"):
+        sel.dsir_lm_attach(spark, SF_SMALL, out)
+
+
+def test_bpe_refresh_lifecycle(spark, tmp_path):
+    """q209's contract beyond the shared oracle: the refreshed merge
+    table attaches and serves q197 with the family fit core POISONED,
+    q209 end to end equals q197 and restores the cache, and a doctored
+    n_merges stamp refuses."""
+    import json
+    import os
+
+    from mapreduce_mit_spark.plans._util import _session_cache, source_fingerprint
+
+    load_all_plans()
+    baseline = sorted(
+        map(tuple, REGISTRY["q197_bpe_vocab"].fn(spark, SF_SMALL).collect())
+    )
+    out = str(tmp_path / "bpe_refreshed")
+    sel.bpe_merges_refresh(spark, SF_SMALL, out)
+
+    key = ("bpe_merges",) + source_fingerprint(
+        os.path.join(SF_SMALL, "documents.parquet")
+    )
+    cache = _session_cache(spark)
+    prev = cache.pop(key, None)
+    orig = sel._bpe_merges_fit
+    try:
+        sel.bpe_merges_attach(spark, SF_SMALL, out)
+
+        def _poisoned(*a, **kw):
+            raise AssertionError("bpe_merges refit after refresh-attach")
+
+        sel._bpe_merges_fit = _poisoned
+        served = sorted(
+            map(tuple, REGISTRY["q197_bpe_vocab"].fn(spark, SF_SMALL).collect())
+        )
+        assert served == baseline
+    finally:
+        sel._bpe_merges_fit = orig
+        if prev is not None:
+            cache[key] = prev
+        else:
+            cache.pop(key, None)
+
+    q209 = sorted(
+        map(tuple, REGISTRY["q209_bpe_refresh_serve"].fn(spark, SF_SMALL).collect())
+    )
+    assert q209 == baseline
+    after = sorted(
+        map(tuple, REGISTRY["q197_bpe_vocab"].fn(spark, SF_SMALL).collect())
+    )
+    assert after == baseline
+
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    doctored = dict(meta, params={"n_merges": 99})
+    with open(meta_path, "w") as f:
+        json.dump(doctored, f)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="params"):
+        sel.bpe_merges_attach(spark, SF_SMALL, out)
