@@ -156,6 +156,7 @@ HEADLINE = [
     "q207_ivf_refresh_serve",
     "q208_dsir_refresh_serve",
     "q209_bpe_refresh_serve",
+    "q210_join_cardinality_plan",
 ]
 
 

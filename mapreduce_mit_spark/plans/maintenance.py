@@ -1488,6 +1488,70 @@ def q203_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q210_join_cardinality_plan",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '{Q203_PRIORITY}'
+    ),
+    lc AS (SELECT l_orderkey AS k, count(*) AS nl FROM lineitem GROUP BY 1),
+    oc AS (SELECT o_orderkey AS k, count(*) AS no_ FROM o GROUP BY 1),
+    prod AS (
+      SELECT lc.k, lc.nl * oc.no_ AS contrib FROM lc JOIN oc USING (k)
+    )
+    SELECT CAST(coalesce(sum(contrib), 0) AS BIGINT) AS est_rows,
+           CAST(coalesce(count(*), 0) AS BIGINT) AS n_keys,
+           CAST(coalesce(max(contrib), 0) AS BIGINT) AS top_contrib,
+           CAST(CASE WHEN coalesce(sum(contrib), 0) > 0
+                     THEN coalesce(max(contrib), 0) * 100
+                          // coalesce(sum(contrib), 0)
+                     ELSE 0 END AS BIGINT) AS top_share_pct
+    FROM prod
+    """,
+    tags=("maintenance", "planning", "join", "skew"),
+)
+def q210_join_cardinality_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q203's CHEAP ARM — the planning pass alone, as production runs
+    it: per-key counts on both sides, the count-product, and the skew
+    share — WITHOUT the real join q203 keeps for falsifiability. q203
+    stays the oracle-checked identity proof (Σ n_l·n_r == join count);
+    this is the shape a pipeline actually schedules before a 100 TB
+    join, and the shape the bench should price: two map-side-combined
+    aggregates + one group-sized join, never a fact-table shuffle.
+
+    Reference analog: none (SURVEY §2.3 ops/planning extension —
+    q203's production half, split out per the round-15 review)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == Q203_PRIORITY
+    ).select("o_orderkey")
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    oc = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("no_")
+    )
+    prod = lc.join(oc, "k").select(
+        "k", (F.col("nl") * F.col("no_")).alias("contrib")
+    )
+    est = prod.agg(
+        F.coalesce(F.sum("contrib"), F.lit(0)).cast("long").alias("est_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.coalesce(F.max("contrib"), F.lit(0)).cast("long").alias("top_contrib"),
+    )
+    return est.select(
+        "est_rows",
+        "n_keys",
+        "top_contrib",
+        F.when(
+            F.col("est_rows") > 0, F.expr("top_contrib * 100 div est_rows")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_share_pct"),
+    )
+
+
 # --- q204: incremental layout maintenance — the compaction trigger ---------
 
 # Standing/arrival carve on o_orderkey (the q178 idiom, 'lay1:' salt).

@@ -886,9 +886,13 @@ def q197_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to q196's — corpus touched once for word
     frequencies, everything after vocabulary-sized. The composed
-    expression deepens linearly in N merges (columnar codegen handles
-    hundreds; a production 32k-merge vocab would switch to the
-    linear-scan tokenizer, same artifact).
+    expression deepens linearly in N merges and is PARSER-limited:
+    measured, ANTLR stack-overflows at roughly 80-90 nested replaces
+    (the exact depth varies with the driver thread's free stack) — a
+    production merge count runs
+    :func:`bpe_apply_scan` (the Arrow-batched linear-scan tokenizer
+    over the SAME artifact), pinned equivalent on the fitted merges
+    and at 300 synthetic merges in tests/test_selection.py.
 
     Reference analog: none (SURVEY §2.3 tokenizer extension)."""
     merges = bpe_merges_for(spark, sf_dir)
@@ -1252,6 +1256,54 @@ def q200_tokenizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("merge_rank")
     )
+
+
+def bpe_apply_scan(col: Column, merges_rows) -> Column:
+    """The PRODUCTION-merge-count tokenizer the q197/q200 docstrings
+    promise: apply the fitted merge table to a space-joined
+    symbolization column via ONE Arrow-batched pandas UDF that loops
+    over the merges in rank order — each level the identical two-pass
+    padded ``str.replace`` the composed SQL path runs (Python
+    ``str.replace`` shares SQL ``replace``'s non-overlapping
+    left-to-right scan, so the semantics match character for
+    character, l == r chains included).
+
+    The composed path (:func:`_merge_apply_expr` folded N times)
+    deepens the SQL text linearly in merge count and is PARSER-limited
+    well before codegen matters: measured, ANTLR stack-overflows at
+    roughly 80-90 nested replaces, the exact depth varying with the
+    driver thread's free stack (the working side is pinned at 40 in
+    tests/test_selection.py) — a real 32k-merge vocabulary is three
+    orders of magnitude past that. This path keeps the plan ONE node
+    and moves the per-merge work into the Arrow kernel loop;
+    ``merges_rows`` is the same bounded artifact read q197 makes
+    (N_MERGES rows). Equivalence with the composed path is pinned both
+    on the fitted merges (real corpus) and at 300 synthetic merges in
+    tests/test_selection.py.
+
+    ``merges_rows``: iterable of (merge_rank, pair, merged)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    pats = [
+        (f" {pair} ", f" {merged} ")
+        for _rank, pair, merged in sorted(merges_rows)
+    ]
+
+    # explicit SCALAR functionType (the modern.py idiom): the module's
+    # `from __future__ import annotations` stringifies type hints, which
+    # pandas_udf's hint inference cannot resolve against a local import
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def _apply(s):
+        def one(x: str) -> str:
+            x = f" {x} "
+            for pat, rep in pats:
+                if pat in x:
+                    x = x.replace(pat, rep).replace(pat, rep)
+            return x.strip()
+
+        return s.map(one)
+
+    return _apply(col)
 
 
 # --- q208/q209: the retrains — q199's and q200's alarms get their acts ------

@@ -540,3 +540,86 @@ def test_bpe_refresh_lifecycle(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="params"):
         sel.bpe_merges_attach(spark, SF_SMALL, out)
+
+
+def test_bpe_scan_tokenizer_equals_composed(spark):
+    """The linear-scan tokenizer (bpe_apply_scan — the production path
+    at 32k merges) must symbolize the real corpus IDENTICALLY to the
+    composed replace-chain expression q197 serves with, word for word,
+    on the fitted merge table."""
+    load_all_plans()
+    rows = sorted(
+        (r.merge_rank, r.pair, r.merged)
+        for r in sel.bpe_merges_for(spark, SF_SMALL).collect()
+    )
+    wf = sel._bpe_word_freq(spark, SF_SMALL)
+    expr = sel._SYM0_SPARK
+    for _rank, pair, merged in rows:
+        expr = sel._merge_apply_expr(expr, f"'{pair}'", f"'{merged}'")
+    composed = sorted(
+        map(tuple, wf.select(F.expr(expr).alias("s"), "wfreq").collect())
+    )
+    scan = sorted(
+        map(
+            tuple,
+            wf.select(
+                sel.bpe_apply_scan(F.expr(sel._SYM0_SPARK), rows).alias("s"),
+                "wfreq",
+            ).collect(),
+        )
+    )
+    assert scan == composed and composed
+
+
+def test_bpe_tokenizer_paths_at_production_merge_counts(spark):
+    """The bounded-N pin of the production-merge-count claim, with the
+    MEASURED boundary: the composed replace-chain plans and executes
+    at 40 synthetic merges (matching the pure-Python two-pass mirror
+    exactly) but the SQL PARSER, not codegen, is its limit — roughly
+    80-90 nested replaces stack-overflow ANTLR, the exact depth
+    varying with the driver thread's free stack — so the linear-scan
+    pandas UDF (bpe_apply_scan) is the production path, pinned here
+    at 300 merges against the same mirror. Synthetic rank-ordered merges over
+    a 12-letter alphabet exercise chained and self-overlapping
+    applications alike."""
+
+    def mk_merges(n):
+        return [
+            (i, p, p.replace(" ", ""))
+            for i, p in (
+                (i, f"{chr(97 + i % 12)} {chr(97 + (i * 7 + 3) % 12)}")
+                for i in range(n)
+            )
+        ]
+
+    words = ["abcabc", "aaaaaa", "hellohello", "dkjadcba", "llljjj"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+
+    def py_apply(word, merges):
+        s = " ".join(word)
+        for _r, pair, merged in merges:
+            pat, rep = f" {pair} ", f" {merged} "
+            s = (" " + s + " ").replace(pat, rep).replace(pat, rep).strip()
+        return s
+
+    # composed path safely inside the parser limit (~80-90 nested
+    # replaces on a default JVM stack — the docstrings cite this)
+    merges40 = mk_merges(40)
+    want40 = {w: py_apply(w, merges40) for w in words}
+    expr = sel._SYM0_SPARK
+    for _rank, pair, merged in merges40:
+        expr = sel._merge_apply_expr(expr, f"'{pair}'", f"'{merged}'")
+    got = {r.word: r.s for r in df.select("word", F.expr(expr).alias("s")).collect()}
+    assert got == want40
+
+    # scan path at production-ish merge count
+    merges300 = mk_merges(300)
+    want300 = {w: py_apply(w, merges300) for w in words}
+    got_scan = {
+        r.word: r.s
+        for r in df.select(
+            "word",
+            sel.bpe_apply_scan(F.expr(sel._SYM0_SPARK), merges300).alias("s"),
+        ).collect()
+    }
+    assert got_scan == want300
