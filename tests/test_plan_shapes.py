@@ -1092,3 +1092,33 @@ def test_running_sum_is_range_partitioned(plan):
 
     sp = [m.start() for m in re.finditer("SinglePartition", p)]
     assert len(sp) <= 2, f"unexpected single-partition stages: {len(sp)}"
+
+
+def test_q210_plan_aggregates_before_join_and_prunes_columns(plan):
+    """q210's whole point is that the PLANNING pass never joins fact
+    rows: both inputs must aggregate to per-key counts BEFORE the
+    join (partial+final HashAggregate under each join child), and the
+    scans must read ONLY the key/filter columns — at 100 TB this is
+    the difference between two key-count aggs and a fact-table
+    shuffle."""
+    p = plan("q210_join_cardinality_plan")
+    # column pruning on both scans
+    reads = [l for l in p.splitlines() if "ReadSchema:" in l]
+    li_read = next(l for l in reads if "l_orderkey" in l)
+    o_read = next(l for l in reads if "o_orderkey" in l)
+    assert "l_quantity" not in li_read and "l_extendedprice" not in li_read
+    assert "o_totalprice" not in o_read and "o_orderdate" not in o_read
+    # the priority filter is pushed to the orders scan
+    assert "o_orderpriority" in p and "PushedFilters: [" in p
+    # per-key counts are map-side combined: >= 2 HashAggregates per side
+    # (partial + final around each count shuffle) before any join
+    assert p.count("HashAggregate") >= 4
+
+
+def test_q207_refresh_serve_probes_only_and_broadcasts(spark, plan):
+    """q207's serve half must keep q175's posture after the refresh:
+    the probe set joins the inverted lists via a BROADCAST (the k-row
+    codebook and the nprobe-row probe list never shuffle the lists),
+    and no exchange of the full embeddings table feeds the hit join."""
+    p = plan("q207_ivf_refresh_serve")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
