@@ -1122,3 +1122,33 @@ def test_q207_refresh_serve_probes_only_and_broadcasts(spark, plan):
     and no exchange of the full embeddings table feeds the hit join."""
     p = plan("q207_ivf_refresh_serve")
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_q205_compacted_tree_still_prunes_to_probed_cells(spark):
+    """Compaction must not cost the probe its file pruning: after q205
+    folds the tree into batch_id=-2/cluster=K, a cluster predicate on
+    the ACTIVE tree must still plan as a PartitionFilter (directories
+    skipped), with batch_id unfiltered."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.streaming.stream_queries import (
+        _active_parts_dir,
+        fp_stream_root,
+        q176_ingested_tree,
+    )
+
+    registry.REGISTRY["q205_ann_ingest_compaction"].fn(spark, SF_SMALL).collect()
+    root = fp_stream_root("mms_ivf_ingest", SF_SMALL, "embeddings.parquet")
+    active = _active_parts_dir(root)
+    assert os.path.basename(active) == "lists_compact"
+    tree = q176_ingested_tree(spark, active)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tree.where(F.col("cluster").isin([0, 3])).explain("formatted")
+    line = "\n".join(
+        l for l in buf.getvalue().splitlines() if "PartitionFilters" in l
+    )
+    assert "cluster" in line and " IN (0,3)" in line, line
+    assert "batch_id" not in line
