@@ -48,6 +48,9 @@ FLAT = [
     # 8-group epoch manifest)
     "q178_incremental_agg_maintenance", "q179_zorder_layout",
     "q180_skew_audit", "q183_epoch_repetition",
+    # round-16 acts measured flat-class at 100x organic (SCALING.md):
+    # tail-sized incremental OPTIMIZE; group-sized planning pass
+    "q206_incremental_optimize", "q210_join_cardinality_plan",
 ]
 SUBLINEAR = [
     "q02_filter_project", "q03_shipping_priority", "q05_local_supplier_volume",
