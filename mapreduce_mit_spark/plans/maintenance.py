@@ -1851,6 +1851,20 @@ def q206_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(ext_dir)
 
     # -- 2. the incremental OPTIMIZE: tail rows only --
+    # empty-tail guard: an all-standing carve stages no tail files
+    # (a partitioned write of zero rows leaves only _SUCCESS, which a
+    # parquet read cannot infer a schema from) — nothing to optimize,
+    # skip straight to the audit with the trigger already clear
+    if not _glob.glob(os.path.join(tail_dir, "tfile=*", "*.parquet")):
+        shutil.rmtree(tail_dir, ignore_errors=True)
+        stats = _dd_footer_stats(spark, table_dir)
+        return stats.select(
+            "file_id", "n_rows", "dd_min", "dd_max",
+            (~((F.col("dd_max") < Q179_DD_LO)
+               | (F.col("dd_min") > Q179_DD_HI))).alias("touched"),
+            F.lit(0).cast("long").alias("tail_files_left"),
+            F.lit(False).alias("compact_recommended"),
+        ).orderBy("file_id")
     ext = spark.read.parquet(ext_dir)
     tail = spark.read.parquet(tail_dir).select("ck", "dd")
     zt = tail.crossJoin(F.broadcast(ext)).select(

@@ -2091,10 +2091,13 @@ def q205_ann_ingest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook), the drained batches can be FOLDED into one consolidated
     ``batch_id=-2`` tier — still ``cluster=K``-partitioned, so the
     probe predicate keeps pruning files — without changing a single
-    served row. In a live tree only DRAINED batch partitions fold;
-    undrained ones would carry over under their own ``batch_id=N``
-    (and keep serving ``is_new = true`` exactly as before — tier
-    membership, not batch id, is what marks a row new).
+    served row (tier membership, not batch id, marks a row
+    ``is_new``, so the fold is invisible to the serve). After an
+    ``availableNow`` drain every staged batch is committed, so this
+    query folds the WHOLE tree; a live deployment would fold only the
+    checkpoint-committed batch ids and leave in-flight ones under
+    their own ``batch_id=N`` — same pointer discipline, smaller fold
+    set.
 
     The swap is ATOMIC: the consolidated tree is written under its own
     directory, then the ACTIVE pointer flips in one ``os.replace``
