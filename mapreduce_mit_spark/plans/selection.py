@@ -783,8 +783,15 @@ def _bpe_train_ctes(where_sql: str = "TRUE") -> str:
     )"""
     ]
     for r in range(BPE_MERGES):
-        pat = f"' ' || (SELECT pair FROM w{r}) || ' '"
-        rep = f"' ' || (SELECT merged FROM w{r}) || ' '"
+        # corpus-exhaustion guard (cross-engine edge): when the
+        # vocabulary runs out of adjacent pairs before BPE_MERGES
+        # rounds, w{r} is EMPTY and the scalar subquery yields NULL —
+        # replace(s, NULL, ...) would NULL every row. COALESCE to a
+        # chr(1) sentinel that can never appear in a letters-only
+        # symbolization, so exhausted levels are no-ops, exactly like
+        # the Spark side's empty-winner crossJoin contributing nothing.
+        pat = f"' ' || COALESCE((SELECT pair FROM w{r}), chr(1)) || ' '"
+        rep = f"' ' || COALESCE((SELECT merged FROM w{r}), chr(1)) || ' '"
         parts.append(
             f"""
     pc{r} AS MATERIALIZED (
@@ -856,10 +863,10 @@ def q196_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     {",".join(f'''
     a{r + 1} AS MATERIALIZED (
       SELECT trim(replace(replace(' ' || s || ' ',
-                   ' ' || (SELECT pair FROM w{r}) || ' ',
-                   ' ' || (SELECT merged FROM w{r}) || ' '),
-                   ' ' || (SELECT pair FROM w{r}) || ' ',
-                   ' ' || (SELECT merged FROM w{r}) || ' ')) AS s, wfreq
+                   ' ' || COALESCE((SELECT pair FROM w{r}), chr(1)) || ' ',
+                   ' ' || COALESCE((SELECT merged FROM w{r}), chr(1)) || ' '),
+                   ' ' || COALESCE((SELECT pair FROM w{r}), chr(1)) || ' ',
+                   ' ' || COALESCE((SELECT merged FROM w{r}), chr(1)) || ' ')) AS s, wfreq
       FROM {"allw" if r == 0 else f"a{r}"}
     )''' for r in range(BPE_MERGES))}
     SELECT symbol, CAST(sum(wfreq) AS BIGINT) AS n
@@ -1074,8 +1081,9 @@ def _q200_apply_chain(src: str, prefix: str) -> str:
     corpus sides run the SAME fitted merges."""
     parts = []
     for r in range(BPE_MERGES):
-        pat = f"' ' || (SELECT pair FROM w{r}) || ' '"
-        rep = f"' ' || (SELECT merged FROM w{r}) || ' '"
+        # same corpus-exhaustion sentinel as _bpe_train_ctes
+        pat = f"' ' || COALESCE((SELECT pair FROM w{r}), chr(1)) || ' '"
+        rep = f"' ' || COALESCE((SELECT merged FROM w{r}), chr(1)) || ' '"
         src_cte = src if r == 0 else f"{prefix}{r}"
         parts.append(
             f"""
@@ -1124,7 +1132,12 @@ def _q200_oracle() -> str:
               FROM ic) AS mi
     ),
     mt AS (
-      {" UNION ALL ".join(f"SELECT CAST({r} AS BIGINT) AS merge_rank, (SELECT merged FROM w{r}) AS merged" for r in range(BPE_MERGES))}
+      -- exhausted levels (empty w{{r}}) contribute NULL merged rows;
+      -- filter them so row count matches the Spark side's per-artifact-
+      -- row output on a corpus that runs dry before BPE_MERGES rounds
+      SELECT * FROM (
+        {" UNION ALL ".join(f"SELECT CAST({r} AS BIGINT) AS merge_rank, (SELECT merged FROM w{r}) AS merged" for r in range(BPE_MERGES))}
+      ) WHERE merged IS NOT NULL
     )
     SELECT m.merge_rank, m.merged,
            CAST(coalesce(s.n, 0) AS BIGINT) AS n_standing,

@@ -623,3 +623,57 @@ def test_bpe_tokenizer_paths_at_production_merge_counts(spark):
         ).collect()
     }
     assert got_scan == want300
+
+
+def test_bpe_training_survives_corpus_exhaustion(spark, tmp_path):
+    """Cross-engine edge (the q204 NULL-guard class): a corpus whose
+    vocabulary runs out of adjacent pairs before BPE_MERGES rounds.
+    The Spark side gracefully yields fewer merges (empty winners
+    contribute nothing); the oracle's unrolled chain used to NULL
+    every row via replace(s, NULL, ...) on the exhausted levels — now
+    COALESCEd to a chr(1) sentinel. Both engines must agree on q196's
+    short merge table AND q197's induced vocabulary."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # one repeated 2-letter word: merge 1 = 'a b', then the vocabulary
+    # is single-symbol everywhere — 5 exhausted rounds follow
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["ab ab ab", "ab ab"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["t", "t"], pa.string()),
+            "n_chars": pa.array([8, 5], pa.int64()),
+        }
+    )
+    sf = str(tmp_path / "tiny")
+    os.makedirs(sf)
+    pq.write_table(docs, os.path.join(sf, "documents.parquet"))
+
+    load_all_plans()
+    got196 = [
+        (r.merge_rank, r.pair, r.merged, r.n)
+        for r in REGISTRY["q196_bpe_train"].fn(spark, sf).collect()
+    ]
+    assert got196 == [(0, "a b", "ab", 5)], got196
+    got197 = sorted(
+        (r.symbol, r.n)
+        for r in REGISTRY["q197_bpe_vocab"].fn(spark, sf).collect()
+    )
+    assert got197 == [("ab", 5)], got197
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want196 = con.execute(REGISTRY["q196_bpe_train"].oracle).fetchall()
+    assert [tuple(r) for r in want196] == got196
+    want197 = sorted(
+        tuple(r) for r in con.execute(REGISTRY["q197_bpe_vocab"].oracle).fetchall()
+    )
+    assert want197 == got197
