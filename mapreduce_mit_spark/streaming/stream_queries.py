@@ -1837,10 +1837,15 @@ def q176_ingested_tree(spark: SparkSession, lists_dir: str) -> DataFrame:
     ``cluster`` cast back to the fitted bigint (partition discovery
     re-infers int from directory names — the read_index_table class of
     schema drift, applied here by hand since the tree is a stream sink
-    rather than a saved family). An empty tree (no increments ever
-    arrived) serves as an empty DataFrame with the lists schema so the
-    union — and a fresh corpus's serve path — still plans."""
-    if not glob.glob(os.path.join(lists_dir, "batch_id=*")):
+    rather than a saved family). An empty tree serves as an empty
+    DataFrame with the lists schema so the union — and a fresh
+    corpus's serve path — still plans. The guard globs for actual
+    parquet FILES, not just ``batch_id=`` directories: a zero-row
+    micro-batch (e.g. the increment carve is empty because a refreshed
+    q207 artifact is attached) creates its batch directory with only
+    _SUCCESS inside, and a directory-level check would hand the reader
+    a tree it cannot infer a schema from."""
+    if not glob.glob(os.path.join(lists_dir, "batch_id=*", "*", "*.parquet")):
         return spark.createDataFrame(
             [],
             "vec_id bigint, label string, cluster bigint, "
@@ -2134,7 +2139,7 @@ def q205_ann_ingest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         lists_dir = _active_parts_dir(root)
         compact_dir = os.path.join(root, "lists_compact")
         shutil.rmtree(compact_dir, ignore_errors=True)
-        if glob.glob(os.path.join(lists_dir, "batch_id=*")):
+        if glob.glob(os.path.join(lists_dir, "batch_id=*", "*", "*.parquet")):
             # fold every drained batch into the consolidated tier, one
             # file set per cluster so probed-cell serves keep pruning
             q176_ingested_tree(spark, lists_dir).repartition(
