@@ -209,9 +209,14 @@ def _py_bpe_train(wf: dict, n_merges: int):
 
 def test_bpe_train_matches_python_reference(spark):
     """q196's full iterative loop — including the two-pass replace
-    merge-application identity — equals a pure-Python BPE trainer on
-    the real corpus, merge for merge; and q197's post-merge vocabulary
-    equals the Python symbolization's weighted symbol counts."""
+    merge-application identity — equals a TRUE-GREEDY pure-Python BPE
+    trainer on the real corpus, merge for merge; and q197's post-merge
+    vocabulary equals the Python symbolization's weighted symbol
+    counts. This holds because the fixture has no l == r chains of
+    length >= 5, where the two-pass replace documentedly diverges from
+    greedy (see _merge_apply_expr; the divergent regime is pinned
+    against the two-pass mirror in
+    test_bpe_self_overlap_chain_matches_oracle)."""
     load_all_plans()
     docs = load_table(spark, SF_SMALL, "documents").select("text").collect()
     wf: dict = {}
