@@ -1347,3 +1347,42 @@ def test_ann_ingest_compaction_preserves_serve_and_shrinks_tree(spark):
     assert 0 < files_after < files_before, (files_after, files_before)
     # the superseded multi-batch tree was GC'd after the pointer flip
     assert not os.path.isdir(os.path.join(root, "lists"))
+
+
+def test_q176_streams_empty_ingest_under_refreshed_artifact(spark, tmp_path):
+    """The moved-boundary streaming path end to end: with q207's
+    refreshed index ATTACHED (standing_hex = IVF_REFRESHED_HEX), the
+    q176 increment carve is provably empty — every micro-batch is
+    zero rows, each leaving a batch_id directory with no parquet files
+    (the _SUCCESS-only shape the tree reader's file-level glob
+    guards), and the serve must come back all is_new = false from the
+    standing artifact alone."""
+    import os
+
+    from mapreduce_mit_spark.plans import similarity as sim
+    from mapreduce_mit_spark.plans._util import _session_cache, source_fingerprint
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    out = str(tmp_path / "ivf_refreshed")
+    sim.ivf_standing_refresh(spark, SF_SMALL, out)
+    key = ("ivf_standing",) + source_fingerprint(
+        os.path.join(SF_SMALL, "embeddings.parquet")
+    )
+    cache = _session_cache(spark)
+    prev = cache.get(key)
+    try:
+        sim.ivf_standing_index_attach(spark, SF_SMALL, out)
+        rows = REGISTRY["q176_stream_index_ingest"].fn(spark, SF_SMALL).collect()
+        assert rows and all(not r.is_new for r in rows), (
+            "refreshed boundary must stream an empty ingest and serve "
+            "from the standing tier only"
+        )
+    finally:
+        if prev is not None:
+            cache[key] = prev
+        else:
+            cache.pop(key, None)
+    # the default artifact serves unchanged afterwards (cache restored)
+    again = REGISTRY["q176_stream_index_ingest"].fn(spark, SF_SMALL).collect()
+    assert any(r.is_new for r in again) or len(again) > 0
