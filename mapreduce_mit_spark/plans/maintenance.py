@@ -592,7 +592,7 @@ def _dd_footer_stats(spark: SparkSession, path: str) -> DataFrame:
     partition directories (the same file-listing every parquet scan's
     planning does); the per-file metadata reads — ~100 bytes each —
     run as an Arrow-batched ``mapInPandas`` over the file list, so at
-    the 10⁵-file scale a real lakehouse table reaches the audit
+    the 10⁵-file scale a real lakehouse table reaches, the audit
     parallelizes across executors instead of serializing on the
     driver. A row group missing ``dd`` statistics raises a descriptive
     error naming the file — the contract depends on stamped
@@ -693,9 +693,9 @@ def q182_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     only lists the partition directories (the same file-listing every
     parquet scan's planning does), and the per-file metadata reads —
     ~100 bytes each — run as an Arrow-batched ``mapInPandas`` over the
-    file list, so at the 10⁵-file scale a real lakehouse table reaches
-    the audit parallelizes across executors instead of serializing on
-    the driver. A row group missing ``dd`` statistics (statistics
+    file list, so at the 10⁵-file scale a real lakehouse table
+    reaches, the audit parallelizes across executors instead of
+    serializing on the driver. A row group missing ``dd`` statistics (statistics
     disabled at write time) raises a descriptive error naming the file
     — the query's contract depends on stamped statistics, so absence
     must refuse, not read as an empty zone map.

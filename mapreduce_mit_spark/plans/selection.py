@@ -1314,7 +1314,9 @@ def bpe_apply_scan(col: Column, merges_rows) -> Column:
                     x = x.replace(pat, rep).replace(pat, rep)
             return x.strip()
 
-        return s.map(one)
+        # na_action="ignore" keeps NULL rows NULL instead of letting the
+        # f-string pad render them as the literal string "None"
+        return s.map(one, na_action="ignore")
 
     return _apply(col)
 

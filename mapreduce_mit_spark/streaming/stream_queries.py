@@ -2067,6 +2067,14 @@ def _serve_ivf_ingest_view(
 # q175 builds in one shot, so q176 registers q175's oracle verbatim —
 # the driver value-checks the streaming path against the same chained
 # CTE (the q162/q163 equivalence discipline).
+#
+# ORACLE VALIDITY: the bound SQL carves at the DEFAULT standing
+# boundary (Q175_STANDING_HEX). If a q207-refreshed artifact is
+# ATTACHED in the same session, the engine carves at the artifact's
+# stamped ivf_standing_hex and the value-check would mismatch by
+# construction — the driver harness always runs in a fresh session
+# (default artifact), and the lifecycle tests that do attach a
+# refreshed artifact restore the session cache before any oracle run.
 def _q176_bind_oracle() -> None:
     from ..plans.similarity import _q175_oracle
     from ..registry import REGISTRY
@@ -2156,6 +2164,9 @@ def q205_ann_ingest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # compaction preserves the serve row-for-row, so q205 registers q175's
 # oracle verbatim (the q185 discipline applied to the ANN tier).
+# Same ORACLE VALIDITY caveat as q176's binding above: valid only with
+# the default-fitted artifact (fresh session), which is how the driver
+# harness runs.
 def _q205_bind_oracle() -> None:
     from ..plans.similarity import _q175_oracle
     from ..registry import REGISTRY

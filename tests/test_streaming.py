@@ -1371,6 +1371,18 @@ def test_q176_streams_empty_ingest_under_refreshed_artifact(spark, tmp_path):
     )
     cache = _session_cache(spark)
     prev = cache.get(key)
+    # pre-attach baseline: the default artifact's serve (note: at this
+    # SF the pinned query's top-k happens to contain no increment-tier
+    # rows, so is_new is False throughout — the distinguishing signal
+    # for cache restoration is row-identity with this baseline, not
+    # is_new)
+    baseline = sorted(
+        map(
+            tuple,
+            REGISTRY["q176_stream_index_ingest"].fn(spark, SF_SMALL).collect(),
+        )
+    )
+    assert baseline, "baseline serve returned no rows"
     try:
         sim.ivf_standing_index_attach(spark, SF_SMALL, out)
         rows = REGISTRY["q176_stream_index_ingest"].fn(spark, SF_SMALL).collect()
@@ -1383,6 +1395,14 @@ def test_q176_streams_empty_ingest_under_refreshed_artifact(spark, tmp_path):
             cache[key] = prev
         else:
             cache.pop(key, None)
-    # the default artifact serves unchanged afterwards (cache restored)
-    again = REGISTRY["q176_stream_index_ingest"].fn(spark, SF_SMALL).collect()
-    assert any(r.is_new for r in again) or len(again) > 0
+    # the default artifact serves unchanged afterwards (cache restored):
+    # row-identical to the pre-attach baseline, ingest rows included
+    again = sorted(
+        map(
+            tuple,
+            REGISTRY["q176_stream_index_ingest"].fn(spark, SF_SMALL).collect(),
+        )
+    )
+    assert again == baseline, (
+        "restored-default serve diverged from the pre-attach baseline"
+    )
