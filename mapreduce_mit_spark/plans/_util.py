@@ -367,3 +367,64 @@ def hex_int_sql(hexpr: str, start: int, length: int) -> str:
         nib = f"(strpos('0123456789abcdef', substr({hexpr}, {start + i}, 1)) - 1)"
         acc = f"(({acc}) * 16 + {nib})"
     return acc
+
+
+def refresh_then_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    cache_family: str,
+    src_table: str,
+    refresh_fn,
+    attach_fn,
+    serve_fn,
+) -> DataFrame:
+    """Shared REFRESH → ATTACH → SERVE → cache-restore choreography for
+    the lifecycle "act" queries (q188/q189/q207/q208/q209 and any
+    future family's refresh-then-serve):
+
+    1. build a PID-KEYED scratch dir under the system temp root —
+       two concurrent sessions refreshing the same source must not
+       race overwrite-vs-attach on one directory (torn
+       _meta.json/parquet reads); each pid writes its own tree, keyed
+       by the source fingerprint so re-runs in one process reuse the
+       same path idempotently;
+    2. ``refresh_fn(spark, sf_dir, out_dir)`` — the family's retrain
+       job, persisting the refreshed artifact + stamped meta;
+    3. save the session-cache entry for ``(cache_family,
+       fingerprint(src))``, then ``attach_fn(spark, sf_dir, out_dir)``
+       — the ordinary fingerprint+param gate (a doctored stamp still
+       refuses), which installs the refreshed artifact in the cache
+       and returns it;
+    4. ``serve_fn(spark, sf_dir, artifact)`` builds the returned plan —
+       either closing over the artifact directly or plan-building
+       through the cache entry the attach installed; the plan is
+       complete before step 5 runs;
+    5. restore the saved cache entry in a ``finally``, so the act can
+       never poison a later same-session call whose oracle models the
+       default (fresh-fit) artifact.
+    """
+    import os
+    import tempfile
+
+    src_path = os.path.join(sf_dir, src_table)
+    fp = source_fingerprint(src_path)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"mms_{cache_family}_refresh",
+        f"pid{os.getpid()}",
+        "-".join(map(str, fp[1:])),
+    )
+    refresh_fn(spark, sf_dir, out_dir)
+
+    cache = _session_cache(spark)
+    key = (cache_family,) + fp
+    prev = cache.get(key)
+    try:
+        artifact = attach_fn(spark, sf_dir, out_dir)
+        return serve_fn(spark, sf_dir, artifact)
+    finally:
+        if prev is not None:
+            cache[key] = prev
+        else:
+            cache.pop(key, None)

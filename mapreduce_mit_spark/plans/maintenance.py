@@ -969,33 +969,16 @@ def q188_agg_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (SURVEY §2.3 maintenance block — the
     refresh half of the materialized-view lifecycle)."""
-    import os
-    import tempfile
+    from ._util import refresh_then_serve
 
-    from ._util import _session_cache, source_fingerprint
-
-    # per-process component: two concurrent sessions refreshing the
-    # same source must not race overwrite-vs-attach on one directory
-    # (torn _meta.json/parquet reads) — each pid writes its own tree
-    out_dir = os.path.join(
-        tempfile.gettempdir(), "mms_agg_refresh", f"pid{os.getpid()}",
-        "-".join(map(str, source_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))[1:])),
+    return refresh_then_serve(
+        spark, sf_dir,
+        cache_family="agg_snapshot",
+        src_table="lineitem.parquet",
+        refresh_fn=agg_snapshot_refresh,
+        attach_fn=agg_snapshot_attach,
+        serve_fn=_serve_agg_from,
     )
-    agg_snapshot_refresh(spark, sf_dir, out_dir)
-
-    cache = _session_cache(spark)
-    key = ("agg_snapshot",) + source_fingerprint(
-        os.path.join(sf_dir, "lineitem.parquet")
-    )
-    prev = cache.get(key)
-    refreshed = agg_snapshot_attach(spark, sf_dir, out_dir)
-    # restore the fresh-fit cache entry: the served plan below closes
-    # over `refreshed` itself and never re-reads the cache
-    if prev is not None:
-        cache[key] = prev
-    else:
-        cache.pop(key, None)
-    return _serve_agg_from(spark, sf_dir, refreshed)
 
 
 # --- q187: mergeable-histogram quantile maintenance (eleventh family) ------
@@ -1369,29 +1352,16 @@ def q189_hist_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (SURVEY §2.3 maintenance block — the
     retrain half of the distribution-sketch lifecycle)."""
-    import os
-    import tempfile
+    from ._util import refresh_then_serve
 
-    from ._util import _session_cache, source_fingerprint
-
-    # per-process dir (same rationale as q188's): no cross-session race
-    out_dir = os.path.join(
-        tempfile.gettempdir(), "mms_hist_refresh", f"pid{os.getpid()}",
-        "-".join(map(str, source_fingerprint(os.path.join(sf_dir, "orders.parquet"))[1:])),
+    return refresh_then_serve(
+        spark, sf_dir,
+        cache_family="hist_snapshot",
+        src_table="orders.parquet",
+        refresh_fn=hist_snapshot_refresh,
+        attach_fn=hist_snapshot_attach,
+        serve_fn=lambda s, d, art: _hist_quantile_view(s, d, *art),
     )
-    hist_snapshot_refresh(spark, sf_dir, out_dir)
-
-    cache = _session_cache(spark)
-    key = ("hist_snapshot",) + source_fingerprint(
-        os.path.join(sf_dir, "orders.parquet")
-    )
-    prev = cache.get(key)
-    counts_s, ext = hist_snapshot_attach(spark, sf_dir, out_dir)
-    if prev is not None:
-        cache[key] = prev
-    else:
-        cache.pop(key, None)
-    return _hist_quantile_view(spark, sf_dir, counts_s, ext)
 
 
 # --- q203: join-cardinality planning audit ----------------------------------

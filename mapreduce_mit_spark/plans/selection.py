@@ -1377,33 +1377,19 @@ def q208_dsir_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (SURVEY §2.3 maintenance block — the
     retrain half of the selection-model lifecycle)."""
-    import os
-    import tempfile
+    from ._util import refresh_then_serve
 
-    from ._util import _session_cache, source_fingerprint
-
-    out_dir = os.path.join(
-        tempfile.gettempdir(), "mms_dsir_refresh", f"pid{os.getpid()}",
-        "-".join(map(str, source_fingerprint(
-            os.path.join(sf_dir, "documents.parquet"))[1:])),
+    # plan-build reads the cache (the attached artifact) once; the
+    # returned DataFrame closes over it, so the helper's finally-restore
+    # cannot un-attach the served plan
+    return refresh_then_serve(
+        spark, sf_dir,
+        cache_family="dsir_lm",
+        src_table="documents.parquet",
+        refresh_fn=dsir_lm_refresh,
+        attach_fn=dsir_lm_attach,
+        serve_fn=lambda s, d, _art: q190_dsir_importance(s, d),
     )
-    dsir_lm_refresh(spark, sf_dir, out_dir)
-
-    cache = _session_cache(spark)
-    key = ("dsir_lm",) + source_fingerprint(
-        os.path.join(sf_dir, "documents.parquet")
-    )
-    prev = cache.get(key)
-    dsir_lm_attach(spark, sf_dir, out_dir)
-    try:
-        # plan-build reads the cache (the attached artifact) once; the
-        # returned DataFrame closes over it
-        return q190_dsir_importance(spark, sf_dir)
-    finally:
-        if prev is not None:
-            cache[key] = prev
-        else:
-            cache.pop(key, None)
 
 
 def bpe_merges_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
@@ -1456,31 +1442,16 @@ def q209_bpe_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (SURVEY §2.3 maintenance block — the
     retrain half of the tokenizer lifecycle)."""
-    import os
-    import tempfile
+    from ._util import refresh_then_serve
 
-    from ._util import _session_cache, source_fingerprint
-
-    out_dir = os.path.join(
-        tempfile.gettempdir(), "mms_bpe_refresh", f"pid{os.getpid()}",
-        "-".join(map(str, source_fingerprint(
-            os.path.join(sf_dir, "documents.parquet"))[1:])),
+    return refresh_then_serve(
+        spark, sf_dir,
+        cache_family="bpe_merges",
+        src_table="documents.parquet",
+        refresh_fn=bpe_merges_refresh,
+        attach_fn=bpe_merges_attach,
+        serve_fn=lambda s, d, _art: q197_bpe_vocab(s, d),
     )
-    bpe_merges_refresh(spark, sf_dir, out_dir)
-
-    cache = _session_cache(spark)
-    key = ("bpe_merges",) + source_fingerprint(
-        os.path.join(sf_dir, "documents.parquet")
-    )
-    prev = cache.get(key)
-    bpe_merges_attach(spark, sf_dir, out_dir)
-    try:
-        return q197_bpe_vocab(spark, sf_dir)
-    finally:
-        if prev is not None:
-            cache[key] = prev
-        else:
-            cache.pop(key, None)
 
 
 def _bind_refresh_oracles() -> None:

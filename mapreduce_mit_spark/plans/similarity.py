@@ -2112,38 +2112,51 @@ def pq_probe_hits(
     )
 
 
-def _pq_codebook_sql(iters: int = PQ_ITERS, src: str | None = None) -> str:
+def _pq_codebook_sql(
+    iters: int = PQ_ITERS,
+    src: str | None = None,
+    fit_src: str | None = None,
+    prefix: str = "",
+) -> str:
     """DuckDB CTE text replaying :func:`pq_codebooks` over relation
     ``src`` (any CTE/table with (vec_id, embedding) — q157 fits raw
     embeddings, q160 fits coarse-cell RESIDUALS; None = the
     valid-embeddings gate over the raw table, mirroring
-    :func:`pq_index_for`); final CTEs: ``pcent`` (sub, cid, cv) and
-    ``subv`` (vec_id, sub, sv)."""
+    :func:`pq_index_for`); final CTEs: ``<prefix>pcent`` (sub, cid,
+    cv) and ``<prefix>subv`` (vec_id, sub, sv). ``fit_src`` optionally
+    names a DIFFERENT relation for the sample-fit chain
+    (seed/subv_fit) than the one ``subv`` covers — q211 fits the
+    codebooks on STANDING residuals while encoding ALL residuals
+    against them. ``prefix`` namespaces every CTE so one oracle can
+    replay two independent PQ fits (q212's drift audit)."""
     if src is None:
         src = EMB_VALID_SQL
+    if fit_src is None:
+        fit_src = src
+    p = prefix
     sv_expr = (
         f"list_transform(range(1, {SUB_DIM} + 1), "
         f"i -> CAST(embedding[sub * {SUB_DIM} + i] AS DOUBLE))"
     )
     ctes = [
-        f"""subs AS (SELECT unnest(range({N_SUB})) AS sub)""",
-        f"""subv AS (
-      SELECT vec_id, sub, {sv_expr} AS sv FROM {src}, subs
+        f"""{p}subs AS (SELECT unnest(range({N_SUB})) AS sub)""",
+        f"""{p}subv AS (
+      SELECT vec_id, sub, {sv_expr} AS sv FROM {src}, {p}subs
     )""",
-        f"""pranked AS (
+        f"""{p}pranked AS (
       SELECT row_number() OVER (ORDER BY md5(concat('pq:', CAST(vec_id AS VARCHAR))), vec_id) AS rn,
              vec_id, embedding
-      FROM {src}
+      FROM {fit_src}
     )""",
-        f"""pseed AS (
-      SELECT rn - 1 AS cid, embedding FROM pranked WHERE rn <= {K_PQ}
+        f"""{p}pseed AS (
+      SELECT rn - 1 AS cid, embedding FROM {p}pranked WHERE rn <= {K_PQ}
     )""",
-        f"""subv_fit AS (
+        f"""{p}subv_fit AS (
       SELECT p.vec_id, sub, {sv_expr} AS sv
-      FROM pranked p, subs WHERE p.rn <= {PQ_FIT_SAMPLE}
+      FROM {p}pranked p, {p}subs WHERE p.rn <= {PQ_FIT_SAMPLE}
     )""",
-        f"""pcent0 AS (
-      SELECT sub, cid, {sv_expr} AS cv FROM pseed, subs
+        f"""{p}pcent0 AS (
+      SELECT sub, cid, {sv_expr} AS cv FROM {p}pseed, {p}subs
     )""",
     ]
     for r in range(1, iters + 1):
@@ -2151,23 +2164,23 @@ def _pq_codebook_sql(iters: int = PQ_ITERS, src: str | None = None) -> str:
             f"round(avg(sv[{i + 1}]), 6) AS m{i}" for i in range(SUB_DIM)
         )
         mlist = ", ".join(f"m.m{i}" for i in range(SUB_DIM))
-        ctes.append(f"""passign{r} AS (
+        ctes.append(f"""{p}passign{r} AS (
       SELECT vec_id, sub, sv, cluster FROM (
         SELECT v.vec_id, v.sub, v.sv, c.cid AS cluster,
                row_number() OVER (PARTITION BY v.vec_id, v.sub
                                   ORDER BY {_l2_sql('v.sv', 'c.cv')} ASC, c.cid) AS rn
-        FROM subv_fit v JOIN pcent{r - 1} c ON v.sub = c.sub)
+        FROM {p}subv_fit v JOIN {p}pcent{r - 1} c ON v.sub = c.sub)
       WHERE rn = 1
     )""")
-        ctes.append(f"""pcent{r} AS (
+        ctes.append(f"""{p}pcent{r} AS (
       SELECT p.sub, p.cid,
              CASE WHEN m.cluster IS NULL THEN p.cv
                   ELSE list_value({mlist}) END AS cv
-      FROM pcent{r - 1} p LEFT JOIN (
-        SELECT sub, cluster, {avgs} FROM passign{r} GROUP BY sub, cluster) m
+      FROM {p}pcent{r - 1} p LEFT JOIN (
+        SELECT sub, cluster, {avgs} FROM {p}passign{r} GROUP BY sub, cluster) m
         ON m.sub = p.sub AND m.cluster = p.cid
     )""")
-    ctes.append(f"pcent AS (SELECT sub, cid, cv FROM pcent{iters})")
+    ctes.append(f"{p}pcent AS (SELECT sub, cid, cv FROM {p}pcent{iters})")
     return ",\n    ".join(ctes)
 
 
@@ -2379,35 +2392,48 @@ def _ivfadc_fit(
     # them into NULL-element arrays that poison Lloyd means — and
     # diverge from the oracle's NULL ordering. Residuals and codes
     # are built over well-formed vectors only (EMB_VALID_SQL twin).
-    resid = (
-        valid_embeddings(assign)
-        .join(F.broadcast(cent), assign.cluster == cent.cid)
-        .select(
-            "vec_id",
-            "cluster",
-            F.zip_with(
-                F.transform("embedding", lambda x: x.cast("double")),
-                F.col("cv"),
-                lambda x, y: x - y,
-            ).alias("embedding"),
-        )
-        # three consumers (PQ sample fit, codes assignment, the
-        # cluster map) — materialize the assignment+subtract once
-        .localCheckpoint(eager=True)
+    # three consumers (PQ sample fit, codes assignment, the cluster
+    # map) — materialize the assignment+subtract once
+    resid = _ivfadc_residuals(valid_embeddings(assign), cent).localCheckpoint(
+        eager=True
     )
     pcent = pq_codebooks(resid.select("vec_id", "embedding"))
+    codes = _ivfadc_codes(resid, pcent).localCheckpoint(eager=True)
+    return (cent, pcent, codes)
+
+
+def _ivfadc_residuals(assigned: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cluster, embedding) with embedding = the RESIDUAL of
+    each assigned vector against its cell centroid — one broadcast
+    join + narrow map, shared by the full fit, the standing fit, and
+    q211's increment encode (FAISS's add() path)."""
+    return assigned.join(
+        F.broadcast(cent), assigned.cluster == cent.cid
+    ).select(
+        "vec_id",
+        "cluster",
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.col("cv"),
+            lambda x, y: x - y,
+        ).alias("embedding"),
+    )
+
+
+def _ivfadc_codes(resid: DataFrame, pcent: DataFrame) -> DataFrame:
+    """(vec_id, cluster, sub, code): per-subspace argmin-L2 PQ code of
+    every residual — one broadcast join + partial argmin. Shared by
+    the full fit, the standing fit, and q211's increment encode."""
     sv = _subvectors(resid.select("vec_id", "embedding"))
     dist = _l2_col(F.col("sv"), F.col("cv"))
-    codes = (
+    return (
         sv.join(F.broadcast(pcent), "sub")
         .select("vec_id", "sub", "cid", dist.alias("d"))
         .groupBy("vec_id", "sub")
         .agg(F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("code"))
         .join(resid.select("vec_id", "cluster"), "vec_id")
         .select("vec_id", "cluster", "sub", "code")
-        .localCheckpoint(eager=True)
     )
-    return (cent, pcent, codes)
 
 
 # IVFADC lifecycle via fitted_family. ``codes`` is written PARTITIONED
@@ -3428,26 +3454,617 @@ def q207_ivf_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (SURVEY §2.3 maintenance block — the
     retrain half of the index-freshness lifecycle)."""
+    from ._util import refresh_then_serve
+
+    return refresh_then_serve(
+        spark, sf_dir,
+        cache_family="ivf_standing",
+        src_table="embeddings.parquet",
+        refresh_fn=ivf_standing_refresh,
+        attach_fn=ivf_standing_index_attach,
+        serve_fn=lambda s, d, art: _serve_ivf_incr_view(s, d, *art),
+    )
+
+
+# --- q211/q212/q213: the IVFADC index-freshness lifecycle -------------------
+# The q175/q177/q207 template applied to the PRODUCTION-grADE index
+# (q160's composed Jégou IVFADC): a STANDING artifact fitted on the
+# corpus snapshot, an incremental-add serve that residual-PQ-encodes
+# arrivals against the standing codebooks (FAISS's add() after
+# train()), a per-subspace codebook-drift audit that says WHEN to
+# retrain, and the refresh-then-serve act the alarm gates. Same
+# standing/increment hash carve as the IVF family (one corpus
+# snapshot boundary across index families).
+# ---------------------------------------------------------------------------
+
+# MEASURED calibration: pinned-query recall@5 under the STANDING
+# IVFADC artifact (codebooks fitted on the ~90% standing carve, all
+# vectors encoded against them) is 1.0 / 0.8 / 0.6 at
+# sf0.001/0.01/0.1 — at a 10% increment the stale-codebook penalty is
+# invisible (and the standing fit happens to probe better than the
+# full fit's 0.8/0.6/0.4 on these fixtures). Floor one notch under
+# the weakest measurement, the q68/q160/q175 discipline; a broken
+# encode (wrong residual space, mis-joined codes) collapses it to ~0.
+Q211_RECALL_TARGET = 0.4
+
+
+def ivfadc_standing_hex(artifact: DataFrame) -> str:
+    """The increment-carve boundary is a property of the ATTACHED
+    artifact (:func:`ivf_standing_hex` applied to this family): read
+    it from the ``_mms_fit_params`` tag so a refreshed index (boundary
+    moved to :data:`IVF_REFRESHED_HEX`) serves through the SAME
+    q211 path with a provably empty increment."""
+    return getattr(artifact, "_mms_fit_params", {}).get(
+        "standing_hex", Q175_STANDING_HEX
+    )
+
+
+def _ivfadc_standing_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The STANDING-corpus IVFADC fit: (coarse_cent, pq_cent, codes)
+    with every learned structure fitted on — and the codes covering —
+    only the standing hash split. The coarse half IS the ninth
+    family's standing index (shared through the session cache — one
+    fit serves q175/q176/q207 and this family); the residual PQ
+    codebooks and codes are fitted over the standing lists exactly as
+    :func:`_ivfadc_fit` does over the full corpus."""
+    cent, slists = ivf_standing_index_for(spark, sf_dir)
+    resid = _ivfadc_residuals(slists, cent).localCheckpoint(eager=True)
+    pcent = pq_codebooks(resid.select("vec_id", "embedding"))
+    codes = _ivfadc_codes(resid, pcent).localCheckpoint(eager=True)
+    return (cent, pcent, codes)
+
+
+# Standing-corpus IVFADC lifecycle via fitted_family — the FIFTEENTH
+# persisted family. Same layout as the full-corpus IVFADC index
+# (coarse + per-subspace PQ codebooks + codes partitioned by cluster,
+# so probed-cell serves prune files); the standing boundary rides the
+# param stamp as a MUTABLE param (the refresh lifecycle moves it),
+# while k_coarse/n_sub/k_pq stay immutable contracts.
+(
+    ivfadc_standing_index_for,
+    ivfadc_standing_index_save,
+    ivfadc_standing_index_load,
+    ivfadc_standing_index_attach,
+) = fitted_family(
+    "ivfadc_standing",
+    "embeddings.parquet",
+    [
+        ("coarse", ["cid", "cv"], None),
+        ("pq", ["sub", "cid", "cv"], None),
+        ("codes", ["vec_id", "cluster", "sub", "code"], "cluster"),
+    ],
+    _ivfadc_standing_fit,
+    params={
+        "standing_hex": Q175_STANDING_HEX,
+        "k_coarse": N_IVF_CENTROIDS,
+        "n_sub": N_SUB,
+        "k_pq": K_PQ,
+    },
+    mutable=("standing_hex",),
+)
+
+
+def _q211_oracle(standing_pred: str | None = None) -> str:
+    """q211's full serve chain: standing-fitted codebooks (coarse CTE
+    over the standing carve, PQ fit sampled from STANDING residuals
+    only via ``fit_src``), ALL valid vectors encoded against them,
+    then q160's probe/ADC/shortlist/rerank/audit chain verbatim.
+    ``standing_pred`` overrides the carve — q213 passes ``'TRUE'`` (a
+    refreshed index covers everything; is_new false throughout)."""
+    if standing_pred is None:
+        standing_pred = (
+            "substr(md5('ing1:' || CAST(vec_id AS VARCHAR)), 1, 4) "
+            f"< '{Q175_STANDING_HEX}'"
+        )
+    qr_expr = (
+        f"list_transform(range(1, {DIM} + 1), "
+        f"i -> CAST(q.embedding[i] AS DOUBLE) - c.cv[i])"
+    )
+    return f"""
+    WITH ev AS (SELECT * FROM {EMB_VALID_SQL} AS v),
+    standing AS (SELECT * FROM ev WHERE {standing_pred}),
+    {_ivf_codebook_sql(src='standing')},
+    csims AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {cosine_sql('e.embedding', 'c.cv')} AS sim
+      FROM ev e, cent c
+    ),
+    cassign AS (
+      SELECT vec_id, embedding, cid AS cluster
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cid) AS rn
+            FROM csims)
+      WHERE rn = 1
+    ),
+    resid AS (
+      SELECT a.vec_id, a.cluster,
+             list_transform(range(1, {DIM} + 1),
+                            i -> CAST(a.embedding[i] AS DOUBLE) - c.cv[i]) AS embedding
+      FROM cassign a JOIN cent c ON c.cid = a.cluster
+    ),
+    resid_s AS (SELECT * FROM resid WHERE {standing_pred}),
+    {_pq_codebook_sql(src="resid", fit_src="resid_s")},
+    codes AS (
+      SELECT s.vec_id, r.cluster, s.sub, s.code FROM (
+        SELECT vec_id, sub, cid AS code FROM (
+          SELECT v.vec_id, v.sub, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id, v.sub
+                                    ORDER BY {_l2_sql('v.sv', 'c.cv')} ASC, c.cid) AS rn
+          FROM subv v JOIN pcent c ON v.sub = c.sub)
+        WHERE rn = 1) s
+      JOIN resid r ON r.vec_id = s.vec_id
+    ),
+    probe AS (
+      SELECT cid FROM csims WHERE vec_id = {QUERY_VEC_ID}
+      ORDER BY sim DESC, cid LIMIT {N_PROBE}
+    ),
+    qres AS (
+      SELECT c.cid AS pcell, {qr_expr} AS qr
+      FROM cent c JOIN probe p ON c.cid = p.cid,
+           (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+    ),
+    qsub AS (
+      SELECT pcell, sub,
+             list_transform(range(1, {SUB_DIM} + 1), i -> qr[sub * {SUB_DIM} + i]) AS qsv
+      FROM qres, subs
+    ),
+    lut AS (
+      SELECT q.pcell, q.sub, c.cid, {_l2_sql('c.cv', 'q.qsv')} AS qd
+      FROM pcent c JOIN qsub q ON c.sub = q.sub
+    ),
+    scored AS (
+      SELECT k.vec_id, k.cluster, round(sum(l.qd), 6) AS approx_dist
+      FROM codes k JOIN lut l
+        ON l.pcell = k.cluster AND l.sub = k.sub AND l.cid = k.code
+      WHERE k.vec_id != {QUERY_VEC_ID}
+      GROUP BY 1, 2
+    ),
+    shortlist AS (
+      SELECT vec_id, cluster, approx_dist FROM scored
+      ORDER BY approx_dist ASC, vec_id LIMIT {PQ_SHORTLIST}
+    ),
+    qfull AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    rerank AS (
+      SELECT s.vec_id, s.cluster, s.approx_dist,
+             round({_l2_sql('list_transform(e.embedding, x -> CAST(x AS DOUBLE))', 'qv', DIM)}, 6) AS dist
+      FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id, qfull
+    ),
+    hits AS (
+      SELECT vec_id, cluster, (NOT ({standing_pred})) AS is_new,
+             approx_dist, dist
+      FROM rerank
+      ORDER BY dist ASC, vec_id LIMIT {ANN_K}
+    ),
+    exact AS (
+      SELECT vec_id
+      FROM (SELECT vec_id,
+                   {_l2_sql('list_transform(embedding, x -> CAST(x AS DOUBLE))', 'qv', DIM)} AS ed
+            FROM embeddings, qfull WHERE vec_id != {QUERY_VEC_ID})
+      ORDER BY ed ASC, vec_id LIMIT {ANN_K}
+    ),
+    marked AS (
+      SELECT h.vec_id, h.cluster, h.is_new, h.approx_dist, h.dist,
+             (e.vec_id IS NOT NULL) AS in_exact_topk
+      FROM hits h LEFT JOIN exact e ON h.vec_id = e.vec_id
+    ),
+    rec AS (
+      SELECT CAST(sum(CASE WHEN in_exact_topk THEN 1 ELSE 0 END) AS DOUBLE)
+               / {ANN_K} AS recall_at_k
+      FROM marked
+    )
+    SELECT vec_id, cluster, is_new, approx_dist, dist, in_exact_topk,
+           recall_at_k, (recall_at_k >= {Q211_RECALL_TARGET}) AS recall_ok
+    FROM marked, rec
+    ORDER BY dist ASC, vec_id
+    """
+
+
+@register(
+    "q211_ivfadc_incremental_serve",
+    oracle=_q211_oracle(),
+    tags=("similarity", "ann", "ivf", "quantization", "incremental",
+          "training-pipeline"),
+)
+def q211_ivfadc_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC INDEX FRESHNESS — new vectors become searchable WITHOUT
+    a refit, on the production-grade index: FAISS's ``add()`` for a
+    trained IVFADC. The coarse codebook, residual PQ codebooks, and
+    standing codes are the FIFTEENTH persisted family
+    (:func:`ivfadc_standing_index_for`, fitted on the ~90% standing
+    hash carve); the increment (~10%, "arrived since") is assigned to
+    the standing coarse cells (one broadcast argmax over just the new
+    vectors), residual-PQ-ENCODED against the standing per-subspace
+    codebooks (one broadcast join + partial argmin — the codebooks
+    never refit), and unioned into the codes table. The pinned query
+    then runs q160's full serving chain (probe → ADC over probed
+    cells' codes → shortlist → exact rerank) over the combined codes,
+    each hit carrying ``is_new`` and the in-band L2 recall contract
+    vs the exact scan over the FULL corpus — the honest measure,
+    since the index answers for data its codebooks never saw.
+
+    Scale shape: increment encode cost is increment-rows × (k_coarse
+    + N_SUB × K_PQ broadcast lookups) — nothing standing ever
+    reshuffles or re-encodes; the serve is q160's probed-cell ADC.
+    Staleness (codebooks drift from the true distribution) is the
+    trade — q212 is the audit that measures it, q213 the retrain act.
+
+    Reference analog: none (SURVEY §2.3 extension — the IVFADC twin
+    of q175's incremental ANN serve)."""
+    cent, pcent, codes = ivfadc_standing_index_for(spark, sf_dir)
+    return _serve_ivfadc_incr_view(spark, sf_dir, (cent, pcent, codes))
+
+
+def _serve_ivfadc_incr_view(
+    spark: SparkSession, sf_dir: str, art: tuple
+) -> DataFrame:
+    """Serve q211's view from a standing (cent, pcent, codes)
+    artifact: residual-PQ-encode the increment carve against the
+    broadcast codebooks, union into the codes, run q160's serving
+    chain, mark is_new + the recall audit. The increment boundary is
+    the ARTIFACT's stamped one (:func:`ivfadc_standing_hex`), so a
+    refreshed index (q213) serves an empty increment through this
+    same path — shared by q211 and q213."""
+    cent, pcent, codes_s = art
+    e = t(spark, sf_dir, "embeddings")
+    hex_b = ivfadc_standing_hex(cent)
+    incr = valid_embeddings(e).where(~(_standing_key() < F.lit(hex_b)))
+    # FAISS add(): coarse-assign the increment, residual-encode it
+    # against the STANDING PQ codebooks — the index never refits
+    inc_resid = _ivfadc_residuals(
+        _assign_to_codebook(incr, _with_cnorm(cent)), cent
+    )
+    combined = codes_s.unionByName(_ivfadc_codes(inc_resid, pcent))
+    q = e.where(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    hits = ivfadc_probe_hits(cent, pcent, combined, e, q, ANN_K)
+    marked = _mark_exact_topk(hits, e, q, ANN_K, metric="l2")
+    rec = marked.agg(
+        (
+            F.sum(F.col("in_exact_topk").cast("long")).cast("double")
+            / F.lit(float(ANN_K))
+        ).alias("recall_at_k")
+    )
+    return (
+        marked.crossJoin(F.broadcast(rec))
+        # is_new is a pure function of vec_id (the hash carve), so it
+        # marks on the OUTPUT — no flag threads through the serve
+        .withColumn("is_new", ~(_standing_key() < F.lit(hex_b)))
+        .withColumn("recall_ok", F.col("recall_at_k") >= Q211_RECALL_TARGET)
+        .select(
+            "vec_id", "cluster", "is_new", "approx_dist", "dist",
+            "in_exact_topk", "recall_at_k", "recall_ok",
+        )
+        .orderBy(F.col("dist").asc(), "vec_id")
+    )
+
+
+# --- q212: per-subspace codebook-drift audit — WHEN to retrain IVFADC -------
+
+# Churn threshold for the retrain recommendation: the fraction of
+# standing (vec_id, sub) code assignments that would CHANGE under a
+# full-corpus refit, with refit codewords mapped back to standing
+# codewords by nearest-L2 matching per subspace (q177's alignment
+# generalized to the per-subspace PQ codebooks; non-bijective
+# matchings over-count — the conservative direction for an alert).
+# MEASURED on the fixtures (deterministic fits, both engines replay):
+# 0.4294 / 0.4242 / 0.3789 at sf0.001/0.01/0.1 — PQ code churn runs
+# structurally higher than q177's coarse-cell churn (32 codewords per
+# subspace vs 8 cells: finer partitions flip more easily), and the
+# toy fixtures sit ABOVE the threshold for q177's reason (a
+# 32-codeword Lloyd over ≤1k sampled residuals is seed-unstable
+# between the standing subset and the full corpus — exactly the
+# condition the audit flags). At the realistic fixture (sf0.1) the
+# refit barely moves the codebooks — churn 0.38, serve on.
+Q212_CODE_CHURN_TAU = 0.40
+
+
+def _q212_oracle() -> str:
+    standing_pred = (
+        "substr(md5('ing1:' || CAST(vec_id AS VARCHAR)), 1, 4) "
+        f"< '{Q175_STANDING_HEX}'"
+    )
+    resid_expr = (
+        f"list_transform(range(1, {DIM} + 1), "
+        f"i -> CAST(a.embedding[i] AS DOUBLE) - c.cv[i])"
+    )
+    return f"""
+    WITH ev AS (SELECT * FROM {EMB_VALID_SQL} AS v),
+    standing AS (SELECT * FROM ev WHERE {standing_pred}),
+    {_ivf_codebook_sql(src='standing', prefix='s')},
+    sassign AS (
+      SELECT vec_id, embedding, cid AS cluster
+      FROM (SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+            FROM standing e, scent c)
+      WHERE rn = 1
+    ),
+    sresid AS (
+      SELECT a.vec_id, a.cluster, {resid_expr} AS embedding
+      FROM sassign a JOIN scent c ON c.cid = a.cluster
+    ),
+    {_pq_codebook_sql(src='sresid', prefix='s')},
+    s_codes AS (
+      SELECT vec_id, sub, cid AS code FROM (
+        SELECT v.vec_id, v.sub, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                                  ORDER BY {_l2_sql('v.sv', 'c.cv')} ASC, c.cid) AS rn
+        FROM ssubv v JOIN spcent c ON v.sub = c.sub)
+      WHERE rn = 1
+    ),
+    {_ivf_codebook_sql(src='embeddings', prefix='r')},
+    rassign AS (
+      SELECT vec_id, embedding, cid AS cluster
+      FROM (SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cosine_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+            FROM ev e, rcent c)
+      WHERE rn = 1
+    ),
+    rresid AS (
+      SELECT a.vec_id, a.cluster, {resid_expr} AS embedding
+      FROM rassign a JOIN rcent c ON c.cid = a.cluster
+    ),
+    {_pq_codebook_sql(src='rresid', prefix='r')},
+    r_codes AS (
+      SELECT vec_id, sub, cid AS code FROM (
+        SELECT v.vec_id, v.sub, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                                  ORDER BY {_l2_sql('v.sv', 'c.cv')} ASC, c.cid) AS rn
+        FROM rsubv v JOIN rpcent c ON v.sub = c.sub)
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT s.sub, s.cid AS s_cid, r.cid AS r_cid,
+             {_l2_sql('s.cv', 'r.cv')} AS d
+      FROM spcent s JOIN rpcent r ON s.sub = r.sub
+    ),
+    near_s AS (
+      SELECT sub, s_cid, r_cid AS nearest_refit_cid, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY sub, s_cid
+                                     ORDER BY d ASC, r_cid) AS rn
+        FROM pairs)
+      WHERE rn = 1
+    ),
+    map_r AS (
+      SELECT sub, r_cid, s_cid AS mapped_s FROM (
+        SELECT *, row_number() OVER (PARTITION BY sub, r_cid
+                                     ORDER BY d ASC, s_cid) AS rn
+        FROM pairs)
+      WHERE rn = 1
+    ),
+    churn AS (
+      SELECT round(CAST(sum(CASE WHEN m.mapped_s != s.code THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 4) AS code_churn_frac
+      FROM s_codes s
+      JOIN r_codes r ON r.vec_id = s.vec_id AND r.sub = s.sub
+      JOIN map_r m ON m.sub = r.sub AND m.r_cid = r.code
+    ),
+    pop AS (
+      SELECT sub, code AS cid, count(*) AS n_codes FROM s_codes GROUP BY 1, 2
+    )
+    SELECT n.sub, n.s_cid AS cid,
+           CAST(coalesce(p.n_codes, 0) AS BIGINT) AS n_codes,
+           n.nearest_refit_cid,
+           round(n.d, 6) AS centroid_shift,
+           c.code_churn_frac,
+           (c.code_churn_frac >= {Q212_CODE_CHURN_TAU}) AS retrain_recommended
+    FROM near_s n LEFT JOIN pop p ON p.sub = n.sub AND p.cid = n.s_cid, churn c
+    ORDER BY n.sub, n.s_cid
+    """
+
+
+@register(
+    "q212_ivfadc_codebook_drift",
+    oracle=_q212_oracle(),
+    tags=("similarity", "ann", "quantization", "incremental", "monitoring",
+          "training-pipeline"),
+)
+def q212_ivfadc_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SUBSPACE CODEBOOK-DRIFT AUDIT — the alerting signal that
+    closes the IVFADC freshness loop: q211 encodes increments against
+    STALE standing codebooks between retrains; this query measures how
+    stale, and recommends (or doesn't) the retrain. q177's alignment
+    audit generalized to the per-subspace PQ codebooks.
+
+    Compares the standing family's PQ codebooks
+    (:func:`ivfadc_standing_index_for`) against the FULL-corpus refit
+    candidate (the q160 family, :func:`ivfadc_index_for` — shared
+    through the same session cache, so the audit costs no new fit
+    when both families are already serving). Per (sub, standing
+    codeword): population (how many standing codes use it) and
+    ``centroid_shift`` (L2 distance to the nearest refit codeword in
+    the same subspace — codebooks aligned by nearest-neighbor
+    matching, since independent Lloyd runs don't share cid
+    semantics). Global, on every row: ``code_churn_frac`` — the
+    fraction of standing (vec_id, sub) code assignments that would
+    CHANGE under the refit (refit codewords mapped back through the
+    alignment) — and the ``retrain_recommended`` bit (churn ≥
+    :data:`Q212_CODE_CHURN_TAU`). Note the two codebooks live in
+    residual spaces of DIFFERENT coarse codebooks (standing vs full
+    refit) — that coarse drift flowing into the residuals is part of
+    what the audit measures, exactly as q177's refit candidate moves
+    the cells it compares against.
+
+    Scale shape: both codebook sets are N_SUB × K_PQ rows (broadcast
+    everywhere); the per-subspace alignment is K_PQ × K_PQ; churn is
+    one broadcast-mapped join of the two (vec_id, sub, code) tables
+    (narrow rows) with a partial-aggregable mean — no vector ever
+    reshuffles, and when the two families are attached artifacts the
+    audit reads codes that already exist. The oracle replays BOTH
+    fits CTE-for-CTE (prefix-namespaced coarse + PQ codebook CTEs),
+    the alignment, and the churn join.
+
+    Reference analog: none (SURVEY §2.3 extension — monitoring for
+    the q211 freshness lifecycle)."""
+    _cent_s, pcent_s, codes_s = ivfadc_standing_index_for(spark, sf_dir)
+    _cent_r, pcent_r, codes_r = ivfadc_index_for(spark, sf_dir)
+    sp = pcent_s.select(
+        "sub", F.col("cid").alias("s_cid"), F.col("cv").alias("s_cv")
+    )
+    rp = pcent_r.select(
+        "sub", F.col("cid").alias("r_cid"), F.col("cv").alias("r_cv")
+    )
+    pairs = sp.join(F.broadcast(rp), "sub").select(
+        "sub", "s_cid", "r_cid",
+        _l2_col(F.col("s_cv"), F.col("r_cv")).alias("d"),
+    )
+    near_s = pairs.groupBy("sub", "s_cid").agg(
+        F.min_by("r_cid", F.struct(F.col("d"), F.col("r_cid"))).alias(
+            "nearest_refit_cid"
+        ),
+        F.min("d").alias("_mind"),
+    )
+    map_r = pairs.groupBy("sub", "r_cid").agg(
+        F.min_by("s_cid", F.struct(F.col("d"), F.col("s_cid"))).alias(
+            "mapped_s"
+        )
+    )
+    sc = codes_s.select("vec_id", "sub", F.col("code").alias("s_code"))
+    rc = codes_r.select("vec_id", "sub", F.col("code").alias("r_code"))
+    mr = map_r.select(
+        F.col("sub").alias("m_sub"), F.col("r_cid").alias("m_rcid"), "mapped_s"
+    )
+    churn = (
+        sc.join(rc, ["vec_id", "sub"])
+        .join(
+            F.broadcast(mr),
+            (F.col("sub") == F.col("m_sub"))
+            & (F.col("r_code") == F.col("m_rcid")),
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("mapped_s") != F.col("s_code")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("code_churn_frac")
+        )
+    )
+    pop = sc.groupBy("sub", F.col("s_code").alias("p_cid")).agg(
+        F.count(F.lit(1)).alias("n_codes")
+    )
+    return (
+        near_s.join(
+            pop,
+            (near_s.sub == pop.sub) & (near_s.s_cid == pop.p_cid),
+            "left",
+        )
+        .select(
+            # the oracle's range(N_SUB) is BIGINT; posexplode yields INT
+            near_s.sub.cast("long").alias("sub"),
+            F.col("s_cid").alias("cid"),
+            F.coalesce("n_codes", F.lit(0)).cast("long").alias("n_codes"),
+            "nearest_refit_cid",
+            F.round(F.col("_mind"), 6).alias("centroid_shift"),
+        )
+        .crossJoin(F.broadcast(churn))
+        .withColumn(
+            "retrain_recommended",
+            F.col("code_churn_frac") >= Q212_CODE_CHURN_TAU,
+        )
+        .orderBy("sub", "cid")
+    )
+
+
+# --- q213: the retrain — q212's alarm gets its act ---------------------------
+
+
+def ivfadc_standing_refresh(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """The RETRAIN job q212's ``retrain_recommended`` calls for: refit
+    the coarse codebook, the residual PQ codebooks, AND the codes over
+    the FULL current corpus (standing ∪ increments), persist in the
+    fifteenth family's exact layout, and stamp the moved boundary
+    :data:`IVF_REFRESHED_HEX` — everything standing, zero pending
+    increments. Because ``standing_hex`` is a MUTABLE family param and
+    the serve path carves at the artifact's stamped boundary
+    (:func:`ivfadc_standing_hex`), the refreshed index attaches and
+    serves through the ordinary lifecycle with no code change —
+    q207's rotation discipline applied to the production index.
+
+    Cost: one coarse k-means + one assignment pass + the
+    sample-bounded residual PQ fit + one codes pass — the full
+    retrain price the alarm deliberately gates."""
     import os
-    import tempfile
 
-    from ._util import _session_cache, source_fingerprint
+    from ._util import write_index_meta
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(), "mms_ivf_refresh", f"pid{os.getpid()}",
-        "-".join(map(str, source_fingerprint(
-            os.path.join(sf_dir, "embeddings.parquet"))[1:])),
+    e = valid_embeddings(t(spark, sf_dir, "embeddings"))
+    cent = ivf_codebook(e)
+    resid = _ivfadc_residuals(
+        _assign_to_codebook(e, _with_cnorm(cent)), cent
+    ).localCheckpoint(eager=True)
+    pcent = pq_codebooks(resid.select("vec_id", "embedding"))
+    codes = _ivfadc_codes(resid, pcent).localCheckpoint(eager=True)
+    cent.write.mode("overwrite").parquet(os.path.join(out_dir, "coarse"))
+    pcent.write.mode("overwrite").parquet(os.path.join(out_dir, "pq"))
+    codes.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(out_dir, "codes")
     )
-    ivf_standing_refresh(spark, sf_dir, out_dir)
-
-    cache = _session_cache(spark)
-    key = ("ivf_standing",) + source_fingerprint(
-        os.path.join(sf_dir, "embeddings.parquet")
+    write_index_meta(
+        out_dir,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        schemas={
+            "coarse": cent.schema.json(),
+            "pq": pcent.schema.json(),
+            "codes": codes.schema.json(),
+        },
+        params={
+            "standing_hex": IVF_REFRESHED_HEX,
+            "k_coarse": N_IVF_CENTROIDS,
+            "n_sub": N_SUB,
+            "k_pq": K_PQ,
+        },
     )
-    prev = cache.get(key)
-    cent, slists = ivf_standing_index_attach(spark, sf_dir, out_dir)
-    if prev is not None:
-        cache[key] = prev
-    else:
-        cache.pop(key, None)
-    return _serve_ivf_incr_view(spark, sf_dir, cent, slists)
+
+
+@register(
+    "q213_ivfadc_refresh_serve",
+    oracle=_q211_oracle(standing_pred="TRUE"),
+    tags=("similarity", "ann", "quantization", "incremental", "lifecycle",
+          "training-pipeline"),
+)
+def q213_ivfadc_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFRESH-THEN-SERVE for the production index — closes q212's
+    alarm → act loop (the q188/q207 pattern applied to the fifteenth
+    family): run :func:`ivfadc_standing_refresh` (full-corpus refit
+    of coarse + PQ + codes stamped at the moved boundary), ATTACH the
+    refreshed artifact through the ordinary fingerprint+param gate
+    (``standing_hex`` is mutable; a doctored ``k_pq``/``n_sub`` or a
+    stale fingerprint still refuses), and serve q211's view from it.
+    The serve carves increments at the artifact's stamped boundary —
+    provably empty for a refreshed index — so the view is the
+    full-corpus IVFADC serve with ``is_new = false`` on every row,
+    exactly what the oracle recomputes from scratch (q211's chain
+    with the standing carve = TRUE).
+
+    The session cache entry is restored afterwards (the returned plan
+    closes over the attached artifact directly), so running q213 can
+    never poison a later q211/q212 call whose oracle models the STALE
+    boundary.
+
+    Scale shape: the refresh is the one-shot retrain the alarm gates;
+    the attach+serve after it is q160's ordinary probed-cell ADC cost
+    with an EMPTY increment encode.
+
+    Reference analog: none (SURVEY §2.3 maintenance block — the
+    retrain half of the production-index lifecycle)."""
+    from ._util import refresh_then_serve
+
+    return refresh_then_serve(
+        spark, sf_dir,
+        cache_family="ivfadc_standing",
+        src_table="embeddings.parquet",
+        refresh_fn=ivfadc_standing_refresh,
+        attach_fn=ivfadc_standing_index_attach,
+        serve_fn=_serve_ivfadc_incr_view,
+    )

@@ -2609,3 +2609,80 @@ def test_kanon_export_invariants(spark):
     assert any(r.level == 1 for r in rows), "fixture should force generalization"
     total = load_table(spark, SF_SMALL, "documents").count()
     assert sum(r.n_docs for r in rows) == total
+
+
+def test_ivfadc_standing_index_save_load_roundtrip(spark, tmp_path):
+    """The disk tier of the FIFTEENTH family: a saved+reloaded
+    standing IVFADC index must serve q211's view BIT-IDENTICAL to the
+    in-session artifact (the fit is deterministic), and the codes
+    table must be laid out partitioned by cluster so probed-cell
+    reads prune files."""
+    import os
+
+    from mapreduce_mit_spark.plans.similarity import (
+        _serve_ivfadc_incr_view,
+        ivfadc_standing_index_for,
+        ivfadc_standing_index_load,
+        ivfadc_standing_index_save,
+    )
+
+    out = str(tmp_path / "ivfadc_standing_index")
+    ivfadc_standing_index_save(spark, SF_SMALL, out)
+    assert any(
+        d.startswith("cluster=") for d in os.listdir(os.path.join(out, "codes"))
+    ), "codes not partitioned by cluster"
+
+    mem_art = ivfadc_standing_index_for(spark, SF_SMALL)
+    disk_art = ivfadc_standing_index_load(spark, out)
+    mem = sorted(
+        map(tuple, _serve_ivfadc_incr_view(spark, SF_SMALL, mem_art).collect())
+    )
+    disk = sorted(
+        map(tuple, _serve_ivfadc_incr_view(spark, SF_SMALL, disk_art).collect())
+    )
+    assert mem == disk and mem
+
+
+def test_ivfadc_codebook_drift_semantics(spark):
+    """q212's structural claims beyond the shared oracle: one row per
+    (subspace, standing codeword); churn_frac is one global value in
+    [0, 1]; the recommendation bit equals the thresholded churn on
+    every row; populations cover the standing codes. Then the
+    no-refit property: with both families already session-cached, the
+    fit cores are poisoned and the audit still serves (it reads the
+    standing and refit artifacts, never fits its own)."""
+    from mapreduce_mit_spark.plans import similarity as sim
+    from mapreduce_mit_spark.registry import REGISTRY
+
+    rows = REGISTRY["q212_ivfadc_codebook_drift"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == sim.N_SUB * sim.K_PQ
+    assert sorted({(r.sub, r.cid) for r in rows}) == [
+        (s, c) for s in range(sim.N_SUB) for c in range(sim.K_PQ)
+    ]
+    churns = {r.code_churn_frac for r in rows}
+    assert len(churns) == 1, "code_churn_frac must be one global value"
+    churn = churns.pop()
+    assert 0.0 <= churn <= 1.0
+    for r in rows:
+        assert r.retrain_recommended == (
+            r.code_churn_frac >= sim.Q212_CODE_CHURN_TAU
+        )
+        assert 0 <= r.nearest_refit_cid < sim.K_PQ
+        assert r.centroid_shift >= -1e-9
+        assert r.n_codes >= 0
+    assert sum(r.n_codes for r in rows) > 0
+
+    orig_cb, orig_pq = sim.ivf_codebook, sim.pq_codebooks
+    try:
+        def _poison(*a, **kw):
+            raise AssertionError(
+                "q212 refit a codebook instead of reusing the cached families"
+            )
+
+        sim.ivf_codebook = _poison
+        sim.pq_codebooks = _poison
+        again = REGISTRY["q212_ivfadc_codebook_drift"].fn(spark, SF_SMALL).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    finally:
+        sim.ivf_codebook = orig_cb
+        sim.pq_codebooks = orig_pq
