@@ -1299,11 +1299,48 @@ Q68_RECALL_TARGET = 0.5
 N_KMEANS_ITERS = 2
 
 
+def ivf_cells_policy(
+    n_vectors: int, floor: int = N_IVF_CENTROIDS, cap: int = 1 << 16
+) -> int:
+    """Scale-aware IVF cell count — the PRODUCTION sizing for every
+    coarse codebook in the catalog (IVF q68, standing IVF q175,
+    IVFADC q160/q211): k ∝ √N (the FAISS guideline — cells grow as
+    √N, so probed rows per query ≈ nprobe·√N instead of nprobe·N/k
+    at frozen k), snapped to the nearest power of two (stable probe
+    arithmetic and file layout across refits), clamped to
+    [floor, cap].
+
+    The FIXTURE families deliberately PIN k = N_IVF_CENTROIDS = 8 at
+    every SF (the ``k`` param stamp + ``ivf_codebook``'s default):
+    the DuckDB oracles replay an 8-cell fit CTE-for-CTE, and an
+    8-row codebook keeps those replays tractable. The pin is the
+    proven WRONG point at scale — measured in SCALING.md round 16:
+    at the 100×-organic fixture (200k vectors) frozen k=8 probes
+    N/2 rows per query while k=64 probes N/16 and serves 7.1×
+    faster. This policy is what a deployment applies at fit time
+    (``ivf_codebook(e, k=None)``); at that same fixture it picks
+    k=512 (√200000 ≈ 447 → 2⁹), probing N/128 per query. Each
+    refresh act (q207/q213) is where the policy would re-evaluate k
+    as the corpus grows — k rides the mutable param stamp exactly
+    like the moved boundary."""
+    import math
+
+    if n_vectors <= 1:
+        return floor
+    return max(floor, min(cap, 1 << round(math.log2(math.sqrt(n_vectors)))))
+
+
 def ivf_codebook(
-    e: DataFrame, k: int = N_IVF_CENTROIDS, iters: int = N_KMEANS_ITERS
+    e: DataFrame, k: int | None = N_IVF_CENTROIDS, iters: int = N_KMEANS_ITERS
 ) -> DataFrame:
     """LEARNED IVF codebook: deterministic sampled k-means (Lloyd),
     returning (cid, cv) with cv array<double>.
+
+    ``k=None`` applies the scale-aware sizing at fit time
+    (:func:`ivf_cells_policy` over a count of the fit population —
+    one cheap aggregate, paid once per fit). The catalog's fixture
+    families pass the default ORACLE PIN ``k = N_IVF_CENTROIDS``
+    instead, so every DuckDB oracle replays the same 8-cell fit.
 
     Every step is a pure function of the data so the DuckDB oracle
     replays the identical codebook (``_ivf_codebook_sql``):
@@ -1326,6 +1363,8 @@ def ivf_codebook(
     shuffle. This is the spark.ml KMeans dataflow restated in pure
     DataFrame ops so the oracle can replay it; swap in spark.ml (fit
     once, broadcast centroids) when cross-engine replay isn't needed."""
+    if k is None:
+        k = ivf_cells_policy(e.count())
     init = (
         e.select(
             "vec_id",

@@ -2686,3 +2686,35 @@ def test_ivfadc_codebook_drift_semantics(spark):
     finally:
         sim.ivf_codebook = orig_cb
         sim.pq_codebooks = orig_pq
+
+
+def test_ivf_cells_policy(spark):
+    """The scale-aware cell-count policy: √N snapped to a power of
+    two, clamped to [8, 2^16] — and actually APPLIED at fit time when
+    no oracle pin is passed (ivf_codebook(e, k=None) sizes the
+    codebook by the policy, not the fixture pin)."""
+    from mapreduce_mit_spark.plans.similarity import (
+        N_IVF_CENTROIDS,
+        ivf_cells_policy,
+        ivf_codebook,
+        valid_embeddings,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    assert ivf_cells_policy(0) == N_IVF_CENTROIDS
+    assert ivf_cells_policy(100) == N_IVF_CENTROIDS  # fixture scale → floor
+    assert ivf_cells_policy(500) == 16
+    assert ivf_cells_policy(2_000) == 32
+    assert ivf_cells_policy(5_000) == 64
+    assert ivf_cells_policy(200_000) == 512  # the 100×-organic fixture
+    assert ivf_cells_policy(10_000_000_000) == 1 << 16  # cap
+    ks = [ivf_cells_policy(n) for n in (10, 1000, 10**5, 10**7, 10**9)]
+    assert all(k & (k - 1) == 0 for k in ks), "powers of two only"
+    assert ks == sorted(ks), "monotone in N"
+
+    e = valid_embeddings(load_table(spark, SF_SMALL, "embeddings"))
+    n = e.count()
+    cb = ivf_codebook(e, k=None)
+    want = ivf_cells_policy(n)
+    assert cb.count() == want
+    assert want != N_IVF_CENTROIDS, "fixture pin must differ from policy"
