@@ -160,6 +160,9 @@ HEADLINE = [
     "q211_ivfadc_incremental_serve",
     "q212_ivfadc_codebook_drift",
     "q213_ivfadc_refresh_serve",
+    "q214_pq_incremental_serve",
+    "q215_pq_codebook_drift",
+    "q216_pq_refresh_serve",
 ]
 
 
@@ -277,6 +280,7 @@ def _index_fits():
         ivfadc_standing_index_for,
         lsh8_index_for,
         pq_index_for,
+        pq_standing_index_for,
     )
 
     from mapreduce_mit_spark.plans.dedup import lsh_bands_for
@@ -294,6 +298,13 @@ def _index_fits():
         "q211_ivfadc_incremental_serve": (
             ("ivfadc_standing",),
             ivfadc_standing_index_for,
+        ),
+        # the standing flat-PQ family (r17): codebooks + codes fitted
+        # on the standing carve — q214's increment encode then rides
+        # the cached artifact
+        "q214_pq_incremental_serve": (
+            ("pq_standing",),
+            pq_standing_index_for,
         ),
         # the dedup side's index artifact: the corpus band table
         "q81_minhash_lsh": (("lsh_bands",), lsh_bands_for),

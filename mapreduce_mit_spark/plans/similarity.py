@@ -2059,17 +2059,26 @@ def _pq_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     e = valid_embeddings(t(spark, sf_dir, "embeddings"))
     cent = pq_codebooks(e)
     sv = _subvectors(valid_embeddings(tw(spark, sf_dir, "embeddings")))
+    codes = _pq_encode(sv, cent).localCheckpoint(eager=True)
+    return (cent, codes)
+
+
+def _pq_encode(sv: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, sub, cluster): per-subspace argmin-L2 PQ code of each
+    subvector against the broadcast codebooks — the encode pass shared
+    by the full fit, the standing fit, and q214's increment encode
+    (FAISS's ``add()`` for a trained flat PQ). Cost is rows × N_SUB ×
+    K_PQ broadcast lookups with a partial-aggregable argmin — nothing
+    shuffles but (vec_id, sub, cluster) triples."""
     dist = _l2_col(F.col("sv"), F.col("cv"))
-    codes = (
+    return (
         sv.join(F.broadcast(cent), "sub")
         .select("vec_id", "sub", "cid", dist.alias("d"))
         .groupBy("vec_id", "sub")
         .agg(
             F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("cluster")
         )
-        .localCheckpoint(eager=True)
     )
-    return (cent, codes)
 
 
 # PQ lifecycle (fit-memo / persist / load / attach) via fitted_family.
@@ -4106,4 +4115,568 @@ def q213_ivfadc_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         refresh_fn=ivfadc_standing_refresh,
         attach_fn=ivfadc_standing_index_attach,
         serve_fn=_serve_ivfadc_incr_view,
+    )
+
+
+# --- q214/q215/q216: the flat-PQ index-freshness lifecycle ------------------
+# The q175/q177/q207 template applied to the LAST fit-once index
+# family: q157's flat PQ (codes-only ADC shortlist + exact rerank).
+# A STANDING artifact fitted on the corpus snapshot, an
+# incremental-add serve that PQ-encodes arrivals against the standing
+# per-subspace codebooks (FAISS's add() on a trained flat PQ), a
+# codebook-drift audit that says WHEN to retrain, and the
+# refresh-then-serve act the alarm gates. Same standing/increment
+# hash carve as the IVF and IVFADC families — ONE corpus-snapshot
+# boundary across every index family.
+# ---------------------------------------------------------------------------
+
+# MEASURED calibration: pinned-query recall@5 under the STANDING flat
+# PQ (codebooks fitted on the ~90% standing carve, all vectors
+# encoded against them) — see the q214 docstring for the per-SF
+# numbers; floored one notch under the weakest measurement, the
+# q68/q157/q211 discipline. A broken encode (wrong subspace split,
+# mis-joined codes) collapses it to ~0.
+Q214_RECALL_TARGET = 0.6
+
+
+def pq_standing_hex(artifact: DataFrame) -> str:
+    """The increment-carve boundary is a property of the ATTACHED
+    artifact (:func:`ivf_standing_hex` applied to this family): read
+    it from the ``_mms_fit_params`` tag so a refreshed index (boundary
+    moved to :data:`IVF_REFRESHED_HEX`) serves through the SAME q214
+    path with a provably empty increment."""
+    return getattr(artifact, "_mms_fit_params", {}).get(
+        "standing_hex", Q175_STANDING_HEX
+    )
+
+
+def _pq_standing_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The STANDING-corpus flat-PQ fit: (codebooks, codes) with the
+    per-subspace codebooks fitted on — and the codes covering — only
+    the standing hash split. Same gate (valid_embeddings), same
+    sample-bounded Lloyd, same encode pass as the full-corpus family
+    (:func:`_pq_fit`) — only the fit population differs."""
+    e = valid_embeddings(t(spark, sf_dir, "embeddings"))
+    standing = e.where(_standing_key() < Q175_STANDING_HEX)
+    cent = pq_codebooks(standing)
+    sw = valid_embeddings(tw(spark, sf_dir, "embeddings")).where(
+        _standing_key() < Q175_STANDING_HEX
+    )
+    codes = _pq_encode(_subvectors(sw), cent).localCheckpoint(eager=True)
+    return (cent, codes)
+
+
+# Standing-corpus flat-PQ lifecycle via fitted_family — the SIXTEENTH
+# persisted family. Same layout as the full-corpus PQ index (codes
+# deliberately unpartitioned: flat ADC scans every code, there is no
+# probe predicate to prune on); the standing boundary rides the param
+# stamp as a MUTABLE param (the refresh lifecycle moves it), while
+# n_sub/k_pq stay immutable contracts.
+(
+    pq_standing_index_for,
+    pq_standing_index_save,
+    pq_standing_index_load,
+    pq_standing_index_attach,
+) = fitted_family(
+    "pq_standing",
+    "embeddings.parquet",
+    [
+        ("pq", ["sub", "cid", "cv"], None),
+        ("codes", ["vec_id", "sub", "cluster"], None),
+    ],
+    _pq_standing_fit,
+    params={
+        "standing_hex": Q175_STANDING_HEX,
+        "n_sub": N_SUB,
+        "k_pq": K_PQ,
+    },
+    mutable=("standing_hex",),
+)
+
+
+def _q214_oracle(standing_pred: str | None = None) -> str:
+    """q214's full serve chain: standing-fitted per-subspace codebooks
+    (sample-fit chain over the standing carve via ``fit_src``), ALL
+    valid vectors encoded against them, then q157's ADC shortlist /
+    exact-rerank / audit chain verbatim. ``standing_pred`` overrides
+    the carve — q216 passes ``'TRUE'`` (a refreshed index covers
+    everything; is_new false throughout)."""
+    if standing_pred is None:
+        standing_pred = (
+            "substr(md5('ing1:' || CAST(vec_id AS VARCHAR)), 1, 4) "
+            f"< '{Q175_STANDING_HEX}'"
+        )
+    return f"""
+    WITH ev AS (SELECT * FROM {EMB_VALID_SQL} AS v),
+    standing AS (SELECT * FROM ev WHERE {standing_pred}),
+    {_pq_codebook_sql(src='ev', fit_src='standing')},
+    codes AS (
+      SELECT vec_id, sub, cluster FROM (
+        SELECT v.vec_id, v.sub, c.cid AS cluster,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                                  ORDER BY {_l2_sql('v.sv', 'c.cv')} ASC, c.cid) AS rn
+        FROM subv v JOIN pcent c ON v.sub = c.sub)
+      WHERE rn = 1
+    ),
+    qsub AS (SELECT sub, sv AS qv FROM subv WHERE vec_id = {QUERY_VEC_ID}),
+    lut AS (
+      SELECT c.sub, c.cid, {_l2_sql('c.cv', 'q.qv')} AS qd
+      FROM pcent c JOIN qsub q ON c.sub = q.sub
+    ),
+    scored AS (
+      SELECT k.vec_id, round(sum(l.qd), 6) AS approx_dist
+      FROM codes k JOIN lut l ON k.sub = l.sub AND k.cluster = l.cid
+      WHERE k.vec_id != {QUERY_VEC_ID}
+      GROUP BY k.vec_id
+    ),
+    shortlist AS (
+      SELECT vec_id, approx_dist FROM scored
+      ORDER BY approx_dist ASC, vec_id LIMIT {PQ_SHORTLIST}
+    ),
+    qfull AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    rerank AS (
+      SELECT s.vec_id, s.approx_dist,
+             round({_l2_sql('list_transform(e.embedding, x -> CAST(x AS DOUBLE))', 'qv', DIM)}, 6) AS dist
+      FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id, qfull
+    ),
+    hits AS (
+      SELECT vec_id, (NOT ({standing_pred})) AS is_new, approx_dist, dist
+      FROM rerank
+      ORDER BY dist ASC, vec_id LIMIT {ANN_K}
+    ),
+    exact AS (
+      SELECT vec_id
+      FROM (SELECT vec_id,
+                   {_l2_sql('list_transform(embedding, x -> CAST(x AS DOUBLE))', 'qv', DIM)} AS ed
+            FROM embeddings, qfull WHERE vec_id != {QUERY_VEC_ID})
+      ORDER BY ed ASC, vec_id LIMIT {ANN_K}
+    ),
+    marked AS (
+      SELECT h.vec_id, h.is_new, h.approx_dist, h.dist,
+             (e.vec_id IS NOT NULL) AS in_exact_topk
+      FROM hits h LEFT JOIN exact e ON h.vec_id = e.vec_id
+    ),
+    rec AS (
+      SELECT CAST(sum(CASE WHEN in_exact_topk THEN 1 ELSE 0 END) AS DOUBLE)
+               / {ANN_K} AS recall_at_k
+      FROM marked
+    )
+    SELECT vec_id, is_new, approx_dist, dist, in_exact_topk,
+           recall_at_k, (recall_at_k >= {Q214_RECALL_TARGET}) AS recall_ok
+    FROM marked, rec
+    ORDER BY dist ASC, vec_id
+    """
+
+
+@register(
+    "q214_pq_incremental_serve",
+    oracle=_q214_oracle(),
+    tags=("similarity", "ann", "quantization", "incremental",
+          "training-pipeline"),
+)
+def q214_pq_incremental_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAT-PQ INDEX FRESHNESS — new vectors become searchable WITHOUT
+    a refit: FAISS's ``add()`` for a trained flat PQ. The per-subspace
+    codebooks and standing codes are the SIXTEENTH persisted family
+    (:func:`pq_standing_index_for`, fitted on the ~90% standing hash
+    carve); the increment (~10%, "arrived since") is PQ-ENCODED
+    against the standing codebooks (one broadcast join + partial
+    argmin — the codebooks never refit) and unioned into the codes
+    table. The pinned query then runs q157's full serving chain (ADC
+    shortlist over the combined codes → exact rerank → top-k), each
+    hit carrying ``is_new`` and the in-band L2 recall contract vs the
+    exact scan over the FULL corpus — the honest measure, since the
+    index answers for data its codebooks never saw.
+
+    MEASURED recall@5 under the standing fit: 1.0 / 1.0 / 0.8 at
+    sf0.001 / 0.01 / 0.1 — the stale-codebook penalty is invisible at
+    a 10% increment (the shortlist-then-rerank chain absorbs code
+    noise, q157's own observation), and at sf0.1 an increment vector
+    lands in the pinned query's top-5 (``is_new = true`` in the
+    checked output — reachability-without-refit demonstrated in the
+    result itself); target one notch under the weakest,
+    :data:`Q214_RECALL_TARGET`.
+
+    Scale shape: increment encode cost is increment-rows × N_SUB ×
+    K_PQ broadcast lookups — nothing standing ever re-encodes; the
+    serve is q157's codes-only ADC. Staleness (codebooks drift from
+    the true distribution) is the trade — q215 is the audit that
+    measures it, q216 the retrain act.
+
+    Reference analog: none (SURVEY §2.3 extension — the flat-PQ twin
+    of q175's incremental ANN serve)."""
+    cent, codes = pq_standing_index_for(spark, sf_dir)
+    return _serve_pq_incr_view(spark, sf_dir, (cent, codes))
+
+
+def _serve_pq_incr_view(
+    spark: SparkSession, sf_dir: str, art: tuple
+) -> DataFrame:
+    """Serve q214's view from a standing (cent, codes) artifact:
+    PQ-encode the increment carve against the broadcast codebooks,
+    union into the codes, run q157's serving chain, mark is_new + the
+    recall audit. The increment boundary is the ARTIFACT's stamped one
+    (:func:`pq_standing_hex`), so a refreshed index (q216) serves an
+    empty increment through this same path — shared by q214 and
+    q216."""
+    cent, codes_s = art
+    e = t(spark, sf_dir, "embeddings")
+    hex_b = pq_standing_hex(cent)
+    incr = valid_embeddings(e).where(~(_standing_key() < F.lit(hex_b)))
+    combined = codes_s.unionByName(_pq_encode(_subvectors(incr), cent))
+    qsub = _subvectors(e).where(F.col("vec_id") == QUERY_VEC_ID).select(
+        "sub", F.col("sv").alias("qv")
+    )
+    lut = cent.join(F.broadcast(qsub), "sub").select(
+        "sub", "cid", _l2_col(F.col("cv"), F.col("qv")).alias("qd")
+    )
+    scored = (
+        combined.where(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            F.broadcast(lut),
+            (combined.sub == lut.sub) & (combined.cluster == lut.cid),
+        )
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd"), 6).alias("approx_dist"))
+    )
+    shortlist = scored.orderBy(F.col("approx_dist").asc(), "vec_id").limit(
+        PQ_SHORTLIST
+    )
+    ev = F.transform("embedding", lambda x: x.cast("double"))
+    qfull = e.where(F.col("vec_id") == QUERY_VEC_ID).select(ev.alias("qv"))
+    ed = F.aggregate(
+        F.zip_with(ev, F.col("qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rerank = (
+        shortlist.join(e, "vec_id")
+        .crossJoin(F.broadcast(qfull))
+        .select("vec_id", "approx_dist", F.round(ed, 6).alias("dist"))
+    )
+    hits = rerank.orderBy(F.col("dist").asc(), "vec_id").limit(ANN_K)
+    exact = (
+        e.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qfull))
+        .select("vec_id", ed.alias("_ed"))
+        .orderBy(F.col("_ed").asc_nulls_last(), "vec_id")
+        .limit(ANN_K)
+        .select("vec_id", F.lit(True).alias("in_exact_topk"))
+    )
+    marked = hits.join(F.broadcast(exact), "vec_id", "left").withColumn(
+        "in_exact_topk", F.coalesce("in_exact_topk", F.lit(False))
+    )
+    rec = marked.agg(
+        (
+            F.sum(F.col("in_exact_topk").cast("long")).cast("double")
+            / F.lit(float(ANN_K))
+        ).alias("recall_at_k")
+    )
+    return (
+        marked.crossJoin(F.broadcast(rec))
+        # is_new is a pure function of vec_id (the hash carve), so it
+        # marks on the OUTPUT — no flag threads through the serve
+        .withColumn("is_new", ~(_standing_key() < F.lit(hex_b)))
+        .withColumn("recall_ok", F.col("recall_at_k") >= Q214_RECALL_TARGET)
+        .select(
+            "vec_id", "is_new", "approx_dist", "dist", "in_exact_topk",
+            "recall_at_k", "recall_ok",
+        )
+        .orderBy(F.col("dist").asc(), "vec_id")
+    )
+
+
+# --- q215: per-subspace codebook-drift audit — WHEN to retrain flat PQ ------
+
+# Churn threshold for the retrain recommendation: the fraction of
+# standing (vec_id, sub) code assignments that would CHANGE under a
+# full-corpus refit, with refit codewords mapped back to standing
+# codewords by nearest-L2 matching per subspace (q212's alignment on
+# the flat-PQ family; non-bijective matchings over-count — the
+# conservative direction for an alert). MEASURED on the fixtures
+# (deterministic fits, both engines replay): 0.189 / 0.2014 / 0.3092
+# at sf0.001 / 0.01 / 0.1 — structurally LOWER than q212's IVFADC
+# churn (no coarse-residual indirection: both fits see the same raw
+# subvectors, so only sample membership differs), and RISING with
+# corpus size (once the corpus outgrows PQ_FIT_SAMPLE, the capped
+# standing and full fit samples diverge in membership and the seeds
+# move). Threshold between the two regimes: the toy fixtures stay
+# quiet, the realistic fixture fires — the drift class this audit
+# exists to catch, with q216 as the gated response.
+Q215_CODE_CHURN_TAU = 0.25
+
+
+def _q215_oracle() -> str:
+    standing_pred = (
+        "substr(md5('ing1:' || CAST(vec_id AS VARCHAR)), 1, 4) "
+        f"< '{Q175_STANDING_HEX}'"
+    )
+    return f"""
+    WITH ev AS (SELECT * FROM {EMB_VALID_SQL} AS v),
+    standing AS (SELECT * FROM ev WHERE {standing_pred}),
+    {_pq_codebook_sql(src='standing', prefix='s')},
+    s_codes AS (
+      SELECT vec_id, sub, cid AS code FROM (
+        SELECT v.vec_id, v.sub, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                                  ORDER BY {_l2_sql('v.sv', 'c.cv')} ASC, c.cid) AS rn
+        FROM ssubv v JOIN spcent c ON v.sub = c.sub)
+      WHERE rn = 1
+    ),
+    {_pq_codebook_sql(src='ev', prefix='r')},
+    r_codes AS (
+      SELECT vec_id, sub, cid AS code FROM (
+        SELECT v.vec_id, v.sub, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                                  ORDER BY {_l2_sql('v.sv', 'c.cv')} ASC, c.cid) AS rn
+        FROM rsubv v JOIN rpcent c ON v.sub = c.sub)
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT s.sub, s.cid AS s_cid, r.cid AS r_cid,
+             {_l2_sql('s.cv', 'r.cv')} AS d
+      FROM spcent s JOIN rpcent r ON s.sub = r.sub
+    ),
+    near_s AS (
+      SELECT sub, s_cid, r_cid AS nearest_refit_cid, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY sub, s_cid
+                                     ORDER BY d ASC, r_cid) AS rn
+        FROM pairs)
+      WHERE rn = 1
+    ),
+    map_r AS (
+      SELECT sub, r_cid, s_cid AS mapped_s FROM (
+        SELECT *, row_number() OVER (PARTITION BY sub, r_cid
+                                     ORDER BY d ASC, s_cid) AS rn
+        FROM pairs)
+      WHERE rn = 1
+    ),
+    churn AS (
+      SELECT round(CAST(sum(CASE WHEN m.mapped_s != s.code THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 4) AS code_churn_frac
+      FROM s_codes s
+      JOIN r_codes r ON r.vec_id = s.vec_id AND r.sub = s.sub
+      JOIN map_r m ON m.sub = r.sub AND m.r_cid = r.code
+    ),
+    pop AS (
+      SELECT sub, code AS cid, count(*) AS n_codes FROM s_codes GROUP BY 1, 2
+    )
+    SELECT n.sub, n.s_cid AS cid,
+           CAST(coalesce(p.n_codes, 0) AS BIGINT) AS n_codes,
+           n.nearest_refit_cid,
+           round(n.d, 6) AS centroid_shift,
+           c.code_churn_frac,
+           (c.code_churn_frac >= {Q215_CODE_CHURN_TAU}) AS retrain_recommended
+    FROM near_s n LEFT JOIN pop p ON p.sub = n.sub AND p.cid = n.s_cid, churn c
+    ORDER BY n.sub, n.s_cid
+    """
+
+
+@register(
+    "q215_pq_codebook_drift",
+    oracle=_q215_oracle(),
+    tags=("similarity", "ann", "quantization", "incremental", "monitoring",
+          "training-pipeline"),
+)
+def q215_pq_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SUBSPACE CODEBOOK-DRIFT AUDIT for the flat-PQ family — the
+    alerting signal that closes its freshness loop: q214 encodes
+    increments against STALE standing codebooks between retrains; this
+    query measures how stale, and recommends (or doesn't) the retrain.
+    q212's audit on the flat family — simpler, because both codebook
+    sets live in the SAME space (raw subvectors; no coarse-residual
+    indirection).
+
+    Compares the standing family's codebooks
+    (:func:`pq_standing_index_for`) against the FULL-corpus refit
+    candidate (the q157 family, :func:`pq_index_for` — shared through
+    the same session cache, so the audit costs no new fit when both
+    families are already serving). Per (sub, standing codeword):
+    population and ``centroid_shift`` (L2 to the nearest refit
+    codeword in the same subspace, nearest-neighbor alignment — cid
+    semantics aren't shared across independent Lloyd runs). Global,
+    on every row: ``code_churn_frac`` — the fraction of standing
+    (vec_id, sub) assignments that would CHANGE under the refit
+    (refit codewords mapped back through the alignment) — and the
+    ``retrain_recommended`` bit (churn ≥ :data:`Q215_CODE_CHURN_TAU`).
+
+    MEASURED churn on the fixtures: 0.189 / 0.2014 / 0.3092 at
+    sf0.001 / 0.01 / 0.1 — lower than q212's IVFADC numbers (both
+    fits see the same raw subvectors here, so only fit-sample
+    membership differs) and rising with corpus size: once the corpus
+    outgrows PQ_FIT_SAMPLE, the capped standing and full samples
+    diverge in membership and the seed set moves. The threshold sits
+    between the two regimes — quiet at the toy fixtures, firing at
+    sf0.1, where q216 is the gated act.
+
+    Scale shape: both codebook sets are N_SUB × K_PQ rows (broadcast
+    everywhere); the per-subspace alignment is K_PQ × K_PQ; churn is
+    one broadcast-mapped join of the two (vec_id, sub, code) tables
+    (narrow rows) with a partial-aggregable mean — no vector ever
+    reshuffles, and when the two families are attached artifacts the
+    audit reads codes that already exist. The oracle replays BOTH
+    fits CTE-for-CTE (prefix-namespaced codebook CTEs), the
+    alignment, and the churn join.
+
+    Reference analog: none (SURVEY §2.3 extension — monitoring for
+    the q214 freshness lifecycle)."""
+    cent_s, codes_s = pq_standing_index_for(spark, sf_dir)
+    cent_r, codes_r = pq_index_for(spark, sf_dir)
+    sp = cent_s.select(
+        "sub", F.col("cid").alias("s_cid"), F.col("cv").alias("s_cv")
+    )
+    rp = cent_r.select(
+        "sub", F.col("cid").alias("r_cid"), F.col("cv").alias("r_cv")
+    )
+    pairs = sp.join(F.broadcast(rp), "sub").select(
+        "sub", "s_cid", "r_cid",
+        _l2_col(F.col("s_cv"), F.col("r_cv")).alias("d"),
+    )
+    near_s = pairs.groupBy("sub", "s_cid").agg(
+        F.min_by("r_cid", F.struct(F.col("d"), F.col("r_cid"))).alias(
+            "nearest_refit_cid"
+        ),
+        F.min("d").alias("_mind"),
+    )
+    map_r = pairs.groupBy("sub", "r_cid").agg(
+        F.min_by("s_cid", F.struct(F.col("d"), F.col("s_cid"))).alias(
+            "mapped_s"
+        )
+    )
+    sc = codes_s.select("vec_id", "sub", F.col("cluster").alias("s_code"))
+    rc = codes_r.select("vec_id", "sub", F.col("cluster").alias("r_code"))
+    mr = map_r.select(
+        F.col("sub").alias("m_sub"), F.col("r_cid").alias("m_rcid"), "mapped_s"
+    )
+    churn = (
+        sc.join(rc, ["vec_id", "sub"])
+        .join(
+            F.broadcast(mr),
+            (F.col("sub") == F.col("m_sub"))
+            & (F.col("r_code") == F.col("m_rcid")),
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("mapped_s") != F.col("s_code")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("code_churn_frac")
+        )
+    )
+    pop = sc.groupBy("sub", F.col("s_code").alias("p_cid")).agg(
+        F.count(F.lit(1)).alias("n_codes")
+    )
+    return (
+        near_s.join(
+            pop,
+            (near_s.sub == pop.sub) & (near_s.s_cid == pop.p_cid),
+            "left",
+        )
+        .select(
+            # the oracle's range(N_SUB) is BIGINT; posexplode yields INT
+            near_s.sub.cast("long").alias("sub"),
+            F.col("s_cid").alias("cid"),
+            F.coalesce("n_codes", F.lit(0)).cast("long").alias("n_codes"),
+            "nearest_refit_cid",
+            F.round(F.col("_mind"), 6).alias("centroid_shift"),
+        )
+        .crossJoin(F.broadcast(churn))
+        .withColumn(
+            "retrain_recommended",
+            F.col("code_churn_frac") >= Q215_CODE_CHURN_TAU,
+        )
+        .orderBy("sub", "cid")
+    )
+
+
+# --- q216: the retrain — q215's alarm gets its act ---------------------------
+
+
+def pq_standing_refresh(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """The RETRAIN job q215's ``retrain_recommended`` calls for: refit
+    the per-subspace codebooks AND the codes over the FULL current
+    corpus (standing ∪ increments), persist in the sixteenth family's
+    exact layout, and stamp the moved boundary
+    :data:`IVF_REFRESHED_HEX` — everything standing, zero pending
+    increments. Because ``standing_hex`` is a MUTABLE family param and
+    the serve path carves at the artifact's stamped boundary
+    (:func:`pq_standing_hex`), the refreshed index attaches and serves
+    through the ordinary lifecycle with no code change — q207's
+    rotation discipline applied to the flat-PQ index.
+
+    Cost: one sample-bounded Lloyd + one encode pass over the corpus
+    — the retrain price the alarm deliberately gates (and the cheapest
+    of the index retrains: no coarse k-means, no residual pass)."""
+    import os
+
+    from ._util import write_index_meta
+
+    e = valid_embeddings(t(spark, sf_dir, "embeddings"))
+    cent = pq_codebooks(e)
+    codes = _pq_encode(
+        _subvectors(valid_embeddings(tw(spark, sf_dir, "embeddings"))), cent
+    ).localCheckpoint(eager=True)
+    cent.write.mode("overwrite").parquet(os.path.join(out_dir, "pq"))
+    codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))
+    write_index_meta(
+        out_dir,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        schemas={"pq": cent.schema.json(), "codes": codes.schema.json()},
+        params={
+            "standing_hex": IVF_REFRESHED_HEX,
+            "n_sub": N_SUB,
+            "k_pq": K_PQ,
+        },
+    )
+
+
+@register(
+    "q216_pq_refresh_serve",
+    oracle=_q214_oracle(standing_pred="TRUE"),
+    tags=("similarity", "ann", "quantization", "incremental", "lifecycle",
+          "training-pipeline"),
+)
+def q216_pq_refresh_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFRESH-THEN-SERVE for the flat-PQ index — closes q215's alarm
+    → act loop (the q188/q207/q213 pattern applied to the sixteenth
+    family): run :func:`pq_standing_refresh` (full-corpus refit of
+    codebooks + codes stamped at the moved boundary), ATTACH the
+    refreshed artifact through the ordinary fingerprint+param gate
+    (``standing_hex`` is mutable; a doctored ``k_pq``/``n_sub`` or a
+    stale fingerprint still refuses), and serve q214's view from it.
+    The serve carves increments at the artifact's stamped boundary —
+    provably empty for a refreshed index — so the view is the
+    full-corpus flat-PQ serve with ``is_new = false`` on every row,
+    exactly what the oracle recomputes from scratch (q214's chain
+    with the standing carve = TRUE).
+
+    The session cache entry is restored afterwards (the returned plan
+    closes over the attached artifact directly), so running q216 can
+    never poison a later q214/q215 call whose oracle models the STALE
+    boundary.
+
+    Scale shape: the refresh is the one-shot retrain the alarm gates;
+    the attach+serve after it is q157's ordinary codes-only ADC cost
+    with an EMPTY increment encode.
+
+    Reference analog: none (SURVEY §2.3 maintenance block — the
+    retrain half of the flat-PQ lifecycle)."""
+    from ._util import refresh_then_serve
+
+    return refresh_then_serve(
+        spark, sf_dir,
+        cache_family="pq_standing",
+        src_table="embeddings.parquet",
+        refresh_fn=pq_standing_refresh,
+        attach_fn=pq_standing_index_attach,
+        serve_fn=_serve_pq_incr_view,
     )

@@ -593,3 +593,73 @@ def test_ivfadc_refresh_attach_moved_boundary_and_restores_cache(
         json.dump(doctored, f)
     with pytest.raises(ValueError, match="params"):
         sim.ivfadc_standing_index_attach(spark, SF_SMALL, out)
+
+
+def test_pq_refresh_attach_moved_boundary_and_restores_cache(
+    spark, tmp_path
+):
+    """q216's lifecycle, pinned beyond the shared oracle (the
+    q207/q213 test applied to the sixteenth family): the refreshed
+    flat-PQ artifact attaches through the mutable-param gate carrying
+    the moved boundary (increment carve provably empty), the gate
+    still refuses a doctored IMMUTABLE param (k_pq), the served rows
+    are all is_new = false, and a later q214 in the same session is
+    untouched (the cache save/restore discipline)."""
+    from mapreduce_mit_spark.plans import similarity as sim
+    from mapreduce_mit_spark.plans._util import (
+        _session_cache,
+        source_fingerprint,
+    )
+    from mapreduce_mit_spark.registry import REGISTRY, load_all_plans
+
+    load_all_plans()
+    q214_before = sorted(
+        map(
+            tuple,
+            REGISTRY["q214_pq_incremental_serve"]
+            .fn(spark, SF_SMALL)
+            .collect(),
+        )
+    )
+    out = str(tmp_path / "pq_refreshed")
+    sim.pq_standing_refresh(spark, SF_SMALL, out)
+
+    key = ("pq_standing",) + source_fingerprint(
+        os.path.join(SF_SMALL, "embeddings.parquet")
+    )
+    cache = _session_cache(spark)
+    prev = cache.get(key)
+    try:
+        cent, _codes = sim.pq_standing_index_attach(spark, SF_SMALL, out)
+        assert sim.pq_standing_hex(cent) == sim.IVF_REFRESHED_HEX
+        incr = sim.valid_embeddings(
+            load_table(spark, SF_SMALL, "embeddings")
+        ).where(~(sim._standing_key() < sim.pq_standing_hex(cent)))
+        assert incr.count() == 0, "refreshed boundary must empty the increment"
+    finally:
+        if prev is not None:
+            cache[key] = prev
+        else:
+            cache.pop(key, None)
+
+    served = REGISTRY["q216_pq_refresh_serve"].fn(spark, SF_SMALL).collect()
+    assert served and all(not r.is_new for r in served)
+    q214_after = sorted(
+        map(
+            tuple,
+            REGISTRY["q214_pq_incremental_serve"]
+            .fn(spark, SF_SMALL)
+            .collect(),
+        )
+    )
+    assert q214_after == q214_before, "q216 poisoned the session cache"
+
+    # the gate still refuses what remains IMMUTABLE: a doctored k_pq
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    doctored = dict(meta, params=dict(meta["params"], k_pq=99))
+    with open(meta_path, "w") as f:
+        json.dump(doctored, f)
+    with pytest.raises(ValueError, match="params"):
+        sim.pq_standing_index_attach(spark, SF_SMALL, out)

@@ -2718,3 +2718,71 @@ def test_ivf_cells_policy(spark):
     want = ivf_cells_policy(n)
     assert cb.count() == want
     assert want != N_IVF_CENTROIDS, "fixture pin must differ from policy"
+
+
+def test_pq_standing_index_save_load_roundtrip(spark, tmp_path):
+    """The disk tier of the SIXTEENTH family: a saved+reloaded
+    standing flat-PQ index must serve q214's view BIT-IDENTICAL to
+    the in-session artifact (the fit is deterministic)."""
+    from mapreduce_mit_spark.plans.similarity import (
+        _serve_pq_incr_view,
+        pq_standing_index_for,
+        pq_standing_index_load,
+        pq_standing_index_save,
+    )
+
+    out = str(tmp_path / "pq_standing_index")
+    pq_standing_index_save(spark, SF_SMALL, out)
+
+    mem_art = pq_standing_index_for(spark, SF_SMALL)
+    disk_art = pq_standing_index_load(spark, out)
+    mem = sorted(
+        map(tuple, _serve_pq_incr_view(spark, SF_SMALL, mem_art).collect())
+    )
+    disk = sorted(
+        map(tuple, _serve_pq_incr_view(spark, SF_SMALL, disk_art).collect())
+    )
+    assert mem == disk and mem
+
+
+def test_pq_codebook_drift_semantics(spark):
+    """q215's structural claims beyond the shared oracle: one row per
+    (subspace, standing codeword); churn_frac is one global value in
+    [0, 1]; the recommendation bit equals the thresholded churn on
+    every row; populations cover the standing codes. Then the
+    no-refit property: with both families already session-cached, the
+    fit core is poisoned and the audit still serves (it reads the
+    standing and refit artifacts, never fits its own)."""
+    from mapreduce_mit_spark.plans import similarity as sim
+    from mapreduce_mit_spark.registry import REGISTRY
+
+    rows = REGISTRY["q215_pq_codebook_drift"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == sim.N_SUB * sim.K_PQ
+    assert sorted({(r.sub, r.cid) for r in rows}) == [
+        (s, c) for s in range(sim.N_SUB) for c in range(sim.K_PQ)
+    ]
+    churns = {r.code_churn_frac for r in rows}
+    assert len(churns) == 1, "code_churn_frac must be one global value"
+    churn = churns.pop()
+    assert 0.0 <= churn <= 1.0
+    for r in rows:
+        assert r.retrain_recommended == (
+            r.code_churn_frac >= sim.Q215_CODE_CHURN_TAU
+        )
+        assert 0 <= r.nearest_refit_cid < sim.K_PQ
+        assert r.centroid_shift >= -1e-9
+        assert r.n_codes >= 0
+    assert sum(r.n_codes for r in rows) > 0
+
+    orig_pq = sim.pq_codebooks
+    try:
+        def _poison(*a, **kw):
+            raise AssertionError(
+                "q215 refit a codebook instead of reusing the cached families"
+            )
+
+        sim.pq_codebooks = _poison
+        again = REGISTRY["q215_pq_codebook_drift"].fn(spark, SF_SMALL).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    finally:
+        sim.pq_codebooks = orig_pq
