@@ -1949,15 +1949,17 @@ def _l2_sql(a: str, b: str, dim: int = SUB_DIM) -> str:
     )
 
 
-def _subvectors(e: DataFrame) -> DataFrame:
-    """(vec_id, sub, sv) — each vector split into N_SUB contiguous
-    SUB_DIM-dim subvectors (double-cast). One narrow generate, no
-    shuffle."""
+def _subvectors(e: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(vec_id, *carry, sub, sv) — each vector split into N_SUB
+    contiguous SUB_DIM-dim subvectors (double-cast). One narrow
+    generate, no shuffle. ``carry`` names extra columns to ride along
+    (q211's increment encode threads ``cluster`` through instead of
+    joining it back afterwards)."""
     ev = F.transform("embedding", lambda x: x.cast("double"))
     chunks = F.array(
         *[F.slice(ev, s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)]
     )
-    return e.select("vec_id", F.posexplode(chunks).alias("sub", "sv"))
+    return e.select("vec_id", *carry, F.posexplode(chunks).alias("sub", "sv"))
 
 
 def pq_codebooks(e: DataFrame) -> DataFrame:
@@ -2471,15 +2473,23 @@ def _ivfadc_residuals(assigned: DataFrame, cent: DataFrame) -> DataFrame:
 def _ivfadc_codes(resid: DataFrame, pcent: DataFrame) -> DataFrame:
     """(vec_id, cluster, sub, code): per-subspace argmin-L2 PQ code of
     every residual — one broadcast join + partial argmin. Shared by
-    the full fit, the standing fit, and q211's increment encode."""
-    sv = _subvectors(resid.select("vec_id", "embedding"))
+    the full fit, the standing fit, and q211's increment encode.
+    ``cluster`` is functionally determined by vec_id, so it RIDES the
+    encode rows (any_value under the argmin groupBy) instead of
+    joining back to the residuals afterwards — one narrow column in
+    the shuffle buys removing a row-count-sized sort-merge join."""
+    sv = _subvectors(
+        resid.select("vec_id", "cluster", "embedding"), carry=("cluster",)
+    )
     dist = _l2_col(F.col("sv"), F.col("cv"))
     return (
         sv.join(F.broadcast(pcent), "sub")
-        .select("vec_id", "sub", "cid", dist.alias("d"))
+        .select("vec_id", "cluster", "sub", "cid", dist.alias("d"))
         .groupBy("vec_id", "sub")
-        .agg(F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("code"))
-        .join(resid.select("vec_id", "cluster"), "vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("code"),
+            F.any_value("cluster").alias("cluster"),
+        )
         .select("vec_id", "cluster", "sub", "code")
     )
 

@@ -1152,3 +1152,27 @@ def test_q205_compacted_tree_still_prunes_to_probed_cells(spark):
     )
     assert "cluster" in line and " IN (0,3)" in line, line
     assert "batch_id" not in line
+
+
+def test_q214_pq_incremental_serve_all_broadcast(plan):
+    """q214's serve posture: the codebooks, per-query LUT, pinned
+    query row, and recall scalar all BROADCAST — the codes table and
+    the raw embeddings never shuffle into a sort-merge join, and no
+    unbounded cartesian appears (every Cross is against a broadcast
+    1-row/k-row frame). At 100 TB this is what keeps the increment
+    encode + ADC serve one pass over the codes."""
+    p = plan("q214_pq_incremental_serve")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q211_ivfadc_incremental_serve_all_broadcast(plan):
+    """q211's serve posture, same claim as q214's pin on the
+    production index: probe/LUT/codebook joins broadcast; the codes
+    union feeds one ADC aggregation; no sort-merge join of
+    corpus-sized sides and no unbounded cartesian."""
+    p = plan("q211_ivfadc_incremental_serve")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
