@@ -1757,20 +1757,58 @@ def ivf_serve_hits(
     product per (query, candidate) pair — the work that actually
     scales with probed-list volume. ``keep_rank=True`` surfaces the
     per-query rank (``_rk``) the top-k filter already computed, so a
-    caller that reports ranks doesn't pay a second window sort."""
+    caller that reports ranks doesn't pay a second window sort.
+
+    The probe RANKING runs INSIDE each query row: the codebook
+    collapses to ONE broadcast row of (cid, cv, norm) structs, and
+    each query computes sim → sort_array → slice(nprobe) as a
+    higher-order-function expression — the (|queries| × k)-row
+    exchange + window sort the row_number form paid is gone entirely
+    (measured: at k=512 × 10k queries that exchange was ~25 s of a
+    62 s serve; see SCALING.md round 17). Ties and NULL sims order
+    exactly as the window did — (sim DESC, cid ASC), null sims LAST
+    via an +inf sentinel on the negated sort key — so the probed-cell
+    SET stays bit-identical to the oracle's row_number replay. The
+    collapsed codebook row is ~0.5 KB × k (34 MB at the k=2¹⁶ policy
+    cap — inside the 64 MB broadcast threshold)."""
     qn = queries.withColumn("_qn", _norm(F.col("qv")))
-    qs = qn.crossJoin(F.broadcast(cent)).select(
-        "query_id",
-        "qv",
-        "_qn",
-        "cid",
-        cosine_col(F.col("qv"), F.col("cv")).alias("qsim"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("qsim").desc(), "cid")
+    cells = cent.select(
+        F.struct("cid", "cv", _norm(F.col("cv")).alias("_cn")).alias("_c")
+    ).agg(F.collect_list("_c").alias("_cells"))
+
+    def _neg_qsim(c):
+        # same cosine arithmetic as cosine_col (dot / (qn*cn), nullif
+        # zero-norm), negated for the ascending struct sort; NULL →
+        # +inf so null-sim cells rank LAST, as the window's default
+        # NULLS LAST did
+        s = _dot(F.col("qv"), c["cv"]) / F.nullif(
+            F.col("_qn") * c["_cn"], F.lit(0.0)
+        )
+        return F.coalesce(-s, F.lit(float("inf")))
+
     probe = (
-        qs.withColumn("_rk", F.row_number().over(wq))
-        .where(F.col("_rk") <= nprobe)
-        .select("query_id", "qv", "cid", "_qn")
+        qn.crossJoin(F.broadcast(cells))
+        .select(
+            "query_id",
+            "qv",
+            "_qn",
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        F.transform(
+                            "_cells",
+                            lambda c: F.struct(
+                                _neg_qsim(c).alias("_nq"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("_p"),
+        )
+        .select("query_id", "qv", F.col("_p.cid").alias("cid"), "_qn")
     )
     lists = assign.select(
         "vec_id", "cluster", "embedding", _norm(F.col("embedding")).alias("_bn")
