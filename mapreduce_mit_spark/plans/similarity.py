@@ -2576,18 +2576,47 @@ def ivfadc_probe_hits(
     qs = queries.select(
         "query_id", F.transform("qv", lambda x: x.cast("double")).alias("qv")
     )
-    qsims = qs.crossJoin(F.broadcast(cent)).select(
-        "query_id", "qv", "cid", "cv",
-        cosine_col(F.col("qv"), F.col("cv")).alias("sim"),
+    # probe ranking runs IN-ROW over a collapsed one-row codebook (the
+    # ivf_serve_hits discipline — no (|queries| × k) exchange + window
+    # sort, the term that grows with the cell-count policy's knob).
+    # The struct carries cv so the winner's centroid feeds the residual
+    # without a join-back; cid is unique, so the trailing cv field can
+    # never influence the (sim DESC, cid ASC, nulls-last) order.
+    cells = cent.select(F.struct("cid", "cv").alias("_c")).agg(
+        F.collect_list("_c").alias("_cells")
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "cid")
+
+    def _neg_qsim(c):
+        return F.coalesce(
+            -cosine_col(F.col("qv"), c["cv"]), F.lit(float("inf"))
+        )
+
     qres = (
-        qsims.withColumn("_rk", F.row_number().over(wq))
-        .where(F.col("_rk") <= nprobe)
+        qs.crossJoin(F.broadcast(cells))
         .select(
             "query_id",
-            F.col("cid").alias("pcell"),
-            F.zip_with("qv", "cv", lambda x, y: x - y).alias("qr"),
+            "qv",
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        F.transform(
+                            "_cells",
+                            lambda c: F.struct(
+                                _neg_qsim(c).alias("_nq"),
+                                c["cid"].alias("cid"),
+                                c["cv"].alias("cv"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "query_id",
+            F.col("_p.cid").alias("pcell"),
+            F.zip_with("qv", F.col("_p.cv"), lambda x, y: x - y).alias("qr"),
         )
     )
     chunks = F.array(
