@@ -1466,7 +1466,11 @@ def codebook_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("ivf",) + source_fingerprint(src)
     df = cache.get(key)
     if df is None:
-        df = ivf_codebook(t(spark, sf_dir, "embeddings"))
+        # tw (fan_out) spreads a degenerate single-row-group scan
+        # before the Lloyd rounds; a no-op on real multi-split layouts,
+        # and the 6-decimal mean rounding makes the codebook partition-
+        # order-invariant (verified bit-equal at all fixture SFs)
+        df = ivf_codebook(tw(spark, sf_dir, "embeddings"))
         _cache_put(cache, key, df)
     return df
 
@@ -3135,7 +3139,7 @@ def _ivf_standing_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     split with the trained index as a persisted table. Same gate
     (valid_embeddings), same codebook fit, same assignment pass as the
     full-corpus IVF family — only the fit population differs."""
-    e = valid_embeddings(t(spark, sf_dir, "embeddings"))
+    e = valid_embeddings(tw(spark, sf_dir, "embeddings"))
     standing = e.where(_standing_key() < Q175_STANDING_HEX)
     cent = ivf_codebook(standing)
     lists = _assign_to_codebook(standing, _with_cnorm(cent)).localCheckpoint(
@@ -3530,7 +3534,7 @@ def ivf_standing_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> None
 
     from ._util import write_index_meta
 
-    e = valid_embeddings(t(spark, sf_dir, "embeddings"))
+    e = valid_embeddings(tw(spark, sf_dir, "embeddings"))
     cent = ivf_codebook(e)
     lists = _assign_to_codebook(e, _with_cnorm(cent)).localCheckpoint(eager=True)
     cent.write.mode("overwrite").parquet(os.path.join(out_dir, "coarse"))
@@ -4123,7 +4127,7 @@ def ivfadc_standing_refresh(
 
     from ._util import write_index_meta
 
-    e = valid_embeddings(t(spark, sf_dir, "embeddings"))
+    e = valid_embeddings(tw(spark, sf_dir, "embeddings"))
     cent = ivf_codebook(e)
     resid = _ivfadc_residuals(
         _assign_to_codebook(e, _with_cnorm(cent)), cent
