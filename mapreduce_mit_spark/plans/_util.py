@@ -274,7 +274,12 @@ def fitted_family(
         dfs = value if isinstance(value, tuple) else (value,)
         schemas = {}
         for (name, _cols, part), df in zip(tables, dfs):
-            w = df.write.mode("overwrite")
+            # cluster a partitioned save by its partition column so the
+            # tree gets one file set per partition value, not
+            # source-partitions × values tiny files (no-op cost for the
+            # already-repartitioned fits; insurance for any family whose
+            # fit output is map-shaped). AQE coalesces the small case.
+            w = (df.repartition(part) if part else df).write.mode("overwrite")
             if part:
                 w = w.partitionBy(part)
             w.parquet(os.path.join(out_dir, name))

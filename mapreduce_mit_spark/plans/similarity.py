@@ -1357,9 +1357,11 @@ def ivf_codebook(
     - an emptied cell keeps its previous centroid (left join +
       coalesce), identically in both engines.
 
-    Scale shape: the codebook is k rows and BROADCASTS; each round is
-    one map-side crossJoin + argmax (max_by — partial-aggregable, one
-    narrow shuffle of (cluster, partial sums)) — the embeddings never
+    Scale shape: the codebook is k rows, collapses to ONE broadcast
+    row of structs, and each round's assignment is an IN-ROW argmax —
+    a pure map pass, zero exchanges; the only shuffle per round is the
+    (cluster, pos) partial-sum aggregate for the means, map-side
+    combinable down to k×DIM rows per task. The embeddings never
     shuffle. This is the spark.ml KMeans dataflow restated in pure
     DataFrame ops so the oracle can replay it; swap in spark.ml (fit
     once, broadcast centroids) when cross-engine replay isn't needed."""
@@ -1388,20 +1390,39 @@ def ivf_codebook(
     # the quotient is bit-equal to the oracle's per-pair cosine
     ev = e.withColumn("_en", _norm(F.col("embedding")))
     for _ in range(iters):
+        # in-row argmax (r17): the k-row codebook collapses to ONE
+        # broadcast row of (cid, cv, _cn) structs; each vector ranks
+        # its cell inside a sort_array expression — the assignment
+        # half of a Lloyd round is a pure map pass with ZERO
+        # exchanges. The previous crossJoin-explode + groupBy(vec_id)
+        # form hash-exchanged every corpus row (with its embedding)
+        # once per iteration. Sentinel/tie semantics identical to
+        # _assign_to_codebook (and the oracle's row_number replay):
+        # NULL sim → +inf → last, ties → lowest cid.
         centn = cent.select("cid", "cv", _norm(F.col("cv")).alias("_cn"))
-        sims = ev.crossJoin(F.broadcast(centn)).select(
-            "vec_id",
-            "embedding",
-            "cid",
-            (
-                _dot(F.col("embedding"), F.col("cv"))
-                / F.nullif(F.col("_en") * F.col("_cn"), F.lit(0.0))
-            ).alias("sim"),
-        )
-        assign = sims.groupBy("vec_id").agg(
-            F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc")))
-            .alias("cluster"),
-            F.any_value("embedding").alias("embedding"),
+        cells = centn.select(
+            F.struct("cid", "cv", "_cn").alias("_c")
+        ).agg(F.collect_list("_c").alias("_cells"))
+
+        def _neg_sim(c):
+            s = _dot(F.col("embedding"), c["cv"]) / F.nullif(
+                F.col("_en") * c["_cn"], F.lit(0.0)
+            )
+            return F.coalesce(-s, F.lit(float("inf")))
+
+        best = F.element_at(
+            F.sort_array(
+                F.transform(
+                    "_cells",
+                    lambda c: F.struct(
+                        _neg_sim(c).alias("_nq"), c["cid"].alias("cid")
+                    ),
+                )
+            ),
+            1,
+        )["cid"]
+        assign = ev.crossJoin(F.broadcast(cells)).select(
+            best.alias("cluster"), "embedding"
         )
         # element-wise means via posexplode + narrow agg, NOT DIM avg
         # aggregate expressions: the values are identical (same rows,
@@ -1482,28 +1503,47 @@ def _assign_to_codebook(part: DataFrame, centn: DataFrame) -> DataFrame:
     normed codebook ``centn`` (cid, cv, _cn). Ties break toward the
     LOWEST cid — (sim, -cid) max = the oracle's ORDER BY sim DESC, cid
     row_number()=1. Norms once per side (q164's discipline): the
-    quotient is bit-equal to the oracle's per-pair cosine. No shuffle
-    of the vectors — the codebook broadcasts, max_by is
-    partial-aggregable."""
-    sims = (
-        part.withColumn("_en", _norm(F.col("embedding")))
-        .crossJoin(F.broadcast(centn))
-        .select(
-            "vec_id",
-            "label",
-            "embedding",
-            "cid",
-            (
-                _dot(F.col("embedding"), F.col("cv"))
-                / F.nullif(F.col("_en") * F.col("_cn"), F.lit(0.0))
-            ).alias("sim"),
+    quotient is bit-equal to the oracle's per-pair cosine.
+
+    The argmax runs IN-ROW (r17, the probe-ranking discipline applied
+    to assignment): the codebook collapses to ONE broadcast row of
+    (cid, cv, _cn) structs and each vector picks its cell with a
+    sort_array over a k-entry struct array — a pure map pass, ZERO
+    exchanges. The previous form (crossJoin-explode to N×k rows +
+    groupBy(vec_id).max_by) partial-aggregated map-side but still
+    hash-exchanged every corpus row WITH its embedding once per
+    assignment — at 100 TB that is a full-corpus shuffle per fit /
+    refresh / increment for a decision that needs only k broadcast
+    rows. NULL sims (zero-norm vectors) rank LAST via the +inf
+    sentinel on the negated sort key, ties toward the lowest cid —
+    exactly the oracle's (sim DESC NULLS LAST, cid) replay, and
+    bit-equal to the old max_by(struct(sim, -cid)) form (all-NULL →
+    cid of the lowest id, identically)."""
+    cells = centn.select(
+        F.struct("cid", "cv", "_cn").alias("_c")
+    ).agg(F.collect_list("_c").alias("_cells"))
+
+    def _neg_sim(c):
+        s = _dot(F.col("embedding"), c["cv"]) / F.nullif(
+            F.col("_en") * c["_cn"], F.lit(0.0)
         )
-    )
-    return sims.groupBy("vec_id", "label").agg(
-        F.max_by(
-            "cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))
-        ).alias("cluster"),
-        F.any_value("embedding").alias("embedding"),
+        return F.coalesce(-s, F.lit(float("inf")))
+
+    best = F.element_at(
+        F.sort_array(
+            F.transform(
+                "_cells",
+                lambda c: F.struct(
+                    _neg_sim(c).alias("_nq"), c["cid"].alias("cid")
+                ),
+            )
+        ),
+        1,
+    )["cid"]
+    return (
+        part.withColumn("_en", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cells))
+        .select("vec_id", "label", best.alias("cluster"), "embedding")
     )
 
 
@@ -1526,9 +1566,20 @@ def _ivf_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     eager localCheckpoint per (session, source fingerprint), built
     from the same codebook q68/q155 share through the cache."""
     cent = codebook_for(spark, sf_dir)
-    assign = _assign_to_codebook(
-        tw(spark, sf_dir, "embeddings"), _with_cnorm(cent)
-    ).localCheckpoint(eager=True)
+    # repartition("cluster") = the cell-clustered LAYOUT (FAISS's
+    # inverted-list order, Iceberg's hash write-distribution): the
+    # in-row assignment itself needs no exchange, but the
+    # materialized lists want cell locality — probed-cell serves and
+    # the partitionBy("cluster") save would otherwise fan every map
+    # partition across every cell (measured: 8 → 256 artifact files
+    # after the in-row rewrite, and the refresh acts paid it back in
+    # read/commit overhead). The payload moves ONCE, to its final
+    # layout — not once per pass. AQE coalesces the tiny local case.
+    assign = (
+        _assign_to_codebook(tw(spark, sf_dir, "embeddings"), _with_cnorm(cent))
+        .repartition("cluster")
+        .localCheckpoint(eager=True)
+    )
     return (cent, assign)
 
 
@@ -1715,25 +1766,34 @@ def ivf_probe_hits(
     Scale shape: the codebook broadcasts for BOTH the corpus assignment
     and the query-cell ranking; the probed-cell join broadcasts the
     (|queries| × nprobe)-row probe set; the corpus never shuffles."""
+    # in-row argmax assignment (r17) — the _assign_to_codebook
+    # discipline minus the label column: pure map pass, no exchange
     centn = cent.select("cid", "cv", _norm(F.col("cv")).alias("_cn"))
-    sims = (
-        e.withColumn("_en", _norm(F.col("embedding")))
-        .crossJoin(F.broadcast(centn))
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            (
-                _dot(F.col("embedding"), F.col("cv"))
-                / F.nullif(F.col("_en") * F.col("_cn"), F.lit(0.0))
-            ).alias("sim"),
+    cells = centn.select(
+        F.struct("cid", "cv", "_cn").alias("_c")
+    ).agg(F.collect_list("_c").alias("_cells"))
+
+    def _neg_sim(c):
+        s = _dot(F.col("embedding"), c["cv"]) / F.nullif(
+            F.col("_en") * c["_cn"], F.lit(0.0)
         )
-    )
-    assign = sims.groupBy("vec_id").agg(
-        F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias(
-            "cluster"
+        return F.coalesce(-s, F.lit(float("inf")))
+
+    best = F.element_at(
+        F.sort_array(
+            F.transform(
+                "_cells",
+                lambda c: F.struct(
+                    _neg_sim(c).alias("_nq"), c["cid"].alias("cid")
+                ),
+            )
         ),
-        F.any_value("embedding").alias("embedding"),
+        1,
+    )["cid"]
+    assign = (
+        e.withColumn("_en", _norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cells))
+        .select("vec_id", best.alias("cluster"), "embedding")
     )
     return ivf_serve_hits(assign, cent, queries, k, nprobe)
 
@@ -2054,15 +2114,28 @@ def pq_codebooks(e: DataFrame) -> DataFrame:
     ).select("sub", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
     sv = _subvectors(sample.select("vec_id", "embedding"))
     for _ in range(PQ_ITERS):
-        dist = _l2_col(F.col("sv"), F.col("cv"))
-        assign = (
-            sv.join(F.broadcast(cent), "sub")
-            .select("vec_id", "sub", "sv", "cid", dist.alias("d"))
-            .groupBy("vec_id", "sub")
-            .agg(
-                F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("cluster"),
-                F.any_value("sv").alias("sv"),
-            )
+        # in-row argmin per subspace (r17, the _pq_encode discipline):
+        # assignment is a pure map pass — the explode + groupBy
+        # (vec_id, sub) exchange per Lloyd round is gone; min_by
+        # struct(d, cid) == ascending sort_array head, distances never
+        # NULL on the gated SUB_DIM subvectors.
+        cells = cent.groupBy("sub").agg(
+            F.collect_list(F.struct("cid", "cv")).alias("_cells")
+        )
+        best = F.element_at(
+            F.sort_array(
+                F.transform(
+                    "_cells",
+                    lambda c: F.struct(
+                        _l2_col(F.col("sv"), c["cv"]).alias("_d"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ),
+            1,
+        )["cid"]
+        assign = sv.join(F.broadcast(cells), "sub").select(
+            "sub", best.alias("cluster"), "sv"
         )
         means = assign.groupBy("sub", "cluster").agg(
             *[
@@ -2103,7 +2176,11 @@ def _pq_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     e = valid_embeddings(t(spark, sf_dir, "embeddings"))
     cent = pq_codebooks(e)
     sv = _subvectors(valid_embeddings(tw(spark, sf_dir, "embeddings")))
-    codes = _pq_encode(sv, cent).localCheckpoint(eager=True)
+    # REBALANCE: the in-row encode is map-shaped (one partition per
+    # input split); AQE sizes the materialized codes table sensibly —
+    # one partition locally, ~advisory-sized at scale (guide-§6 file
+    # sizing; flat PQ has no cluster column to cluster by)
+    codes = _pq_encode(sv, cent).hint("rebalance").localCheckpoint(eager=True)
     return (cent, codes)
 
 
@@ -2111,17 +2188,37 @@ def _pq_encode(sv: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, sub, cluster): per-subspace argmin-L2 PQ code of each
     subvector against the broadcast codebooks — the encode pass shared
     by the full fit, the standing fit, and q214's increment encode
-    (FAISS's ``add()`` for a trained flat PQ). Cost is rows × N_SUB ×
-    K_PQ broadcast lookups with a partial-aggregable argmin — nothing
-    shuffles but (vec_id, sub, cluster) triples."""
-    dist = _l2_col(F.col("sv"), F.col("cv"))
-    return (
-        sv.join(F.broadcast(cent), "sub")
-        .select("vec_id", "sub", "cid", dist.alias("d"))
-        .groupBy("vec_id", "sub")
-        .agg(
-            F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("cluster")
-        )
+    (FAISS's ``add()`` for a trained flat PQ).
+
+    The argmin runs IN-ROW (r17): the codebook collapses to one
+    (cid, cv)-struct array per subspace (N_SUB broadcast rows), the
+    1:1 equi-join on ``sub`` attaches the right array, and each
+    subvector picks its code with a sort_array over K_PQ entries — a
+    pure map pass, ZERO exchanges. The previous explode-to-K_PQ-rows
+    + groupBy(vec_id, sub).min_by form partial-aggregated map-side
+    but still hash-exchanged every (vec_id, sub) code row once per
+    encode — a corpus-sized shuffle at 100 TB for a decision that
+    needs only the broadcast codebook. Distances are never NULL (the
+    valid_embeddings gate pins SUB_DIM-length subvectors); ties break
+    toward the lowest cid in both forms (min_by struct(d, cid) ==
+    ascending sort_array head)."""
+    cells = cent.groupBy("sub").agg(
+        F.collect_list(F.struct("cid", "cv")).alias("_cells")
+    )
+    best = F.element_at(
+        F.sort_array(
+            F.transform(
+                "_cells",
+                lambda c: F.struct(
+                    _l2_col(F.col("sv"), c["cv"]).alias("_d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+    )["cid"]
+    return sv.join(F.broadcast(cells), "sub").select(
+        "vec_id", "sub", best.alias("cluster")
     )
 
 
@@ -2490,7 +2587,14 @@ def _ivfadc_fit(
         eager=True
     )
     pcent = pq_codebooks(resid.select("vec_id", "embedding"))
-    codes = _ivfadc_codes(resid, pcent).localCheckpoint(eager=True)
+    # cell-clustered codes layout (the _ivf_fit repartition note):
+    # the partitionBy("cluster") save and the probed-cell ADC reads
+    # want cell locality; one narrow-row shuffle at fit time
+    codes = (
+        _ivfadc_codes(resid, pcent)
+        .repartition("cluster")
+        .localCheckpoint(eager=True)
+    )
     return (cent, pcent, codes)
 
 
@@ -2514,25 +2618,37 @@ def _ivfadc_residuals(assigned: DataFrame, cent: DataFrame) -> DataFrame:
 
 def _ivfadc_codes(resid: DataFrame, pcent: DataFrame) -> DataFrame:
     """(vec_id, cluster, sub, code): per-subspace argmin-L2 PQ code of
-    every residual — one broadcast join + partial argmin. Shared by
-    the full fit, the standing fit, and q211's increment encode.
-    ``cluster`` is functionally determined by vec_id, so it RIDES the
-    encode rows (any_value under the argmin groupBy) instead of
-    joining back to the residuals afterwards — one narrow column in
-    the shuffle buys removing a row-count-sized sort-merge join."""
+    every residual — shared by the full fit, the standing fit, and
+    q211's increment encode.
+
+    IN-ROW argmin (r17, the _pq_encode discipline): the per-subspace
+    codebook collapses to N_SUB broadcast struct-array rows, the 1:1
+    equi-join on ``sub`` attaches the right array, and each residual
+    subvector picks its code inside a sort_array expression — a pure
+    map pass, zero exchanges. ``cluster`` just stays on the row (no
+    groupBy left to carry it through). The previous explode +
+    groupBy(vec_id, sub).min_by form hash-exchanged every code row
+    once per encode pass."""
     sv = _subvectors(
         resid.select("vec_id", "cluster", "embedding"), carry=("cluster",)
     )
-    dist = _l2_col(F.col("sv"), F.col("cv"))
-    return (
-        sv.join(F.broadcast(pcent), "sub")
-        .select("vec_id", "cluster", "sub", "cid", dist.alias("d"))
-        .groupBy("vec_id", "sub")
-        .agg(
-            F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias("code"),
-            F.any_value("cluster").alias("cluster"),
-        )
-        .select("vec_id", "cluster", "sub", "code")
+    cells = pcent.groupBy("sub").agg(
+        F.collect_list(F.struct("cid", "cv")).alias("_cells")
+    )
+    best = F.element_at(
+        F.sort_array(
+            F.transform(
+                "_cells",
+                lambda c: F.struct(
+                    _l2_col(F.col("sv"), c["cv"]).alias("_d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+    )["cid"]
+    return sv.join(F.broadcast(cells), "sub").select(
+        "vec_id", "cluster", "sub", best.alias("code")
     )
 
 
@@ -3142,8 +3258,11 @@ def _ivf_standing_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     e = valid_embeddings(tw(spark, sf_dir, "embeddings"))
     standing = e.where(_standing_key() < Q175_STANDING_HEX)
     cent = ivf_codebook(standing)
-    lists = _assign_to_codebook(standing, _with_cnorm(cent)).localCheckpoint(
-        eager=True
+    # cell-clustered lists layout (the _ivf_fit repartition note)
+    lists = (
+        _assign_to_codebook(standing, _with_cnorm(cent))
+        .repartition("cluster")
+        .localCheckpoint(eager=True)
     )
     return (cent, lists)
 
@@ -3536,7 +3655,13 @@ def ivf_standing_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> None
 
     e = valid_embeddings(tw(spark, sf_dir, "embeddings"))
     cent = ivf_codebook(e)
-    lists = _assign_to_codebook(e, _with_cnorm(cent)).localCheckpoint(eager=True)
+    # cell-clustered lists layout (the _ivf_fit repartition note):
+    # one file set per cell under partitionBy, not map-partitions × cells
+    lists = (
+        _assign_to_codebook(e, _with_cnorm(cent))
+        .repartition("cluster")
+        .localCheckpoint(eager=True)
+    )
     cent.write.mode("overwrite").parquet(os.path.join(out_dir, "coarse"))
     lists.write.mode("overwrite").partitionBy("cluster").parquet(
         os.path.join(out_dir, "lists")
@@ -3641,7 +3766,12 @@ def _ivfadc_standing_fit(
     cent, slists = ivf_standing_index_for(spark, sf_dir)
     resid = _ivfadc_residuals(slists, cent).localCheckpoint(eager=True)
     pcent = pq_codebooks(resid.select("vec_id", "embedding"))
-    codes = _ivfadc_codes(resid, pcent).localCheckpoint(eager=True)
+    # cell-clustered codes layout (the _ivf_fit repartition note)
+    codes = (
+        _ivfadc_codes(resid, pcent)
+        .repartition("cluster")
+        .localCheckpoint(eager=True)
+    )
     return (cent, pcent, codes)
 
 
@@ -4133,7 +4263,12 @@ def ivfadc_standing_refresh(
         _assign_to_codebook(e, _with_cnorm(cent)), cent
     ).localCheckpoint(eager=True)
     pcent = pq_codebooks(resid.select("vec_id", "embedding"))
-    codes = _ivfadc_codes(resid, pcent).localCheckpoint(eager=True)
+    # cell-clustered codes layout (the _ivf_fit repartition note)
+    codes = (
+        _ivfadc_codes(resid, pcent)
+        .repartition("cluster")
+        .localCheckpoint(eager=True)
+    )
     cent.write.mode("overwrite").parquet(os.path.join(out_dir, "coarse"))
     pcent.write.mode("overwrite").parquet(os.path.join(out_dir, "pq"))
     codes.write.mode("overwrite").partitionBy("cluster").parquet(
@@ -4245,7 +4380,12 @@ def _pq_standing_fit(
     sw = valid_embeddings(tw(spark, sf_dir, "embeddings")).where(
         _standing_key() < Q175_STANDING_HEX
     )
-    codes = _pq_encode(_subvectors(sw), cent).localCheckpoint(eager=True)
+    # REBALANCE before materializing — the _pq_fit note
+    codes = (
+        _pq_encode(_subvectors(sw), cent)
+        .hint("rebalance")
+        .localCheckpoint(eager=True)
+    )
     return (cent, codes)
 
 
@@ -4703,9 +4843,14 @@ def pq_standing_refresh(
 
     e = valid_embeddings(t(spark, sf_dir, "embeddings"))
     cent = pq_codebooks(e)
-    codes = _pq_encode(
-        _subvectors(valid_embeddings(tw(spark, sf_dir, "embeddings"))), cent
-    ).localCheckpoint(eager=True)
+    # REBALANCE before materializing — the _pq_fit note
+    codes = (
+        _pq_encode(
+            _subvectors(valid_embeddings(tw(spark, sf_dir, "embeddings"))), cent
+        )
+        .hint("rebalance")
+        .localCheckpoint(eager=True)
+    )
     cent.write.mode("overwrite").parquet(os.path.join(out_dir, "pq"))
     codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))
     write_index_meta(

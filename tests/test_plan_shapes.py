@@ -1176,3 +1176,87 @@ def test_q211_ivfadc_incremental_serve_all_broadcast(plan):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_assignment_and_encode_passes_have_no_exchange(spark):
+    """r17 in-row argmin/argmax: every index assignment/encode pass
+    (IVF cell assignment, PQ encode, IVFADC residual encode) is a pure
+    map over the corpus — the codebook collapses to a broadcast
+    struct-array row and the winner is picked inside a sort_array
+    expression. The ONLY Exchange allowed in these plans is the
+    single-partition collapse of the k-row codebook itself (and the
+    broadcast exchanges); no corpus-row hash exchange remains. At
+    100 TB the old explode + groupBy(vec_id) form re-shuffled the full
+    corpus once per fit/refresh/increment pass."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.similarity import (
+        _assign_to_codebook,
+        _ivfadc_codes,
+        _pq_encode,
+        _subvectors,
+        _with_cnorm,
+        codebook_for,
+        pq_index_for,
+        valid_embeddings,
+    )
+    from mapreduce_mit_spark.sources.io import load_table
+
+    e = valid_embeddings(load_table(spark, SF_SMALL, "embeddings"))
+    cent = codebook_for(spark, SF_SMALL)
+    pcent, _codes = pq_index_for(spark, SF_SMALL)
+
+    def fmt(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    assign_plan = fmt(_assign_to_codebook(e, _with_cnorm(cent)))
+    encode_plan = fmt(_pq_encode(_subvectors(e), pcent))
+    adc_plan = fmt(
+        _ivfadc_codes(
+            e.select("vec_id", F.lit(0).cast("long").alias("cluster"),
+                     "embedding"),
+            pcent,
+        )
+    )
+    for name, p in [
+        ("assign", assign_plan),
+        ("pq_encode", encode_plan),
+        ("ivfadc_codes", adc_plan),
+    ]:
+        # formatted plans carry the partitioning in the Arguments line;
+        # the old explode+groupBy form exchanged on vec_id (a
+        # corpus-row shuffle) and aggregated with a SortAggregate (the
+        # carried array column forbids hash agg). The only exchanges
+        # allowed now are the k-row codebook collapse
+        # (SinglePartition / hashpartitioning(sub) over K_PQ rows) and
+        # broadcasts.
+        assert "hashpartitioning(vec_id" not in p, name
+        assert "SortAggregate" not in p, name
+        assert "SortMergeJoin" not in p, name
+
+
+def test_inrow_assignment_zero_norm_sentinel(spark):
+    """The in-row argmax must keep the oracle's NULL ordering: a
+    zero-norm vector has NULL cosine against every centroid; the
+    oracle's replay (ORDER BY sim DESC NULLS LAST, cid → row 1) lands
+    it in the LOWEST cid, exactly as the old max_by(struct(sim, -cid))
+    form did. Pin it with a crafted zero vector so the sentinel can
+    never regress silently (the fixtures contain no zero vectors)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_mit_spark.plans.similarity import (
+        DIM,
+        _assign_to_codebook,
+        _with_cnorm,
+        codebook_for,
+    )
+
+    cent = codebook_for(spark, SF_SMALL)
+    zero = spark.createDataFrame(
+        [(10_000_000, "z", [0.0] * DIM)], "vec_id long, label string, embedding array<float>"
+    )
+    row = _assign_to_codebook(zero, _with_cnorm(cent)).collect()[0]
+    assert row.cluster == 0, row
