@@ -99,7 +99,12 @@ def check_bench_scaling_drift() -> list[str]:
     errs: list[str] = []
     scaling = open(os.path.join(REPO, "SCALING.md")).read()
     for path in sorted(_g.glob(os.path.join(REPO, "BENCH_r*.json"))):
-        n = int(re.search(r"BENCH_r(\d+)\.json", path).group(1))
+        m = re.search(r"BENCH_r(\d+)\.json", path)
+        if not m:
+            # driver side-artifacts like BENCH_r17_c8.json (low-core
+            # scaling run) are not round-close records
+            continue
+        n = int(m.group(1))
         # EVERY section whose heading names this round, and EVERY
         # bolded total inside each — the r11 defect was precisely a
         # second conflicting total for the same round, so first-match-
@@ -208,11 +213,46 @@ def check_bench_contention_trust() -> tuple[list[str], list[str]]:
     return errs, warns
 
 
+def check_opmap_fresh() -> str | None:
+    """README's generated query map must match the registry at HEAD.
+    Rounds 16 AND 17 both shipped red on tests/test_docs.py because
+    code commits landed after the last `gen_opmap --write`; this makes
+    staleness a preflight failure so it cannot recur. Returns an error
+    string, or None."""
+    import re
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gen_opmap
+
+    expected = gen_opmap.generate()
+    readme = open(os.path.join(REPO, "README.md")).read()
+    m = re.search(
+        re.escape(gen_opmap.BEGIN) + r".*?" + re.escape(gen_opmap.END),
+        readme,
+        re.DOTALL,
+    )
+    if not m or m.group(0) != expected:
+        return (
+            "README query map is stale vs the registry at HEAD — run "
+            "`python tools/gen_opmap.py --write` AFTER the round's last "
+            "code commit, then commit README.md"
+        )
+    return None
+
+
 def main() -> int:
     full = "--full" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
 
     t0 = time.time()
+    print("== preflight 0/4: README opmap freshness ==")
+    stale = check_opmap_fresh()
+    if stale:
+        print(f"FAIL  {stale}")
+        print("\nPREFLIGHT FAIL: stale README opmap (the r16/r17 repeat class)")
+        return 1
+    print("ok\n")
+
     print("== preflight 1/4: bench-record drift ==")
     drift = check_bench_scaling_drift()
     if drift:
