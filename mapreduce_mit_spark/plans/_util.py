@@ -276,10 +276,18 @@ def fitted_family(
         for (name, _cols, part), df in zip(tables, dfs):
             # cluster a partitioned save by its partition column so the
             # tree gets one file set per partition value, not
-            # source-partitions × values tiny files (no-op cost for the
-            # already-repartitioned fits; insurance for any family whose
-            # fit output is map-shaped). AQE coalesces the small case.
-            w = (df.repartition(part) if part else df).write.mode("overwrite")
+            # source-partitions × values tiny files. REBALANCE, not
+            # repartition (r17 ADVICE): a plain hash repartition on a
+            # low-cardinality partition column (lsh8's 'tbl' has ~8
+            # values) collapses a corpus-sized write to <= |values|
+            # tasks and one giant file per value; the AQE rebalance
+            # hint clusters by the column AND splits skewed partitions,
+            # so write parallelism survives hot cells. Fits are
+            # map-shaped since r18 (no fit-side repartition), so this
+            # is the ONE clustering shuffle a save pays.
+            w = (
+                df.hint("rebalance", part) if part else df
+            ).write.mode("overwrite")
             if part:
                 w = w.partitionBy(part)
             w.parquet(os.path.join(out_dir, name))

@@ -49,17 +49,41 @@ N_PLANES = 8
 # means) is task-fatal or engine-divergent on them, so the index
 # builders go through this gate and their oracles carry the same
 # predicate. Zero-norm vectors are VALID here (a legitimate L2 point);
-# the cosine guard handles them at scoring time.
+# the cosine guard handles them at scoring time. NON-FINITE (NaN/±Inf)
+# or NULL elements are rejected too (r18, r17 ADVICE): NaN sorts
+# differently across the two engines' tie machinery (DuckDB's ORDER BY
+# ranks NaN greatest; the in-row negated sort key ranks it last), so a
+# NaN-poisoned vector must never reach a fit or an argmin — the
+# element test is a CASE-per-element sum, written identically in both
+# engines so NULL elements count as invalid rather than falling into
+# three-valued-logic divergence.
 EMB_VALID_SQL = (
     f"(SELECT * FROM embeddings "
-    f"WHERE embedding IS NOT NULL AND len(embedding) = {DIM})"
+    f"WHERE embedding IS NOT NULL AND len(embedding) = {DIM} "
+    f"AND list_aggregate(list_transform(embedding, "
+    f"x -> CASE WHEN isfinite(x) THEN 0 ELSE 1 END), 'sum') = 0)"
 )
 
 
 def valid_embeddings(e: DataFrame) -> DataFrame:
     """The Spark half of the ingestion gate (see EMB_VALID_SQL)."""
+    xd = lambda x: x.cast("double")  # noqa: E731
+    finite = lambda x: (  # noqa: E731
+        x.isNotNull()
+        & ~F.isnan(xd(x))
+        & (F.abs(xd(x)) != F.lit(float("inf")))
+    )
+    bad = F.aggregate(
+        F.transform(
+            "embedding", lambda x: F.when(finite(x), 0).otherwise(1)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     return e.where(
-        F.col("embedding").isNotNull() & (F.size("embedding") == DIM)
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == DIM)
+        & (bad == 0)
     )
 
 
@@ -1410,16 +1434,16 @@ def ivf_codebook(
             )
             return F.coalesce(-s, F.lit(float("inf")))
 
-        best = F.element_at(
-            F.sort_array(
-                F.transform(
-                    "_cells",
-                    lambda c: F.struct(
-                        _neg_sim(c).alias("_nq"), c["cid"].alias("cid")
-                    ),
-                )
-            ),
-            1,
+        # O(k) running argmin (r18, :func:`_inrow_min`) — same
+        # (key, cid) order as the r17 sort_array head, no per-row
+        # k log k sort at the cell policy's scaled k
+        best = _inrow_min(
+            F.transform(
+                "_cells",
+                lambda c: F.struct(
+                    _neg_sim(c).alias("_nq"), c["cid"].alias("cid")
+                ),
+            )
         )["cid"]
         assign = ev.crossJoin(F.broadcast(cells)).select(
             best.alias("cluster"), "embedding"
@@ -1496,6 +1520,23 @@ def codebook_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _inrow_min(keyed: Column) -> Column:
+    """O(k) running minimum over an array of comparable structs —
+    bit-identical to ``element_at(sort_array(keyed), 1)`` (structs
+    compare lexicographically by field in both forms) without the
+    O(k log k) per-row sort or the sorted copy (r17 ADVICE: at the
+    cell policy's k ~ √N the sort grows superlinearly vs the O(k)
+    running argmin the old aggregate did). Callers must make the
+    leading key field non-NULL (the +inf sentinel discipline) — a
+    NULL key would make the struct comparison NULL and freeze the
+    fold on the accumulator."""
+    return F.aggregate(
+        F.slice(keyed, 2, F.size(keyed) - 1),
+        F.element_at(keyed, 1),
+        lambda acc, c: F.when(c < acc, c).otherwise(acc),
+    )
+
+
 def _assign_to_codebook(part: DataFrame, centn: DataFrame) -> DataFrame:
     """One broadcast-argmax assignment pass: every row of ``part``
     ((vec_id, label, embedding) — the whole corpus at fit time, an
@@ -1518,7 +1559,10 @@ def _assign_to_codebook(part: DataFrame, centn: DataFrame) -> DataFrame:
     sentinel on the negated sort key, ties toward the lowest cid —
     exactly the oracle's (sim DESC NULLS LAST, cid) replay, and
     bit-equal to the old max_by(struct(sim, -cid)) form (all-NULL →
-    cid of the lowest id, identically)."""
+    cid of the lowest id, identically). r18: the winner comes from an
+    O(k) running min (:func:`_inrow_min`) instead of a per-row
+    sort_array — same (key, cid) order, no k log k sort at the cell
+    policy's scaled k."""
     cells = centn.select(
         F.struct("cid", "cv", "_cn").alias("_c")
     ).agg(F.collect_list("_c").alias("_cells"))
@@ -1529,16 +1573,13 @@ def _assign_to_codebook(part: DataFrame, centn: DataFrame) -> DataFrame:
         )
         return F.coalesce(-s, F.lit(float("inf")))
 
-    best = F.element_at(
-        F.sort_array(
-            F.transform(
-                "_cells",
-                lambda c: F.struct(
-                    _neg_sim(c).alias("_nq"), c["cid"].alias("cid")
-                ),
-            )
-        ),
-        1,
+    best = _inrow_min(
+        F.transform(
+            "_cells",
+            lambda c: F.struct(
+                _neg_sim(c).alias("_nq"), c["cid"].alias("cid")
+            ),
+        )
     )["cid"]
     return (
         part.withColumn("_en", _norm(F.col("embedding")))
@@ -1566,20 +1607,20 @@ def _ivf_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     eager localCheckpoint per (session, source fingerprint), built
     from the same codebook q68/q155 share through the cache."""
     cent = codebook_for(spark, sf_dir)
-    # repartition("cluster") = the cell-clustered LAYOUT (FAISS's
-    # inverted-list order, Iceberg's hash write-distribution): the
-    # in-row assignment itself needs no exchange, but the
-    # materialized lists want cell locality — probed-cell serves and
-    # the partitionBy("cluster") save would otherwise fan every map
-    # partition across every cell (measured: 8 → 256 artifact files
-    # after the in-row rewrite, and the refresh acts paid it back in
-    # read/commit overhead). The payload moves ONCE, to its final
-    # layout — not once per pass. AQE coalesces the tiny local case.
-    assign = (
-        _assign_to_codebook(tw(spark, sf_dir, "embeddings"), _with_cnorm(cent))
-        .repartition("cluster")
-        .localCheckpoint(eager=True)
-    )
+    # The lists stay MAP-SHAPED in the session memo (r18): the in-row
+    # assignment needs no exchange, and the in-session probed-cell
+    # serves read the checkpoint through a broadcast join either way.
+    # The cell-clustered LAYOUT (FAISS's inverted-list order) is a
+    # property of the PERSISTED artifact, so the one clustering
+    # shuffle now happens at save time — fitted_family's
+    # rebalance-by-partition-column, which also AQE-splits a skewed
+    # cell — instead of shuffling the corpus-with-embeddings TWICE per
+    # save (fit repartition + save repartition; the checkpoint erases
+    # outputPartitioning so the second exchange was never elided —
+    # r17 ADVICE).
+    assign = _assign_to_codebook(
+        tw(spark, sf_dir, "embeddings"), _with_cnorm(cent)
+    ).localCheckpoint(eager=True)
     return (cent, assign)
 
 
@@ -2057,11 +2098,84 @@ def _subvectors(e: DataFrame, carry: tuple = ()) -> DataFrame:
     generate, no shuffle. ``carry`` names extra columns to ride along
     (q211's increment encode threads ``cluster`` through instead of
     joining it back afterwards)."""
-    ev = F.transform("embedding", lambda x: x.cast("double"))
-    chunks = F.array(
+    return e.select(
+        "vec_id", *carry, F.posexplode(_chunked("embedding")).alias("sub", "sv")
+    )
+
+
+def _chunked(col) -> Column:
+    """Array of the N_SUB contiguous SUB_DIM-dim double subvectors of
+    an embedding column — the in-row twin of :func:`_subvectors`
+    (``_chunked(e)[s+1]`` == the (sub = s) row's ``sv``)."""
+    ev = F.transform(col, lambda x: x.cast("double"))
+    return F.array(
         *[F.slice(ev, s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)]
     )
-    return e.select("vec_id", *carry, F.posexplode(chunks).alias("sub", "sv"))
+
+
+def _pq_cells_row(cent: DataFrame) -> DataFrame:
+    """Collapse a (sub, cid, cv) PQ codebook to ONE broadcastable row:
+    ``_cells_by_sub[sub+1][cid+1] = struct(cid, cv)``. Both dimensions
+    are contiguous and 0-based by construction (the seed ranking mints
+    cids 0..K_PQ-1, :func:`_subvectors` mints subs 0..N_SUB-1), so the
+    encode and LUT passes index it positionally in-row — the
+    assignment-pass discipline applied to the per-subspace codebooks."""
+    per_sub = cent.groupBy("sub").agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("_c")
+    )
+    return per_sub.agg(
+        F.sort_array(F.collect_list(F.struct("sub", "_c"))).alias("_s")
+    ).select(F.transform("_s", lambda s: s["_c"]).alias("_cells_by_sub"))
+
+
+def _pq_code_expr(chunks: Column) -> Column:
+    """``array<int>`` of per-subspace argmin-L2 codes of ``chunks``
+    against the in-scope ``_cells_by_sub`` (one broadcast row,
+    :func:`_pq_cells_row`) — pure in-row, O(K_PQ) per subspace via the
+    running min. Tie order (d ASC, cid ASC) and the never-NULL
+    distance contract match the oracle's row_number replay exactly."""
+    return F.transform(
+        chunks,
+        lambda sv, s: _inrow_min(
+            F.transform(
+                F.element_at(F.col("_cells_by_sub"), s + F.lit(1)),
+                lambda c: F.struct(
+                    _l2_col(sv, c["cv"]).alias("_d"), c["cid"].alias("cid")
+                ),
+            )
+        )["cid"].cast("int"),
+    )
+
+
+def _pq_lut_expr(qchunks: Column) -> Column:
+    """``array<array<double>>`` ADC lookup table of a query's chunk
+    array against the in-scope ``_cells_by_sub``:
+    ``lut[sub+1][cid+1] = ||qchunk_sub − cv_{sub,cid}||²`` — built
+    once per (query[, probed cell]) row, so scoring a candidate is one
+    in-row sum over its codes instead of N_SUB joined rows."""
+    return F.transform(
+        F.col("_cells_by_sub"),
+        lambda cells, s: F.transform(
+            cells,
+            lambda c: _l2_col(F.element_at(qchunks, s + F.lit(1)), c["cv"]),
+        ),
+    )
+
+
+def _adc_dist(codes, lut) -> Column:
+    """round(Σ_sub lut[sub+1][codes[sub+1]+1], 6) — the in-row ADC
+    distance of one candidate's code row against one query LUT.
+    Ascending-sub accumulation; the 6-decimal surface round is the
+    cross-engine float discipline the narrow groupBy(sum) form used."""
+    contrib = F.transform(
+        codes,
+        lambda c, s: F.element_at(
+            F.element_at(lut, s + F.lit(1)), c.cast("int") + F.lit(1)
+        ),
+    )
+    return F.round(
+        F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x), 6
+    )
 
 
 def pq_codebooks(e: DataFrame) -> DataFrame:
@@ -2122,17 +2236,14 @@ def pq_codebooks(e: DataFrame) -> DataFrame:
         cells = cent.groupBy("sub").agg(
             F.collect_list(F.struct("cid", "cv")).alias("_cells")
         )
-        best = F.element_at(
-            F.sort_array(
-                F.transform(
-                    "_cells",
-                    lambda c: F.struct(
-                        _l2_col(F.col("sv"), c["cv"]).alias("_d"),
-                        c["cid"].alias("cid"),
-                    ),
-                )
-            ),
-            1,
+        best = _inrow_min(
+            F.transform(
+                "_cells",
+                lambda c: F.struct(
+                    _l2_col(F.col("sv"), c["cv"]).alias("_d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
         )["cid"]
         assign = sv.join(F.broadcast(cells), "sub").select(
             "sub", best.alias("cluster"), "sv"
@@ -2175,50 +2286,41 @@ def _pq_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     # is task-fatal under ANSI; the oracle filters identically)
     e = valid_embeddings(t(spark, sf_dir, "embeddings"))
     cent = pq_codebooks(e)
-    sv = _subvectors(valid_embeddings(tw(spark, sf_dir, "embeddings")))
     # REBALANCE: the in-row encode is map-shaped (one partition per
     # input split); AQE sizes the materialized codes table sensibly —
     # one partition locally, ~advisory-sized at scale (guide-§6 file
     # sizing; flat PQ has no cluster column to cluster by)
-    codes = _pq_encode(sv, cent).hint("rebalance").localCheckpoint(eager=True)
+    codes = (
+        _pq_encode(valid_embeddings(tw(spark, sf_dir, "embeddings")), cent)
+        .hint("rebalance")
+        .localCheckpoint(eager=True)
+    )
     return (cent, codes)
 
 
-def _pq_encode(sv: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, sub, cluster): per-subspace argmin-L2 PQ code of each
-    subvector against the broadcast codebooks — the encode pass shared
-    by the full fit, the standing fit, and q214's increment encode
-    (FAISS's ``add()`` for a trained flat PQ).
+def _pq_encode(v: DataFrame, cent: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(vec_id[, *carry], codes) — the WIDE codes row of each vector:
+    ``codes`` is an ``array<int>`` with ``codes[s+1]`` the per-subspace
+    argmin-L2 PQ code of the vector's s-th subvector against the
+    broadcast codebooks. The encode pass shared by the full fit, the
+    standing fit, q214's increment encode (FAISS's ``add()`` for a
+    trained flat PQ) and — through :func:`_ivfadc_codes` — every
+    IVFADC encode.
 
-    The argmin runs IN-ROW (r17): the codebook collapses to one
-    (cid, cv)-struct array per subspace (N_SUB broadcast rows), the
-    1:1 equi-join on ``sub`` attaches the right array, and each
-    subvector picks its code with a sort_array over K_PQ entries — a
-    pure map pass, ZERO exchanges. The previous explode-to-K_PQ-rows
-    + groupBy(vec_id, sub).min_by form partial-aggregated map-side
-    but still hash-exchanged every (vec_id, sub) code row once per
-    encode — a corpus-sized shuffle at 100 TB for a decision that
-    needs only the broadcast codebook. Distances are never NULL (the
-    valid_embeddings gate pins SUB_DIM-length subvectors); ties break
-    toward the lowest cid in both forms (min_by struct(d, cid) ==
-    ascending sort_array head)."""
-    cells = cent.groupBy("sub").agg(
-        F.collect_list(F.struct("cid", "cv")).alias("_cells")
-    )
-    best = F.element_at(
-        F.sort_array(
-            F.transform(
-                "_cells",
-                lambda c: F.struct(
-                    _l2_col(F.col("sv"), c["cv"]).alias("_d"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        ),
-        1,
-    )["cid"]
-    return sv.join(F.broadcast(cells), "sub").select(
-        "vec_id", "sub", best.alias("cluster")
+    WIDE LAYOUT (r18): one row per vector instead of N_SUB narrow
+    (vec_id, sub, cluster) rows. The r17 in-row argmin had already
+    made the encode a pure map pass; the wide row additionally cuts
+    encode/ADC row volume N_SUB× and lets every ADC serve score a
+    candidate with ONE in-row LUT sum instead of N_SUB joined rows +
+    a (query_id, vec_id) hash exchange — at 100 TB that exchange was
+    (queries × corpus) rows per serve. The whole codebook collapses
+    to ONE broadcast row (:func:`_pq_cells_row`); each code is an
+    O(K_PQ) running argmin (:func:`_pq_code_expr`). Distances are
+    never NULL (the valid_embeddings gate pins SUB_DIM-length
+    subvectors); ties break toward the lowest cid, exactly the
+    narrow form's min_by struct(d, cid) and the oracle's replay."""
+    return v.crossJoin(F.broadcast(_pq_cells_row(cent))).select(
+        "vec_id", *carry, _pq_code_expr(_chunked("embedding")).alias("codes")
     )
 
 
@@ -2226,11 +2328,12 @@ def _pq_encode(sv: DataFrame, cent: DataFrame) -> DataFrame:
 # The codes are deliberately NOT partitioned: plain PQ has no coarse
 # cells — ADC scans every vector's codes, so there is no probe
 # predicate to prune on (that is IVFADC's trade), and partitioning by
-# vec_id would just shatter the table into tiny files.
+# vec_id would just shatter the table into tiny files. WIDE layout
+# since r18: one (vec_id, codes array<int>) row per vector.
 pq_index_for, pq_index_save, pq_index_load, pq_index_attach = fitted_family(
     "pq",
     "embeddings.parquet",
-    [("pq", ["sub", "cid", "cv"], None), ("codes", ["vec_id", "sub", "cluster"], None)],
+    [("pq", ["sub", "cid", "cv"], None), ("codes", ["vec_id", "codes"], None)],
     _pq_fit,
     params={"n_sub": N_SUB, "k_pq": K_PQ},
 )
@@ -2252,28 +2355,26 @@ def pq_probe_hits(
     (query_id, qv). Returns (query_id, vec_id, approx_dist, dist) —
     each query's top-k by exact squared-L2 over its ADC shortlist.
 
-    Scale shape: the per-query lookup tables (|queries| × N_SUB × K_PQ
-    rows) BROADCAST against the codes table — the corpus's raw vectors
-    are touched only by the shortlist equi-join (|queries| × shortlist
-    rows); ranking windows are per-query. Audit with
-    ``recall_audit(..., metric="l2")`` — PQ approximates L2, so cosine
-    ground truth would mis-grade it."""
-    qd = F.transform("qv", lambda x: x.cast("double"))
-    chunks = F.array(
-        *[F.slice(qd, s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)]
+    Scale shape: the per-query lookup tables (|queries| LUT rows of
+    N_SUB × K_PQ doubles) BROADCAST against the WIDE codes table —
+    each (query, candidate) is scored by ONE in-row LUT sum over the
+    candidate's code row (r18; the narrow layout scored N_SUB rows per
+    pair and hash-exchanged (queries × corpus) partial rows through a
+    groupBy(query_id, vec_id) — the honest O(N·queries) ADC scan now
+    has no exchange at all before the shortlist ranking). The
+    corpus's raw vectors are touched only by the shortlist equi-join
+    (|queries| × shortlist rows); ranking windows are per-query. Audit
+    with ``recall_audit(..., metric="l2")`` — PQ approximates L2, so
+    cosine ground truth would mis-grade it."""
+    ql = queries.crossJoin(F.broadcast(_pq_cells_row(cent))).select(
+        "query_id", _pq_lut_expr(_chunked("qv")).alias("_qlut")
     )
-    qsub = queries.select("query_id", F.posexplode(chunks).alias("sub", "qsv"))
-    lut = cent.join(F.broadcast(qsub), "sub").select(
-        "query_id", "sub", "cid", _l2_col(F.col("cv"), F.col("qsv")).alias("qd")
-    )
-    scored = (
-        codes.join(
-            F.broadcast(lut),
-            (codes.sub == lut.sub) & (codes.cluster == lut.cid),
-        )
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("qd"), 6).alias("approx_dist"))
+    scored = codes.join(
+        F.broadcast(ql), codes.vec_id != ql.query_id
+    ).select(
+        "query_id",
+        "vec_id",
+        _adc_dist(F.col("codes"), F.col("_qlut")).alias("approx_dist"),
     )
     ws = Window.partitionBy("query_id").orderBy(F.col("approx_dist").asc(), "vec_id")
     sl = (
@@ -2471,22 +2572,20 @@ def q157_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded at the surface only."""
     e = t(spark, sf_dir, "embeddings")
     cent, codes = pq_index_for(spark, sf_dir)
-    sv = _subvectors(e)
-    qsub = sv.where(F.col("vec_id") == QUERY_VEC_ID).select(
-        "sub", F.col("sv").alias("qv")
-    )
-    lut = (
-        cent.join(F.broadcast(qsub), "sub")
-        .select("sub", "cid", _l2_col(F.col("cv"), F.col("qv")).alias("qd"))
+    # one LUT row for the pinned query (broadcast), one in-row sum per
+    # candidate code row — no groupBy(vec_id) exchange (r18 wide codes)
+    qlut = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .crossJoin(F.broadcast(_pq_cells_row(cent)))
+        .select(_pq_lut_expr(_chunked("embedding")).alias("_qlut"))
     )
     scored = (
         codes.where(F.col("vec_id") != QUERY_VEC_ID)
-        .join(
-            F.broadcast(lut),
-            (codes.sub == lut.sub) & (codes.cluster == lut.cid),
+        .crossJoin(F.broadcast(qlut))
+        .select(
+            "vec_id",
+            _adc_dist(F.col("codes"), F.col("_qlut")).alias("approx_dist"),
         )
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("qd"), 6).alias("approx_dist"))
     )
     shortlist = scored.orderBy(F.col("approx_dist").asc(), "vec_id").limit(
         PQ_SHORTLIST
@@ -2587,14 +2686,15 @@ def _ivfadc_fit(
         eager=True
     )
     pcent = pq_codebooks(resid.select("vec_id", "embedding"))
-    # cell-clustered codes layout (the _ivf_fit repartition note):
-    # the partitionBy("cluster") save and the probed-cell ADC reads
-    # want cell locality; one narrow-row shuffle at fit time
-    codes = (
-        _ivfadc_codes(resid, pcent)
-        .repartition("cluster")
-        .localCheckpoint(eager=True)
-    )
+    # map-shaped wide codes (r18): the encode needs no exchange and the
+    # in-session serve joins on the broadcast LUT, so the table is NOT
+    # re-clustered here — the ONE clustering shuffle happens at save
+    # time (fitted_family's rebalance-by-partition-column), where the
+    # partitionBy("cluster") file layout is what wants cell locality.
+    # The r17 form shuffled the codes twice per save (fit repartition +
+    # save repartition; the checkpoint erases outputPartitioning so the
+    # second exchange was never elided — r17 ADVICE).
+    codes = _ivfadc_codes(resid, pcent).localCheckpoint(eager=True)
     return (cent, pcent, codes)
 
 
@@ -2617,45 +2717,23 @@ def _ivfadc_residuals(assigned: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _ivfadc_codes(resid: DataFrame, pcent: DataFrame) -> DataFrame:
-    """(vec_id, cluster, sub, code): per-subspace argmin-L2 PQ code of
-    every residual — shared by the full fit, the standing fit, and
-    q211's increment encode.
-
-    IN-ROW argmin (r17, the _pq_encode discipline): the per-subspace
-    codebook collapses to N_SUB broadcast struct-array rows, the 1:1
-    equi-join on ``sub`` attaches the right array, and each residual
-    subvector picks its code inside a sort_array expression — a pure
-    map pass, zero exchanges. ``cluster`` just stays on the row (no
-    groupBy left to carry it through). The previous explode +
-    groupBy(vec_id, sub).min_by form hash-exchanged every code row
-    once per encode pass."""
-    sv = _subvectors(
-        resid.select("vec_id", "cluster", "embedding"), carry=("cluster",)
-    )
-    cells = pcent.groupBy("sub").agg(
-        F.collect_list(F.struct("cid", "cv")).alias("_cells")
-    )
-    best = F.element_at(
-        F.sort_array(
-            F.transform(
-                "_cells",
-                lambda c: F.struct(
-                    _l2_col(F.col("sv"), c["cv"]).alias("_d"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        ),
-        1,
-    )["cid"]
-    return sv.join(F.broadcast(cells), "sub").select(
-        "vec_id", "cluster", "sub", best.alias("code")
+    """(vec_id, cluster, codes): the WIDE residual-PQ code row of every
+    assigned vector — :func:`_pq_encode` with the coarse ``cluster``
+    riding along (it is the probe predicate at serve time). Shared by
+    the full fit, the standing fit, and q211's increment encode; a
+    pure map pass, zero exchanges, one row per vector (r18 — the r17
+    narrow form emitted N_SUB rows per vector)."""
+    return _pq_encode(
+        resid.select("vec_id", "cluster", "embedding"), pcent,
+        carry=("cluster",),
     )
 
 
 # IVFADC lifecycle via fitted_family. ``codes`` is written PARTITIONED
 # BY cluster: a query that probes nprobe cells reads only those cells'
 # files (partition pruning does the inverted-list seek) — exactly
-# FAISS's IVF layout expressed as a parquet table.
+# FAISS's IVF layout expressed as a parquet table. WIDE layout since
+# r18: one (vec_id, cluster, codes array<int>) row per vector.
 ivfadc_index_for, ivfadc_index_save, ivfadc_index_load, ivfadc_index_attach = (
     fitted_family(
         "ivfadc",
@@ -2663,7 +2741,7 @@ ivfadc_index_for, ivfadc_index_save, ivfadc_index_load, ivfadc_index_attach = (
         [
             ("coarse", ["cid", "cv"], None),
             ("pq", ["sub", "cid", "cv"], None),
-            ("codes", ["vec_id", "cluster", "sub", "code"], "cluster"),
+            ("codes", ["vec_id", "cluster", "codes"], "cluster"),
         ],
         _ivfadc_fit,
         params={"k_coarse": N_IVF_CENTROIDS, "n_sub": N_SUB, "k_pq": K_PQ},
@@ -2739,26 +2817,25 @@ def ivfadc_probe_hits(
             F.zip_with("qv", F.col("_p.cv"), lambda x, y: x - y).alias("qr"),
         )
     )
-    chunks = F.array(
-        *[F.slice("qr", s * SUB_DIM + 1, SUB_DIM) for s in range(N_SUB)]
-    )
-    qsub = qres.select(
-        "query_id", "pcell", F.posexplode(chunks).alias("sub", "qsv")
-    )
-    lut = pcent.join(F.broadcast(qsub), "sub").select(
-        "query_id", "pcell", "sub", "cid",
-        _l2_col(F.col("cv"), F.col("qsv")).alias("qd"),
+    # one ADC LUT row per (query, probed cell), built in-row against
+    # the one-row collapsed PQ codebook (r18 wide codes): the
+    # cluster equi-join below is STILL the probe predicate — only the
+    # probed cells' code rows match — but each candidate is scored by
+    # ONE in-row LUT sum instead of N_SUB joined rows + a
+    # groupBy(query_id, vec_id, cluster) hash exchange of every scored
+    # pair.
+    lut = qres.crossJoin(F.broadcast(_pq_cells_row(pcent))).select(
+        "query_id", "pcell", _pq_lut_expr(_chunked("qr")).alias("_qlut")
     )
     scored = (
-        codes.join(
-            F.broadcast(lut),
-            (codes.cluster == lut.pcell)
-            & (codes.sub == lut.sub)
-            & (codes.code == lut.cid),
-        )
+        codes.join(F.broadcast(lut), codes.cluster == lut.pcell)
         .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id", "cluster")
-        .agg(F.round(F.sum("qd"), 6).alias("approx_dist"))
+        .select(
+            "query_id",
+            "vec_id",
+            "cluster",
+            _adc_dist(F.col("codes"), F.col("_qlut")).alias("approx_dist"),
+        )
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), "vec_id"
@@ -3076,7 +3153,14 @@ def semantic_dedup_df(
     sim = _dot(F.col("a_emb"), F.col("embedding")) / F.nullif(
         F.col("a_nrm") * F.col("nrm"), F.lit(0.0)
     )
-    build = F.broadcast(a) if will_broadcast else a
+    # above the gate the policy is AUTHORITATIVE: force the
+    # (cluster, sub)-keyed sort-merge join rather than leaving the
+    # strategy to the planner's size estimate — estimates are routinely
+    # wrong after filters/checkpoints (guide §3.1), and an
+    # auto-broadcast of a corpus-sized build side is exactly the OOM
+    # this gate exists to prevent (SMJ spills gracefully; cells are
+    # capped so no single key dominates a sort)
+    build = F.broadcast(a) if will_broadcast else a.hint("merge")
     pairs = (
         base.join(
             build,
@@ -3258,11 +3342,10 @@ def _ivf_standing_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     e = valid_embeddings(tw(spark, sf_dir, "embeddings"))
     standing = e.where(_standing_key() < Q175_STANDING_HEX)
     cent = ivf_codebook(standing)
-    # cell-clustered lists layout (the _ivf_fit repartition note)
-    lists = (
-        _assign_to_codebook(standing, _with_cnorm(cent))
-        .repartition("cluster")
-        .localCheckpoint(eager=True)
+    # map-shaped lists; the one clustering shuffle happens at save
+    # time (the _ivf_fit note)
+    lists = _assign_to_codebook(standing, _with_cnorm(cent)).localCheckpoint(
+        eager=True
     )
     return (cent, lists)
 
@@ -3655,12 +3738,13 @@ def ivf_standing_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> None
 
     e = valid_embeddings(tw(spark, sf_dir, "embeddings"))
     cent = ivf_codebook(e)
-    # cell-clustered lists layout (the _ivf_fit repartition note):
-    # one file set per cell under partitionBy, not map-partitions × cells
-    lists = (
-        _assign_to_codebook(e, _with_cnorm(cent))
-        .repartition("cluster")
-        .localCheckpoint(eager=True)
+    # ONE clustering shuffle straight into the partitioned write
+    # (r18): rebalance-by-cluster keeps one file set per cell under
+    # partitionBy with AQE splitting any skewed cell, and drops the
+    # r17 checkpoint materialize-then-rescan (the write is the only
+    # consumer of the assignment plan)
+    lists = _assign_to_codebook(e, _with_cnorm(cent)).hint(
+        "rebalance", "cluster"
     )
     cent.write.mode("overwrite").parquet(os.path.join(out_dir, "coarse"))
     lists.write.mode("overwrite").partitionBy("cluster").parquet(
@@ -3766,12 +3850,9 @@ def _ivfadc_standing_fit(
     cent, slists = ivf_standing_index_for(spark, sf_dir)
     resid = _ivfadc_residuals(slists, cent).localCheckpoint(eager=True)
     pcent = pq_codebooks(resid.select("vec_id", "embedding"))
-    # cell-clustered codes layout (the _ivf_fit repartition note)
-    codes = (
-        _ivfadc_codes(resid, pcent)
-        .repartition("cluster")
-        .localCheckpoint(eager=True)
-    )
+    # map-shaped wide codes; the one clustering shuffle happens at
+    # save time (the _ivfadc_fit note)
+    codes = _ivfadc_codes(resid, pcent).localCheckpoint(eager=True)
     return (cent, pcent, codes)
 
 
@@ -3792,7 +3873,7 @@ def _ivfadc_standing_fit(
     [
         ("coarse", ["cid", "cv"], None),
         ("pq", ["sub", "cid", "cv"], None),
-        ("codes", ["vec_id", "cluster", "sub", "code"], "cluster"),
+        ("codes", ["vec_id", "cluster", "codes"], "cluster"),
     ],
     _ivfadc_standing_fit,
     params={
@@ -4185,30 +4266,59 @@ def q212_ivfadc_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mapped_s"
         )
     )
-    sc = codes_s.select("vec_id", "sub", F.col("code").alias("s_code"))
-    rc = codes_r.select("vec_id", "sub", F.col("code").alias("r_code"))
-    mr = map_r.select(
-        F.col("sub").alias("m_sub"), F.col("r_cid").alias("m_rcid"), "mapped_s"
+    # wide-codes churn (r18): ONE corpus-row join on vec_id instead of
+    # the N_SUB× (vec_id, sub) narrow-row shuffle, and the alignment
+    # map collapses to an in-row array (_map[sub+1][r_cid+1] =
+    # mapped_s) — per joined row the N_SUB compares run in-row, so the
+    # exchange volume drops N_SUB× and the broadcast-map join
+    # disappears. Arithmetic identical to the oracle's (vec_id, sub)
+    # replay: sum over subs of mismatches / (rows × N_SUB).
+    mrow = (
+        map_r.groupBy("sub")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("r_cid", "mapped_s"))).alias(
+                "_m"
+            )
+        )
+        .agg(F.sort_array(F.collect_list(F.struct("sub", "_m"))).alias("_s"))
+        .select(
+            F.transform(
+                "_s", lambda s: F.transform(s["_m"], lambda m: m["mapped_s"])
+            ).alias("_map")
+        )
+    )
+    sc = codes_s.select("vec_id", F.col("codes").alias("s_codes"))
+    rc = codes_r.select("vec_id", F.col("codes").alias("r_codes"))
+    mapped = F.transform(
+        "r_codes",
+        lambda c, s: F.element_at(
+            F.element_at(F.col("_map"), s + F.lit(1)), c.cast("int") + F.lit(1)
+        ),
+    )
+    mism = F.aggregate(
+        F.zip_with(
+            mapped,
+            F.col("s_codes"),
+            lambda m, s0: F.when(m != s0.cast("long"), 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     churn = (
-        sc.join(rc, ["vec_id", "sub"])
-        .join(
-            F.broadcast(mr),
-            (F.col("sub") == F.col("m_sub"))
-            & (F.col("r_code") == F.col("m_rcid")),
-        )
+        sc.join(rc, "vec_id")
+        .crossJoin(F.broadcast(mrow))
         .agg(
             F.round(
-                F.sum((F.col("mapped_s") != F.col("s_code")).cast("long")).cast(
-                    "double"
-                )
-                / F.count(F.lit(1)),
+                F.sum(mism).cast("double")
+                / (F.count(F.lit(1)) * F.lit(N_SUB)),
                 4,
             ).alias("code_churn_frac")
         )
     )
-    pop = sc.groupBy("sub", F.col("s_code").alias("p_cid")).agg(
-        F.count(F.lit(1)).alias("n_codes")
+    pop = (
+        codes_s.select(F.posexplode("codes").alias("sub", "p_code"))
+        .groupBy("sub", F.col("p_code").alias("p_cid"))
+        .agg(F.count(F.lit(1)).alias("n_codes"))
     )
     return (
         near_s.join(
@@ -4263,12 +4373,12 @@ def ivfadc_standing_refresh(
         _assign_to_codebook(e, _with_cnorm(cent)), cent
     ).localCheckpoint(eager=True)
     pcent = pq_codebooks(resid.select("vec_id", "embedding"))
-    # cell-clustered codes layout (the _ivf_fit repartition note)
-    codes = (
-        _ivfadc_codes(resid, pcent)
-        .repartition("cluster")
-        .localCheckpoint(eager=True)
-    )
+    # ONE clustering shuffle, straight into the partitioned write
+    # (r18): rebalance-by-cluster gives the partitionBy save one file
+    # set per cell with AQE splitting any skewed cell, and the wide
+    # encode output is written without the r17 checkpoint
+    # materialize-then-rescan (the write is its only consumer)
+    codes = _ivfadc_codes(resid, pcent).hint("rebalance", "cluster")
     cent.write.mode("overwrite").parquet(os.path.join(out_dir, "coarse"))
     pcent.write.mode("overwrite").parquet(os.path.join(out_dir, "pq"))
     codes.write.mode("overwrite").partitionBy("cluster").parquet(
@@ -4382,7 +4492,7 @@ def _pq_standing_fit(
     )
     # REBALANCE before materializing — the _pq_fit note
     codes = (
-        _pq_encode(_subvectors(sw), cent)
+        _pq_encode(sw, cent)
         .hint("rebalance")
         .localCheckpoint(eager=True)
     )
@@ -4405,7 +4515,7 @@ def _pq_standing_fit(
     "embeddings.parquet",
     [
         ("pq", ["sub", "cid", "cv"], None),
-        ("codes", ["vec_id", "sub", "cluster"], None),
+        ("codes", ["vec_id", "codes"], None),
     ],
     _pq_standing_fit,
     params={
@@ -4549,21 +4659,22 @@ def _serve_pq_incr_view(
     e = t(spark, sf_dir, "embeddings")
     hex_b = pq_standing_hex(cent)
     incr = valid_embeddings(e).where(~(_standing_key() < F.lit(hex_b)))
-    combined = codes_s.unionByName(_pq_encode(_subvectors(incr), cent))
-    qsub = _subvectors(e).where(F.col("vec_id") == QUERY_VEC_ID).select(
-        "sub", F.col("sv").alias("qv")
-    )
-    lut = cent.join(F.broadcast(qsub), "sub").select(
-        "sub", "cid", _l2_col(F.col("cv"), F.col("qv")).alias("qd")
+    combined = codes_s.unionByName(_pq_encode(incr, cent))
+    # one LUT row for the pinned query, one in-row sum per candidate
+    # code row — no groupBy(vec_id) exchange (r18 wide codes; the
+    # q157 serve shape)
+    qlut = (
+        e.where(F.col("vec_id") == QUERY_VEC_ID)
+        .crossJoin(F.broadcast(_pq_cells_row(cent)))
+        .select(_pq_lut_expr(_chunked("embedding")).alias("_qlut"))
     )
     scored = (
         combined.where(F.col("vec_id") != QUERY_VEC_ID)
-        .join(
-            F.broadcast(lut),
-            (combined.sub == lut.sub) & (combined.cluster == lut.cid),
+        .crossJoin(F.broadcast(qlut))
+        .select(
+            "vec_id",
+            _adc_dist(F.col("codes"), F.col("_qlut")).alias("approx_dist"),
         )
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("qd"), 6).alias("approx_dist"))
     )
     shortlist = scored.orderBy(F.col("approx_dist").asc(), "vec_id").limit(
         PQ_SHORTLIST
@@ -4769,30 +4880,54 @@ def q215_pq_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mapped_s"
         )
     )
-    sc = codes_s.select("vec_id", "sub", F.col("cluster").alias("s_code"))
-    rc = codes_r.select("vec_id", "sub", F.col("cluster").alias("r_code"))
-    mr = map_r.select(
-        F.col("sub").alias("m_sub"), F.col("r_cid").alias("m_rcid"), "mapped_s"
+    # wide-codes churn — the q212 rewrite verbatim (r18): one vec_id
+    # join, in-row alignment map, N_SUB× less exchange volume
+    mrow = (
+        map_r.groupBy("sub")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("r_cid", "mapped_s"))).alias(
+                "_m"
+            )
+        )
+        .agg(F.sort_array(F.collect_list(F.struct("sub", "_m"))).alias("_s"))
+        .select(
+            F.transform(
+                "_s", lambda s: F.transform(s["_m"], lambda m: m["mapped_s"])
+            ).alias("_map")
+        )
+    )
+    sc = codes_s.select("vec_id", F.col("codes").alias("s_codes"))
+    rc = codes_r.select("vec_id", F.col("codes").alias("r_codes"))
+    mapped = F.transform(
+        "r_codes",
+        lambda c, s: F.element_at(
+            F.element_at(F.col("_map"), s + F.lit(1)), c.cast("int") + F.lit(1)
+        ),
+    )
+    mism = F.aggregate(
+        F.zip_with(
+            mapped,
+            F.col("s_codes"),
+            lambda m, s0: F.when(m != s0.cast("long"), 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     churn = (
-        sc.join(rc, ["vec_id", "sub"])
-        .join(
-            F.broadcast(mr),
-            (F.col("sub") == F.col("m_sub"))
-            & (F.col("r_code") == F.col("m_rcid")),
-        )
+        sc.join(rc, "vec_id")
+        .crossJoin(F.broadcast(mrow))
         .agg(
             F.round(
-                F.sum((F.col("mapped_s") != F.col("s_code")).cast("long")).cast(
-                    "double"
-                )
-                / F.count(F.lit(1)),
+                F.sum(mism).cast("double")
+                / (F.count(F.lit(1)) * F.lit(N_SUB)),
                 4,
             ).alias("code_churn_frac")
         )
     )
-    pop = sc.groupBy("sub", F.col("s_code").alias("p_cid")).agg(
-        F.count(F.lit(1)).alias("n_codes")
+    pop = (
+        codes_s.select(F.posexplode("codes").alias("sub", "p_code"))
+        .groupBy("sub", F.col("p_code").alias("p_cid"))
+        .agg(F.count(F.lit(1)).alias("n_codes"))
     )
     return (
         near_s.join(
@@ -4843,14 +4978,12 @@ def pq_standing_refresh(
 
     e = valid_embeddings(t(spark, sf_dir, "embeddings"))
     cent = pq_codebooks(e)
-    # REBALANCE before materializing — the _pq_fit note
-    codes = (
-        _pq_encode(
-            _subvectors(valid_embeddings(tw(spark, sf_dir, "embeddings"))), cent
-        )
-        .hint("rebalance")
-        .localCheckpoint(eager=True)
-    )
+    # REBALANCE straight into the write (r18): AQE sizes the output
+    # files; no checkpoint materialize-then-rescan (the write is the
+    # plan's only consumer)
+    codes = _pq_encode(
+        valid_embeddings(tw(spark, sf_dir, "embeddings")), cent
+    ).hint("rebalance")
     cent.write.mode("overwrite").parquet(os.path.join(out_dir, "pq"))
     codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes"))
     write_index_meta(

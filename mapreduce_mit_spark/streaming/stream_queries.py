@@ -2131,8 +2131,9 @@ def q205_ann_ingest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     and row-identical pre/post serves).
 
     Scale shape: the fold reads the increment lists once and writes
-    one file set per cluster (``repartition("cluster")`` — one shuffle
-    whose width is the cell count, never the corpus); serve planning
+    one file set per cluster (``hint("rebalance", "cluster")`` — one
+    shuffle clustered by cell with AQE splitting hot cells, so the
+    fold's width is never capped at the cell count); serve planning
     returns to O(probed cells) in stream age. At 100 TB this is the
     periodic OPTIMIZE that keeps the freshness tier's p99 flat while
     the stream runs forever.
@@ -2160,9 +2161,14 @@ def _q205_compact_and_serve(
         shutil.rmtree(compact_dir, ignore_errors=True)
         if glob.glob(os.path.join(lists_dir, "batch_id=*", "*", "*.parquet")):
             # fold every drained batch into the consolidated tier, one
-            # file set per cluster so probed-cell serves keep pruning
-            q176_ingested_tree(spark, lists_dir).repartition(
-                "cluster"
+            # file set per cluster so probed-cell serves keep pruning.
+            # REBALANCE, not repartition (r18, the fitted_family save
+            # note): a plain hash repartition on the k-valued cluster
+            # key caps the fold's write parallelism at k tasks and
+            # gives a skewed cell one giant file; the AQE rebalance
+            # hint clusters identically AND splits hot cells.
+            q176_ingested_tree(spark, lists_dir).hint(
+                "rebalance", "cluster"
             ).write.mode("overwrite").partitionBy("cluster").parquet(
                 os.path.join(compact_dir, "batch_id=-2")
             )

@@ -1194,7 +1194,6 @@ def test_assignment_and_encode_passes_have_no_exchange(spark):
         _assign_to_codebook,
         _ivfadc_codes,
         _pq_encode,
-        _subvectors,
         _with_cnorm,
         codebook_for,
         pq_index_for,
@@ -1213,7 +1212,7 @@ def test_assignment_and_encode_passes_have_no_exchange(spark):
         return buf.getvalue()
 
     assign_plan = fmt(_assign_to_codebook(e, _with_cnorm(cent)))
-    encode_plan = fmt(_pq_encode(_subvectors(e), pcent))
+    encode_plan = fmt(_pq_encode(e, pcent))
     adc_plan = fmt(
         _ivfadc_codes(
             e.select("vec_id", F.lit(0).cast("long").alias("cluster"),
@@ -1260,3 +1259,64 @@ def test_inrow_assignment_zero_norm_sentinel(spark):
     )
     row = _assign_to_codebook(zero, _with_cnorm(cent)).collect()[0]
     assert row.cluster == 0, row
+
+
+def test_valid_embeddings_rejects_nonfinite(spark):
+    """r18 gate hardening (r17 ADVICE): a NaN/Inf/NULL-poisoned vector
+    must never reach a fit or an in-row argmin — NaN ranks differently
+    in DuckDB's ORDER BY (greatest) than in the negated in-row sort
+    key (last), so the only safe cross-engine posture is rejection at
+    the ingestion gate, in BOTH engines. The fixtures contain no
+    non-finite elements (verified), so the gate is result-invisible —
+    this crafts the poison the fixtures lack."""
+    import duckdb
+
+    from mapreduce_mit_spark.plans.similarity import (
+        DIM,
+        EMB_VALID_SQL,
+        valid_embeddings,
+    )
+
+    rows = [
+        (1, "ok", [0.5] * DIM),
+        (2, "nan", [float("nan")] + [0.5] * (DIM - 1)),
+        (3, "inf", [float("inf")] + [0.5] * (DIM - 1)),
+        (4, "ninf", [float("-inf")] + [0.5] * (DIM - 1)),
+        (5, "nullel", [None] + [0.5] * (DIM - 1)),
+        (6, "short", [0.5] * (DIM - 1)),
+        (7, "nullarr", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    kept = sorted(r.vec_id for r in valid_embeddings(df).collect())
+    assert kept == [1], kept
+
+    # the DuckDB twin must keep exactly the same rows
+    def _lit(x):
+        import math
+
+        if x is None:
+            return "NULL"
+        if math.isnan(x):
+            return "'NaN'::FLOAT"
+        if math.isinf(x):
+            return f"'{'-' if x < 0 else ''}Infinity'::FLOAT"
+        return repr(x)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, CAST({'NULL' if emb is None else '[' + ', '.join(_lit(x) for x in emb) + ']'} AS FLOAT[]))"
+            for i, _l, emb in rows
+        )
+        + ") t(vec_id, embedding)"
+    )
+    oracle_kept = sorted(
+        r[0]
+        for r in con.sql(
+            f"SELECT vec_id FROM {EMB_VALID_SQL} AS v"
+        ).fetchall()
+    )
+    assert oracle_kept == [1], oracle_kept
