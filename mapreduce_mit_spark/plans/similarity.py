@@ -1441,7 +1441,7 @@ def ivf_codebook(
             F.transform(
                 "_cells",
                 lambda c: F.struct(
-                    _neg_sim(c).alias("_nq"), c["cid"].alias("cid")
+                    _neg_sim(c).alias("_k"), c["cid"].alias("cid")
                 ),
             )
         )["cid"]
@@ -1521,18 +1521,27 @@ def codebook_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _inrow_min(keyed: Column) -> Column:
-    """O(k) running minimum over an array of comparable structs —
-    bit-identical to ``element_at(sort_array(keyed), 1)`` (structs
-    compare lexicographically by field in both forms) without the
-    O(k log k) per-row sort or the sorted copy (r17 ADVICE: at the
-    cell policy's k ~ √N the sort grows superlinearly vs the O(k)
-    running argmin the old aggregate did). Callers must make the
-    leading key field non-NULL (the +inf sentinel discipline) — a
-    NULL key would make the struct comparison NULL and freeze the
-    fold on the accumulator."""
+    """O(k) running minimum over an array of ``struct<_k double,
+    cid bigint>`` — bit-identical to
+    ``element_at(sort_array(keyed), 1)`` (structs compare
+    lexicographically in both forms; verified bit-equal on 2M crafted
+    rows incl. +inf ties) without the O(k log k) per-row sort or the
+    sorted copy (r17 ADVICE). MEASUREMENT NOTE (r18): the fold must
+    reference ``keyed`` exactly ONCE — a first draft that also took
+    ``element_at(keyed, 1)`` and ``size(keyed)`` re-evaluated the
+    whole keyed transform (k distance computations) per reference,
+    3× the arithmetic; hence the sentinel accumulator (+inf key,
+    2⁶² cid — loses every tie to a real entry, so an all-+inf row
+    still resolves to the lowest real cid exactly like the sorted
+    head). Callers must make ``_k`` non-NULL (the +inf sentinel
+    discipline) — a NULL key would make the struct comparison NULL
+    and freeze the fold on the accumulator."""
     return F.aggregate(
-        F.slice(keyed, 2, F.size(keyed) - 1),
-        F.element_at(keyed, 1),
+        keyed,
+        F.struct(
+            F.lit(float("inf")).alias("_k"),
+            F.lit(2**62).cast("long").alias("cid"),
+        ),
         lambda acc, c: F.when(c < acc, c).otherwise(acc),
     )
 
@@ -1577,7 +1586,7 @@ def _assign_to_codebook(part: DataFrame, centn: DataFrame) -> DataFrame:
         F.transform(
             "_cells",
             lambda c: F.struct(
-                _neg_sim(c).alias("_nq"), c["cid"].alias("cid")
+                _neg_sim(c).alias("_k"), c["cid"].alias("cid")
             ),
         )
     )["cid"]
@@ -1820,16 +1829,13 @@ def ivf_probe_hits(
         )
         return F.coalesce(-s, F.lit(float("inf")))
 
-    best = F.element_at(
-        F.sort_array(
-            F.transform(
-                "_cells",
-                lambda c: F.struct(
-                    _neg_sim(c).alias("_nq"), c["cid"].alias("cid")
-                ),
-            )
-        ),
-        1,
+    best = _inrow_min(
+        F.transform(
+            "_cells",
+            lambda c: F.struct(
+                _neg_sim(c).alias("_k"), c["cid"].alias("cid")
+            ),
+        )
     )["cid"]
     assign = (
         e.withColumn("_en", _norm(F.col("embedding")))
@@ -2116,16 +2122,29 @@ def _chunked(col) -> Column:
 def _pq_cells_row(cent: DataFrame) -> DataFrame:
     """Collapse a (sub, cid, cv) PQ codebook to ONE broadcastable row:
     ``_cells_by_sub[sub+1][cid+1] = struct(cid, cv)``. Both dimensions
-    are contiguous and 0-based by construction (the seed ranking mints
-    cids 0..K_PQ-1, :func:`_subvectors` mints subs 0..N_SUB-1), so the
-    encode and LUT passes index it positionally in-row — the
-    assignment-pass discipline applied to the per-subspace codebooks."""
-    per_sub = cent.groupBy("sub").agg(
-        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("_c")
+    are contiguous, 0-based and DENSE by construction (the seed
+    ranking mints cids 0..K_PQ-1 per subspace and an emptied Lloyd
+    cell keeps its previous centroid, so the codebook is always
+    exactly N_SUB × K_PQ rows; :func:`_subvectors` mints subs
+    0..N_SUB-1), so the encode and LUT passes index it positionally
+    in-row. ONE global aggregation — the (sub, cid)-sorted flat list
+    is re-nested by slicing in-row on the single output row — rather
+    than a groupBy(sub) + global agg chain: at fixture scale each
+    extra tiny stage is ~0.1 s of pure scheduling per serve (measured
+    while chasing the r18 A/B), and the collapse output is one row
+    either way."""
+    flat = cent.agg(
+        F.sort_array(F.collect_list(F.struct("sub", "cid", "cv"))).alias("_f")
     )
-    return per_sub.agg(
-        F.sort_array(F.collect_list(F.struct("sub", "_c"))).alias("_s")
-    ).select(F.transform("_s", lambda s: s["_c"]).alias("_cells_by_sub"))
+    return flat.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_SUB - 1)),
+            lambda s: F.transform(
+                F.slice("_f", s * K_PQ + 1, K_PQ),
+                lambda e: F.struct(e["cid"].alias("cid"), e["cv"].alias("cv")),
+            ),
+        ).alias("_cells_by_sub")
+    )
 
 
 def _pq_code_expr(chunks: Column) -> Column:
@@ -2140,7 +2159,7 @@ def _pq_code_expr(chunks: Column) -> Column:
             F.transform(
                 F.element_at(F.col("_cells_by_sub"), s + F.lit(1)),
                 lambda c: F.struct(
-                    _l2_col(sv, c["cv"]).alias("_d"), c["cid"].alias("cid")
+                    _l2_col(sv, c["cv"]).alias("_k"), c["cid"].alias("cid")
                 ),
             )
         )["cid"].cast("int"),
@@ -2240,7 +2259,7 @@ def pq_codebooks(e: DataFrame) -> DataFrame:
             F.transform(
                 "_cells",
                 lambda c: F.struct(
-                    _l2_col(F.col("sv"), c["cv"]).alias("_d"),
+                    _l2_col(F.col("sv"), c["cv"]).alias("_k"),
                     c["cid"].alias("cid"),
                 ),
             )
@@ -4273,19 +4292,20 @@ def q212_ivfadc_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange volume drops N_SUB× and the broadcast-map join
     # disappears. Arithmetic identical to the oracle's (vec_id, sub)
     # replay: sum over subs of mismatches / (rows × N_SUB).
-    mrow = (
-        map_r.groupBy("sub")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("r_cid", "mapped_s"))).alias(
-                "_m"
-            )
-        )
-        .agg(F.sort_array(F.collect_list(F.struct("sub", "_m"))).alias("_s"))
-        .select(
-            F.transform(
-                "_s", lambda s: F.transform(s["_m"], lambda m: m["mapped_s"])
-            ).alias("_map")
-        )
+    # ONE global aggregation (the _pq_cells_row note): the alignment
+    # map is dense N_SUB x K_PQ by construction, so the (sub, r_cid)-
+    # sorted flat list re-nests by slicing in-row on the single row
+    mrow = map_r.agg(
+        F.sort_array(
+            F.collect_list(F.struct("sub", "r_cid", "mapped_s"))
+        ).alias("_f")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_SUB - 1)),
+            lambda s: F.transform(
+                F.slice("_f", s * K_PQ + 1, K_PQ), lambda e: e["mapped_s"]
+            ),
+        ).alias("_map")
     )
     sc = codes_s.select("vec_id", F.col("codes").alias("s_codes"))
     rc = codes_r.select("vec_id", F.col("codes").alias("r_codes"))
@@ -4882,19 +4902,20 @@ def q215_pq_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # wide-codes churn — the q212 rewrite verbatim (r18): one vec_id
     # join, in-row alignment map, N_SUB× less exchange volume
-    mrow = (
-        map_r.groupBy("sub")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("r_cid", "mapped_s"))).alias(
-                "_m"
-            )
-        )
-        .agg(F.sort_array(F.collect_list(F.struct("sub", "_m"))).alias("_s"))
-        .select(
-            F.transform(
-                "_s", lambda s: F.transform(s["_m"], lambda m: m["mapped_s"])
-            ).alias("_map")
-        )
+    # ONE global aggregation (the _pq_cells_row note): the alignment
+    # map is dense N_SUB x K_PQ by construction, so the (sub, r_cid)-
+    # sorted flat list re-nests by slicing in-row on the single row
+    mrow = map_r.agg(
+        F.sort_array(
+            F.collect_list(F.struct("sub", "r_cid", "mapped_s"))
+        ).alias("_f")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_SUB - 1)),
+            lambda s: F.transform(
+                F.slice("_f", s * K_PQ + 1, K_PQ), lambda e: e["mapped_s"]
+            ),
+        ).alias("_map")
     )
     sc = codes_s.select("vec_id", F.col("codes").alias("s_codes"))
     rc = codes_r.select("vec_id", F.col("codes").alias("r_codes"))

@@ -1167,6 +1167,27 @@ def test_q214_pq_incremental_serve_all_broadcast(plan):
     assert "BroadcastHashJoin" in p
 
 
+def test_adc_serves_have_no_scored_aggregate_exchange(plan):
+    """r18 wide codes: every ADC serve scores a candidate with ONE
+    in-row LUT sum over its (vec_id, codes array) row — the narrow
+    layout's scored aggregate (groupBy(query_id, vec_id[, cluster])
+    over N_SUB joined rows) and its hash exchange must never
+    reappear. The only per-query exchanges allowed in a serve are the
+    shortlist/rerank ranking windows (hashpartitioning on query_id
+    alone, multi-query paths only; the pinned-query paths rank via
+    TakeOrdered)."""
+    import re
+
+    for q in ("q157_pq_ann", "q214_pq_incremental_serve"):
+        p = plan(q)
+        assert "hashpartitioning(vec_id" not in p, q
+        assert not re.search(r"hashpartitioning\(query_id#\d+L?, vec_id", p), q
+    for q in ("q160_ivfadc", "q211_ivfadc_incremental_serve"):
+        p = plan(q)
+        assert "hashpartitioning(vec_id" not in p, q
+        assert not re.search(r"hashpartitioning\(query_id#\d+L?, vec_id", p), q
+
+
 def test_q211_ivfadc_incremental_serve_all_broadcast(plan):
     """q211's serve posture, same claim as q214's pin on the
     production index: probe/LUT/codebook joins broadcast; the codes
